@@ -1,13 +1,64 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator family from SURVEY.md §2 appears here as a
+  * named query over `/root/testdata/<sf>` with (where SQL-expressible) a
+  * DuckDB oracle in [[oracleSql]]. Column names are aliased identically on
+  * both sides — the driver's compare sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The ODS-fact-build shape (SURVEY §3 E2): windowed features + star
+    * joins in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3StarJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (Relational.q1Agg(_, _)),
+    "q2_filter_project" -> (Relational.q2FilterProject(_, _)),
+    "q3_star_join"      -> (Relational.q3StarJoin(_, _)),
+    "q4_dim_lookup"     -> (Relational.q4DimLookup(_, _)),
+    "q5_roleplay_join"  -> (Relational.q5RoleplayJoin(_, _)),
+    "q6_anti_join"      -> (Relational.q6AntiJoin(_, _)),
+    "q6b_semi_join"     -> (Relational.q6bSemiJoin(_, _)),
+    "q7_window_lead"    -> (Relational.q7WindowLead(_, _)),
+    "q8_window_ma"      -> (Relational.q8WindowMa(_, _)),
+    "q9_window_spread"  -> (Relational.q9WindowSpread(_, _)),
+    "q10_spread_agg"    -> (Relational.q10SpreadAgg(_, _)),
+    "q11_unpivot"       -> (Relational.q11Unpivot(_, _)),
+    "q13_union"         -> (Relational.q13Union(_, _)),
+    "q14_strings"       -> (Relational.q14Strings(_, _)),
+    "q15_datetime"      -> (Relational.q15Datetime(_, _)),
+    "q16_topk"          -> (Relational.q16TopK(_, _)),
+    "q18_rollup"        -> (Relational.q18Rollup(_, _)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"            -> Relational.q1AggSql,
+    "q2_filter_project" -> Relational.q2FilterProjectSql,
+    "q3_star_join"      -> Relational.q3StarJoinSql,
+    "q4_dim_lookup"     -> Relational.q4DimLookupSql,
+    "q5_roleplay_join"  -> Relational.q5RoleplayJoinSql,
+    "q6_anti_join"      -> Relational.q6AntiJoinSql,
+    "q6b_semi_join"     -> Relational.q6bSemiJoinSql,
+    "q7_window_lead"    -> Relational.q7WindowLeadSql,
+    "q8_window_ma"      -> Relational.q8WindowMaSql,
+    "q9_window_spread"  -> Relational.q9WindowSpreadSql,
+    "q10_spread_agg"    -> Relational.q10SpreadAggSql,
+    "q11_unpivot"       -> Relational.q11UnpivotSql,
+    "q13_union"         -> Relational.q13UnionSql,
+    "q14_strings"       -> Relational.q14StringsSql,
+    "q15_datetime"      -> Relational.q15DatetimeSql,
+    "q16_topk"          -> Relational.q16TopKSql,
+    "q18_rollup"        -> Relational.q18RollupSql,
+  )
 }

@@ -1,0 +1,476 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The relational operator pack: every parity operator family from
+  * SURVEY.md §2 (scans, projections/filters, joins, aggregations, windows,
+  * sorts/sets/scalars) exercised as a named query over the driver test
+  * tables. Each query here has a matching ANSI-SQL oracle in
+  * [[graft.SparkEntry.oracleSql]] executed by DuckDB on the same parquet.
+  *
+  * Determinism discipline (so Spark and DuckDB hash identically):
+  *  - every query ends in an ORDER BY over a unique key set; window ORDER
+  *    BYs always carry a unique tie-break (`lineitem`'s unique composite is
+  *    (l_orderkey, l_linenumber, l_partkey, l_suppkey) — verified at
+  *    sf0.01 and sf0.1; (orderkey, linenumber) alone is NOT unique);
+  *  - no native `round()` on doubles — Spark rounds HALF_UP, DuckDB
+  *    half-even; instead [[stableRound]] = `floor(x*10^p + 0.5)/10^p`,
+  *    pure IEEE ops, bit-identical in both engines;
+  *  - no floating SUM over non-grid doubles — summation order differs
+  *    between engines (ulp drift can cross a rounding boundary); instead
+  *    [[moneySum]] floors each row to an integer cent grid first, so sums
+  *    are order-independent exact integers.
+  *
+  * Scale discipline (local[32] now, 1000 executors later):
+  *  - dimension joins (`nation`, `region`, `customer`, `supplier`, `part`)
+  *    are explicitly `broadcast()` — no shuffle for the dim side at any SF;
+  *  - fact-fact joins (`lineitem` ⋈ `orders`) shuffle on the join key only
+  *    once; AQE re-plans skew at runtime;
+  *  - aggregates are single `groupBy.agg` so Catalyst plans partial
+  *    (map-side) aggregation before the exchange;
+  *  - filters/projections sit directly over the scan so they push into the
+  *    parquet reader (`.explain`: `PushedFilters`, pruned `ReadSchema`);
+  *  - top-k is `orderBy.limit` → `TakeOrderedAndProject`, never a full
+  *    global sort.
+  */
+object Relational {
+
+  /** date-of-timestamp as a plain string — identical text in Spark and
+    * DuckDB, the safest hashable form for temporal keys. */
+  private def dstr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  /** Round-half-up in raw IEEE ops; bit-identical across engines. */
+  private[graft] def stableRound(c: Column, p: Int): Column = {
+    val s = math.pow(10, p)
+    floor(c * s + 0.5) / s
+  }
+
+  /** Order-independent money sum: floor each row to integer cents, sum
+    * (exact for |sum| < 2^53), rescale. */
+  private[graft] def moneySum(c: Column): Column =
+    sum(floor(c * 100.0 + 0.5)) / 100.0
+
+  /** DuckDB-side text of [[stableRound]] / [[moneySum]]. */
+  private[graft] def sqlRound(e: String, p: Int): String =
+    s"floor(($e) * 1e$p + 0.5) / 1e$p"
+  private[graft] def sqlMoneySum(e: String): String =
+    s"sum(floor(($e) * 100.0 + 0.5)) / 100.0"
+
+  // =====================================================================
+  // Aggregations (SURVEY §2.4: A1 count, A2 spread, A3 totals, A4 derived)
+  // =====================================================================
+
+  /** TPC-H-Q1-style pricing summary: map-side partial agg → single shuffle
+    * on (returnflag, linestatus): 6 groups at any scale. */
+  def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("sum_disc_price"),
+        stableRound(avg($"l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  val q1AggSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+       |  ${sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${sqlRound("avg(l_quantity)", 4)} AS avg_qty,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** A2's max-min spread per date key (reference `Data Processed/Spead.csv`
+    * semantics: Spread = max(price) - min(price) within the day). max/min
+    * pick exact stored doubles — no FP-order sensitivity. */
+  def q10SpreadAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(dstr($"l_shipdate").as("ship_date"))
+      .agg(
+        stableRound(max($"l_extendedprice") - min($"l_extendedprice"), 2).as("spread_max_min"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"ship_date")
+
+  val q10SpreadAggSql: String =
+    s"""SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       |  ${sqlRound("max(l_extendedprice) - min(l_extendedprice)", 2)} AS spread_max_min,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // =====================================================================
+  // Projections / filters (SURVEY §2.2) — pushdown-friendly
+  // =====================================================================
+
+  /** Filter + projection + derived measure (A4's net = f(cols)). The
+    * filter and the projection both reach the parquet scan. Row-level
+    * arithmetic is identical IEEE in both engines. */
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R" && $"l_discount" > 0.05)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        stableRound($"l_extendedprice" * (lit(1) - $"l_discount"), 4).as("net_price"),
+        stableRound($"l_extendedprice" * $"l_tax", 4).as("tax_amt"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+
+  val q2FilterProjectSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${sqlRound("l_extendedprice * (1 - l_discount)", 4)} AS net_price,
+       |  ${sqlRound("l_extendedprice * l_tax", 4)} AS tax_amt
+       |FROM lineitem
+       |WHERE l_returnflag = 'R' AND l_discount > 0.05
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // =====================================================================
+  // Joins (SURVEY §2.3: J1/J2 dim lookup, J3 role-play, J4 anti, J5 equi)
+  // =====================================================================
+
+  /** Star join: fact ⋈ fact on the order key (one shuffle), then the
+    * customer→nation→region dimension arm entirely via broadcast. */
+  def q3StarJoin(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", year($"o_orderdate").as("order_year"))
+      .agg(
+        moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"order_year")
+  }
+
+  val q3StarJoinSql: String =
+    s"""SELECT r_name, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+       |  ${sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, order_year
+       |ORDER BY r_name, order_year""".stripMargin
+
+  /** J1/J2 surrogate-key left join with O15's NULL→'NaN' sentinel
+    * (reference `ETL Process/ODS.py:62,107`). */
+  def q4DimLookup(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d)
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+    ord.join(broadcast(cus), $"o_custkey" === $"c_custkey", "left")
+      .select(
+        $"o_orderkey",
+        coalesce($"c_name", lit("NaN")).as("customer_name"),
+        coalesce($"c_mktsegment", lit("NaN")).as("segment"),
+        stableRound($"o_totalprice", 2).as("total_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q4DimLookupSql: String =
+    s"""SELECT o_orderkey,
+       |  coalesce(c_name, 'NaN') AS customer_name,
+       |  coalesce(c_mktsegment, 'NaN') AS segment,
+       |  ${sqlRound("o_totalprice", 2)} AS total_price
+       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** J3 role-playing dimension: `nation` joined twice under two roles
+    * (customer-nation and supplier-nation), like the reference's contract
+    * dim joined as contract and prev_contract (`ETL Process/ODS.py:103-108`). */
+  def q5RoleplayJoin(s: SparkSession, d: String): DataFrame = {
+    val li  = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val natC = Tables.nation(s, d)
+      .select($"n_nationkey".as("cust_nationkey"), $"n_name".as("cust_nation"))
+    val natS = Tables.nation(s, d)
+      .select($"n_nationkey".as("supp_nationkey"), $"n_name".as("supp_nation"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(natC), $"c_nationkey" === $"cust_nationkey")
+      .join(broadcast(natS), $"s_nationkey" === $"supp_nationkey")
+      .groupBy($"cust_nation", $"supp_nation")
+      .agg(
+        moneySum($"l_extendedprice" * (lit(1) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"cust_nation", $"supp_nation")
+  }
+
+  val q5RoleplayJoinSql: String =
+    s"""SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation,
+       |  ${sqlMoneySum("l_extendedprice * (1 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders    ON l_orderkey = o_orderkey
+       |JOIN customer  ON o_custkey = c_custkey
+       |JOIN supplier  ON l_suppkey = s_suppkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** J4's anti-join (the reference's DELETE WHERE EXISTS upsert core,
+    * `ETL Process/STG.py:102-110`): customers with no high-value order.
+    * (Filtered right side keeps the result non-empty at every SF — all
+    * customers have *some* order.) */
+  def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
+    val cus = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+      .filter($"o_totalprice" > 200000.0).select($"o_custkey")
+    cus.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q6AntiJoinSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join complement of q6 (EXISTS): customers with ≥1 order,
+    * counted per segment. */
+  def q6bSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val cus = Tables.customer(s, d)
+    val ord = Tables.orders(s, d).select($"o_custkey")
+    cus.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), moneySum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q6bSemiJoinSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_customers,
+       |  ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // =====================================================================
+  // Windows (SURVEY §2.5: W1-W5)
+  // =====================================================================
+
+  /** W1/W2: lead of key and price over (customer, order-date) with the
+    * reference's coalesce-to-'NaN' string sentinel
+    * (`ETL Process/ODS.py:62-64`). Unique tie-break: o_orderkey. */
+  def q7WindowLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .select(
+        $"o_custkey", $"o_orderkey", dstr($"o_orderdate").as("order_date"),
+        coalesce(lead($"o_orderkey", 1).over(w).cast("string"), lit("NaN")).as("next_order"),
+        stableRound(lag($"o_totalprice", 1).over(w), 2).as("prev_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q7WindowLeadSql: String =
+    s"""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |  coalesce(CAST(lead(o_orderkey, 1) OVER w AS VARCHAR), 'NaN') AS next_order,
+       |  ${sqlRound("lag(o_totalprice, 1) OVER w", 2)} AS prev_total
+       |FROM orders
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** W4/W5: the 51-row / 201-row ROWS-frame moving averages
+    * (`ETL Process/ODS.py:66-67`), partitioned by supplier, ordered by the
+    * unique (shipdate, orderkey, linenumber, partkey) quadruple. ROWS
+    * (physical) frames with ramp-up at partition start — exactly the
+    * reference's frame semantics. The averaged measure is floored to the
+    * integer grid first so the frame sum is order-independent-exact and
+    * the engines agree bit-for-bit (DuckDB computes window sums via
+    * segment trees — a different summation order than Spark's running
+    * frame buffer). */
+  def q8WindowMa(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
+    val px = floor($"l_extendedprice" + 0.5)
+    Tables.lineitem(s, d)
+      .select(
+        $"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        stableRound(avg(px).over(w.rowsBetween(-50, 0)), 4).as("ma_50"),
+        stableRound(avg(px).over(w.rowsBetween(-200, 0)), 4).as("ma_200"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey")
+  }
+
+  val q8WindowMaSql: String =
+    s"""SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+       |  ${sqlRound("avg(floor(l_extendedprice + 0.5)) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)", 4)} AS ma_50,
+       |  ${sqlRound("avg(floor(l_extendedprice + 0.5)) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey ROWS BETWEEN 200 PRECEDING AND CURRENT ROW)", 4)} AS ma_200
+       |FROM lineitem
+       |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_partkey""".stripMargin
+
+  /** W3: adjacent-rank difference within a partition, ordered DESC — the
+    * reference's inter-contract calendar spread (`ETL Process/ODS.py:65`):
+    * partition by date-analog (order), order by month-analog descending,
+    * diff to neighbor, round(2). Unique DESC order via the composite key. */
+  def q9WindowSpread(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber".desc, $"l_partkey".desc, $"l_suppkey".desc)
+    Tables.lineitem(s, d)
+      .select(
+        $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+        stableRound($"l_extendedprice" - lag($"l_extendedprice", 1).over(w), 2).as("spread"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+  }
+
+  val q9WindowSpreadSql: String =
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${sqlRound("l_extendedprice - lag(l_extendedprice, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC)", 2)} AS spread
+       |FROM lineitem
+       |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+
+  // =====================================================================
+  // Set ops / unpivot / sorts / scalars (SURVEY §2.6)
+  // =====================================================================
+
+  /** O16 unpivot (the COT wide→long reshape) via `stack`, then aggregated
+    * per measure. Shorts-negation analog: discount is negated on unpivot.
+    * Discount values live on a 1e-2 grid → scale-100 floor keeps the sum
+    * exact. */
+  def q11Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", expr(
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', -l_discount) AS (measure, value)"))
+      .groupBy($"measure")
+      .agg(moneySum($"value").as("sum_value"), count(lit(1)).as("n_rows"))
+      .orderBy($"measure")
+
+  val q11UnpivotSql: String =
+    s"""SELECT measure, ${sqlMoneySum("value")} AS sum_value, count(*) AS n_rows
+       |FROM (
+       |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+       |  UNION ALL
+       |  SELECT 'extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL
+       |  SELECT 'discount', -l_discount FROM lineitem
+       |)
+       |GROUP BY measure ORDER BY measure""".stripMargin
+
+  /** A5/O3 UNION ALL of two tagged branches (P10 literal columns), then
+    * re-aggregated — the reference's per-page concat. */
+  def q13Union(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val hi = ord.filter($"o_totalprice" >= 100000.0)
+      .select($"o_orderstatus", lit("high").as("bucket"), $"o_totalprice")
+    val lo = ord.filter($"o_totalprice" < 100000.0)
+      .select($"o_orderstatus", lit("low").as("bucket"), $"o_totalprice")
+    hi.unionByName(lo)
+      .groupBy($"o_orderstatus", $"bucket")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_total"))
+      .orderBy($"o_orderstatus", $"bucket")
+  }
+
+  val q13UnionSql: String =
+    s"""SELECT o_orderstatus, bucket, count(*) AS n_orders,
+       |  ${sqlMoneySum("o_totalprice")} AS sum_total
+       |FROM (
+       |  SELECT o_orderstatus, 'high' AS bucket, o_totalprice FROM orders
+       |    WHERE o_totalprice >= 100000.0
+       |  UNION ALL
+       |  SELECT o_orderstatus, 'low' AS bucket, o_totalprice FROM orders
+       |    WHERE o_totalprice < 100000.0
+       |)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** O4-O8 string surgery on part names: lower, split-first-token,
+    * substring, contains, global regex replace (P6's separator strip
+    * analog). */
+  def q14Strings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        split($"p_name", " ").getItem(0).as("first_token"),
+        substring($"p_name", 1, 7).as("name_prefix"),
+        when(instr($"p_name", "a") > 0, lit(1)).otherwise(lit(0)).as("has_a"),
+        regexp_replace($"p_name", "[aeiou]", "").as("no_vowels"))
+      .orderBy($"p_partkey")
+
+  val q14StringsSql: String =
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  split_part(p_name, ' ', 1) AS first_token,
+      |  substring(p_name, 1, 7) AS name_prefix,
+      |  CASE WHEN strpos(p_name, 'a') > 0 THEN 1 ELSE 0 END AS has_a,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** O10-O12 date functions: format, year/month extraction — the
+    * reference's incremental-load predicate family
+    * (`ETL Process/ODS.py:38,80-81`). */
+  def q15Datetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(
+        date_format($"o_orderdate", "yyyy-MM").as("order_month"),
+        month($"o_orderdate").as("month_num"))
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_total"))
+      .orderBy($"order_month")
+
+  val q15DatetimeSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month_num,
+       |  count(*) AS n_orders, ${sqlMoneySum("o_totalprice")} AS sum_total
+       |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** O1/O2 global sort + top-k limit (unique tie-break on the key). Spark
+    * plans this as TakeOrderedAndProject — per-partition heaps, no full
+    * sort, no skew risk at scale. */
+  def q16TopK(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select($"o_orderkey", stableRound($"o_totalprice", 2).as("total_price"), $"o_orderstatus")
+      .orderBy($"total_price".desc, $"o_orderkey")
+      .limit(100)
+
+  val q16TopKSql: String =
+    s"""SELECT o_orderkey, ${sqlRound("o_totalprice", 2)} AS total_price, o_orderstatus
+       |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Grouping-set extension: ROLLUP over the region→nation hierarchy with
+    * NULL grouping keys coalesced to a sentinel for stable hashing. */
+  def q18Rollup(s: SparkSession, d: String): DataFrame = {
+    val cus = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    val reg = Tables.region(s, d)
+    cus.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"), moneySum($"c_acctbal").as("sum_bal"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region_name"),
+        coalesce($"n_name", lit("ALL")).as("nation_name"),
+        $"n_customers", $"sum_bal")
+      .orderBy($"region_name", $"nation_name")
+  }
+
+  val q18RollupSql: String =
+    s"""SELECT coalesce(r_name, 'ALL') AS region_name,
+       |  coalesce(n_name, 'ALL') AS nation_name,
+       |  count(*) AS n_customers, ${sqlMoneySum("c_acctbal")} AS sum_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY region_name, nation_name""".stripMargin
+
+  // $"..." Column interpolator without needing a SparkSession's implicits
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

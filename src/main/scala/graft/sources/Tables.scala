@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-first readers for the driver test tables
+  * (`/root/testdata/<sf>/<name>.parquet`, see /root/repo/TESTDATA.md) and
+  * for reference-shaped CSV inputs (see /root/repo/FIXTURES.md §A).
+  *
+  * The reference declares every schema explicitly in its COPY column lists
+  * (reference `ETL Process/ODS.py:41`, `ETL Process/STG.py:94`); this engine
+  * does the same with [[StructType]]s so reads never depend on inference.
+  * Parquet reads keep the file schema (already typed); CSV reads apply the
+  * explicit schema plus the reference's null conventions
+  * (`nullValue="null"` — `Data Sample/KC=F.csv` holds literal `null`
+  * strings for missing prices).
+  *
+  * Scale note: all readers return an un-materialized scan; column pruning
+  * and predicate pushdown stay available to Catalyst because no action or
+  * cache happens here.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Register every test table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // --------------------------------------------------------------------
+  // Reference-shaped schemas (golden-parity substrate, FIXTURES.md §A)
+  // --------------------------------------------------------------------
+
+  /** Daily OHLCV, shape of reference `Data Sample/KC=F.csv:1`. */
+  val ohlcvSchema: StructType = StructType(Seq(
+    StructField("Date", DateType),
+    StructField("Open", DoubleType),
+    StructField("High", DoubleType),
+    StructField("Low", DoubleType),
+    StructField("Close", DoubleType),
+    StructField("Adj Close", DoubleType),
+    StructField("Volume", LongType)))
+
+  /** Read an OHLCV CSV with the reference's conventions: header row,
+    * literal `null` for missing values (S1 in SURVEY.md §2.1). */
+  def readOhlcvCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "null")
+      .schema(ohlcvSchema)
+      .csv(path)
+
+  /** Per-contract quote snapshot, shape of the select list at reference
+    * `ETL Process/ODS.py:60-78`. `mo` and `last` are deliberately text —
+    * the reference stores them as text and casts in-query
+    * (`ETL Process/ODS.py:65-67`). */
+  val stgBarchartSchema: StructType = StructType(Seq(
+    StructField("contract", StringType),
+    StructField("timing", StringType),
+    StructField("mo", StringType),
+    StructField("change", StringType),
+    StructField("prev_open", DoubleType),
+    StructField("high", DoubleType),
+    StructField("low", DoubleType),
+    StructField("prev", DoubleType),
+    StructField("last", StringType),
+    StructField("volume", LongType),
+    StructField("oi", LongType),
+    StructField("snapshot_date", DateType)))
+
+  /** Date dimension shape (reference `ETL Process/ODS.py:57`). */
+  val dimDateSchema: StructType = StructType(Seq(
+    StructField("date_id", IntegerType),
+    StructField("date_actual", DateType)))
+
+  /** Contract dimension shape (reference `ETL Process/ODS.py:58`). */
+  val dimContractSchema: StructType = StructType(Seq(
+    StructField("contract_id", IntegerType),
+    StructField("contract_code", StringType)))
+
+  /** Wide weekly COT positions (unpivot source, FIXTURES.md §A5). */
+  val cotReportSchema: StructType = StructType(Seq(
+    StructField("date_actual", DateType),
+    StructField("com_long", LongType),
+    StructField("com_short", LongType),
+    StructField("index_long", LongType),
+    StructField("index_short", LongType),
+    StructField("ncom_long", LongType),
+    StructField("ncom_short", LongType),
+    StructField("nrep_long", LongType),
+    StructField("nrep_short", LongType)))
+}
