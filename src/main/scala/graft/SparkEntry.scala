@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Relational, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,15 @@ object SparkEntry {
     "q15_datetime"      -> (Relational.q15Datetime(_, _)),
     "q16_topk"          -> (Relational.q16TopK(_, _)),
     "q18_rollup"        -> (Relational.q18Rollup(_, _)),
+    "q20_text_stats"    -> (TextOps.q20TextStats(_, _)),
+    "q21_lang_id"       -> (TextOps.q21LangId(_, _)),
+    "q22_fingerprint"   -> (TextOps.q22Fingerprint(_, _)),
+    "q23_minhash"       -> (TextOps.q23Minhash(_, _)),
+    "q24_lsh_pairs"     -> (TextOps.q24LshPairs(_, _)),
+    "q25_dedup_summary" -> (TextOps.q25DedupSummary(_, _)),
+    "q26_embed_stats"   -> (VectorOps.q26EmbedStats(_, _)),
+    "q27_knn_cosine"    -> (VectorOps.q27KnnCosine(_, _)),
+    "q28_ann_lsh"       -> (VectorOps.q28AnnLshBuckets(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +69,14 @@ object SparkEntry {
     "q15_datetime"      -> Relational.q15DatetimeSql,
     "q16_topk"          -> Relational.q16TopKSql,
     "q18_rollup"        -> Relational.q18RollupSql,
+    "q20_text_stats"    -> TextOps.q20TextStatsSql,
+    "q21_lang_id"       -> TextOps.q21LangIdSql,
+    "q22_fingerprint"   -> TextOps.q22FingerprintSql,
+    "q23_minhash"       -> TextOps.q23MinhashSql,
+    "q24_lsh_pairs"     -> TextOps.q24LshPairsSql,
+    "q25_dedup_summary" -> TextOps.q25DedupSummarySql,
+    "q26_embed_stats"   -> VectorOps.q26EmbedStatsSql,
+    "q27_knn_cosine"    -> VectorOps.q27KnnCosineSql,
+    // q28_ann_lsh: xxhash64-based buckets — no DuckDB equivalent (rows-only)
   )
 }

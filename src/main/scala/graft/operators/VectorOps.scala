@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+import graft.operators.Relational.{sqlRound, stableRound}
+import graft.sources.Tables
+
+/** Similarity-search operators over the `embeddings` table
+  * (`Array[Float]` column): brute-force cosine top-k as the exact
+  * baseline, LSH-bucketed ANN as the scale path, per-label embedding
+  * statistics.
+  *
+  * Scale shape: the query set is tiny and `broadcast()` — the corpus is
+  * never shuffled for the brute-force scan (one narrow pass, partial
+  * top-k would bound the sort at extreme k×q). The LSH variant buckets
+  * the corpus by deterministic hyperplane signs so candidate generation
+  * is a hash join on bucket id — O(collisions), not O(n²), and the
+  * "model" is a pure expression (no fitted state to ship to executors).
+  */
+object VectorOps {
+
+  /** DuckDB-side cosine between two FLOAT[64] list columns, mirroring
+    * [[Vectors.cosine]] exactly: per-element cast to double, left-to-right
+    * sum, zero-norm guard. */
+  private def cosSql(a: String, b: String): String = {
+    val dot = s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    val na = s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val nb = s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
+  }
+
+  // ---------------------------------------------------------------
+  // q26: per-label embedding statistics
+  // ---------------------------------------------------------------
+
+  def q26EmbedStats(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select($"label", Vectors.norm($"embedding").as("nrm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        // grid-floor each norm to 1e-6 before summing: order-independent
+        // integer sums → identical in both engines
+        (floor(sum(floor($"nrm" * 1e6 + 0.5)) / count(lit(1)) + 0.5) / 1e6).as("avg_norm"))
+      .orderBy($"label")
+
+  val q26EmbedStatsSql: String = {
+    val nrm = "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    s"""SELECT label, count(*) AS n_vecs,
+       |  floor(sum(floor($nrm * 1e6 + 0.5)) / count(*) + 0.5) / 1e6 AS avg_norm
+       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q27: brute-force cosine top-k (exact ANN baseline)
+  // ---------------------------------------------------------------
+
+  private val NumQueries = 5
+  private val TopK = 10
+
+  def q27KnnCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        Vectors.cosine($"qvec", $"embedding").as("cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        stableRound($"cos", 6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q27KnnCosineSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, e.vec_id, ${cosSql("q.qvec", "e.embedding")} AS cos
+       |           FROM embeddings e CROSS JOIN q
+       |           WHERE e.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, rank, vec_id AS neighbor_id, ${sqlRound("cos", 6)} AS score
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q28: LSH-bucketed ANN (scale path; Spark-native hash → rows-only)
+  // ---------------------------------------------------------------
+
+  private val NumPlanes = 8
+
+  /** Bucket census of the random-hyperplane LSH index: how the corpus
+    * distributes over 2^8 sign-pattern buckets. No DuckDB oracle
+    * (xxhash64 has no DuckDB equivalent) → driver records a rows-only
+    * check; the ScalaTest suite asserts bucket-count invariants and
+    * recall against q27. */
+  def q28AnnLshBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select($"vec_id", Vectors.lshBucket($"embedding", NumPlanes).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+      .orderBy($"bucket")
+
+  /** ANN query through the LSH index: candidates from the query's bucket
+    * only, exact cosine re-rank inside the bucket. Library API (used by
+    * tests); not a driver query because buckets depend on xxhash64. */
+  def annQuery(s: SparkSession, d: String, queryIds: Seq[Long], k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding",
+        Vectors.lshBucket($"embedding", NumPlanes).as("bucket"))
+    val queries = emb.filter($"vec_id".isin(queryIds: _*))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"), $"bucket")
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    emb.join(broadcast(queries), Seq("bucket"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        Vectors.cosine($"qvec", $"embedding").as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        stableRound($"cos", 6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  // $"..." Column interpolator without a SparkSession in scope
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}
