@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, TextOps, VectorOps}
+import graft.operators.{EventOps, Relational, TextOps, VectorOps}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +48,11 @@ object SparkEntry {
     "q26_embed_stats"   -> (VectorOps.q26EmbedStats(_, _)),
     "q27_knn_cosine"    -> (VectorOps.q27KnnCosine(_, _)),
     "q28_ann_lsh"       -> (VectorOps.q28AnnLshBuckets(_, _)),
+    "q30_events_tumbling" -> (EventOps.q30EventsTumbling(_, _)),
+    "q31_sessionize"    -> (EventOps.q31Sessionize(_, _)),
+    "q32_asof_join"     -> (EventOps.q32AsofJoin(_, _)),
+    "q33_stream_tumbling" -> ((s, d) => EventStream.tumblingCounts(s, d)
+      .select("window_start", "event_type", "n_events", "sum_value")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +84,13 @@ object SparkEntry {
     "q26_embed_stats"   -> VectorOps.q26EmbedStatsSql,
     "q27_knn_cosine"    -> VectorOps.q27KnnCosineSql,
     // q28_ann_lsh: xxhash64-based buckets — no DuckDB equivalent (rows-only)
+    "q30_events_tumbling" -> EventOps.q30EventsTumblingSql,
+    "q31_sessionize"    -> EventOps.q31SessionizeSql,
+    "q32_asof_join"     -> EventOps.q32AsofJoinSql,
+    "q33_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  sum(floor((value) * 100.0 + 0.5)) / 100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

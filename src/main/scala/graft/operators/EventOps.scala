@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational.{sqlMoneySum, sqlRound, stableRound}
+import graft.sources.Tables
+
+/** Time-series operators over the `events` table: tumbling-window
+  * aggregation (the batch twin of the Structured Streaming path in
+  * [[graft.streaming.EventStream]]), gap-based sessionization, and a
+  * scalable as-of join — the natural extension of the reference's
+  * weekly-COT ⋈ daily-price join need (SURVEY.md §2.3 "as-of" note).
+  *
+  * Scale shape: every operator is one shuffle on `user_id` (or the
+  * window key) with all per-user logic expressed as window functions —
+  * no driver-side state, no per-group collect. The as-of join is the
+  * union-then-window formulation: O(n log n) within partitions, a single
+  * exchange, no range-join blowup.
+  */
+object EventOps {
+
+  /** Seconds-precision epoch — `cast(ts as long)` floors to the second in
+    * Spark; the oracle mirrors with `floor(epoch(ts))`. Kills the
+    * ns-vs-µs precision mismatch between parquet readers. */
+  private def sec(c: Column): Column = c.cast("long")
+
+  private def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  // ---------------------------------------------------------------
+  // q30: tumbling-window aggregation (batch form)
+  // ---------------------------------------------------------------
+
+  def q30EventsTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"window_start", $"event_type")
+
+  val q30EventsTumblingSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, count(*) AS n_events,
+       |  ${sqlMoneySum("value")} AS sum_value,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q31: gap-based sessionization (30-minute inactivity boundary)
+  // ---------------------------------------------------------------
+
+  private val SessionGapSec = 1800L
+
+  def q31Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
+    val events = Tables.events(s, d)
+      .select($"user_id", $"event_id", sec($"ts").as("s"), $"value")
+      .withColumn("prev_s", lag($"s", 1).over(byTime))
+      .withColumn("boundary",
+        when($"prev_s".isNull || ($"s" - $"prev_s") > SessionGapSec, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum($"boundary").over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+    events.groupBy($"user_id", $"session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"s").as("start_s"),
+        max($"s").as("end_s"),
+        (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"))
+      .select($"user_id", $"session_seq", $"n_events",
+        ($"end_s" - $"start_s").as("duration_s"), $"sum_value")
+      .orderBy($"user_id", $"session_seq")
+  }
+
+  val q31SessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s, value
+       |           FROM events),
+       |b AS (SELECT user_id, event_id, s, value,
+       |        CASE WHEN lag(s, 1) OVER w IS NULL
+       |               OR s - lag(s, 1) OVER w > $SessionGapSec
+       |             THEN 1 ELSE 0 END AS boundary
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
+       |sess AS (SELECT user_id, event_id, s, value,
+       |           sum(boundary) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |         FROM b)
+       |SELECT user_id, session_seq, count(*) AS n_events,
+       |  max(s) - min(s) AS duration_s,
+       |  ${sqlMoneySum("value")} AS sum_value
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q32: as-of join — for each click, the user's most recent purchase
+  // ---------------------------------------------------------------
+
+  /** Generic scalable as-of join: for each left row, the greatest right
+    * timestamp ≤ the left timestamp within the same key. Implemented as
+    * union → single shuffle on the key → running max over a masked
+    * column. At equal timestamps the right side sorts first (inclusive
+    * `<=` semantics). O(n log n) per partition, one exchange — no
+    * range-join explosion, works at any key cardinality. */
+  def asofLastRightTs(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, leftId: String): DataFrame = {
+    val l = left.select(col(key), col(ts).as("t"), col(leftId), lit(1).as("tag"))
+    val r = right.select(col(key), col(ts).as("t"),
+      lit(null).cast(left.schema(leftId).dataType).as(leftId), lit(0).as("tag"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("t"), col("tag"), col(leftId))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("asof_t", max(when(col("tag") === 0, col("t"))).over(w))
+      .filter(col("tag") === 1)
+      .drop("tag")
+  }
+
+  def q32AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", sec($"ts").as("s"), $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", sec($"ts").as("s"))
+    asofLastRightTs(
+      clicks.withColumnRenamed("s", "ts_s"),
+      purchases.withColumnRenamed("s", "ts_s"),
+      key = "user_id", ts = "ts_s", leftId = "event_id")
+      .select($"user_id", $"event_id",
+        $"t".as("click_s"),
+        coalesce($"asof_t", lit(-1L)).as("last_purchase_s"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val q32AsofJoinSql: String =
+    """WITH c AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id, c.s AS click_s,
+      |  coalesce((SELECT max(p.s) FROM p
+      |            WHERE p.user_id = c.user_id AND p.s <= c.s), -1) AS last_purchase_s
+      |FROM c ORDER BY c.user_id, c.event_id""".stripMargin
+
+  // $"..." Column interpolator without a SparkSession in scope
+  private implicit class Interp(val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

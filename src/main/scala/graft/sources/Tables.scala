@@ -35,7 +35,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = read(s, d, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
+    * by default (PARQUET_TYPE_ILLEGAL). Read nanos as a long (legacy
+    * conf), then convert to a micros TimestampType column — floor(ns/1000)
+    * — so downstream operators see a normal timestamp. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(s, d, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
