@@ -227,11 +227,12 @@ object Relational {
   /** J4's anti-join (the reference's DELETE WHERE EXISTS upsert core,
     * `ETL Process/STG.py:102-110`): customers with no high-value order.
     * (Filtered right side keeps the result non-empty at every SF — all
-    * customers have *some* order.) */
+    * customers have *some* order; threshold 300k sits above the minimum
+    * per-customer max at sf0.001 (202,734) and below the global max.) */
   def q6AntiJoin(s: SparkSession, d: String): DataFrame = {
     val cus = Tables.customer(s, d)
     val ord = Tables.orders(s, d)
-      .filter($"o_totalprice" > 200000.0).select($"o_custkey")
+      .filter($"o_totalprice" > 300000.0).select($"o_custkey")
     cus.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")
@@ -241,7 +242,7 @@ object Relational {
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer c
       |WHERE NOT EXISTS (SELECT 1 FROM orders o
-      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
   /** Semi-join complement of q6 (EXISTS): customers with ≥1 order,

@@ -1,0 +1,158 @@
+package graft.stg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** The messy-header normalization operator family (SURVEY.md §2.2
+  * P3–P9, P11) — the reference's pandas column surgery for tables
+  * extracted from PDFs (`ETL Process/STG.py:168-227`), re-expressed as
+  * `DataFrame => DataFrame` stages.
+  *
+  * Scale note: these operators normalize *small extracted tables* (tens
+  * of rows per report page). The implementations stay fully declarative
+  * where possible; the two ops that need column-level null statistics
+  * (P4, P7) run one `agg` pass to get them — a single job over a small
+  * frame, never a per-column loop of actions.
+  */
+object Normalizer {
+
+  /** P3: rename-by-dictionary, `withColumnRenamed` folded over the map —
+    * the reference's `convert_columns` switcher with its typo repairs
+    * (`beginning`→`beginning_stocks`, `productio`→`production`,
+    * `total.1`→`total_distribute`, `ETL Process/STG.py:168-186`). */
+  def renameByDictionary(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (acc, (from, to)) =>
+      if (acc.columns.contains(from)) acc.withColumnRenamed(from, to) else acc
+    }
+
+  /** Lower-case all column names (applied before dictionary lookup,
+    * like `ETL Process/STG.py:169`). */
+  def lowerCaseHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.toLowerCase): _*)
+
+  /** One pass of per-column non-null counts (shared by P4/P7). */
+  private def nonNullCounts(df: DataFrame): Map[String, Long] = {
+    val aggs = df.columns.map(c => count(col(c)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    df.columns.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+  }
+
+  /** P4: repair entirely-NULL columns from a positional neighbor — the
+    * `country` column copies the *previous* column, any other copies the
+    * *next* (`ETL Process/STG.py:196-202`). Ordinal semantics come from
+    * the schema's column order. */
+  def repairNullColumnsFromNeighbor(df: DataFrame): DataFrame = {
+    val counts = nonNullCounts(df)
+    val cols = df.columns
+    val repaired = cols.zipWithIndex.map { case (c, i) =>
+      if (counts(c) > 0) col(c)
+      else {
+        val src =
+          if (c.toLowerCase == "country" && i > 0) cols(i - 1)
+          else if (i < cols.length - 1) cols(i + 1)
+          else c
+        col(src).as(c)
+      }
+    }
+    df.select(repaired: _*)
+  }
+
+  /** P5: drop auto-generated `Unnamed*` columns
+    * (`ETL Process/STG.py:203`). */
+  def dropUnnamedColumns(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.toLowerCase.startsWith("unnamed")): _*)
+
+  /** P6: strip thousands separators in every string column
+    * (`df.replace(',', '', regex=True)`, `ETL Process/STG.py:205`). */
+  def stripThousandsSeparators(df: DataFrame): DataFrame = {
+    val cleaned = df.schema.fields.map { f =>
+      if (f.dataType == StringType) regexp_replace(col(f.name), ",", "").as(f.name)
+      else col(f.name)
+    }
+    df.select(cleaned: _*)
+  }
+
+  /** P7 (column half): drop columns that are entirely NULL
+    * (`dropna(axis='columns', how='all')`, `ETL Process/STG.py:206`). */
+  def dropAllNullColumns(df: DataFrame): DataFrame = {
+    val counts = nonNullCounts(df)
+    df.drop(df.columns.filter(counts(_) == 0L): _*)
+  }
+
+  /** P7 (row half): skip the junk first row of an extracted table
+    * (`.iloc[1:]`). File order is only meaningful on a small
+    * single-partition extract, so this coalesces to one partition and
+    * numbers rows — documented small-table op, NOT for fact data. */
+  def skipFirstRow(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(monotonically_increasing_id())
+    df.coalesce(1)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .drop("__rn")
+  }
+
+  /** P8: drop rows with fewer than `minNonNulls` non-null cells
+    * (`dropna(thresh=2)`, `ETL Process/STG.py:207`). */
+  def dropSparseRows(df: DataFrame, minNonNulls: Int): DataFrame =
+    df.na.drop(minNonNulls)
+
+  /** P9: split space-fused columns — a header like `"Country Beginning"`
+    * holds two columns' values space-joined in each cell
+    * (`ETL Process/STG.py:210-221`). Each fused column becomes two. */
+  def splitSpaceFusedColumns(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (acc, c) =>
+      if (!c.trim.contains(" ")) acc
+      else {
+        val Array(n1, n2) = c.trim.split(" ", 2)
+        val parts = split(col(s"`$c`"), " ", 2)
+        acc
+          .withColumn(n1, parts.getItem(0))
+          .withColumn(n2, parts.getItem(1))
+          .drop(c)
+      }
+    }
+
+  /** P11: cast a block of columns to int (`astype(int)`,
+    * `ETL Process/STG.py:307`). */
+  def castColumnsToInt(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val projected = df.columns.map { c =>
+      if (cols.contains(c)) col(c).cast("int").as(c) else col(c)
+    }
+    df.select(projected: _*)
+  }
+
+  /** The reference's USDA normalization dictionary
+    * (`ETL Process/STG.py:168-186`), canonical names per FIXTURES.md §A6. */
+  val usdaRenames: Map[String, String] = Map(
+    "beginning" -> "beginning_stocks",
+    "productio" -> "production",
+    "production" -> "production",
+    "imports" -> "imports",
+    "total" -> "total_supply",
+    "domestic" -> "domestic_use",
+    "loss" -> "loss",
+    "exports" -> "exports",
+    "ending" -> "ending_stocks",
+    "area" -> "area",
+    "total.1" -> "total_distribute")
+
+  /** The full messy-extract pipeline in reference order
+    * (`ETL Process/STG.py:190-227`): lower-case headers → dictionary
+    * rename → neighbor repair → drop Unnamed → strip separators → drop
+    * all-null cols → skip junk row → drop sparse rows → split fused. */
+  def normalizeUsdaExtract(df: DataFrame): DataFrame = {
+    val steps: Seq[DataFrame => DataFrame] = Seq(
+      lowerCaseHeaders,
+      renameByDictionary(_, usdaRenames),
+      repairNullColumnsFromNeighbor,
+      dropUnnamedColumns,
+      stripThousandsSeparators,
+      dropAllNullColumns,
+      skipFirstRow,
+      dropSparseRows(_, 2),
+      splitSpaceFusedColumns)
+    steps.foldLeft(df)((acc, f) => f(acc))
+  }
+}

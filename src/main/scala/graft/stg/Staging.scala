@@ -1,0 +1,58 @@
+package graft.stg
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Staging-layer operators: upsert-by-natural-key (SURVEY.md §2.3 J4),
+  * row-count reconciliation (A1) and the audit log sink (S10) — the
+  * reference's `insert_into_staging` + `insert_checking_logs` flow
+  * (`ETL Process/STG.py:79-164`) as one linear DataFrame chain.
+  */
+object Staging {
+
+  /** J4: the reference's `DELETE WHERE EXISTS` + `INSERT` pair
+    * (`ETL Process/STG.py:102-115`) — an upsert by natural key — as a
+    * single anti-join + union. Idempotent: applying the same staged batch
+    * twice equals applying it once.
+    *
+    * Scale: the anti-join shuffles on the natural key; when the staged
+    * side is small AQE turns it into a broadcast anti-join. For a
+    * partitioned target table, pair with dynamic partition overwrite so
+    * only touched partitions rewrite. */
+  def upsertByNaturalKey(target: DataFrame, staged: DataFrame,
+      keys: Seq[String]): DataFrame =
+    target.join(staged, keys, "left_anti").unionByName(staged)
+
+  /** Audit-log row shape (reference `stg_checking_logs`,
+    * `ETL Process/STG.py:143-161`). */
+  case class AuditEntry(
+      script: String, source_name: String, target_name: String,
+      source_row: Long, target_row: Long, duration: String,
+      snapshot_date: Date, created_date: Timestamp, created_by: String)
+
+  /** A1 + S10: row-count reconciliation and audit append. Counts both
+    * sides (two cheap count jobs), builds the one-row audit frame, and
+    * appends it to the audit parquet table. Returns the entry. */
+  def reconcileAndLog(
+      spark: SparkSession, auditPath: String,
+      script: String, sourceName: String, targetName: String,
+      source: DataFrame, target: DataFrame,
+      startedAtMs: Long, createdBy: String = "graft"): AuditEntry = {
+    import spark.implicits._
+    val now = System.currentTimeMillis()
+    val entry = AuditEntry(
+      script, sourceName, targetName,
+      source.count(), target.count(),
+      f"${(now - startedAtMs) / 1000.0}%.3f s",
+      new Date(now), new Timestamp(now), createdBy)
+    Seq(entry).toDF().write.mode(SaveMode.Append).parquet(auditPath)
+    entry
+  }
+
+  /** P1: metadata point lookup (`ETL Process/STG.py:68-76`) — the
+    * source-path registry row for a target table. */
+  def lookupMeta(meta: DataFrame, targetName: String): Option[org.apache.spark.sql.Row] =
+    meta.filter(col("target_name") === targetName).limit(1).collect().headOption
+}

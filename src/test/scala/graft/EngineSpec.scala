@@ -1,0 +1,180 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ods.OdsBuild
+import graft.stg.{Normalizer, Staging}
+
+/** Per-operator unit specs (SURVEY.md §5): window ramp-up, 'NaN' sentinel
+  * typing, role-playing joins with nullable prev ids, upsert idempotence,
+  * messy-header normalization — on tiny literal frames. */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  // ------------------------------------------------------------------
+  // ODS build (W1-W5, J1-J3)
+  // ------------------------------------------------------------------
+
+  private def stgFixture: DataFrame = Seq(
+    // contract, timing, mo, change, prev_open, high, low, prev, last, volume, oi, snapshot_date
+    ("KCH21", "t", "2", "+1", 100.0, 105.0, 99.0, 100.0, "104.00", 10L, 5L, d("2021-01-04")),
+    ("KCH21", "t", "2", "+1", 104.0, 106.0, 103.0, 104.0, "105.50", 11L, 5L, d("2021-01-05")),
+    ("KCK21", "t", "3", "+1", 101.0, 107.0, 100.0, 101.0, "106.00", 12L, 6L, d("2021-01-04")),
+    ("KCK21", "t", "3", "+1", 106.0, 108.0, 105.0, 106.0, "107.25", 13L, 6L, d("2021-01-05"))
+  ).toDF("contract", "timing", "mo", "change", "prev_open", "high", "low",
+    "prev", "last", "volume", "oi", "snapshot_date")
+
+  test("W1: lead-of-contract with 'NaN' string sentinel on last row per mo") {
+    val feat = OdsBuild.windowedFeatures(stgFixture)
+    val rows = feat.select("mo", "snapshot_date", "prev_contract_code")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getString(2))).toSet
+    assert(rows.contains(("2", "2021-01-04", "KCH21"))) // next row's code
+    assert(rows.contains(("2", "2021-01-05", "NaN")))   // sentinel, not NULL
+    assert(feat.schema("prev_contract_code").dataType === StringType)
+  }
+
+  test("W3: calendar spread partitions by date, orders mo desc, rounds 2") {
+    val feat = OdsBuild.windowedFeatures(stgFixture)
+    val jan4 = feat.filter($"snapshot_date" === d("2021-01-04"))
+      .select("mo", "spread").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // mo desc order: 3 first (lag=null), then 2 (104.00 - 106.00 = -2.0)
+    assert(jan4("3").isEmpty)
+    assert(jan4("2").contains(-2.0))
+  }
+
+  test("W4/W5: MA ramp-up — first row's MA equals its own price") {
+    val feat = OdsBuild.windowedFeatures(stgFixture)
+    val first = feat.filter($"mo" === "2" && $"snapshot_date" === d("2021-01-04"))
+      .select("ma_50", "ma_200").head()
+    assert(first.getDouble(0) === 104.0)
+    assert(first.getDouble(1) === 104.0)
+    val second = feat.filter($"mo" === "2" && $"snapshot_date" === d("2021-01-05"))
+      .select("ma_50").head()
+    assert(second.getDouble(0) === (104.0 + 105.5) / 2)
+  }
+
+  test("J1-J3: star joins, role-played contract dim, nullable prev id") {
+    val dimDate = OdsBuild.buildDateDim(stgFixture, "snapshot_date")
+    val dimContract = OdsBuild.buildContractDim(stgFixture, "contract")
+    val fact = OdsBuild.buildFact(stgFixture, dimDate, dimContract)
+    assert(fact.columns.length === 16)
+    assert(fact.count() === 4)
+    // 'NaN' prev codes (last row per mo) must yield NULL prev_contract_id
+    assert(fact.filter($"prev_contract_id".isNull).count() === 2)
+    // date surrogate is deterministic yyyyMMdd
+    assert(fact.filter($"date_id" === 20210104).count() === 2)
+  }
+
+  test("date dim surrogate keys are unique and deterministic") {
+    val dim = OdsBuild.buildDateDim(stgFixture, "snapshot_date")
+    assert(dim.count() === 2)
+    assert(dim.select("date_id").distinct().count() === 2)
+  }
+
+  // ------------------------------------------------------------------
+  // Staging upsert (J4)
+  // ------------------------------------------------------------------
+
+  test("J4 upsert: staged rows replace matching natural keys; idempotent") {
+    val target = Seq(("VN", d("2021-01-01"), 10), ("BR", d("2021-01-01"), 20))
+      .toDF("country", "report_date", "qty")
+    val staged = Seq(("VN", d("2021-01-01"), 99), ("CO", d("2021-01-01"), 30))
+      .toDF("country", "report_date", "qty")
+    val once = Staging.upsertByNaturalKey(target, staged, Seq("country", "report_date"))
+    val got = once.collect().map(r => (r.getString(0), r.getInt(2))).toSet
+    assert(got === Set(("VN", 99), ("BR", 20), ("CO", 30)))
+    val twice = Staging.upsertByNaturalKey(once, staged, Seq("country", "report_date"))
+    assert(twice.collect().map(r => (r.getString(0), r.getInt(2))).toSet === got)
+  }
+
+  // ------------------------------------------------------------------
+  // Messy-header normalizer (P3-P9, P11)
+  // ------------------------------------------------------------------
+
+  test("P3/P5/P6/P8: rename dictionary, drop Unnamed, strip separators, sparse rows") {
+    val messy = Seq(
+      ("junk", "junk", null.asInstanceOf[String], "junk"),
+      ("Vietnam", "1,234", null.asInstanceOf[String], "5,678"),
+      ("Brazil", "2,000", null.asInstanceOf[String], "9,000"),
+      (null, null, null, null)
+    ).toDF("country", "productio", "Unnamed: 3", "total.1")
+    val out = Normalizer.normalizeUsdaExtract(messy)
+    assert(out.columns.toSet === Set("country", "production", "total_distribute"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set(("Vietnam", "1234", "5678"), ("Brazil", "2000", "9000")))
+  }
+
+  test("P4: entirely-null column repaired from positional neighbor") {
+    val messy = Seq(
+      (null.asInstanceOf[String], "Vietnam", null.asInstanceOf[String], "10"),
+      (null.asInstanceOf[String], "Brazil", null.asInstanceOf[String], "20")
+    ).toDF("x", "country_src", "beginning", "production")
+    // 'beginning' (all-null, not named country) copies NEXT column;
+    // 'x' (all-null, first) copies next
+    val out = Normalizer.repairNullColumnsFromNeighbor(messy)
+    val r = out.collect().map(x => (x.getString(0), x.getString(2))).toSet
+    assert(r === Set(("Vietnam", "10"), ("Brazil", "20")))
+  }
+
+  test("P9: space-fused column splits header and cells") {
+    val messy = Seq(("Vietnam 123", 1), ("Brazil 456", 2))
+      .toDF("Country Beginning", "other")
+    val out = Normalizer.splitSpaceFusedColumns(messy)
+    assert(out.columns.toSet === Set("other", "Country", "Beginning"))
+    val rows = out.select("Country", "Beginning").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("Vietnam", "123"), ("Brazil", "456")))
+  }
+
+  test("P11: block int cast") {
+    val df = Seq(("a", "1", "2")).toDF("k", "x", "y")
+    val out = Normalizer.castColumnsToInt(df, Seq("x", "y"))
+    assert(out.schema("x").dataType === IntegerType)
+    assert(out.schema("y").dataType === IntegerType)
+    assert(out.schema("k").dataType === StringType)
+  }
+
+  // ------------------------------------------------------------------
+  // As-of join edge cases
+  // ------------------------------------------------------------------
+
+  test("as-of join: inclusive <=, no match → null, ties pick right first") {
+    import graft.operators.EventOps
+    val clicks = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("user_id", "ts_s", "event_id")
+    val purchases = Seq((1L, 100L), (1L, 40L), (2L, 20L))
+      .toDF("user_id", "ts_s")
+    val out = EventOps.asofLastRightTs(clicks, purchases, "user_id", "ts_s", "event_id")
+      .select($"event_id", $"asof_t").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L).contains(100L)) // equal ts included
+    assert(out(11L).contains(40L))  // strictly before
+    assert(out(12L).isEmpty)        // purchase after click → none
+  }
+
+  // ------------------------------------------------------------------
+  // Driver-contract smoke (mirrors the t1 gate)
+  // ------------------------------------------------------------------
+
+  test("entry() returns rows; every declared query runs at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
