@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{EventOps, Relational, TextOps, VectorOps}
+import graft.operators.{CustomOps, EventOps, Relational, TextOps, VectorOps}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -53,6 +53,10 @@ object SparkEntry {
     "q32_asof_join"     -> (EventOps.q32AsofJoin(_, _)),
     "q33_stream_tumbling" -> ((s, d) => EventStream.tumblingCounts(s, d)
       .select("window_start", "event_type", "n_events", "sum_value")),
+    "q34_udaf_centmean"  -> (CustomOps.q34UdafCentMean(_, _)),
+    "q35_simhash"        -> (CustomOps.q35Simhash(_, _)),
+    "q36_multimodal_meta" -> (CustomOps.q36MultimodalMeta(_, _)),
+    "q37_multimodal_decode" -> (CustomOps.q37MultimodalDecode(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +96,9 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  sum(floor((value) * 100.0 + 0.5)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_udaf_centmean"  -> CustomOps.q34UdafCentMeanSql,
+    // q35_simhash: native Catalyst expression — no DuckDB equivalent
+    "q36_multimodal_meta" -> CustomOps.q36MultimodalMetaSql,
+    // q37_multimodal_decode: stubbed codec features — rows-only by design
   )
 }

@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into `private[sql]` Spark internals (the standard
+  * extension-library technique: a package object inside the
+  * `org.apache.spark.sql` tree). Exposes exactly two capabilities the
+  * engine's custom Catalyst expressions need: Column↔Expression
+  * conversion and session function registration.
+  */
+object Bridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

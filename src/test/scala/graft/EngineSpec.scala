@@ -167,6 +167,96 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Custom expression: SimHash64 / Hamming64
+  // ------------------------------------------------------------------
+
+  test("simhash64: near-dup texts land within few bits; unrelated far apart") {
+    import graft.functions.SimHash._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (3L, "spark shuffles partition exchanges broadcast joins aggregate codegen tungsten memory")
+    ).toDF("id", "text")
+    val h = df.select($"id", simhash64($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 12)
+    assert(ham(h(1L), h(3L)) > 16)
+  }
+
+  test("simhash64/hamming64 register for SQL and run through codegen") {
+    graft.functions.SimHash.register(spark)
+    val r = spark.sql(
+      "SELECT simhash64('a b c') AS s, hamming64(simhash64('a b c'), simhash64('a b d')) AS h")
+      .head()
+    assert(r.getLong(0) === graft.functions.SimHashImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+    assert(r.getLong(1) > 0 && r.getLong(1) < 64)
+  }
+
+  test("simhash near-dup property on the corpus: high-Jaccard LSH pairs are close in hamming") {
+    import graft.functions.SimHash._
+    val d = "/root/testdata/sf0.01"
+    val pairs = graft.operators.TextOps.q24LshPairs(spark, d)
+      .filter($"jaccard" > 0.8).select($"d1", $"d2")
+    val hashes = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", simhash64($"text").as("sh"))
+    val joined = pairs
+      .join(hashes.select($"doc_id".as("d1"), $"sh".as("h1")), "d1")
+      .join(hashes.select($"doc_id".as("d2"), $"sh".as("h2")), "d2")
+      .select(hamming64($"h1", $"h2").as("ham"))
+      .collect().map(_.getLong(0))
+    assert(joined.nonEmpty)
+    assert(joined.forall(_ <= 16), s"hamming distances: ${joined.mkString(",")}")
+  }
+
+  // ------------------------------------------------------------------
+  // UDAF: cent-grid mean Aggregator
+  // ------------------------------------------------------------------
+
+  test("CentMean aggregator: exact cent arithmetic, partitioning-independent") {
+    import graft.functions.Aggregators
+    val df = Seq(("a", 1.005), ("a", 2.004), ("b", 10.10)).toDF("k", "v")
+    val got = df.repartition(3).groupBy($"k")
+      .agg(Aggregators.centMean($"v").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // IEEE: 1.005*100 = 100.4999… → floor(+0.5)=100; 2.004*100 = 200.39…
+    // → 200; (100+200)/2/100 = 1.5 — matching the SQL mirror bit-for-bit
+    // is the contract, not decimal intuition
+    assert(got("a") === 1.5)
+    assert(got("b") === 10.10)
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal stub plumbing
+  // ------------------------------------------------------------------
+
+  test("multimodal: decode stub features are normalized and deterministic") {
+    import graft.multimodal.Multimodal
+    val d = "/root/testdata/sf0.001"
+    val media = Multimodal.mediaFromDocuments(spark, d)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 500)
+    // histogram moments sum to 1 per payload
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
+    val again = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(feats.forall(f => again(f.media_id) == f.feature.toSeq))
+  }
+
+  test("multimodal: frame sampling partitions payload bytes losslessly") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+      .limit(5)
+    val frames = Multimodal.frameSample(media, 4)
+    val byId = frames.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2)).toSeq)
+    val orig = media.collect().map(m => m.media_id -> m.content.toSeq).toMap
+    assert(byId.toMap.forall { case (id, bytes) => bytes == orig(id) })
+  }
+
+  // ------------------------------------------------------------------
   // Driver-contract smoke (mirrors the t1 gate)
   // ------------------------------------------------------------------
 
