@@ -34,13 +34,13 @@ object EventOps {
 
   def q30EventsTumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(
-        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-        $"event_type")
+      .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
         (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"),
         countDistinct($"user_id").as("n_users"))
+      .select(date_format($"w", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events", $"sum_value", $"n_users")
       .orderBy($"window_start", $"event_type")
 
   val q30EventsTumblingSql: String =

