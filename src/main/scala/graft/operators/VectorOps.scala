@@ -110,15 +110,24 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
       .orderBy($"bucket")
 
-  /** ANN query through the LSH index: candidates from the query's bucket
-    * only, exact cosine re-rank inside the bucket. Library API (used by
-    * tests); not a driver query because buckets depend on xxhash64. */
-  def annQuery(s: SparkSession, d: String, queryIds: Seq[Long], k: Int): DataFrame = {
+  /** ANN query through the LSH index with MULTI-PROBE: each query scans
+    * its own bucket plus every 1-bit-flipped neighbor bucket (the
+    * vectors most likely to sit just across one hyperplane), then exact
+    * cosine re-ranks the candidates. nPlanes+1 of 2^nPlanes buckets per
+    * query — recall climbs steeply while the candidate fraction stays
+    * (nPlanes+1)/2^nPlanes. `nPlanes` trades recall for candidate-set
+    * size. Library API (used by tests); not a driver query because
+    * buckets depend on xxhash64. */
+  def annQuery(s: SparkSession, d: String, queryIds: Seq[Long], k: Int,
+      nPlanes: Int = NumPlanes): DataFrame = {
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding",
-        Vectors.lshBucket($"embedding", NumPlanes).as("bucket"))
+        Vectors.lshBucket($"embedding", nPlanes).as("bucket"))
+    val probes = array(($"bucket" +:
+      (0 until nPlanes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*)
     val queries = emb.filter($"vec_id".isin(queryIds: _*))
-      .select($"vec_id".as("query_id"), $"embedding".as("qvec"), $"bucket")
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+        explode(probes).as("bucket"))
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     emb.join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")

@@ -52,6 +52,27 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** S2: raw line count of a text source (header included) — the
+    * reference's `pd.read_csv(header=None).shape[0]` reconciliation
+    * input (`ETL Process/STG.py:86`). */
+  def rawLineCount(spark: SparkSession, path: String): Long =
+    spark.read.text(path).count()
+
+  /** S7: REST-JSON source — the reference's country-dimension API
+    * (`ETL Process/STG.py:329-351`) returns `{"value": [ {...}, ... ]}`;
+    * read the document, explode the `value` array, flatten the fields. */
+  def readRestJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("value")).as("v"))
+      .select(col("v.*"))
+  }
+
+  /** S6: the reference's two physical databases (STG + ODS,
+    * `ETL Process/ODS.py:19-26`) as Spark SQL databases. */
+  def ensureDatabases(spark: SparkSession, dbs: Seq[String] = Seq("stg", "ods")): Unit =
+    dbs.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
   // --------------------------------------------------------------------
   // Reference-shaped schemas (golden-parity substrate, FIXTURES.md §A)
   // --------------------------------------------------------------------

@@ -23,7 +23,10 @@ object Staging {
     * only touched partitions rewrite. */
   def upsertByNaturalKey(target: DataFrame, staged: DataFrame,
       keys: Seq[String]): DataFrame =
+    // re-project to the target's column order: a using-columns join moves
+    // the key columns to the front
     target.join(staged, keys, "left_anti").unionByName(staged)
+      .select(target.columns.map(col): _*)
 
   /** Audit-log row shape (reference `stg_checking_logs`,
     * `ETL Process/STG.py:143-161`). */
@@ -55,4 +58,22 @@ object Staging {
     * source-path registry row for a target table. */
   def lookupMeta(meta: DataFrame, targetName: String): Option[org.apache.spark.sql.Row] =
     meta.filter(col("target_name") === targetName).limit(1).collect().headOption
+
+  /** S11: full-refresh sink — the reference's DELETE + COPY
+    * (`ETL Process/ODS.py:34-46`) is a single overwrite save. */
+  def fullRefresh(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S12: truncate-reload temp sink (`ETL Process/STG.py:90-96`). Same
+    * overwrite semantics; separate entry point to mirror the reference's
+    * tmp-table staging step. */
+  def reloadTemp(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** O11: the reference's timezone-localized load timestamps
+    * (`Asia/Ho_Chi_Minh`, `ETL Process/STG.py:138-141`). */
+  def localizedNow(spark: SparkSession, tz: String = "Asia/Ho_Chi_Minh"): DataFrame =
+    spark.range(1).select(
+      org.apache.spark.sql.functions.from_utc_timestamp(
+        org.apache.spark.sql.functions.current_timestamp(), tz).as("created_date"))
 }

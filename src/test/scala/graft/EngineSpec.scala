@@ -228,6 +228,34 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // ANN quality: LSH recall vs exact brute force
+  // ------------------------------------------------------------------
+
+  test("LSH ANN: meaningful recall vs exact top-k with a bounded candidate set") {
+    import graft.operators.{VectorOps => V}
+    val d = "/root/testdata/sf0.001"
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val exact = V.q27KnnCosine(spark, d)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = V.annQuery(spark, d, qids, k = 10, nPlanes = 3)
+      .select($"query_id", $"neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // recall@10 averaged over queries — 8 buckets at n=500 means ~62
+    // candidates/query (8x cheaper than brute force)
+    val recalls = qids.map { q =>
+      val e = exact(q)
+      ann.get(q).map(a => (a & e).size.toDouble / e.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.2, s"mean recall@10 = $mean (per-query: $recalls)")
+    // efficiency: candidate sets are a strict subset of the corpus
+    val bucketSizes = V.q28AnnLshBuckets(spark, d)
+      .agg(max($"n_vecs")).head().getLong(0)
+    assert(bucketSizes < 500)
+  }
+
+  // ------------------------------------------------------------------
   // Multimodal stub plumbing
   // ------------------------------------------------------------------
 

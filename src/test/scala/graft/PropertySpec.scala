@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.stg.Staging
+
+/** ScalaCheck property suite (SURVEY.md §5): invariants on generated
+  * data — upsert idempotence, ROWS-frame ramp-up, unpivot∘pivot
+  * identity, grid-sum exactness, as-of correctness vs brute force.
+  * Case counts are small (Spark job per case).
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val genRows: Gen[List[(String, Int)]] =
+    Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 100)))
+
+  property("upsert twice == upsert once, staged rows win") =
+    forAll(genRows, genRows) { (tgt, stg) =>
+      spark.sparkContext.setLogLevel("ERROR")
+      val target = tgt.toDF("k", "v").dropDuplicates("k")
+      val staged = stg.toDF("k", "v").dropDuplicates("k")
+      val once = Staging.upsertByNaturalKey(target, staged, Seq("k"))
+      val twice = Staging.upsertByNaturalKey(once, staged, Seq("k"))
+      val o = once.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val t = twice.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val stagedM = staged.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val targetM = target.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      o == t && stagedM.forall { case (k, v) => o(k) == v } &&
+        (targetM.keySet -- stagedM.keySet).forall(k => o(k) == targetM(k))
+    }
+
+  property("ROWS-frame MA ramp-up: row i averages min(i+1, k+1) values") =
+    forAll(Gen.listOfN(20, Gen.chooseNum(1.0, 200.0)), Gen.chooseNum(1, 6)) { (xs, k) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val w = Window.orderBy($"i").rowsBetween(-k, 0)
+      val got = df.select($"i", avg($"v").over(w).as("ma"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      xs.indices.forall { i =>
+        val from = math.max(0, i - k)
+        val expect = xs.slice(from, i + 1).sum / (i - from + 1)
+        math.abs(got(i) - expect) < 1e-9
+      }
+    }
+
+  property("unpivot (stack) ∘ pivot == identity on wide COT rows") =
+    forAll(Gen.listOfN(6, Gen.zip(Gen.chooseNum(0, 10000), Gen.chooseNum(0, 10000)))) { rows =>
+      val wide = rows.zipWithIndex.map { case ((l, s), i) =>
+        (java.sql.Date.valueOf(f"2021-01-${i % 27 + 1}%02d"), l.toLong, s.toLong,
+          l.toLong + 1, s.toLong + 1, l.toLong + 2, s.toLong + 2, l.toLong + 3, s.toLong + 3)
+      }.toDF("date_actual", "com_long", "com_short", "index_long", "index_short",
+        "ncom_long", "ncom_short", "nrep_long", "nrep_short").dropDuplicates("date_actual")
+      val long = graft.mart.Extracts.cotLong(wide)
+      // re-pivot and compare to the original wide frame
+      val re = long.groupBy($"date_actual")
+        .pivot("player", Seq("Com", "Index", "Ncom", "Nrep"))
+        .agg(first($"CIT_Long").as("long"), first(-$"CIT_Short").as("short"))
+        .toDF("date_actual", "com_long", "com_short", "index_long", "index_short",
+          "ncom_long", "ncom_short", "nrep_long", "nrep_short")
+      val a = wide.collect().map(_.toSeq).toSet
+      val b = re.collect().map(_.toSeq).toSet
+      a == b
+    }
+
+  property("as-of join == brute force on generated event streams") =
+    forAll(
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 50L)))
+    ) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("user_id", "ts_s", "event_id")
+      val right = rs.toDF("user_id", "ts_s")
+      val got = graft.operators.EventOps
+        .asofLastRightTs(left, right, "user_id", "ts_s", "event_id")
+        .collect().map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("asof_t")).map(_.asInstanceOf[Long])).toMap
+      ls.zipWithIndex.forall { case ((u, t), i) =>
+        val expect = rs.filter(r => r._1 == u && r._2 <= t).map(_._2).maxOption
+        got(i.toLong) == expect
+      }
+    }
+
+  property("cent-grid sums are partitioning-invariant") =
+    forAll(Gen.listOfN(30, Gen.chooseNum(0.0, 10000.0)), Gen.chooseNum(1, 8)) { (xs, parts) =>
+      val expected = xs.map(x => math.floor(x * 100.0 + 0.5)).sum / 100.0
+      val got = xs.toDF("v").repartition(parts)
+        .agg((sum(floor($"v" * 100.0 + 0.5)) / 100.0).as("s"))
+        .head().getDouble(0)
+      got == expected
+    }
+}
