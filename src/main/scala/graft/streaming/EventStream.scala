@@ -28,22 +28,8 @@ object EventStream {
     * batch DataFrame (from the in-memory sink). Output matches
     * `EventOps.q30EventsTumbling` row-for-row. */
   def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    // the raw file stores ts as INT64 nanos (see Tables.events); stream
-    // it as long and convert to a micros timestamp in the plan
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val name = "evt_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = spark.readStream
-      .schema(rawSchema)
-      // the file-stream source wants a directory: stream the sf dir,
-      // glob-filtered to the events table file
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(floor($"ts" / 1000L).cast("long")))
+    val stream = rawEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(
         window($"ts", "1 hour").as("win"),
@@ -64,6 +50,84 @@ object EventStream {
         date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events", $"sum_value", $"approx_users")
       .orderBy($"window_start", $"event_type")
+  }
+
+  /** Streaming exactly-once dedup: `dropDuplicates` on the event id with
+    * a watermark bounding the dedup state — the streaming twin of the
+    * exact-dedup batch operator. State is keyed by event_id and pruned
+    * past the watermark, so memory is bounded by the late-arrival window
+    * (not the stream length) at any scale. Returns the deduped count. */
+  def dedupCount(spark: SparkSession, sfDir: String): Long = {
+    val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = rawEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy()
+      .count()
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).head().getLong(0)
+  }
+
+  /** Stateful per-key processing via `mapGroupsWithState`
+    * (`KeyValueGroupedDataset`, SURVEY.md §7's custom-state slot):
+    * running per-user event count + last-seen second kept in the state
+    * store. Output (update mode): one row per user per micro-batch with
+    * the accumulated state. */
+  case class UserState(n: Long, lastSec: Long)
+
+  def statefulUserCounts(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "state_" + UUID.randomUUID().toString.replace("-", "")
+    val q = rawEvents(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.lastSec
+          rows.foreach { case (_, sec) => n += 1; if (sec > last) last = sec }
+          state.update(UserState(n, last))
+          (user, n, last)
+      }
+      .toDF("user_id", "n_events", "last_sec")
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // last update per user = final state
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** The ns-safe raw event stream (shared by the streaming operators). */
+  private def rawEvents(spark: SparkSession, sfDir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(floor($"ts" / 1000L).cast("long")))
   }
 
   private implicit class Interp(val sc: StringContext) {
