@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+import graft.sources.Tables
+
+/** Proofs for the scale-technique operators: salting equivalence,
+  * exchange-free bucketed joins, partition-scoped overwrite. */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def freshTable(name: String): String = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // managed-table location is <warehouse>/<db>.db/<table>
+    val loc = name.split('.') match {
+      case Array(db, t) => s"/tmp/graft_warehouse/$db.db/$t"
+      case _ => s"/tmp/graft_warehouse/$name"
+    }
+    new scala.reflect.io.Directory(new java.io.File(loc)).deleteRecursively()
+    name
+  }
+
+  test("salted aggregation equals plain aggregation on skewed data") {
+    // 90% of rows on one key — the classic hot-key shape
+    val skewed = (1 to 2000).map { i =>
+      (if (i <= 1800) "hot" else s"k${i % 7}", i.toDouble)
+    }.toDF("k", "v")
+    val plain = skewed.groupBy($"k")
+      .agg(sum($"v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Scale.saltedSumCount(skewed, "k", "v", salts = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val d = "/root/testdata/sf0.001"
+    spark.sql("CREATE DATABASE IF NOT EXISTS stg")
+    Scale.writeBucketed(Tables.orders(spark, d).select($"o_orderkey", $"o_totalprice"),
+      freshTable("stg.b_orders"), "o_orderkey", 4)
+    Scale.writeBucketed(Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_extendedprice"),
+      freshTable("stg.b_lineitem"), "l_orderkey", 4)
+    val joined = spark.table("stg.b_lineitem")
+      .join(spark.table("stg.b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() === Tables.lineitem(spark, d).count())
+  }
+
+  test("dynamic partition overwrite touches only the written partitions") {
+    val t = freshTable("stg.part_orders")
+    val d = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+    Scale.writePartitioned(orders, t, "month")
+    val before = spark.table(t).count()
+    val months = spark.table(t).select($"month").distinct().count()
+    // rewrite ONE month with halved prices
+    val target = spark.table(t).select($"month").orderBy($"month").head().getString(0)
+    val patch = orders.filter($"month" === target)
+      .withColumn("o_totalprice", $"o_totalprice" * 0.5)
+    Scale.overwritePartitions(spark, patch, t, "month")
+    val after = spark.table(t)
+    assert(after.count() === before) // no rows lost in sibling partitions
+    assert(after.select($"month").distinct().count() === months)
+    // the patched month is halved, another month untouched
+    val origSum = orders.filter($"month" === target).agg(sum($"o_totalprice")).head().getDouble(0)
+    val newSum = after.filter($"month" === target).agg(sum($"o_totalprice")).head().getDouble(0)
+    assert(math.abs(newSum - origSum / 2) < 1e-6)
+  }
+}
