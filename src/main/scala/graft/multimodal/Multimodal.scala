@@ -81,6 +81,29 @@ object Multimodal {
     }
   }
 
+  /** Resize STUB — stands in for an image resize: decimate the payload
+    * to at most `maxBytes` by taking every k-th byte (a real codec would
+    * decode → scale → re-encode; the plumbing — per-partition streaming,
+    * binary in/out, metadata rewrite — is what's real here). */
+  def resizeStub(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val len = r.content.length
+        if (len <= maxBytes) r
+        else {
+          val step = math.ceil(len.toDouble / maxBytes).toInt
+          val out = new Array[Byte]((len + step - 1) / step)
+          var i = 0
+          while (i < out.length) { out(i) = r.content(i * step); i += 1 }
+          r.copy(content = out,
+            width = math.max(1, r.width / step),
+            height = math.max(1, r.height / step))
+        }
+      }
+    }
+  }
+
   /** Frame sampling: split a payload into `n` equal byte windows (the
     * video-frame-sample shape: one row per sampled frame). */
   def frameSample(media: Dataset[MediaRow], n: Int): DataFrame = {

@@ -79,6 +79,15 @@ class EngineSpec extends AnyFunSuite {
     assert(fact.filter($"date_id" === 20210104).count() === 2)
   }
 
+  test("E2 plan shape: the five-window fact build uses exactly two exchanges") {
+    // W1/W2/W4/W5 share partitionBy(mo); W3 partitions by snapshot_date —
+    // SURVEY §7.4 risk 4: no accidental third shuffle
+    val plan = OdsBuild.windowedFeatures(stgFixture)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected 2 exchanges, plan:\n$plan")
+  }
+
   test("date dim surrogate keys are unique and deterministic") {
     val dim = OdsBuild.buildDateDim(stgFixture, "snapshot_date")
     assert(dim.count() === 2)
@@ -270,6 +279,19 @@ class EngineSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(media).collect()
       .map(f => f.media_id -> f.feature.toSeq).toMap
     assert(feats.forall(f => again(f.media_id) == f.feature.toSeq))
+  }
+
+  test("multimodal: resize stub bounds payload size and rewrites metadata") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val resized = Multimodal.resizeStub(media, maxBytes = 100).collect()
+    assert(resized.forall(_.content.length <= 100))
+    assert(resized.forall(r => r.width >= 1 && r.height >= 1))
+    // identity path: payloads already under the cap pass through unchanged
+    val identity = Multimodal.resizeStub(media, maxBytes = 1 << 20).collect()
+      .map(m => m.media_id -> m.content.toSeq).toMap
+    val orig = media.collect().map(m => m.media_id -> m.content.toSeq).toMap
+    assert(identity === orig)
   }
 
   test("multimodal: frame sampling partitions payload bytes losslessly") {
