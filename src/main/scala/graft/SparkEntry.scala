@@ -38,7 +38,9 @@ object SparkEntry {
     "q14_strings"       -> (Relational.q14Strings(_, _)),
     "q15_datetime"      -> (Relational.q15Datetime(_, _)),
     "q16_topk"          -> (Relational.q16TopK(_, _)),
+    "q17_cube"          -> (Relational.q17Cube(_, _)),
     "q18_rollup"        -> (Relational.q18Rollup(_, _)),
+    "q19_approx_distinct" -> (Relational.q19ApproxDistinct(_, _)),
     "q20_text_stats"    -> (TextOps.q20TextStats(_, _)),
     "q21_lang_id"       -> (TextOps.q21LangId(_, _)),
     "q22_fingerprint"   -> (TextOps.q22Fingerprint(_, _)),
@@ -78,7 +80,9 @@ object SparkEntry {
     "q14_strings"       -> Relational.q14StringsSql,
     "q15_datetime"      -> Relational.q15DatetimeSql,
     "q16_topk"          -> Relational.q16TopKSql,
+    "q17_cube"          -> Relational.q17CubeSql,
     "q18_rollup"        -> Relational.q18RollupSql,
+    // q19_approx_distinct: HLL sketch differs from DuckDB's — rows-only
     "q20_text_stats"    -> TextOps.q20TextStatsSql,
     "q21_lang_id"       -> TextOps.q21LangIdSql,
     "q22_fingerprint"   -> TextOps.q22FingerprintSql,

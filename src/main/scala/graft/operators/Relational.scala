@@ -447,6 +447,43 @@ object Relational {
     s"""SELECT o_orderkey, ${sqlRound("o_totalprice", 2)} AS total_price, o_orderstatus
        |FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Grouping-set extension: CUBE over two independent dimensions (all
+    * 2^2 grouping combinations), NULL keys coalesced to a sentinel. */
+  def q17Cube(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    ord.join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_total"))
+      .select(
+        coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"n_orders", $"sum_total")
+      .orderBy($"segment", $"status")
+  }
+
+  val q17CubeSql: String =
+    s"""SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  count(*) AS n_orders, ${sqlMoneySum("o_totalprice")} AS sum_total
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY CUBE (c_mktsegment, o_orderstatus)
+       |ORDER BY segment, status""".stripMargin
+
+  /** Sketch extension: approximate distinct (HyperLogLog++) beside the
+    * exact count — the cardinality-estimation surface for 100 TB scans
+    * where exact distinct is a full shuffle. No oracle (DuckDB's
+    * approx sketch differs); the exact columns let the rows-only check
+    * eyeball the sketch error. */
+  def q19ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+
   /** Grouping-set extension: ROLLUP over the region→nation hierarchy with
     * NULL grouping keys coalesced to a sentinel for stable hashing. */
   def q18Rollup(s: SparkSession, d: String): DataFrame = {
