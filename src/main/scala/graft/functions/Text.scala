@@ -24,6 +24,16 @@ object Text {
     when(length(text) === 0, lit(0))
       .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
 
+  /** BPE-ish token count: alpha runs, digit runs, and individual
+    * punctuation marks each count as one token — the classic subword-
+    * tokenizer upper-bound estimate, as one codegen'd regex count. The
+    * pattern uses only constructs with identical Java-regex / RE2
+    * semantics so the DuckDB oracle matches. */
+  val bpeIshPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeIshPattern), lit(0)))
+
   /** Characters per token — a simple quality signal (very long "words"
     * flag code/garbage; very short flag boilerplate). */
   def avgTokenLen(text: Column): Column =

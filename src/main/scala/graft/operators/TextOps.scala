@@ -37,6 +37,7 @@ object TextOps {
       .select(
         $"doc_id",
         Text.tokenCount($"text").as("n_tokens"),
+        Text.bpeIshTokenCount($"text").as("n_bpe_tokens"),
         stableRound(Text.avgTokenLen($"text"), 4).as("avg_token_len"),
         stableRound(Text.punctRatio($"text"), 4).as("punct_ratio"),
         stableRound(Text.stopwordRatio($"text"), 4).as("stopword_ratio"),
@@ -61,6 +62,7 @@ object TextOps {
   val q20TextStatsSql: String =
     s"""SELECT doc_id,
        |  $tcSql AS n_tokens,
+       |  len(regexp_extract_all(text, '${Text.bpeIshPattern}')) AS n_bpe_tokens,
        |  ${sqlRound(avgTokSql, 4)} AS avg_token_len,
        |  ${sqlRound(punctSql, 4)} AS punct_ratio,
        |  ${sqlRound(swRatioSql, 4)} AS stopword_ratio,

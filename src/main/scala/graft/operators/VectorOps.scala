@@ -69,10 +69,16 @@ object VectorOps {
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         Vectors.cosine($"qvec", $"embedding").as("cos"))
+    // the engine's custom two-phase TopKPerKey operator: bounded heaps
+    // before AND after the key exchange — at most k rows per (query,
+    // partition) ever shuffle, vs the window formulation's full sort of
+    // every scored pair. The rank window afterwards touches only k rows
+    // per query.
+    val top = graft.plans.TopK.perKey(
+      scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), TopK)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    scored
+    top
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= TopK)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
         stableRound($"cos", 6).as("score"))
       .orderBy($"query_id", $"rank")
@@ -128,13 +134,15 @@ object VectorOps {
     val queries = emb.filter($"vec_id".isin(queryIds: _*))
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
         explode(probes).as("bucket"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
-    emb.join(broadcast(queries), Seq("bucket"))
+    val scored = emb.join(broadcast(queries), Seq("bucket"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         Vectors.cosine($"qvec", $"embedding").as("cos"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), k)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
         stableRound($"cos", 6).as("score"))
       .orderBy($"query_id", $"rank")

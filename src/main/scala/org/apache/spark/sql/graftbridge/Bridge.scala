@@ -16,10 +16,22 @@ object Bridge {
 
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Full column-node → catalyst conversion through the session's
+    * converter (handles sort order, lazy wrappers) — unlike the lazy
+    * [[expression]], the result is a plain serializable expression tree. */
+  def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
   def registerFunction(
       spark: org.apache.spark.sql.SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

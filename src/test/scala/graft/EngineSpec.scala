@@ -237,6 +237,37 @@ class EngineSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Custom operator: TopKPerKey (LogicalPlan + Strategy + SparkPlan)
+  // ------------------------------------------------------------------
+
+  test("TopKPerKey equals the window row_number formulation") {
+    import graft.plans.TopK
+    val d = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val got = TopK.perKey(li, Seq($"l_suppkey"),
+      Seq($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber", $"l_partkey"), k = 3)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey")
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber", $"l_partkey")
+    val expect = li.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_partkey")
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    assert(got.size === 30) // 10 suppliers x k=3
+  }
+
+  test("TopKPerKey plans two phases around one exchange") {
+    import graft.plans.TopK
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val plan = TopK.perKey(li, Seq($"l_suppkey"), Seq($"l_extendedprice".desc), 5)
+      .queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2, plan)   // partial + final
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1, plan)
+  }
+
+  // ------------------------------------------------------------------
   // ANN quality: LSH recall vs exact brute force
   // ------------------------------------------------------------------
 
