@@ -59,6 +59,10 @@ object SparkEntry {
     "q35_simhash"        -> (CustomOps.q35Simhash(_, _)),
     "q36_multimodal_meta" -> (CustomOps.q36MultimodalMeta(_, _)),
     "q37_multimodal_decode" -> (CustomOps.q37MultimodalDecode(_, _)),
+    "q38_range_join"     -> (EventOps.q38RangeJoin(_, _)),
+    "q39_quantiles"      -> (Relational.q39Quantiles(_, _)),
+    "q40_stringagg"      -> (Relational.q40StringAgg(_, _)),
+    "q41_json_extract"   -> (EventOps.q41JsonExtract(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -104,5 +108,9 @@ object SparkEntry {
     // q35_simhash: native Catalyst expression — no DuckDB equivalent
     "q36_multimodal_meta" -> CustomOps.q36MultimodalMetaSql,
     // q37_multimodal_decode: stubbed codec features — rows-only by design
+    "q38_range_join"     -> EventOps.q38RangeJoinSql,
+    "q39_quantiles"      -> Relational.q39QuantilesSql,
+    "q40_stringagg"      -> Relational.q40StringAggSql,
+    "q41_json_extract"   -> EventOps.q41JsonExtractSql,
   )
 }

@@ -145,6 +145,79 @@ object EventOps {
       |            WHERE p.user_id = c.user_id AND p.s <= c.s), -1) AS last_purchase_s
       |FROM c ORDER BY c.user_id, c.event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q38: binned range join — clicks ⋈ purchases within ±1 hour
+  // ---------------------------------------------------------------
+
+  private val RangeSec = 3600L
+
+  /** Scalable range join: Spark plans a raw inequality join as a
+    * broadcast nested loop. Binning turns it into an EQUI-join: bin both
+    * sides by `width`, replicate the right side into its bin ± 1, join on
+    * (key, bin), refine with the exact predicate. Each qualifying pair
+    * matches in exactly one bin — no dedup needed. Shuffle cost is 3× the
+    * right side instead of |L|×|R|. */
+  def binnedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, width: Long): DataFrame = {
+    val l = left.withColumn("__bin", floor(col(leftTs) / width))
+    val r = right
+      .withColumn("__bin", explode(array(
+        floor(col(rightTs) / width) - 1,
+        floor(col(rightTs) / width),
+        floor(col(rightTs) / width) + 1)))
+    l.join(r, Seq(key, "__bin"))
+      .filter(abs(col(leftTs) - col(rightTs)) <= width)
+      .drop("__bin")
+  }
+
+  def q38RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", sec($"ts").as("click_s"), $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", sec($"ts").as("purchase_s"),
+        $"event_id".as("purchase_id"))
+    binnedRangeJoin(clicks, purchases, "user_id", "click_s", "purchase_s", RangeSec)
+      .select($"user_id", $"event_id", $"purchase_id",
+        ($"purchase_s" - $"click_s").as("gap_s"))
+      .orderBy($"user_id", $"event_id", $"purchase_id")
+  }
+
+  val q38RangeJoinSql: String =
+    s"""WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_s, event_id
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s,
+       |             event_id AS purchase_id
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT c.user_id, c.event_id, p.purchase_id,
+       |  p.purchase_s - c.click_s AS gap_s
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND abs(c.click_s - p.purchase_s) <= $RangeSec
+       |ORDER BY c.user_id, c.event_id, p.purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q41: JSON column extraction (the props payload)
+  // ---------------------------------------------------------------
+
+  def q41JsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+
+  val q41JsonExtractSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // $"..." Column interpolator without a SparkSession in scope
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))

@@ -511,6 +511,49 @@ object Relational {
        |GROUP BY ROLLUP (r_name, n_name)
        |ORDER BY region_name, nation_name""".stripMargin
 
+  /** Exact interpolated percentiles (the OLAP quantile surface). Exact —
+    * not approx_percentile — so the linear-interpolation arithmetic is
+    * bit-identical to DuckDB's quantile_cont on the same sorted values. */
+  def q39Quantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        stableRound(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        stableRound(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+
+  val q39QuantilesSql: String =
+    s"""SELECT l_returnflag,
+       |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+       |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+       |  ${sqlRound("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_price,
+       |  ${sqlRound("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99_price,
+       |  count(*) AS n_rows
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ordered string aggregation (listagg): the set of market segments per
+    * nation, sorted then joined — deterministic in both engines. */
+  def q40StringAgg(s: SparkSession, d: String): DataFrame = {
+    val cus = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    cus.join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        concat_ws(",", array_sort(collect_set($"c_mktsegment"))).as("segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val q40StringAggSql: String =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // $"..." Column interpolator without needing a SparkSession's implicits
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
