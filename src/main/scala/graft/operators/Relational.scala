@@ -517,12 +517,18 @@ object Relational {
   def q39Quantiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
+      // one percentile buffer per source column (array form), not one
+      // per requested quantile — halves the ObjectHashAggregate work
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-        stableRound(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        stableRound(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"),
+        expr("percentile(l_quantity, array(0.5D, 0.9D))").as("pq"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("pp"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        $"pq".getItem(0).as("p50_qty"),
+        $"pq".getItem(1).as("p90_qty"),
+        stableRound($"pp".getItem(0), 4).as("p50_price"),
+        stableRound($"pp".getItem(1), 4).as("p99_price"),
+        $"n_rows")
       .orderBy($"l_returnflag")
 
   val q39QuantilesSql: String =
