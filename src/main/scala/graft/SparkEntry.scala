@@ -63,6 +63,8 @@ object SparkEntry {
     "q39_quantiles"      -> (Relational.q39Quantiles(_, _)),
     "q40_stringagg"      -> (Relational.q40StringAgg(_, _)),
     "q41_json_extract"   -> (EventOps.q41JsonExtract(_, _)),
+    "q42_setops"         -> (Relational.q42SetOps(_, _)),
+    "q43_pivot"          -> (Relational.q43Pivot(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -112,5 +114,7 @@ object SparkEntry {
     "q39_quantiles"      -> Relational.q39QuantilesSql,
     "q40_stringagg"      -> Relational.q40StringAggSql,
     "q41_json_extract"   -> EventOps.q41JsonExtractSql,
+    "q42_setops"         -> Relational.q42SetOpsSql,
+    "q43_pivot"          -> Relational.q43PivotSql,
   )
 }

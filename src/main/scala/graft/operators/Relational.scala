@@ -560,6 +560,57 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Set operators: customers ordering in BOTH years (INTERSECT) and in
+    * the first year only (EXCEPT). */
+  def q42SetOps(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    def buyers(y: Int) = ord.filter(year($"o_orderdate") === y).select($"o_custkey")
+    val both = buyers(1995).intersect(buyers(1996))
+      .select($"o_custkey", lit("both").as("cohort"))
+    val only95 = buyers(1995).except(buyers(1996))
+      .select($"o_custkey", lit("only_1995").as("cohort"))
+    both.unionByName(only95)
+      .groupBy($"cohort")
+      .agg(count(lit(1)).as("n_customers"), sum($"o_custkey").as("key_sum"))
+      .orderBy($"cohort")
+  }
+
+  val q42SetOpsSql: String =
+    """WITH b95 AS (SELECT DISTINCT o_custkey FROM orders
+      |             WHERE EXTRACT(year FROM o_orderdate) = 1995),
+      |b96 AS (SELECT DISTINCT o_custkey FROM orders
+      |        WHERE EXTRACT(year FROM o_orderdate) = 1996),
+      |cohorts AS (
+      |  SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM b95 INTERSECT SELECT * FROM b96)
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_1995' FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96)
+      |)
+      |SELECT cohort, count(*) AS n_customers, sum(o_custkey) AS key_sum
+      |FROM cohorts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pivot: order counts per (segment × status) as a wide frame —
+    * explicit pivot values so the output schema is static, mirrored as
+    * conditional aggregation in the oracle. */
+  def q43Pivot(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+    val cus = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    ord.join(broadcast(cus), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .toDF("segment", "n_f", "n_o", "n_p")
+      .orderBy($"segment")
+  }
+
+  val q43PivotSql: String =
+    """SELECT c_mktsegment AS segment,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // $"..." Column interpolator without needing a SparkSession's implicits
   private implicit class Interp(val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
