@@ -65,6 +65,8 @@ object SparkEntry {
     "q41_json_extract"   -> (EventOps.q41JsonExtract(_, _)),
     "q42_setops"         -> (Relational.q42SetOps(_, _)),
     "q43_pivot"          -> (Relational.q43Pivot(_, _)),
+    "q44_simhash_pairs"  -> (TextOps.q44SimhashPairs(_, _)),
+    // q44: Spark-native simhash bands — rows-only (no oracle)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

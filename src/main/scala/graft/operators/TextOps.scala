@@ -268,6 +268,41 @@ object TextOps {
        |ORDER BY c.d1, c.d2""".stripMargin
 
   // ---------------------------------------------------------------
+  // SimHash-band near-dup pairs (hamming LSH)
+  // ---------------------------------------------------------------
+
+  /** SimHash near-dup candidates via hamming LSH: split each 64-bit
+    * simhash into four 16-bit bands; any pair differing in ≤ 3 bits must
+    * share at least one band (pigeonhole), so a per-band equi-self-join
+    * finds every such pair with zero distance computations outside the
+    * collision set. Verification re-ranks candidates by exact hamming
+    * distance via the native [[graft.functions.Hamming64]] expression.
+    * Spark-native hashing → rows-only (no DuckDB oracle); the spec
+    * cross-checks against the MinHash pipeline's high-Jaccard pairs. */
+  def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.SimHash._
+    val hashes = Tables.documents(s, d)
+      .select($"doc_id", simhash64($"text").as("sh"))
+    val banded = hashes.select($"doc_id", $"sh", explode(array(
+      (0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright($"sh", b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))): _*))
+      .as("band"))
+      .select($"doc_id", $"sh", $"band.band_id", $"band.band_key")
+    val cands = banded
+      .groupBy($"band_id", $"band_key")
+      .agg(array_sort(collect_set(struct($"doc_id", $"sh"))).as("ds"))
+      .filter(size($"ds") > 1)
+      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
+      .select($"a", explode(slice($"ds", $"i" + 2, size($"ds"))).as("b"))
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+        hamming64($"a.sh", $"b.sh").as("hamming"))
+      .distinct()
+    cands.filter($"hamming" <= 12)
+      .orderBy($"d1", $"d2")
+  }
+
+  // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)
   // ---------------------------------------------------------------
 

@@ -219,6 +219,19 @@ class EngineSpec extends AnyFunSuite {
     assert(joined.forall(_ <= 16), s"hamming distances: ${joined.mkString(",")}")
   }
 
+  test("simhash-band near-dup pairs recover the MinHash pipeline's top pairs") {
+    val d = "/root/testdata/sf0.01"
+    val simPairs = graft.operators.TextOps.q44SimhashPairs(spark, d)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strongJaccard = graft.operators.TextOps.q24LshPairs(spark, d)
+      .filter($"jaccard" > 0.9).select($"d1", $"d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strongJaccard.nonEmpty)
+    val recovered = (strongJaccard & simPairs).size.toDouble / strongJaccard.size
+    assert(recovered >= 0.8,
+      s"simhash bands recovered $recovered of ${strongJaccard.size} strong pairs")
+  }
+
   // ------------------------------------------------------------------
   // UDAF: cent-grid mean Aggregator
   // ------------------------------------------------------------------
