@@ -56,15 +56,29 @@ object EventOps {
 
   private val SessionGapSec = 1800L
 
-  def q31Sessionize(s: SparkSession, d: String): DataFrame = {
-    val byTime = Window.partitionBy($"user_id").orderBy($"s", $"event_id")
-    val events = Tables.events(s, d)
-      .select($"user_id", $"event_id", sec($"ts").as("s"), $"value")
-      .withColumn("prev_s", lag($"s", 1).over(byTime))
-      .withColumn("boundary",
-        when($"prev_s".isNull || ($"s" - $"prev_s") > SessionGapSec, 1L).otherwise(0L))
+  /** Gap-based sessionization as a reusable operator: assigns a
+    * per-key `session_seq` (1-based) where a new session starts after
+    * more than `gapSec` of inactivity. One shuffle on the key; boundary
+    * detection and numbering are window expressions (no state, no
+    * driver loops). `tieCol` must make (tsSec, tieCol) unique per key. */
+  def sessionize(df: DataFrame, key: String, tsSec: String, tieCol: String,
+      gapSec: Long): DataFrame = {
+    val byTime = Window.partitionBy(col(key)).orderBy(col(tsSec), col(tieCol))
+    df
+      .withColumn("__prev_s", lag(col(tsSec), 1).over(byTime))
+      .withColumn("__boundary",
+        when(col("__prev_s").isNull || (col(tsSec) - col("__prev_s")) > gapSec, 1L)
+          .otherwise(0L))
       .withColumn("session_seq",
-        sum($"boundary").over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("__boundary")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__prev_s", "__boundary")
+  }
+
+  def q31Sessionize(s: SparkSession, d: String): DataFrame = {
+    val events = sessionize(
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", sec($"ts").as("s"), $"value"),
+      key = "user_id", tsSec = "s", tieCol = "event_id", gapSec = SessionGapSec)
     events.groupBy($"user_id", $"session_seq")
       .agg(
         count(lit(1)).as("n_events"),

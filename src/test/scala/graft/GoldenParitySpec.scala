@@ -127,6 +127,24 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(dows.getOrElse("Tue", 0L) >= 447)
   }
 
+  test("S3 golden-format writer: header order, timestamp rendering, value round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_golden").toString
+    Extracts.writeGoldenCsv(
+      Extracts.spread(nyGolden), s"$dir/spread", Seq("date_actual"))
+    val back = spark.read.option("header", "true").csv(s"$dir/spread")
+    assert(back.columns.toSeq === Seq("spread_max_min", "date_actual"))
+    assert(back.count() === 237)
+    // the reference's date rendering: 'YYYY-MM-DD HH:MM:SS'
+    assert(back.filter(
+      !col("date_actual").rlike("^\\d{4}-\\d{2}-\\d{2} 00:00:00$")).count() === 0)
+    // values round-trip: parse back and re-compare to the golden exactly
+    val j = back.select(col("spread_max_min").cast("double").as("w"),
+        to_timestamp(col("date_actual")).cast("timestamp").as("date_actual"))
+      .join(spreadGolden, Seq("date_actual"))
+    assert(j.count() === 237)
+    assert(j.filter(col("w") =!= col("spread_max_min")).count() === 0)
+  }
+
   test("KC=F.csv reads with literal-null handling: 5957 rows, 100 null closes") {
     val kc = graft.sources.Tables.readOhlcvCsv(
       spark, "/root/reference/Data Sample/KC=F.csv")

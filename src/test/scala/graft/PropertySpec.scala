@@ -95,6 +95,32 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("sessionize == brute-force session assignment") =
+    forAll(
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 200L))),
+      Gen.chooseNum(5L, 50L)
+    ) { (events, gap) =>
+      val df = events.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("user_id", "s", "event_id")
+      val got = graft.operators.EventOps
+        .sessionize(df, "user_id", "s", "event_id", gap)
+        .collect().map(r => (r.getLong(2), r.getAs[Long]("session_seq"))).toMap
+      // brute force: sort per user by (s, event_id), count gap boundaries
+      val expect = events.zipWithIndex
+        .map { case ((u, t), i) => (u, t, i.toLong) }
+        .groupBy(_._1).values.flatMap { es =>
+          val sorted = es.sortBy(e => (e._2, e._3))
+          var seq = 0L
+          var prev = Option.empty[Long]
+          sorted.map { case (_, t, id) =>
+            if (prev.isEmpty || t - prev.get > gap) seq += 1
+            prev = Some(t)
+            id -> seq
+          }
+        }.toMap
+      got == expect
+    }
+
   property("cent-grid sums are partitioning-invariant") =
     forAll(Gen.listOfN(30, Gen.chooseNum(0.0, 10000.0)), Gen.chooseNum(1, 8)) { (xs, parts) =>
       val expected = xs.map(x => math.floor(x * 100.0 + 0.5)).sum / 100.0
