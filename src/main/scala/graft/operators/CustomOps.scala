@@ -51,7 +51,7 @@ object CustomOps {
     Tables.documents(s, d)
       .select(
         $"doc_id",
-        octet_length($"text".cast("binary")).as("n_bytes"),
+        octet_length($"text".cast("binary")).cast("long").as("n_bytes"),
         md5($"text".cast("binary")).as("payload_md5"),
         ascii(substring($"text", 1, 1)).as("first_byte"))
       .orderBy($"doc_id")

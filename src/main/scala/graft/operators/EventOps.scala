@@ -99,8 +99,8 @@ object EventOps {
        |             THEN 1 ELSE 0 END AS boundary
        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)),
        |sess AS (SELECT user_id, event_id, s, value,
-       |           sum(boundary) OVER (PARTITION BY user_id ORDER BY s, event_id
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |           CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY s, event_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
        |         FROM b)
        |SELECT user_id, session_seq, count(*) AS n_events,
        |  max(s) - min(s) AS duration_s,
@@ -227,7 +227,7 @@ object EventOps {
 
   val q41JsonExtractSql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin

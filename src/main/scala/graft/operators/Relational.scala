@@ -585,7 +585,8 @@ object Relational {
       |  UNION ALL
       |  SELECT o_custkey, 'only_1995' FROM (SELECT * FROM b95 EXCEPT SELECT * FROM b96)
       |)
-      |SELECT cohort, count(*) AS n_customers, sum(o_custkey) AS key_sum
+      |SELECT cohort, count(*) AS n_customers,
+      |  CAST(sum(o_custkey) AS BIGINT) AS key_sum
       |FROM cohorts GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Pivot: order counts per (segment × status) as a wide frame —

@@ -36,8 +36,10 @@ object TextOps {
     Tables.documents(s, d)
       .select(
         $"doc_id",
-        Text.tokenCount($"text").as("n_tokens"),
-        Text.bpeIshTokenCount($"text").as("n_bpe_tokens"),
+        // cast to long: DuckDB's length()/len() yield BIGINT — keep the
+        // dumped parquet schema type-identical to the oracle's
+        Text.tokenCount($"text").cast("long").as("n_tokens"),
+        Text.bpeIshTokenCount($"text").cast("long").as("n_bpe_tokens"),
         stableRound(Text.avgTokenLen($"text"), 4).as("avg_token_len"),
         stableRound(Text.punctRatio($"text"), 4).as("punct_ratio"),
         stableRound(Text.stopwordRatio($"text"), 4).as("stopword_ratio"),

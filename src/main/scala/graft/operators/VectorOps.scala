@@ -78,7 +78,7 @@ object VectorOps {
       scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), TopK)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     top
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
         stableRound($"cos", 6).as("score"))
       .orderBy($"query_id", $"rank")
@@ -142,7 +142,7 @@ object VectorOps {
       scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), k)
     val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
     top
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
         stableRound($"cos", 6).as("score"))
       .orderBy($"query_id", $"rank")

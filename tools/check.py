@@ -56,6 +56,11 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns differ spark={gcols} oracle={ecols}")
         fails += 1
         continue
+    for c in gcols:
+        gt = str(got.schema.field(c).type)
+        et = str(exp.schema.field(c).type)
+        if gt != et:
+            print(f"  WARN {name}.{c}: type spark={gt} oracle={et}")
     skey = lambda t: tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
     grows = sorted((tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()), key=skey)
     erows = sorted((tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()), key=skey)
