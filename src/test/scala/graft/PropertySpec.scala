@@ -121,6 +121,46 @@ object PropertySpec extends Properties("graft") {
       got == expect
     }
 
+  property("binned range join == brute-force inequality join") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(12, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 100L))),
+      Gen.chooseNum(5L, 40L)
+    ) { (ls, rs, width) =>
+      val left = ls.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("k", "lt", "lid")
+      val right = rs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        .toDF("k", "rt", "rid")
+      val got = graft.operators.EventOps
+        .binnedRangeJoin(left, right, "k", "lt", "rt", width)
+        .select($"lid", $"rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (lu, lt, lid) <- ls.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        (ru, rt, rid) <- rs.zipWithIndex.map { case ((u, t), i) => (u, t, i.toLong) }
+        if lu == ru && math.abs(lt - rt) <= width
+      } yield (lid, rid)).toSet
+      got == expect
+    }
+
+  property("TopKPerKey == brute-force top-k per group") =
+    forAll(
+      Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 1000))),
+      Gen.chooseNum(1, 5)
+    ) { (rows, k) =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val got = graft.plans.TopK
+        .perKey(df, Seq($"g"), Seq($"v".desc, $"id"), k)
+        .select($"id").collect().map(_.getLong(0)).toSet
+      val expect = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).values.flatMap { grp =>
+          grp.sortBy(r => (-r._2, r._3)).take(k).map(_._3)
+        }.toSet
+      got == expect
+    }
+
   property("cent-grid sums are partitioning-invariant") =
     forAll(Gen.listOfN(30, Gen.chooseNum(0.0, 10000.0)), Gen.chooseNum(1, 8)) { (xs, parts) =>
       val expected = xs.map(x => math.floor(x * 100.0 + 0.5)).sum / 100.0
