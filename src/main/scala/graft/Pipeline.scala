@@ -52,8 +52,13 @@ object Pipeline {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(stgPath), true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$stgPath.new"),
-      new org.apache.hadoop.fs.Path(stgPath))
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stgPath.new"),
+        new org.apache.hadoop.fs.Path(stgPath))) {
+      // rename signals failure by return value, not exception — and the
+      // old store is already deleted at this point
+      throw new java.io.IOException(
+        s"staging swap failed: could not rename $stgPath.new to $stgPath")
+    }
     val stg = spark.read.parquet(stgPath)
     Staging.reconcileAndLog(spark, s"$outDir/audit", "pipeline",
       "KC=F.csv", "stg_ohlcv", ohlcv, stg, t0)

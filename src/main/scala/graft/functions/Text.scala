@@ -106,15 +106,16 @@ object Text {
     }.reduce(_ + _)
   }
 
-  /** Argmax over [[langMarkers]] scores (ties → lexicographically first
-    * language code, deterministic). */
+  /** Argmax over [[langMarkers]] scores — ties resolve to the
+    * lexicographically FIRST language code, matching
+    * [[graft.operators.TextOps.q21LangId]]'s ordered CASE chain (and its
+    * DuckDB oracle) exactly. */
   def languageId(text: Column): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      struct(langScore(text, ws).as("score"), lit(lang).as("lang"))
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    val scores = langs.map { case (lang, ws) => lang -> langScore(text, ws) }
+    scores.init.foldRight(lit(langs.last._1)) { case ((lang, score), rest) =>
+      val ge = scores.filter(_._1 != lang).map(o => score >= o._2).reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
     }
-    // array_max on (score, lang) structs: max score, then max lang — to get
-    // deterministic *first* lang on ties we negate... keep simple: greatest
-    // struct comparison picks highest score; ties resolved by lang desc.
-    array_max(array(scored: _*)).getField("lang")
   }
 }

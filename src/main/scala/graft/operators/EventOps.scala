@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Relational.{sqlMoneySum, sqlRound, stableRound}
+import graft.operators.Relational.{moneySum, sqlMoneySum, sqlRound, stableRound}
 import graft.sources.Tables
 
 /** Time-series operators over the `events` table: tumbling-window
@@ -37,7 +37,7 @@ object EventOps {
       .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"),
+        moneySum($"value").as("sum_value"),
         countDistinct($"user_id").as("n_users"))
       .select(date_format($"w", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events", $"sum_value", $"n_users")
@@ -84,7 +84,7 @@ object EventOps {
         count(lit(1)).as("n_events"),
         min($"s").as("start_s"),
         max($"s").as("end_s"),
-        (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"))
+        moneySum($"value").as("sum_value"))
       .select($"user_id", $"session_seq", $"n_events",
         ($"end_s" - $"start_s").as("duration_s"), $"sum_value")
       .orderBy($"user_id", $"session_seq")

@@ -53,7 +53,11 @@ object Scale {
       partitionCol: String): Unit = {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.write.mode("overwrite").insertInto(table)
+    // insertInto matches columns POSITIONALLY — re-project to the
+    // table's schema order (partition column included) so a caller's
+    // column order can't scramble values
+    val ordered = df.select(spark.table(table).columns.map(col): _*)
+    try ordered.write.mode("overwrite").insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")

@@ -46,8 +46,10 @@ object TextOps {
         stableRound(Text.qualityScore($"text"), 4).as("quality"))
       .orderBy($"doc_id")
 
-  // SQL mirrors of the Text builders (same constants, same arithmetic)
-  private val tcSql = "(length(text) - length(replace(text, ' ', '')) + 1)"
+  // SQL mirrors of the Text builders (same constants, same arithmetic —
+  // including tokenCount's empty-string guard)
+  private val tcSql =
+    "(CASE WHEN length(text) = 0 THEN 0 ELSE length(text) - length(replace(text, ' ', '')) + 1 END)"
   private def swCountSql(txt: String): String = Text.stopwords.map { w =>
     val p = s"(' ' || $txt || ' ')"
     s"((length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2})"
@@ -273,12 +275,13 @@ object TextOps {
   // SimHash-band near-dup pairs (hamming LSH)
   // ---------------------------------------------------------------
 
-  /** SimHash near-dup candidates via hamming LSH: split each 64-bit
+  /** SimHash near-dup CANDIDATES via hamming LSH: split each 64-bit
     * simhash into four 16-bit bands; any pair differing in ≤ 3 bits must
-    * share at least one band (pigeonhole), so a per-band equi-self-join
-    * finds every such pair with zero distance computations outside the
-    * collision set. Verification re-ranks candidates by exact hamming
-    * distance via the native [[graft.functions.Hamming64]] expression.
+    * share at least one band (pigeonhole) — recall is COMPLETE for
+    * hamming ≤ 3 and probabilistic (like any LSH) for larger distances;
+    * the ≤ 12 output filter bounds the emitted candidates, it does NOT
+    * promise every ≤ 12 pair. Band collisions are verified by exact
+    * hamming via the native [[graft.functions.Hamming64]] expression.
     * Spark-native hashing → rows-only (no DuckDB oracle); the spec
     * cross-checks against the MinHash pipeline's high-Jaccard pairs. */
   def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {

@@ -115,8 +115,14 @@ object TopK {
     val child = df.queryExecution.analyzed
     def resolve(e: Expression): Expression = e.transformUp {
       case u: UnresolvedAttribute =>
-        child.output.find(_.name.equalsIgnoreCase(u.nameParts.last)).getOrElse(
-          throw new IllegalArgumentException(s"column ${u.name} not in ${child.output}"))
+        val matches = child.output.filter(_.name.equalsIgnoreCase(u.nameParts.last))
+        matches match {
+          case Seq(one) => one
+          case Seq() => throw new IllegalArgumentException(
+            s"column ${u.name} not in ${child.output}")
+          case many => throw new IllegalArgumentException(
+            s"column ${u.name} is ambiguous: $many — disambiguate before TopK.perKey")
+        }
     }
     val keys = keyCols.map(c => resolve(Bridge.expression(spark, c)))
     val order = orderCols.map { c =>

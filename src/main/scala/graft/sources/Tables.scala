@@ -43,7 +43,9 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    // integer division — `/` on longs goes through double and floors
+    // ~1.6% of microsecond values 1µs low for epoch nanos > 2^53
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

@@ -36,7 +36,7 @@ object EventStream {
         $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
-        (sum(floor($"value" * 100.0 + 0.5)) / 100.0).as("sum_value"),
+        graft.operators.Relational.moneySum($"value").as("sum_value"),
         approx_count_distinct($"user_id").as("approx_users"))
     val q = stream.writeStream
       .outputMode("complete")
@@ -127,7 +127,8 @@ object EventStream {
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(floor($"ts" / 1000L).cast("long")))
+      // integer division — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private implicit class Interp(val sc: StringContext) {
