@@ -86,12 +86,13 @@ object Pipeline {
     // ---- E3: mart extracts -----------------------------------------
     val factR = spark.read.parquet(s"$outDir/ods_fact")
     val ny = Extracts.nyPrices(factR, 2020, Seq(2, 3))
+    val spreadDf = Extracts.spread(ny)
     Extracts.writeGoldenCsv(ny, s"$outDir/ny_prices", Seq("date_actual"))
-    Extracts.writeGoldenCsv(Extracts.spread(ny), s"$outDir/spread", Seq("date_actual"))
+    Extracts.writeGoldenCsv(spreadDf, s"$outDir/spread", Seq("date_actual"))
     Extracts.writeGoldenCsv(Extracts.maExtract(factR, 2020), s"$outDir/ma", Seq("date_actual"))
 
     val nyN = ny.count()
-    val spreadN = Extracts.spread(ny).count()
+    val spreadN = spreadDf.count()
     val factN = factR.count()
     println(s"[pipeline] raw_lines=$rawLines staged=${stg.count()} " +
       s"fact=$factN ny_2020=$nyN spread_2020=$spreadN " +

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.syntax._
+
 /** The ODS star-schema build (SURVEY.md §3 E2): dimension builders and
   * the windowed fact query — the reference's `process_ods_table`
   * (`ETL Process/ODS.py:56-114`) re-planned as one Catalyst plan instead
@@ -89,7 +91,4 @@ object OdsBuild {
         $"high", $"low", $"volume", $"oi", $"spread", $"ma_200", $"ma_50")
   }
 
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -8,6 +8,8 @@ import graft.multimodal.Multimodal
 import graft.operators.Relational.sqlRound
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** Queries exercising the engine's custom execution surface: the native
   * Catalyst SimHash expression, the typed cent-mean Aggregator (UDAF),
   * and the multimodal binary-column plumbing.
@@ -75,7 +77,4 @@ object CustomOps {
       .orderBy($"media_id")
   }
 
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

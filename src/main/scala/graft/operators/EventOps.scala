@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import graft.operators.Relational.{moneySum, sqlMoneySum, sqlRound, stableRound}
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** Time-series operators over the `events` table: tumbling-window
   * aggregation (the batch twin of the Structured Streaming path in
   * [[graft.streaming.EventStream]]), gap-based sessionization, and a
@@ -232,8 +234,4 @@ object EventOps {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // $"..." Column interpolator without a SparkSession in scope
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** The relational operator pack: every parity operator family from
   * SURVEY.md §2 (scans, projections/filters, joins, aggregations, windows,
   * sorts/sets/scalars) exercised as a named query over the driver test
@@ -524,8 +526,8 @@ object Relational {
         expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("pp"),
         count(lit(1)).as("n_rows"))
       .select($"l_returnflag",
-        $"pq".getItem(0).as("p50_qty"),
-        $"pq".getItem(1).as("p90_qty"),
+        stableRound($"pq".getItem(0), 4).as("p50_qty"),
+        stableRound($"pq".getItem(1), 4).as("p90_qty"),
         stableRound($"pp".getItem(0), 4).as("p50_price"),
         stableRound($"pp".getItem(1), 4).as("p99_price"),
         $"n_rows")
@@ -533,8 +535,8 @@ object Relational {
 
   val q39QuantilesSql: String =
     s"""SELECT l_returnflag,
-       |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-       |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+       |  ${sqlRound("quantile_cont(l_quantity, 0.5)", 4)} AS p50_qty,
+       |  ${sqlRound("quantile_cont(l_quantity, 0.9)", 4)} AS p90_qty,
        |  ${sqlRound("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_price,
        |  ${sqlRound("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99_price,
        |  count(*) AS n_rows
@@ -612,8 +614,4 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // $"..." Column interpolator without needing a SparkSession's implicits
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

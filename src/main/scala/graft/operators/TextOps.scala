@@ -8,6 +8,8 @@ import graft.functions.Text
 import graft.operators.Relational.{sqlRound, stableRound}
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** Text-analysis and deduplication operators over the `documents` table —
   * the LLM-training-data-pipeline extension surface (BASELINE.json
   * north_star): token/quality stats, language ID, fingerprinting, exact
@@ -331,8 +333,4 @@ object TextOps {
       |  count(DISTINCT source) AS n_sources
       |FROM documents""".stripMargin
 
-  // $"..." Column interpolator without a SparkSession in scope
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

@@ -8,6 +8,8 @@ import graft.functions.Vectors
 import graft.operators.Relational.{sqlRound, stableRound}
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** Similarity-search operators over the `embeddings` table
   * (`Array[Float]` column): brute-force cosine top-k as the exact
   * baseline, LSH-bucketed ANN as the scale path, per-label embedding
@@ -26,7 +28,9 @@ object VectorOps {
     * [[Vectors.cosine]] exactly: per-element cast to double, left-to-right
     * sum, zero-norm guard. */
   private def cosSql(a: String, b: String): String = {
-    val dot = s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    // range derived from the list length — a hardcoded dim would silently
+    // corrupt the oracle if the embedding table were regenerated wider
+    val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
     val na = s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     val nb = s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     s"(CASE WHEN $na * $nb = 0.0 THEN 0.0 ELSE $dot / ($na * $nb) END)"
@@ -148,8 +152,4 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
-  // $"..." Column interpolator without a SparkSession in scope
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): Column = col(sc.s(args: _*))
-  }
 }

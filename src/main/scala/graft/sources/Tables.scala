@@ -38,7 +38,12 @@ object Tables {
   /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
     * by default (PARQUET_TYPE_ILLEGAL). Read nanos as a long (legacy
     * conf), then convert to a micros TimestampType column — floor(ns/1000)
-    * — so downstream operators see a normal timestamp. */
+    * — so downstream operators see a normal timestamp.
+    *
+    * NOTE: the legacy conf stays set for the session afterwards (it must
+    * be active when the scan executes, not just at planning) — any later
+    * nanos-parquet read in the same session will also get LONG columns
+    * instead of an error. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
@@ -50,9 +55,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** Register every test table as a temp view so `spark.sql` works too. */
+  /** Register every test table as a temp view so `spark.sql` works too.
+    * `events` goes through [[events]] (ns-timestamp handling), never the
+    * raw reader. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, sfDir) else read(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** S2: raw line count of a text source (header included) — the
     * reference's `pd.read_csv(header=None).shape[0]` reconciliation

@@ -22,11 +22,15 @@ object Staging {
     * partitioned target table, pair with dynamic partition overwrite so
     * only touched partitions rewrite. */
   def upsertByNaturalKey(target: DataFrame, staged: DataFrame,
-      keys: Seq[String]): DataFrame =
-    // re-project to the target's column order: a using-columns join moves
-    // the key columns to the front
-    target.join(staged, keys, "left_anti").unionByName(staged)
+      keys: Seq[String]): DataFrame = {
+    // null-safe key equality (<=>): messy extracts carry NULL key cells,
+    // and plain equality would never match them — the stale NULL-key row
+    // would survive every upsert and the staged one append repeatedly,
+    // breaking idempotence
+    val cond = keys.map(k => target(k) <=> staged(k)).reduce(_ && _)
+    target.join(staged, cond, "left_anti").unionByName(staged)
       .select(target.columns.map(col): _*)
+  }
 
   /** Audit-log row shape (reference `stg_checking_logs`,
     * `ETL Process/STG.py:143-161`). */

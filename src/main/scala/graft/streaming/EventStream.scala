@@ -8,6 +8,8 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.sources.Tables
 
+import graft.syntax._
+
 /** Structured Streaming surface of the engine (SURVEY.md §7 extension —
   * the reference is batch-only, so this is the scale-native upgrade of
   * its scheduled-rerun model): the same tumbling-window aggregation as
@@ -131,7 +133,4 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private implicit class Interp(val sc: StringContext) {
-    def $(args: Any*): org.apache.spark.sql.Column = col(sc.s(args: _*))
-  }
 }

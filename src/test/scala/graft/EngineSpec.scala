@@ -110,6 +110,18 @@ class EngineSpec extends AnyFunSuite {
     assert(twice.collect().map(r => (r.getString(0), r.getInt(2))).toSet === got)
   }
 
+  test("J4 upsert: NULL key cells match null-safely (idempotent)") {
+    val target = Seq((null.asInstanceOf[String], d("2021-01-01"), 1), ("BR", d("2021-01-01"), 2))
+      .toDF("country", "report_date", "qty")
+    val staged = Seq((null.asInstanceOf[String], d("2021-01-01"), 99))
+      .toDF("country", "report_date", "qty")
+    val once = Staging.upsertByNaturalKey(target, staged, Seq("country", "report_date"))
+    val got = once.collect().map(r => (Option(r.getString(0)), r.getInt(2))).toSet
+    assert(got === Set((None, 99), (Some("BR"), 2))) // NULL-key row replaced, not duplicated
+    val twice = Staging.upsertByNaturalKey(once, staged, Seq("country", "report_date"))
+    assert(twice.count() === 2)
+  }
+
   // ------------------------------------------------------------------
   // Messy-header normalizer (P3-P9, P11)
   // ------------------------------------------------------------------
