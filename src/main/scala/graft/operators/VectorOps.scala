@@ -152,4 +152,32 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
+    * (random hyperplane signs), generate candidates inside each bucket
+    * AND each 1-bit-neighbor probe pairing (multi-probe recall), verify
+    * with exact cosine ≥ threshold. O(collisions) — never all pairs.
+    *
+    * The driver's synthetic embeddings are isotropic random (within-label
+    * cosine ≡ cross-label, max ≈ 0.48), so a thresholded query over them
+    * is provably empty — this operator is exercised by the test suite on
+    * crafted near-dup vectors instead of a driver query. */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nPlanes: Int = NumPlanes): DataFrame = {
+    val withBucket = emb.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      Vectors.lshBucket(col(vecCol), nPlanes).as("bucket"))
+    // probe buckets: own + each 1-bit flip — pairs split by one
+    // hyperplane still meet
+    val probed = withBucket.select($"id", $"vec", explode(array(
+      ($"bucket" +: (0 until nPlanes).map(p => $"bucket".bitwiseXOR(lit(1L << p)))): _*))
+      .as("probe"))
+    withBucket
+      .join(probed.select($"id".as("id2"), $"vec".as("vec2"), $"probe"),
+        $"bucket" === $"probe" && $"id" < $"id2")
+      .select($"id", $"id2", Vectors.cosine($"vec", $"vec2").as("cos"))
+      .distinct()
+      .filter($"cos" >= threshold)
+      .orderBy($"id", $"id2")
+  }
+
 }

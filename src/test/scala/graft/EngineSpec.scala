@@ -320,6 +320,19 @@ class EngineSpec extends AnyFunSuite {
     assert(bucketSizes < 500)
   }
 
+  test("cosine near-dup dedup finds crafted near pairs, skips unrelated") {
+    import graft.operators.{VectorOps => V}
+    val base = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val near = base.clone(); near(0) += 0.01f // tiny perturbation
+    val ortho = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq))
+      .toDF("vid", "emb")
+      .select($"vid", $"emb".cast("array<float>").as("emb"))
+    val pairs = V.cosineNearDupPairs(df, "vid", "emb", threshold = 0.99)
+      .select($"id", $"id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L))) // the planted near-dup, nothing else
+  }
+
   // ------------------------------------------------------------------
   // Multimodal stub plumbing
   // ------------------------------------------------------------------
