@@ -43,7 +43,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // sbt prefixes stdout with [info] and interleaves Spark logs, so the
+    // driver's stream parse can miss the line — ALSO write it to a file
+    // (driver + humans read either)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

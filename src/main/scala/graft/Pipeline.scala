@@ -48,17 +48,26 @@ object Pipeline {
       .getOrElse(staged.limit(0))
     Staging.upsertByNaturalKey(target, staged, Seq("Date"))
       .write.mode(SaveMode.Overwrite).parquet(s"$stgPath.new")
-    // swap (parquet can't overwrite its own input)
+    // swap (parquet can't overwrite its own input): old → .bak first so
+    // a crash at any point leaves a recoverable copy, then new → live,
+    // then drop the .bak
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stgPath), true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stgPath.new"),
-        new org.apache.hadoop.fs.Path(stgPath))) {
-      // rename signals failure by return value, not exception — and the
-      // old store is already deleted at this point
+    val live = new org.apache.hadoop.fs.Path(stgPath)
+    val fresh = new org.apache.hadoop.fs.Path(s"$stgPath.new")
+    val bak = new org.apache.hadoop.fs.Path(s"$stgPath.bak")
+    fs.delete(bak, true)
+    if (fs.exists(live) && !fs.rename(live, bak))
       throw new java.io.IOException(
-        s"staging swap failed: could not rename $stgPath.new to $stgPath")
+        s"staging swap failed: could not set aside $stgPath as $bak")
+    if (!fs.rename(fresh, live)) {
+      // rename signals failure by return value, not exception; restore
+      // the set-aside copy before failing
+      fs.rename(bak, live)
+      throw new java.io.IOException(
+        s"staging swap failed: could not rename $fresh to $stgPath")
     }
+    fs.delete(bak, true)
     val stg = spark.read.parquet(stgPath)
     Staging.reconcileAndLog(spark, s"$outDir/audit", "pipeline",
       "KC=F.csv", "stg_ohlcv", ohlcv, stg, t0)

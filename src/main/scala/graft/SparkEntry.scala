@@ -66,7 +66,8 @@ object SparkEntry {
     "q42_setops"         -> (Relational.q42SetOps(_, _)),
     "q43_pivot"          -> (Relational.q43Pivot(_, _)),
     "q44_simhash_pairs"  -> (TextOps.q44SimhashPairs(_, _)),
-    // q44: Spark-native simhash bands — rows-only (no oracle)
+    "q45_normalize"      -> (graft.stg.Normalizer.q45Normalize(_, _)),
+    "q46_lsh_audit"      -> (TextOps.q46LshAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,7 +91,9 @@ object SparkEntry {
     "q16_topk"          -> Relational.q16TopKSql,
     "q17_cube"          -> Relational.q17CubeSql,
     "q18_rollup"        -> Relational.q18RollupSql,
-    // q19_approx_distinct: HLL sketch differs from DuckDB's — rows-only
+    // q19: sketch value can't be hash-compared; the oracle asserts the
+    // emitted `sketch_ok` error-bound flag is literal TRUE
+    "q19_approx_distinct" -> Relational.q19ApproxDistinctSql,
     "q20_text_stats"    -> TextOps.q20TextStatsSql,
     "q21_lang_id"       -> TextOps.q21LangIdSql,
     "q22_fingerprint"   -> TextOps.q22FingerprintSql,
@@ -109,14 +112,19 @@ object SparkEntry {
         |  sum(floor((value) * 100.0 + 0.5)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q34_udaf_centmean"  -> CustomOps.q34UdafCentMeanSql,
-    // q35_simhash: native Catalyst expression — no DuckDB equivalent
+    // q35/q44: FNV-1a SimHash recomputed in DuckDB HUGEINT arithmetic
+    // from the same constants (SimHash.duckdbSigsCte)
+    "q35_simhash"        -> CustomOps.q35SimhashSql,
     "q36_multimodal_meta" -> CustomOps.q36MultimodalMetaSql,
-    // q37_multimodal_decode: stubbed codec features — rows-only by design
+    "q37_multimodal_decode" -> CustomOps.q37MultimodalDecodeSql,
     "q38_range_join"     -> EventOps.q38RangeJoinSql,
     "q39_quantiles"      -> Relational.q39QuantilesSql,
     "q40_stringagg"      -> Relational.q40StringAggSql,
     "q41_json_extract"   -> EventOps.q41JsonExtractSql,
     "q42_setops"         -> Relational.q42SetOpsSql,
     "q43_pivot"          -> Relational.q43PivotSql,
+    "q44_simhash_pairs"  -> TextOps.q44SimhashPairsSql,
+    "q45_normalize"      -> graft.stg.Normalizer.q45NormalizeSql,
+    "q46_lsh_audit"      -> TextOps.q46LshAuditSql,
   )
 }

@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * emit the sign bit vector.
   */
 object SimHashImpl {
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  private[functions] final val FnvOffset = 0xcbf29ce484222325L
+  private[functions] final val FnvPrime = 0x100000001b3L
 
   /** FNV-1a over a token's UTF-8 bytes. */
   private def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
@@ -91,6 +91,44 @@ object SimHash {
     Bridge.column(SimHash64(Bridge.expression(c)))
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(Hamming64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** DuckDB-SQL mirror of [[SimHashImpl.compute]], generated from the
+    * same FNV constants so the oracle cannot drift: a WITH-clause body
+    * mapping a relation `(doc_id, text)` to `sim(doc_id, simhash)`.
+    *
+    * FNV-1a runs in HUGEINT arithmetic mod 2^64 (`xor` + multiply +
+    * modulus — DuckDB has no wrapping 64-bit unsigned multiply); the
+    * per-bit ±1 votes are 64 aggregate columns over the exploded token
+    * hashes (plain columnar aggregation — far faster than nested list
+    * lambdas); the signed 64-bit assembly gives bit 63 its two's
+    * complement weight so the value equals Spark's LongType output.
+    *
+    * Valid for ASCII text (`ascii(char)` == UTF-8 byte); the driver
+    * corpora are ASCII — asserted in SimHashSpec. */
+  def duckdbSigsCte(docsRelation: String): String = {
+    val offset = java.lang.Long.toUnsignedString(SimHashImpl.FnvOffset)
+    val prime = java.lang.Long.toUnsignedString(SimHashImpl.FnvPrime)
+    val fnv =
+      s"""list_reduce(
+         |  list_prepend(CAST('$offset' AS HUGEINT),
+         |    list_transform(range(1, length(tok)+1),
+         |      i -> CAST(ascii(substring(tok, i, 1)) AS HUGEINT))),
+         |  (h, b) -> (xor(h, b) * CAST('$prime' AS HUGEINT))
+         |            % CAST('18446744073709551616' AS HUGEINT))""".stripMargin
+    val votes = (0 until 64).map { b =>
+      val p2 = java.lang.Long.toUnsignedString(1L << b)
+      s"sum(CASE WHEN (h // CAST('$p2' AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    val assemble = ("(CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)" +:
+      (0 until 63).map(b => s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"))
+      .mkString(" + ")
+    s"""toks AS (SELECT doc_id,
+       |           unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok
+       |         FROM $docsRelation),
+       |hs AS (SELECT doc_id, $fnv AS h FROM toks),
+       |v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $assemble AS simhash FROM v)""".stripMargin
+  }
 
   /** Register `simhash64` / `hamming64` for SQL use in this session. */
   def register(spark: SparkSession): Unit = {

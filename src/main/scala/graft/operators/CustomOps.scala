@@ -34,9 +34,12 @@ object CustomOps {
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Native-expression SimHash fingerprints + per-doc hamming weight.
-    * No DuckDB equivalent (rows-only check); the ScalaTest suite asserts
-    * the near-dup property: LSH-candidate pairs (q24, Jaccard > 0.8)
-    * have small hamming distance. */
+    * Oracled bit-exactly: the DuckDB mirror recomputes FNV-1a SimHash in
+    * HUGEINT arithmetic from the same constants
+    * ([[SimHash.duckdbSigsCte]]); `bit_weight` maps to
+    * `bit_count` (two's-complement popcount on BIGINT). The ScalaTest
+    * suite additionally asserts the near-dup property: LSH-candidate
+    * pairs (q24, Jaccard > 0.8) have small hamming distance. */
   def q35Simhash(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
@@ -44,6 +47,12 @@ object CustomOps {
         SimHash.simhash64($"text").as("simhash"),
         SimHash.hamming64(SimHash.simhash64($"text"), lit(0L)).as("bit_weight"))
       .orderBy($"doc_id")
+
+  val q35SimhashSql: String =
+    s"""WITH ${SimHash.duckdbSigsCte("documents")}
+       |SELECT doc_id, simhash,
+       |  CAST(bit_count(simhash) AS BIGINT) AS bit_weight
+       |FROM sim ORDER BY doc_id""".stripMargin
 
   /** Multimodal metadata path: binary payload stats through the real
     * plumbing — byte length, payload md5, first byte — all mirrored in
@@ -65,16 +74,32 @@ object CustomOps {
       |  ascii(substring(text, 1, 1)) AS first_byte
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Decoded multimodal features via the mapPartitions stub: media_id,
-    * payload size, first feature component (deterministic fake). Rows-only
-    * (stub features have no SQL equivalent by design). */
+  /** Decoded multimodal features via the mapPartitions stub decode path.
+    * The stub's "feature" is a byte-residue histogram normalized by
+    * payload length; multiplying back by `n_bytes` and rounding recovers
+    * the exact integer byte counts (float error ≪ 0.5 for any payload
+    * < 2^24 bytes), which a DuckDB mirror recomputes over the same
+    * ASCII payload — so the REAL plumbing (typed Dataset →
+    * `mapPartitions` decode → feature array) is driver-oracled end to
+    * end, while the float feature surface itself stays spec-proven. */
   def q37MultimodalDecode(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(s, d)
+    val hists = (0 until 8).map(j =>
+      round(element_at($"feature", j + 1).cast("double") * $"n_bytes")
+        .cast("long").as(s"h$j"))
     Multimodal.extractFeatures(media).toDF()
-      .select($"media_id", $"n_bytes",
-        element_at($"feature", 1).as("f0"),
-        element_at($"feature", 8).as("f7"))
+      .select(($"media_id" +: $"n_bytes".cast("long").as("n_bytes") +: hists): _*)
       .orderBy($"media_id")
+  }
+
+  val q37MultimodalDecodeSql: String = {
+    // byte-residue counts over the ASCII payload (char code == byte)
+    val hists = (0 until 8).map(j =>
+      s"len(list_filter(list_transform(range(1, length(text)+1), " +
+        s"i -> ascii(substring(text, i, 1)) % 8), b -> b = $j)) AS h$j")
+    s"""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+       |  ${hists.mkString(",\n  ")}
+       |FROM documents ORDER BY media_id""".stripMargin
   }
 
 }

@@ -217,8 +217,11 @@ object EventOps {
 
   def q41JsonExtract(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // from_json with an explicit schema parses each document ONCE into
+      // a struct (get_json_object would re-walk the JSON per extracted
+      // path — at N paths that's N parses per row)
       .select($"event_type",
-        get_json_object($"props", "$.k").cast("long").as("k"))
+        from_json($"props", "k LONG", Map.empty[String, String]).getField("k").as("k"))
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n_events"),

@@ -474,17 +474,31 @@ object Relational {
 
   /** Sketch extension: approximate distinct (HyperLogLog++) beside the
     * exact count — the cardinality-estimation surface for 100 TB scans
-    * where exact distinct is a full shuffle. No oracle (DuckDB's
-    * approx sketch differs); the exact columns let the rows-only check
-    * eyeball the sketch error. */
+    * where exact distinct is a full shuffle. DuckDB's HLL sketch differs
+    * bit-for-bit, so the sketch VALUE can't be hash-compared; instead
+    * the query emits `sketch_ok` — the sketch's relative error inside a
+    * 10% bound (5σ at rsd = 0.02, and Spark's HLL is deterministic for
+    * fixed data) — which the oracle asserts as literal TRUE. The sketch
+    * stays in the driver-run plan; the spec additionally checks the
+    * tighter 3σ bound. */
   def q19ApproxDistinct(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
         countDistinct($"l_partkey").as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"exact_parts", $"n_rows",
+        (abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts" * 0.1).as("sketch_ok"))
       .orderBy($"l_returnflag")
+
+  val q19ApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(*) AS n_rows,
+      |  TRUE AS sketch_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Grouping-set extension: ROLLUP over the region→nation hierarchy with
     * NULL grouping keys coalesced to a sentinel for stable hashing. */

@@ -30,6 +30,18 @@ object TextOps {
   private val MinhashK = 8  // minhash functions
   private val BandWidth = 2 // minhashes per LSH band → 4 bands
 
+  /** LSH bucket cap: a degenerate band key (mass-duplicated or
+    * near-empty docs all sharing one signature band) would otherwise
+    * `collect_set` an unbounded array into one row and emit O(|bucket|²)
+    * pairs from one task. Buckets are truncated to the first
+    * [[MaxBucket]] doc ids (after sort — deterministic); the cap is
+    * mirrored in the DuckDB oracle SQL so Spark and oracle agree at
+    * every scale, and [[q46LshAudit]] reports over-cap buckets as a
+    * driver-oracled audit channel (no silent truncation). Pairs lost to
+    * the cap are pairs of *mass-duplicated* docs — exact dedup (q22/q25)
+    * already catches those. */
+  private[graft] val MaxBucket = 64
+
   // ---------------------------------------------------------------
   // q20: per-document token/quality statistics
   // ---------------------------------------------------------------
@@ -145,9 +157,9 @@ object TextOps {
     * per-element, with per-shingle allocations). One exchange total (the
     * window's hash partition by doc_id), which downstream doc_id
     * aggregations reuse. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  private def shingleRows(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables.documents(s, d)
+    docs
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
       .withColumn("w1", lead($"w", 1).over(w))
       .withColumn("w2", lead($"w", 2).over(w))
@@ -158,8 +170,8 @@ object TextOps {
   /** Distinct shingle SET per doc (array column) — `collect_set` dedups
     * inside the aggregation, reusing the shingle stream's partitioning
     * (no extra exchange). */
-  private def shingleArrays(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d).groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
+  private def shingleArrays(docs: DataFrame): DataFrame =
+    shingleRows(docs).groupBy($"doc_id").agg(collect_set($"sh").as("shs"))
 
   /** MinHash signature matrix: ONE md5 per shingle, sliced into K
     * disjoint 4-hex-char (16-bit) segments — K independent hash views at
@@ -174,8 +186,8 @@ object TextOps {
     * would demote the plan to SortAggregate (two extra sorts of the
     * full shingle relation). Runs on the raw shingle stream: min() is
     * duplicate-insensitive, so no dedup pass is needed at all. */
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+  private def signatures(docs: DataFrame): DataFrame =
+    shingleRows(docs)
       .withColumn("h", md5($"sh"))
       .groupBy($"doc_id")
       .agg(
@@ -183,17 +195,17 @@ object TextOps {
         (1 until MinhashK).map(i =>
           min(conv(substring($"h", 4 * i + 1, 4), 16, 10).cast("long")).as(s"mh$i")): _*)
 
-  private def bands(s: SparkSession, d: String): DataFrame = {
+  private def bands(docs: DataFrame): DataFrame = {
     val nBands = MinhashK / BandWidth
     val stackArgs = (0 until nBands).map { b =>
       s"$b, md5(concat(mh${BandWidth * b}, ',', mh${BandWidth * b + 1}))"
     }.mkString(", ")
-    signatures(s, d)
+    signatures(docs)
       .select($"doc_id", expr(s"stack($nBands, $stackArgs) AS (band_id, band_key)"))
   }
 
   def q23Minhash(s: SparkSession, d: String): DataFrame =
-    bands(s, d).orderBy($"doc_id", $"band_id")
+    bands(Tables.documents(s, d)).orderBy($"doc_id", $"band_id")
 
   private def shinglesCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -218,31 +230,40 @@ object TextOps {
        |SELECT doc_id, band_id, band_key FROM bands
        |ORDER BY doc_id, band_id""".stripMargin
 
-  /** LSH candidate pairs + true shingle-set Jaccard — the near-dup
-    * verifier. The band self-join is the scale trick: only hash-equal
-    * bands meet, never all pairs. Shingle SETS ride along as broadcast
-    * array columns, so the intersection is per-pair local work
-    * (`array_intersect`) — no re-join against the exploded shingle
-    * relation. At 100× corpus the broadcast becomes a bucketed co-join;
-    * the pair count stays O(collisions). */
-  def q24LshPairs(s: SparkSession, d: String): DataFrame = {
-    // pairs generated inside each bucket (collect the bucket's sorted doc
-    // ids, emit i<j combinations) — ONE pass over the minhash pipeline;
-    // a band self-join would compute the signature subtree twice. Bucket
-    // sizes are bounded by the band collision rate (≤16 observed), so
-    // per-bucket pair expansion is tiny and local.
-    val cands = bands(s, d)
+  /** Candidate pairs from banded keys: bucket per (band_id, band_key),
+    * collect the bucket's sorted doc ids CAPPED at [[MaxBucket]], emit
+    * i&lt;j combinations — ONE pass over the upstream pipeline (a band
+    * self-join would compute the signature subtree twice). Per-bucket
+    * work is O(MaxBucket²) worst-case, so no task can be wedged by a
+    * degenerate key. */
+  private def bucketPairs(banded: DataFrame, key: Column): DataFrame =
+    banded
       .groupBy($"band_id", $"band_key")
-      .agg(array_sort(collect_set($"doc_id")).as("ds"))
+      .agg(slice(array_sort(collect_set(key)), 1, MaxBucket).as("ds"))
       .filter(size($"ds") > 1)
-      .select($"ds", posexplode($"ds").as(Seq("i", "d1")))
-      .select($"d1", explode(slice($"ds", $"i" + 2, size($"ds"))).as("d2"))
+      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
+      .select($"a", explode(slice($"ds", $"i" + 2, size($"ds"))).as("b"))
+
+  /** LSH candidate pairs + true shingle-set Jaccard — the near-dup
+    * verifier. The band bucketing is the scale trick: only hash-equal
+    * bands meet, never all pairs. Shingle SETS are joined back to the
+    * pairs with sort-merge joins on doc id — docsets is O(corpus) and is
+    * NEVER broadcast (it comes pre-hash-partitioned by doc_id from its
+    * own aggregation, so each merge join adds no exchange on that side;
+    * only the provably-small candidate side shuffles). The intersection
+    * is then per-pair local work (`array_intersect`). */
+  def q24LshPairs(s: SparkSession, d: String): DataFrame =
+    lshPairs(Tables.documents(s, d))
+
+  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
+    val cands = bucketPairs(bands(docs), $"doc_id")
+      .select($"a".as("d1"), $"b".as("d2"))
       .distinct()
-    val docsets = shingleArrays(s, d)
+    val docsets = shingleArrays(docs)
       .select($"doc_id", $"shs", size($"shs").cast("long").as("n"))
     cands
-      .join(broadcast(docsets.select($"doc_id".as("d1"), $"shs".as("shs1"), $"n".as("n1"))), "d1")
-      .join(broadcast(docsets.select($"doc_id".as("d2"), $"shs".as("shs2"), $"n".as("n2"))), "d2")
+      .join(docsets.select($"doc_id".as("d1"), $"shs".as("shs1"), $"n".as("n1")).hint("merge"), "d1")
+      .join(docsets.select($"doc_id".as("d2"), $"shs".as("shs2"), $"n".as("n2")).hint("merge"), "d2")
       .select($"d1", $"d2",
         size(array_intersect($"shs1", $"shs2")).cast("long").as("n_common"),
         $"n1", $"n2")
@@ -254,10 +275,14 @@ object TextOps {
   val q24LshPairsSql: String =
     s"""WITH $shinglesCte,
        |$bandsCte,
-       |cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |          FROM bands a JOIN bands b
-       |            ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |          WHERE a.doc_id < b.doc_id),
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j),
        |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
        |          FROM cands c
@@ -284,30 +309,93 @@ object TextOps {
     * the ≤ 12 output filter bounds the emitted candidates, it does NOT
     * promise every ≤ 12 pair. Band collisions are verified by exact
     * hamming via the native [[graft.functions.Hamming64]] expression.
-    * Spark-native hashing → rows-only (no DuckDB oracle); the spec
-    * cross-checks against the MinHash pipeline's high-Jaccard pairs. */
-  def q44SimhashPairs(s: SparkSession, d: String): DataFrame = {
+    * Oracled: the DuckDB mirror recomputes FNV-1a SimHash in HUGEINT
+    * arithmetic from the same constants
+    * ([[graft.functions.SimHash.duckdbSigsCte]]). Buckets are capped at
+    * [[MaxBucket]] like q24 (cap mirrored in the SQL). */
+  def q44SimhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d))
+
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
     import graft.functions.SimHash._
-    val hashes = Tables.documents(s, d)
-      .select($"doc_id", simhash64($"text").as("sh"))
+    val hashes = docs.select($"doc_id", simhash64($"text").as("sh"))
     val banded = hashes.select($"doc_id", $"sh", explode(array(
       (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright($"sh", b * 16).bitwiseAND(lit(0xffffL)).as("band_key"))): _*))
       .as("band"))
       .select($"doc_id", $"sh", $"band.band_id", $"band.band_key")
-    val cands = banded
-      .groupBy($"band_id", $"band_key")
-      .agg(array_sort(collect_set(struct($"doc_id", $"sh"))).as("ds"))
-      .filter(size($"ds") > 1)
-      .select($"ds", posexplode($"ds").as(Seq("i", "a")))
-      .select($"a", explode(slice($"ds", $"i" + 2, size($"ds"))).as("b"))
+    // struct sort orders by doc_id (unique) — the cap keeps the same
+    // doc-id prefix the oracle's capped doc-id list keeps
+    bucketPairs(banded, struct($"doc_id", $"sh"))
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         hamming64($"a.sh", $"b.sh").as("hamming"))
       .distinct()
-    cands.filter($"hamming" <= 12)
+      .filter($"hamming" <= 12)
       .orderBy($"d1", $"d2")
   }
+
+  /** DuckDB mirror of q44: SimHash recomputed in SQL (FNV-1a per token,
+    * HUGEINT mod-2^64 arithmetic), 16-bit bands off the unsigned view,
+    * capped buckets, exact hamming via `bit_count(xor(...))`. */
+  val q44SimhashPairsSql: String = {
+    val u = "(CASE WHEN simhash < 0 THEN CAST(simhash AS HUGEINT) + " +
+      "CAST('18446744073709551616' AS HUGEINT) ELSE CAST(simhash AS HUGEINT) END)"
+    val bandSelects = (0 until 4).map { b =>
+      val div = java.lang.Long.toUnsignedString(1L << (16 * b))
+      s"SELECT doc_id, simhash, $b AS band_id, " +
+        s"CAST(($u // CAST('$div' AS HUGEINT)) % 65536 AS BIGINT) AS band_key FROM sim"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${graft.functions.SimHash.duckdbSigsCte("documents")},
+       |bands AS ($bandSelects),
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j)
+       |SELECT c.d1, c.d2,
+       |  CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+       |FROM cands c
+       |JOIN sim s1 ON s1.doc_id = c.d1
+       |JOIN sim s2 ON s2.doc_id = c.d2
+       |WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 12
+       |ORDER BY c.d1, c.d2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q46: LSH bucket audit — the no-silent-caps channel for MaxBucket
+  // ---------------------------------------------------------------
+
+  /** Per-band bucket-size audit for the MinHash LSH: bucket counts,
+    * colliding buckets, the largest bucket, and how many buckets exceed
+    * [[MaxBucket]] (i.e. were truncated by q24's cap). Driver-oracled,
+    * so a cap ever biting at some scale shows up as a non-zero
+    * `n_over_cap` in a green CORRECTNESS row — audited, not silent. */
+  def q46LshAudit(s: SparkSession, d: String): DataFrame =
+    bands(Tables.documents(s, d))
+      .groupBy($"band_id", $"band_key")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy($"band_id")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when($"sz" > 1, 1L).otherwise(0L)).as("n_colliding"),
+        max($"sz").as("max_bucket"),
+        sum(when($"sz" > MaxBucket, 1L).otherwise(0L)).as("n_over_cap"))
+      .orderBy($"band_id")
+
+  val q46LshAuditSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |sizes AS (SELECT band_id, band_key, count(*) AS sz
+       |          FROM bands GROUP BY band_id, band_key)
+       |SELECT band_id, count(*) AS n_buckets,
+       |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_colliding,
+       |  max(sz) AS max_bucket,
+       |  CAST(sum(CASE WHEN sz > $MaxBucket THEN 1 ELSE 0 END) AS BIGINT) AS n_over_cap
+       |FROM sizes GROUP BY band_id ORDER BY band_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)

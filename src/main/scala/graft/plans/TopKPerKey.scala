@@ -103,7 +103,14 @@ object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 object TopK {
 
   /** Top-k rows per key group under the given ordering. `orderCols` may
-    * carry directions (`$"x".desc`); plain columns default ascending. */
+    * carry directions (`$"x".desc`); plain columns default ascending.
+    *
+    * DETERMINISM CONTRACT: the ordering must be TOTAL within each key
+    * (append a unique tie-break column — the same rule README.md imposes
+    * on window ranking). On a tie with the heap's worst kept row the
+    * incumbent wins, so which tied row survives would otherwise depend
+    * on partition/encounter order. All in-repo callers (q27/q28/specs)
+    * pass a unique tie-break. */
   def perKey(df: DataFrame, keyCols: Seq[Column], orderCols: Seq[Column],
       k: Int): DataFrame = {
     val spark = df.sparkSession

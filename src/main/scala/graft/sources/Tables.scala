@@ -48,8 +48,11 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     import org.apache.spark.sql.functions._
-    // integer division — `/` on longs goes through double and floors
-    // ~1.6% of microsecond values 1µs low for epoch nanos > 2^53
+    // integer division, NOT `/` (which goes through double and loses
+    // ~1.6% of microsecond values for epoch nanos > 2^53). `div`
+    // truncates toward zero — identical to floor only for POSITIVE
+    // (post-1970) timestamps, which this ns test data is; pre-epoch
+    // nanos would land 1µs high
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")

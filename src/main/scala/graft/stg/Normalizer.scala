@@ -1,6 +1,6 @@
 package graft.stg
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StringType
 
@@ -160,4 +160,92 @@ object Normalizer {
       splitSpaceFusedColumns)
     steps.foldLeft(df)((acc, f) => f(acc))
   }
+
+  // ---------------------------------------------------------------
+  // q45: driver-oracled normalizer chain (P3-P9, P11)
+  // ---------------------------------------------------------------
+
+  /** Driver query proving the normalizer family against a DuckDB oracle:
+    * builds a deterministically-messy extract from the `part` table —
+    * uppercase/typo'd headers, an `Unnamed:` index column, an all-null
+    * `COUNTRY` repaired from its neighbor, thousands separators, a
+    * trailing all-null column, sparse junk rows, a space-fused
+    * `"area exports"` column — then runs the reference-order chain
+    * (everything except [[skipFirstRow]], whose file-order semantics are
+    * engine-local; that op stays spec-proven). The oracle recomputes the
+    * same surgery in SQL (strip/split mirrored as `replace`/
+    * `split_part`), so P3/P4/P5/P6/P7/P8/P9/P11 all land in a hard
+    * CORRECTNESS row.
+    *
+    * Messy-value construction: `beginning` gets a hand-built
+    * thousands-separated rendering of the price (same concat/lpad
+    * expression both sides — no locale-dependent formatter);
+    * `p_partkey % 13` rows are junk (mostly null → dropped by P8);
+    * `p_partkey % 7` rows have a null `beginning` (kept — 4 of 5 cells
+    * survive the threshold). */
+  def q45Normalize(s: SparkSession, d: String): DataFrame = {
+    val part = graft.sources.Tables.part(s, d)
+    val junk = col("p_partkey") % 13 === 0
+    // floor, not cast: DuckDB CAST(double AS INT) rounds half-to-even
+    // while Spark's cast truncates — floor agrees on both engines
+    val v = floor(col("p_retailprice")).cast("int")
+    val withCommas = concat((v / 1000).cast("int").cast("string"), lit(","),
+      lpad((v % 1000).cast("string"), 3, "0"))
+    val messy = part.select(
+      col("p_partkey").cast("string").as("Unnamed: 0"),
+      col("p_partkey").cast("string").as("pkey"),
+      lit(null).cast("string").as("COUNTRY"),
+      when(junk || col("p_partkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(withCommas).as("Beginning"),
+      when(junk, lit(null).cast("string"))
+        .otherwise(col("p_size").cast("string")).as("PRODUCTIO"),
+      when(junk, lit(null).cast("string"))
+        .otherwise(concat((col("p_size") * 2).cast("string"), lit(" "),
+          (col("p_size") * 3).cast("string"))).as("area exports"),
+      lit(null).cast("string").as("imports"))
+    val steps: Seq[DataFrame => DataFrame] = Seq(
+      lowerCaseHeaders,
+      renameByDictionary(_, usdaRenames),
+      repairNullColumnsFromNeighbor,
+      dropUnnamedColumns,
+      stripThousandsSeparators,
+      dropAllNullColumns,
+      dropSparseRows(_, 3),
+      splitSpaceFusedColumns,
+      castColumnsToInt(_, Seq("beginning_stocks", "production", "area", "exports")))
+    steps.foldLeft(messy)((acc, f) => f(acc))
+      .select(col("pkey"), col("country"), col("beginning_stocks"),
+        col("production"), col("area"), col("exports"))
+      .orderBy(col("pkey").cast("int"))
+  }
+
+  /** DuckDB mirror of [[q45Normalize]] — same messy construction, same
+    * surgery semantics (`replace` for P6, `split_part` for P9, neighbor
+    * copy for P4, threshold filter for P8). */
+  val q45NormalizeSql: String =
+    """WITH messy AS (
+      |  SELECT CAST(p_partkey AS VARCHAR) AS pkey,
+      |    CASE WHEN p_partkey % 13 = 0 OR p_partkey % 7 = 0 THEN NULL
+      |         ELSE CAST(CAST(floor(p_retailprice) AS INT) // 1000 AS VARCHAR)
+      |              || ',' || lpad(CAST(CAST(floor(p_retailprice) AS INT) % 1000 AS VARCHAR), 3, '0')
+      |    END AS beginning,
+      |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+      |         ELSE CAST(p_size AS VARCHAR) END AS productio,
+      |    CASE WHEN p_partkey % 13 = 0 THEN NULL
+      |         ELSE CAST(p_size * 2 AS VARCHAR) || ' ' || CAST(p_size * 3 AS VARCHAR)
+      |    END AS fused
+      |  FROM part)
+      |SELECT pkey,
+      |  pkey AS country,
+      |  CAST(replace(beginning, ',', '') AS INT) AS beginning_stocks,
+      |  CAST(productio AS INT) AS production,
+      |  CAST(split_part(fused, ' ', 1) AS INT) AS area,
+      |  CAST(split_part(fused, ' ', 2) AS INT) AS exports
+      |FROM messy
+      |WHERE (CASE WHEN pkey IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN pkey IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN beginning IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN productio IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN fused IS NULL THEN 0 ELSE 1 END) >= 3
+      |ORDER BY CAST(pkey AS INT)""".stripMargin
 }

@@ -40,12 +40,28 @@ object EventStream {
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"),
         approx_count_distinct($"user_id").as("approx_users"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // stream-scoped shuffle width: each state-store partition carries
+    // fixed open/commit overhead per micro-batch, which dominates at
+    // local scale — 8 partitions instead of the session's 32 roughly
+    // halves the wall-clock with identical results. (A real cluster
+    // deployment would size this to the key cardinality instead.)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        stream.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation",
+            s"/tmp/graft_ckpt_$name")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        // partition count is captured at query start; restore the
+        // session conf for whatever runs next
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     q.awaitTermination()
     spark.table(name)
       .select(
@@ -54,16 +70,18 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
-  /** Streaming exactly-once dedup: `dropDuplicates` on the event id with
-    * a watermark bounding the dedup state — the streaming twin of the
-    * exact-dedup batch operator. State is keyed by event_id and pruned
-    * past the watermark, so memory is bounded by the late-arrival window
+  /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` on
+    * the event id — the streaming twin of the exact-dedup batch
+    * operator. The watermark variant is what actually bounds state:
+    * plain `dropDuplicates("event_id")` never evicts (Spark only prunes
+    * dedup state when the event-time column is among the keys), whereas
+    * within-watermark eviction caps memory at the late-arrival window
     * (not the stream length) at any scale. Returns the deduped count. */
   def dedupCount(spark: SparkSession, sfDir: String): Long = {
     val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
     val q = rawEvents(spark, sfDir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .groupBy()
       .count()
       .writeStream

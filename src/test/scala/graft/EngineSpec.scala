@@ -248,6 +248,33 @@ class EngineSpec extends AnyFunSuite {
   // UDAF: cent-grid mean Aggregator
   // ------------------------------------------------------------------
 
+  test("q19 sketch: HLL++ approx within 3σ of exact (oracle asserts 5σ)") {
+    import graft.sources.Tables
+    val rows = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx"),
+        countDistinct($"l_partkey").as("exact"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx"), r.getAs[Long]("exact"))
+      assert(math.abs(approx - exact) <= exact * 0.06,
+        s"sketch off by >3σ for ${r.get(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("driver corpora are ASCII (validity of the DuckDB simhash/byte oracles)") {
+    // SimHash hashes UTF-8 BYTES; the DuckDB mirror walks CODE POINTS
+    // via ascii(). They agree iff the corpus is ASCII — assert it.
+    import graft.sources.Tables
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = Tables.documents(spark, d)
+        .filter(length($"text") =!= octet_length($"text")).count()
+      assert(nonAscii === 0L, s"non-ASCII documents in $d")
+    }
+  }
+
   test("CentMean aggregator: exact cent arithmetic, partitioning-independent") {
     import graft.functions.Aggregators
     val df = Seq(("a", 1.005), ("a", 2.004), ("b", 10.10)).toDF("k", "v")

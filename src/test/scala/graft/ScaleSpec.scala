@@ -61,6 +61,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, d).count())
   }
 
+  test("LSH bucket cap bounds pair generation on a degenerate mass-duplicate corpus") {
+    // 10k identical docs: every band bucket collects the WHOLE corpus —
+    // uncapped, that is one 10k-element array row and ~50M pairs from a
+    // single task. The cap must bound it to C(MaxBucket, 2) pairs.
+    val docs = (1 to 10000).map(i =>
+      (i.toLong, "all work and no play makes a dull data engine indeed"))
+      .toDF("doc_id", "text")
+    val expected = 64 * 63 / 2 // C(MaxBucket=64, 2)
+    val pairs = graft.operators.TextOps.lshPairs(docs).collect()
+    assert(pairs.length === expected)
+    assert(pairs.forall(_.getAs[Double]("jaccard") === 1.0))
+    // deterministic truncation: the sorted-prefix doc ids survive
+    assert(pairs.forall(r => r.getAs[Long]("d1") <= 64 && r.getAs[Long]("d2") <= 64))
+    val sp = graft.operators.TextOps.simhashPairs(docs).collect()
+    assert(sp.length === expected)
+    assert(sp.forall(_.getAs[Long]("hamming") === 0L))
+  }
+
+  test("fact-fact arm plans as a shuffle join at realistic broadcast thresholds") {
+    // at sf0.1 the static planner happens to broadcast orders; on a real
+    // cluster orders is far past any broadcast threshold. Prove the 100×
+    // behavior instead of assuming it: with broadcast off, the
+    // lineitem⋈orders arm must become a shuffle join on the key while
+    // the HINTED dimension arms keep their broadcast.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.q3StarJoin(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"no shuffle join in:\n$planStr")
+      // nothing the size of a fact table sits under a broadcast build side
+      val buildSides = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => b.left
+            case org.apache.spark.sql.catalyst.optimizer.BuildRight => b.right
+          }
+      }
+      assert(buildSides.nonEmpty, "hinted dimension broadcasts disappeared")
+      assert(!buildSides.exists(s => s.toString.contains("orders") ||
+        s.toString.contains("lineitem")),
+        "a fact table is on a broadcast build side")
+      assert(df.count() > 0)
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("dynamic partition overwrite touches only the written partitions") {
     val t = freshTable("stg.part_orders")
     val d = "/root/testdata/sf0.001"
