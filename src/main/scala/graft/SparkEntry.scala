@@ -68,6 +68,9 @@ object SparkEntry {
     "q44_simhash_pairs"  -> (TextOps.q44SimhashPairs(_, _)),
     "q45_normalize"      -> (graft.stg.Normalizer.q45Normalize(_, _)),
     "q46_lsh_audit"      -> (TextOps.q46LshAudit(_, _)),
+    "q47_ivf_cells"      -> (VectorOps.q47IvfCells(_, _)),
+    "q48_ivf_ann"        -> (VectorOps.q48IvfAnn(_, _)),
+    "q49_winnow_fingerprint" -> (TextOps.q49WinnowFingerprint(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +129,8 @@ object SparkEntry {
     "q44_simhash_pairs"  -> TextOps.q44SimhashPairsSql,
     "q45_normalize"      -> graft.stg.Normalizer.q45NormalizeSql,
     "q46_lsh_audit"      -> TextOps.q46LshAuditSql,
+    "q47_ivf_cells"      -> VectorOps.q47IvfCellsSql,
+    "q48_ivf_ann"        -> VectorOps.q48IvfAnnSql,
+    "q49_winnow_fingerprint" -> TextOps.q49WinnowFingerprintSql,
   )
 }

@@ -398,6 +398,92 @@ object TextOps {
        |FROM sizes GROUP BY band_id ORDER BY band_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q49: winnowing fingerprints over a polynomial rolling hash
+  // ---------------------------------------------------------------
+
+  // constants shared with the native expression and the DuckDB mirror
+  private val KgramLen = graft.functions.WinnowImpl.KgramLen
+  private val WinnowWindow = graft.functions.WinnowImpl.WinnowWindow
+  private val RollBase = graft.functions.WinnowImpl.RollBase
+  private val RollMod = graft.functions.WinnowImpl.RollMod
+
+  /** Polynomial hash of the k-gram starting at each char position — the
+    * VALUE a Rabin-Karp rolling hash computes, but evaluated per-gram so
+    * there is no sequential dependency: every position hashes
+    * independently inside whole-stage codegen (the fold below unrolls to
+    * k multiply-add-mod steps; the 2^31-1 modulus keeps every
+    * intermediate in a long). */
+  private def kgramHash(gram: Column): Column =
+    (1 to KgramLen).foldLeft(lit(0L)) { (acc, i) =>
+      (acc * RollBase + ascii(substring(gram, i, 1))) % RollMod
+    }
+
+  /** Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken
+    * MOSS scheme): hash every k-char gram, slide a w-hash window, keep
+    * each window's minimum — the selected set is a position-robust
+    * fingerprint (any shared substring of length ≥ k+w−1 guarantees a
+    * shared fingerprint). Emitted per doc: gram/fingerprint counts and
+    * fingerprint extrema — all integer, mirrored exactly in DuckDB.
+    *
+    * Scale shape: the whole per-document computation runs inside the
+    * native [[graft.functions.WinnowStats]] expression — ONE codegen'd
+    * O(len) pass per document, no explode, no window exchange, no
+    * distinct expansion; the only shuffle is the final ORDER BY. The
+    * declarative explode→window formulation ([[winnowSelections]])
+    * stays as the reference implementation, asserted equal in
+    * EngineSpec and sharing this query's DuckDB oracle. */
+  def q49WinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length($"text") >= KgramLen)
+      .select($"doc_id", graft.functions.Winnow.winnowStats($"text").as("ws"))
+      .select($"doc_id", $"ws.n_kgrams", $"ws.n_fps", $"ws.min_fp", $"ws.max_fp")
+      .orderBy($"doc_id")
+
+  /** Per-position window-min selections (doc_id, pos, sel) — the raw
+    * winnowing stream the per-doc rollup and the guarantee property
+    * test both consume. */
+  private[graft] def winnowSelections(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.currentRow, WinnowWindow - 1)
+    docs
+      .filter(length($"text") >= KgramLen)
+      .select($"doc_id",
+        explode(sequence(lit(1), length($"text") - (KgramLen - 1))).as("pos"),
+        $"text")
+      .select($"doc_id", $"pos",
+        kgramHash(expr(s"substring(text, pos, $KgramLen)")).as("h"))
+      .withColumn("sel", min($"h").over(w))
+  }
+
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    winnowSelections(docs)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_kgrams"),
+        countDistinct($"sel").as("n_fps"),
+        min($"sel").as("min_fp"),
+        max($"sel").as("max_fp"))
+      .orderBy($"doc_id")
+
+  val q49WinnowFingerprintSql: String = {
+    // CAST seed: DuckDB types bare literals INT32 and errors on overflow
+    val hash = (1 to KgramLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * $RollBase + ascii(substring(g, $i, 1))) % $RollMod)"
+    }
+    s"""WITH grams AS (
+       |  SELECT doc_id, i AS pos, substring(text, i, $KgramLen) AS g
+       |  FROM documents, UNNEST(range(1, length(text) - ${KgramLen - 2})) AS t(i)
+       |  WHERE length(text) >= $KgramLen),
+       |hs AS (SELECT doc_id, pos, $hash AS h FROM grams),
+       |sels AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS sel
+       |         FROM hs)
+       |SELECT doc_id, count(*) AS n_kgrams, count(DISTINCT sel) AS n_fps,
+       |  min(sel) AS min_fp, max(sel) AS max_fp
+       |FROM sels GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)
   // ---------------------------------------------------------------
 

@@ -152,6 +152,113 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------
+  // q47/q48: IVF (inverted-file) ANN — the centroid-partitioned scale
+  // path beside the LSH one, fully DuckDB-oracle-able (no hashing)
+  // ---------------------------------------------------------------
+
+  private val NumCells = 16
+  private val NumProbe = 2
+
+  /** Cell assignment: every vector joins the ONE centroid it is closest
+    * to (max cosine, centroid id as the unique tie-break). Centroids are
+    * the first [[NumCells]] vectors by id — deterministic "seeded"
+    * centroids so the assignment is oracle-able; a production deployment
+    * swaps in a k-means table and the operator shape (broadcast
+    * centroids → narrow scan → per-vector arg-max via the two-phase
+    * TopKPerKey, at most one row per vector per partition shuffles) is
+    * identical. The corpus is scanned once and never self-joined. */
+  private def ivfAssignments(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+    val scored = emb.crossJoin(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cell_id",
+        Vectors.cosine($"embedding", $"cvec").as("ccos"))
+    graft.plans.TopK.perKey(
+      scored, Seq($"vec_id"), Seq($"ccos".desc, $"cell_id"), 1)
+  }
+
+  /** IVF cell census: corpus distribution over the inverted lists —
+    * the partition-balance view an operator at 100 TB is sized by. */
+  def q47IvfCells(s: SparkSession, d: String): DataFrame =
+    ivfAssignments(s, d)
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
+      .orderBy($"cell_id")
+
+  private def ivfAssignSql: String =
+    s"""cents AS (SELECT vec_id AS cell_id, embedding AS cvec FROM embeddings
+       |          WHERE vec_id < $NumCells),
+       |assign AS (SELECT vec_id, embedding, cell_id FROM (
+       |             SELECT e.vec_id, e.embedding, c.cell_id,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, c.cell_id) AS rn
+       |             FROM embeddings e CROSS JOIN cents c)
+       |           WHERE rn = 1)""".stripMargin
+
+  val q47IvfCellsSql: String =
+    s"""WITH $ivfAssignSql
+       |SELECT cell_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+       |FROM assign GROUP BY cell_id ORDER BY cell_id""".stripMargin
+
+  /** IVF ANN query: each query ranks the centroids, probes its top
+    * [[NumProbe]] inverted lists, and exact-cosine re-ranks only those
+    * candidates — candidate fraction ≈ NumProbe/NumCells of the corpus,
+    * never an all-pairs scan. Joins are equi-joins on cell_id; top-k via
+    * the bounded-heap TopKPerKey. Unlike the hyperplane-LSH path (q28,
+    * xxhash64), every step is plain arithmetic, so the whole ANN query
+    * is hash-checked against DuckDB. */
+  def q48IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec"))
+    val queries = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val probeScored = queries.crossJoin(broadcast(cents))
+      .select($"query_id", $"qvec", $"cell_id",
+        Vectors.cosine($"qvec", $"cvec").as("pcos"))
+    val probes = graft.plans.TopK.perKey(
+      probeScored, Seq($"query_id"), Seq($"pcos".desc, $"cell_id"), NumProbe)
+      .select($"query_id", $"qvec", $"cell_id")
+    val cands = ivfAssignments(s, d)
+      .select($"vec_id", $"embedding", $"cell_id")
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        Vectors.cosine($"qvec", $"embedding").as("cos"))
+    val top = graft.plans.TopK.perKey(
+      cands, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), TopK)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        stableRound($"cos", 6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q48IvfAnnSql: String =
+    s"""WITH $ivfAssignSql,
+       |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       |      WHERE vec_id < $NumQueries),
+       |probes AS (SELECT query_id, qvec, cell_id FROM (
+       |             SELECT q.query_id, q.qvec, c.cell_id,
+       |               row_number() OVER (PARTITION BY q.query_id
+       |                 ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.cell_id) AS rn
+       |             FROM q CROSS JOIN cents c)
+       |           WHERE rn <= $NumProbe),
+       |cands AS (SELECT p.query_id, a.vec_id,
+       |            ${cosSql("p.qvec", "a.embedding")} AS cos
+       |          FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+       |          WHERE a.vec_id <> p.query_id),
+       |ranked AS (SELECT query_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, vec_id) AS rank
+       |           FROM cands)
+       |SELECT query_id, rank, vec_id AS neighbor_id, ${sqlRound("cos", 6)} AS score
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
     * (random hyperplane signs), generate candidates inside each bucket
     * AND each 1-bit-neighbor probe pairing (multi-probe recall), verify

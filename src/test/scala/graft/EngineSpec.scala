@@ -275,6 +275,59 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: unique cell per vector; recall floor vs exact top-k") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val cells = VectorOps.q47IvfCells(spark, d).collect()
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    // partition property: inverted lists cover the corpus exactly once
+    assert(cells.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    val exact = VectorOps.q27KnnCosine(spark, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = VectorOps.q48IvfAnn(spark, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    // correctness is the DuckDB oracle (q48); this is the semantic sanity
+    // bound — probing 2/16 cells of an ISOTROPIC corpus must still beat
+    // the 12.5% random-candidate floor because neighbors share the
+    // query's cell preference
+    assert(recall >= 0.15, s"IVF recall $recall below sanity floor")
+  }
+
+  test("winnowing guarantee: docs sharing a (k+w-1)-char substring share a fingerprint") {
+    import graft.operators.TextOps
+    // k=8, w=4 → any common substring of length >= 11 guarantees a
+    // common selected fingerprint (Schleimer et al. theorem 1)
+    val shared = "zq7xw93kpv4" // 11 chars
+    val docs = Seq(
+      (1L, s"left padding one $shared trailing alpha"),
+      (2L, s"other start two $shared different end beta"),
+      (3L, "completely unrelated document text here")).toDF("doc_id", "text")
+    val sels = TextOps.winnowSelections(docs)
+      .select($"doc_id", $"sel").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((sels(1L) & sels(2L)).nonEmpty, "shared substring produced no shared fingerprint")
+    // rollup invariants
+    val fps = TextOps.winnowFingerprints(docs).collect()
+    fps.foreach { r =>
+      assert(r.getAs[Long]("n_fps") <= r.getAs[Long]("n_kgrams"))
+      assert(r.getAs[Long]("min_fp") <= r.getAs[Long]("max_fp"))
+    }
+  }
+
+  test("native WinnowStats expression equals the declarative explode→window reference") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+    val native = TextOps.q49WinnowFingerprint(spark, d).collect().toSeq
+    val reference = TextOps.winnowFingerprints(docs).collect().toSeq
+    assert(native === reference)
+    // and it stays inside whole-stage codegen (no explode/window in plan)
+    val plan = TextOps.q49WinnowFingerprint(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate") && !plan.contains("Window"),
+      s"native path still explodes/windows:\n$plan")
+  }
+
   test("CentMean aggregator: exact cent arithmetic, partitioning-independent") {
     import graft.functions.Aggregators
     val df = Seq(("a", 1.005), ("a", 2.004), ("b", 10.10)).toDF("k", "v")
