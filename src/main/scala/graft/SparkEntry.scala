@@ -71,6 +71,7 @@ object SparkEntry {
     "q47_ivf_cells"      -> (VectorOps.q47IvfCells(_, _)),
     "q48_ivf_ann"        -> (VectorOps.q48IvfAnn(_, _)),
     "q49_winnow_fingerprint" -> (TextOps.q49WinnowFingerprint(_, _)),
+    "q50_dedup_clusters" -> (TextOps.q50DedupClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +133,6 @@ object SparkEntry {
     "q47_ivf_cells"      -> VectorOps.q47IvfCellsSql,
     "q48_ivf_ann"        -> VectorOps.q48IvfAnnSql,
     "q49_winnow_fingerprint" -> TextOps.q49WinnowFingerprintSql,
+    "q50_dedup_clusters" -> TextOps.q50DedupClustersSql,
   )
 }

@@ -398,8 +398,97 @@ object TextOps {
        |FROM sizes GROUP BY band_id ORDER BY band_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // q49: winnowing fingerprints over a polynomial rolling hash
+  // q50: near-dup clusters (connected components over LSH pairs)
   // ---------------------------------------------------------------
+
+  private val ClusterJaccard = 0.8
+
+  /** The dedup DECISION step: verified near-dup pairs (q24, Jaccard ≥
+    * 0.8) form an undirected graph; each document maps to the minimum
+    * doc id reachable from it (its canonical representative), plus the
+    * cluster size — exactly what a training-data pipeline keeps one copy
+    * per cluster from.
+    *
+    * Spark side: iterative min-label propagation to a fixpoint — each
+    * round one shuffle join edges⋈labels + one min-aggregate, converging
+    * in O(component diameter) rounds (near-dup clusters are shallow;
+    * the loop is also hard-capped). The driver-side loop only checks a
+    * per-round convergence COUNT — label state never leaves executors.
+    * Oracle side: the same components via a DuckDB recursive CTE
+    * (transitive closure → min reachable id), a fully independent
+    * formulation. */
+  def q50DedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(lshPairs(Tables.documents(s, d))
+      .filter($"jaccard" >= ClusterJaccard)
+      .select($"d1", $"d2"))
+
+  private[graft] def dedupClusters(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select($"d1".as("a"), $"d2".as("b"))
+      .unionByName(edges0.select($"d2".as("a"), $"d1".as("b")))
+      .distinct()
+      .cache()
+    var labels = edges.select($"a".as("id")).distinct()
+      .select($"id", $"id".as("label"))
+    var converged = false
+    var rounds = 0
+    val MaxRounds = 20 // >= diameter of any plausible near-dup cluster
+    while (!converged && rounds < MaxRounds) {
+      val neighborMin = edges
+        .join(labels, $"b" === $"id")
+        .groupBy($"a")
+        .agg(min($"label").as("nmin"))
+      val next = labels
+        .join(neighborMin, $"id" === $"a", "left")
+        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter($"label" =!= $"old").count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select($"id".as("doc_id"), $"label".as("canonical_id"), $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  val q50DedupClustersSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |$bandsCte,
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
+       |          FROM cands c
+       |          JOIN sh s1 ON s1.doc_id = c.d1
+       |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+       |          GROUP BY c.d1, c.d2),
+       |near AS (SELECT c.d1, c.d2
+       |         FROM cands c
+       |         JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |         JOIN counts c1 ON c1.doc_id = c.d1
+       |         JOIN counts c2 ON c2.doc_id = c.d2
+       |         WHERE ${sqlRound("i.n_common / (c1.n + c2.n - i.n_common)", 6)}
+       |               >= $ClusterJaccard),
+       |sym AS (SELECT d1 AS a, d2 AS b FROM near
+       |        UNION SELECT d2, d1 FROM near),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM sym
+       |  UNION
+       |  SELECT s.id, e.b FROM reach s JOIN sym e ON e.a = s.r),
+       |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
+       |sizes AS (SELECT canonical_id, count(*) AS cluster_size
+       |          FROM comp GROUP BY canonical_id)
+       |SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
+       |FROM comp c JOIN sizes s USING (canonical_id)
+       |ORDER BY doc_id""".stripMargin
 
   // constants shared with the native expression and the DuckDB mirror
   private val KgramLen = graft.functions.WinnowImpl.KgramLen

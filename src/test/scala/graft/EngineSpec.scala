@@ -315,6 +315,21 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup clustering: connected components over crafted pair graphs") {
+    import graft.operators.TextOps
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12 with a redundant
+    // edge, isolated pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val got = TextOps.dedupClusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L))
+    assert(got === want)
+  }
+
   test("native WinnowStats expression equals the declarative explode→window reference") {
     import graft.operators.TextOps
     val d = "/root/testdata/sf0.001"
