@@ -72,6 +72,7 @@ object SparkEntry {
     "q48_ivf_ann"        -> (VectorOps.q48IvfAnn(_, _)),
     "q49_winnow_fingerprint" -> (TextOps.q49WinnowFingerprint(_, _)),
     "q50_dedup_clusters" -> (TextOps.q50DedupClusters(_, _)),
+    "q51_quantize"       -> (VectorOps.q51Quantize(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,5 +135,6 @@ object SparkEntry {
     "q48_ivf_ann"        -> VectorOps.q48IvfAnnSql,
     "q49_winnow_fingerprint" -> TextOps.q49WinnowFingerprintSql,
     "q50_dedup_clusters" -> TextOps.q50DedupClustersSql,
+    "q51_quantize"       -> VectorOps.q51QuantizeSql,
   )
 }

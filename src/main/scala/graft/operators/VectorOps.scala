@@ -259,6 +259,74 @@ object VectorOps {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q51: scalar quantization (int8 codes) of the embedding corpus
+  // ---------------------------------------------------------------
+
+  /** Per-dimension min-max scalar quantization to 8-bit codes — the
+    * standard 4× memory/IO reduction that makes a 100 TB ANN index fit
+    * its executors. Shape: ONE aggregation pass builds the per-dim
+    * (min, max) arrays in a single broadcastable row — the corpus is
+    * never exploded (64× row inflation avoided); a second narrow pass
+    * computes codes and reconstruction error per vector. Emitted:
+    * boundary codes, the integer code checksum, and the per-vector
+    * reconstruction MSE — all mirrored exactly in DuckDB (same
+    * element-order arithmetic, floor-based rounding).
+    *
+    * The embedding dimensionality is read from one row up front — a
+    * metadata lookup (like `Staging.lookupMeta`), not a data collect. */
+  def q51Quantize(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val params = emb.agg(
+      array((1 to dim).map(i =>
+        min(element_at($"embedding", i)).cast("double")): _*).as("mns"),
+      array((1 to dim).map(i =>
+        max(element_at($"embedding", i)).cast("double")): _*).as("mxs"))
+    def mn(i: Int): Column = element_at($"mns", i)
+    def mx(i: Int): Column = element_at($"mxs", i)
+    def v(i: Int): Column = element_at($"embedding", i).cast("double")
+    def code(i: Int): Column =
+      when(mx(i) === mn(i), lit(0L)).otherwise(
+        floor((v(i) - mn(i)) / (mx(i) - mn(i)) * 255.0 + 0.5))
+    def dequant(i: Int): Column =
+      mn(i) + code(i).cast("double") / 255.0 * (mx(i) - mn(i))
+    val mse = (1 to dim).map(i => (v(i) - dequant(i)) * (v(i) - dequant(i)))
+      .reduce(_ + _) / dim.toDouble
+    emb.crossJoin(broadcast(params))
+      .select(
+        $"vec_id",
+        lit(dim.toLong).as("n_dims"),
+        code(1).as("code_first"),
+        code(dim).as("code_last"),
+        (1 to dim).map(code).reduce(_ + _).as("code_sum"),
+        stableRound(mse, 8).as("mse"))
+      .orderBy($"vec_id")
+  }
+
+  val q51QuantizeSql: String = {
+    val v = "CAST(e.embedding[i] AS DOUBLE)"
+    val code =
+      s"(CASE WHEN p.mxs[i] = p.mns[i] THEN 0 ELSE floor(($v - p.mns[i]) / (p.mxs[i] - p.mns[i]) * 255.0 + 0.5) END)"
+    val dq = s"(p.mns[i] + $code / 255.0 * (p.mxs[i] - p.mns[i]))"
+    s"""WITH stats AS (
+       |  SELECT i AS dim, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+       |  GROUP BY i),
+       |p AS (SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs,
+       |        count(*) AS n_dims
+       |      FROM stats)
+       |SELECT e.vec_id, p.n_dims,
+       |  CAST(list_transform([1], i -> $code)[1] AS BIGINT) AS code_first,
+       |  CAST(list_transform([CAST(p.n_dims AS INT)], i -> $code)[1] AS BIGINT) AS code_last,
+       |  CAST(list_sum(list_transform(range(1, CAST(p.n_dims AS INT) + 1),
+       |    i -> $code)) AS BIGINT) AS code_sum,
+       |  ${sqlRound(s"list_sum(list_transform(range(1, CAST(p.n_dims AS INT) + 1), i -> ($v - $dq) * ($v - $dq))) / p.n_dims", 8)} AS mse
+       |FROM embeddings e CROSS JOIN p
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
     * (random hyperplane signs), generate candidates inside each bucket
     * AND each 1-bit-neighbor probe pairing (multi-probe recall), verify

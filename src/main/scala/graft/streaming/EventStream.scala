@@ -135,6 +135,64 @@ object EventStream {
       .drop("rn")
   }
 
+  /** Open-session state carried across micro-batches. */
+  case class SessionAcc(start: Long, last: Long, n: Long)
+
+  /** Streaming gap-based sessionization via `flatMapGroupsWithState` —
+    * the streaming twin of the batch [[graft.operators.EventOps
+    * .sessionize]] operator. Per user, CLOSED sessions are emitted as
+    * soon as a later event proves the gap; the single open session rides
+    * in the state store, so state is O(1) per active user (one
+    * `SessionAcc`) — never the event history. Each user's final,
+    * still-open session is by construction never emitted (nothing ever
+    * closes it); StreamingSpec asserts closed-session parity with the
+    * batch formulation minus exactly those.
+    *
+    * Events inside one micro-batch arrive unordered, so the group
+    * iterator is sorted in memory per batch — bounded by a user's
+    * per-batch volume, the same bound the state-store shuffle already
+    * implies. Returns (user_id, start_s, end_s, n_events). */
+  def sessionizeStream(spark: SparkSession, sfDir: String,
+      gapSec: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = rawEvents(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("sec"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionAcc]) =>
+          val secs = rows.map(_._2).toArray
+          java.util.Arrays.sort(secs)
+          val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+          var acc = state.getOption
+          secs.foreach { sec =>
+            acc = acc match {
+              case Some(SessionAcc(st, la, k)) if sec - la <= gapSec =>
+                Some(SessionAcc(st, math.max(la, sec), k + 1))
+              case Some(SessionAcc(st, la, k)) =>
+                out += ((user, st, la, k))
+                Some(SessionAcc(sec, sec, 1L))
+              case None =>
+                Some(SessionAcc(sec, sec, 1L))
+            }
+          }
+          acc.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "start_s", "end_s", "n_events")
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("start_s"))
+  }
+
   /** The ns-safe raw event stream (shared by the streaming operators). */
   private def rawEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

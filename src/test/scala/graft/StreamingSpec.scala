@@ -48,6 +48,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
+    val gap = 1800L // same gap as q31 (EventOps.SessionGapSec)
+    val streaming = EventStream.sessionizeStream(spark, d, gap)
+      .select($"user_id", $"start_s", $"end_s", $"n_events")
+      .collect().map(_.toSeq).toSet
+    // batch sessions, minus each user's LAST session (never closed by a
+    // later event, so the streaming operator correctly never emits it)
+    val batch = graft.operators.EventOps.sessionize(
+      Tables.events(spark, d)
+        .select($"user_id", $"event_id", $"ts".cast("long").as("s")),
+      key = "user_id", tsSec = "s", tieCol = "event_id", gapSec = gap)
+      .groupBy($"user_id", $"session_seq")
+      .agg(min($"s").as("start_s"), max($"s").as("end_s"),
+        count(lit(1)).as("n_events"))
+    val lastSeq = batch.groupBy($"user_id")
+      .agg(max($"session_seq").as("last_seq"))
+    val closed = batch.join(lastSeq, "user_id")
+      .filter($"session_seq" =!= $"last_seq")
+      .select($"user_id", $"start_s", $"end_s", $"n_events")
+      .collect().map(_.toSeq).toSet
+    assert(streaming === closed)
+    assert(streaming.nonEmpty)
+  }
+
   test("GraftExtensions registers the native functions without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-injection path; must not throw
