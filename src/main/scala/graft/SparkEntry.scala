@@ -73,6 +73,7 @@ object SparkEntry {
     "q49_winnow_fingerprint" -> (TextOps.q49WinnowFingerprint(_, _)),
     "q50_dedup_clusters" -> (TextOps.q50DedupClusters(_, _)),
     "q51_quantize"       -> (VectorOps.q51Quantize(_, _)),
+    "q52_select_corpus"  -> (TextOps.q52SelectCorpus(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,5 +137,6 @@ object SparkEntry {
     "q49_winnow_fingerprint" -> TextOps.q49WinnowFingerprintSql,
     "q50_dedup_clusters" -> TextOps.q50DedupClustersSql,
     "q51_quantize"       -> VectorOps.q51QuantizeSql,
+    "q52_select_corpus"  -> TextOps.q52SelectCorpusSql,
   )
 }

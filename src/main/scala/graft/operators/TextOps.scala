@@ -108,22 +108,28 @@ object TextOps {
     scored.withColumn("pred_lang", pred).orderBy($"doc_id")
   }
 
-  val q21LangIdSql: String = {
-    val langs = Text.langMarkers.toSeq.sortBy(_._1)
-    def scoreSql(ws: Seq[String]): String = ws.map { w =>
-      val p = "(' ' || lower(text) || ' ')"
-      s"((length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2})"
-    }.mkString("CAST((", " + ", ") AS INT)")
-    val scoreSel = langs.map { case (l, ws) => s"${scoreSql(ws)} AS score_$l" }
-    val caseChain = langs.map(_._1).init.map { l =>
-      val conds = langs.map(_._1).filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+  // lang-ID SQL pieces, shared by q21 and the q52 selection pipeline
+  private lazy val langsSorted = Text.langMarkers.toSeq.sortBy(_._1)
+  private def langScoreSql(ws: Seq[String]): String = ws.map { w =>
+    val p = "(' ' || lower(text) || ' ')"
+    s"((length($p) - length(replace($p, ' $w ', ''))) / ${w.length + 2})"
+  }.mkString("CAST((", " + ", ") AS INT)")
+  private lazy val langScoreSelect: String = langsSorted
+    .map { case (l, ws) => s"${langScoreSql(ws)} AS score_$l" }.mkString(", ")
+  private lazy val langCaseChain: String = {
+    val chain = langsSorted.map(_._1).init.map { l =>
+      val conds = langsSorted.map(_._1).filter(_ != l)
+        .map(o => s"score_$l >= score_$o").mkString(" AND ")
       s"WHEN $conds THEN '$l'"
     }.mkString(" ")
-    s"""SELECT doc_id, ${langs.map(l => s"score_${l._1}").mkString(", ")},
-       |  CASE $caseChain ELSE '${langs.last._1}' END AS pred_lang
-       |FROM (SELECT doc_id, ${scoreSel.mkString(", ")} FROM documents)
-       |ORDER BY doc_id""".stripMargin
+    s"CASE $chain ELSE '${langsSorted.last._1}' END"
   }
+
+  val q21LangIdSql: String =
+    s"""SELECT doc_id, ${langsSorted.map(l => s"score_${l._1}").mkString(", ")},
+       |  $langCaseChain AS pred_lang
+       |FROM (SELECT doc_id, $langScoreSelect FROM documents)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q22: fingerprints + per-fingerprint duplicate count
@@ -453,8 +459,10 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val q50DedupClustersSql: String =
-    s"""WITH RECURSIVE $shinglesCte,
+  /** Component CTE chain (shingles → … → comp/sizes), shared by the q50
+    * oracle and the q52 selection oracle. Must follow `WITH RECURSIVE`. */
+  private lazy val clusterCtes: String =
+    s"""$shinglesCte,
        |$bandsCte,
        |buckets AS (SELECT band_id, band_key,
        |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
@@ -485,10 +493,58 @@ object TextOps {
        |  SELECT s.id, e.b FROM reach s JOIN sym e ON e.a = s.r),
        |comp AS (SELECT id, min(r) AS canonical_id FROM reach GROUP BY id),
        |sizes AS (SELECT canonical_id, count(*) AS cluster_size
-       |          FROM comp GROUP BY canonical_id)
+       |          FROM comp GROUP BY canonical_id)""".stripMargin
+
+  val q50DedupClustersSql: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
        |FROM comp c JOIN sizes s USING (canonical_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q52: end-to-end corpus selection (quality ∧ language ∧ dedup)
+  // ---------------------------------------------------------------
+
+  private val QualityMin = 0.5
+
+  /** The keep-list a training-data pipeline materializes: documents
+    * whose quality score (q20 formula) clears the bar AND that are
+    * either un-duplicated or their near-dup cluster's canonical
+    * representative (q50 components) — one declarative plan chaining
+    * the analysis + dedup operators end to end. Emits the kept docs
+    * with quality, predicted language, and cluster size. */
+  def q52SelectCorpus(s: SparkSession, d: String): DataFrame = {
+    val stats = q20TextStats(s, d).select($"doc_id", $"quality")
+    val lang = q21LangId(s, d).select($"doc_id", $"pred_lang")
+    val clusters = q50DedupClusters(s, d)
+      .select($"doc_id", $"canonical_id", $"cluster_size")
+    Tables.documents(s, d).select($"doc_id")
+      .join(stats, "doc_id")
+      .join(lang, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .filter($"quality" >= QualityMin &&
+        ($"canonical_id".isNull || $"canonical_id" === $"doc_id"))
+      .select($"doc_id", $"quality", $"pred_lang",
+        coalesce($"cluster_size", lit(1L)).as("cluster_size"))
+      .orderBy($"doc_id")
+  }
+
+  val q52SelectCorpusSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |q AS (SELECT doc_id, ${sqlRound(qualitySql, 4)} AS quality FROM documents),
+       |l AS (SELECT doc_id, $langCaseChain AS pred_lang
+       |      FROM (SELECT doc_id, $langScoreSelect FROM documents)),
+       |cl AS (SELECT c.id AS doc_id, c.canonical_id, s.cluster_size
+       |       FROM comp c JOIN sizes s USING (canonical_id))
+       |SELECT d.doc_id, q.quality, l.pred_lang,
+       |  coalesce(cl.cluster_size, 1) AS cluster_size
+       |FROM documents d
+       |JOIN q USING (doc_id)
+       |JOIN l USING (doc_id)
+       |LEFT JOIN cl USING (doc_id)
+       |WHERE q.quality >= $QualityMin
+       |  AND (cl.canonical_id IS NULL OR cl.canonical_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   // constants shared with the native expression and the DuckDB mirror
   private val KgramLen = graft.functions.WinnowImpl.KgramLen

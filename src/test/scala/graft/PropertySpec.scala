@@ -169,4 +169,33 @@ object PropertySpec extends Properties("graft") {
         .head().getDouble(0)
       got == expected
     }
+
+  property("dedup clustering == BFS components on random graphs") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(1L, 25L)))) { raw =>
+      val edges = raw.filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val got = graft.operators.TextOps.dedupClusters(edges.toDF("d1", "d2"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        // reference: BFS components over the adjacency map
+        val adj = (edges ++ edges.map(_.swap))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val verts = adj.keySet
+        var seen = Set.empty[Long]
+        var want = Map.empty[Long, (Long, Long)]
+        verts.toSeq.sorted.foreach { v =>
+          if (!seen(v)) {
+            var comp = Set(v)
+            var frontier = Set(v)
+            while (frontier.nonEmpty) {
+              frontier = frontier.flatMap(adj(_)) -- comp
+              comp ++= frontier
+            }
+            seen ++= comp
+            val canon = comp.min
+            comp.foreach(m => want += m -> (canon, comp.size.toLong))
+          }
+        }
+        got == want
+      }
+    }
 }
