@@ -378,6 +378,44 @@ class EngineSpec extends AnyFunSuite {
     assert(got.size === 30) // 10 suppliers x k=3
   }
 
+  test("WindowTopKRewrite: row_number-filter pattern rewrites to TopKPerKey, results unchanged") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    def pattern = {
+      // unique tie-break per the determinism contract
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(spark, d)
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey")
+    }
+    val reference = pattern.collect().map(_.toSeq).toSet
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKStrategy
+    spark.experimental.extraOptimizations = Seq(graft.plans.WindowTopKRewrite)
+    try {
+      val rewritten = pattern
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet === reference)
+      // a query that KEEPS the rank column must NOT be rewritten
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      val keepsRank = Tables.lineitem(spark, d)
+        .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+        .withColumn("rn", row_number().over(w2))
+        .filter($"rn" <= 5)
+        .select($"l_returnflag", $"rn")
+      assert(keepsRank.queryExecution.executedPlan.toString.contains("Window"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("TopKPerKey plans two phases around one exchange") {
     import graft.plans.TopK
     val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
