@@ -44,6 +44,16 @@ object Pipeline {
     val staged = ohlcv.filter($"Close".isNotNull)
     // upsert into the staging store (empty target on first run)
     val stgPath = s"$outDir/stg_ohlcv"
+    // crash recovery: a previous run that died between its two swap
+    // renames leaves the live store missing and the .bak holding the
+    // only copy — restore it before reading, or the upsert history is
+    // silently lost (and the .bak deleted below)
+    val fsPre = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val livePre = new org.apache.hadoop.fs.Path(stgPath)
+    val bakPre = new org.apache.hadoop.fs.Path(s"$stgPath.bak")
+    if (!fsPre.exists(livePre) && fsPre.exists(bakPre))
+      fsPre.rename(bakPre, livePre)
     val target = scala.util.Try(spark.read.parquet(stgPath))
       .getOrElse(staged.limit(0))
     Staging.upsertByNaturalKey(target, staged, Seq("Date"))

@@ -127,7 +127,9 @@ object SimHash {
        |         FROM $docsRelation),
        |hs AS (SELECT doc_id, $fnv AS h FROM toks),
        |v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id),
-       |sim AS (SELECT doc_id, $assemble AS simhash FROM v)""".stripMargin
+       |simv AS (SELECT doc_id, $assemble AS simhash FROM v),
+       |sim AS (SELECT d.doc_id, coalesce(simv.simhash, 0) AS simhash
+       |        FROM $docsRelation d LEFT JOIN simv USING (doc_id))""".stripMargin
   }
 
   /** Register `simhash64` / `hamming64` for SQL use in this session. */

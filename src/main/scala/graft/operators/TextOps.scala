@@ -438,6 +438,7 @@ object TextOps {
     var converged = false
     var rounds = 0
     val MaxRounds = 20 // >= diameter of any plausible near-dup cluster
+    var prevCached: DataFrame = null
     while (!converged && rounds < MaxRounds) {
       val neighborMin = edges
         .join(labels, $"b" === $"id")
@@ -449,14 +450,28 @@ object TextOps {
         .cache()
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter($"label" =!= $"old").count()
+      if (prevCached != null) prevCached.unpersist()
+      prevCached = next
       labels = next
       converged = changed == 0
       rounds += 1
     }
+    // a silent partial propagation would emit canonical ids that are not
+    // the component minimum — fail loudly instead (a graph needing more
+    // rounds than this means the "near-dup" threshold is not selecting
+    // near-dups)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $MaxRounds rounds - component diameter exceeds the cap")
     val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    val out = labels.join(sizes, "label")
       .select($"id".as("doc_id"), $"label".as("canonical_id"), $"cluster_size")
       .orderBy($"doc_id")
+      // materialize before releasing the caches the plan depends on
+      .localCheckpoint(true)
+    if (prevCached != null) prevCached.unpersist()
+    edges.unpersist()
+    out
   }
 
   /** Component CTE chain (shingles → … → comp/sizes), shared by the q50

@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  Alias, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual,
+  LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
@@ -47,6 +47,8 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           if a.semanticEquals(rn) => Some(k - 1)
       case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute)
           if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rn) => Some(k - 1)
       case EqualTo(a: Attribute, Literal(k: Int, IntegerType))
           if a.semanticEquals(rn) && k == 1 => Some(1)
       case _ => None
@@ -64,7 +66,11 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
             case other => other
           }
           limitFrom(cond, alias.toAttribute) match {
-            case Some(k) if k >= 1 &&
+            // partitionSpec.nonEmpty: a global (partitionless) top-k
+            // would build ClusteredDistribution(Nil), which Spark
+            // rejects at planning — leave that shape to Spark's own
+            // TakeOrderedAndProject path
+            case Some(k) if k >= 1 && w.partitionSpec.nonEmpty &&
                 projList.forall(_.references.subsetOf(source.outputSet)) =>
               Project(projList,
                 TopKPerKey(k, w.partitionSpec, w.orderSpec, source))

@@ -47,14 +47,14 @@ object EventStream {
     // deployment would size this to the key cardinality instead.)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = s"/tmp/graft_ckpt_$name"
     val q =
       try {
         stream.writeStream
           .outputMode("complete")
           .format("memory")
           .queryName(name)
-          .option("checkpointLocation",
-            s"/tmp/graft_ckpt_$name")
+          .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
       } finally {
@@ -63,6 +63,9 @@ object EventStream {
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
     q.awaitTermination()
+    // the uniquely-named checkpoint can never be resumed — remove it so
+    // repeated Verify/Bench runs don't accumulate orphans in /tmp
+    new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
     spark.table(name)
       .select(
         date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -70,13 +73,17 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
-  /** Streaming exactly-once dedup: `dropDuplicatesWithinWatermark` on
-    * the event id — the streaming twin of the exact-dedup batch
-    * operator. The watermark variant is what actually bounds state:
-    * plain `dropDuplicates("event_id")` never evicts (Spark only prunes
-    * dedup state when the event-time column is among the keys), whereas
-    * within-watermark eviction caps memory at the late-arrival window
-    * (not the stream length) at any scale. Returns the deduped count. */
+  /** Streaming dedup: `dropDuplicatesWithinWatermark` on the event id —
+    * the streaming twin of the exact-dedup batch operator, with the
+    * bounded-state trade every streaming dedup makes: duplicates
+    * arriving WITHIN the late-arrival window are dropped exactly;
+    * a duplicate arriving after its original's state was evicted (>1h
+    * later in event time) survives. The watermark variant is what
+    * actually bounds state: plain `dropDuplicates("event_id")` never
+    * evicts (Spark only prunes dedup state when the event-time column
+    * is among the keys), whereas within-watermark eviction caps memory
+    * at the late-arrival window — not the stream length — at any
+    * scale. Returns the deduped count. */
   def dedupCount(spark: SparkSession, sfDir: String): Long = {
     val name = "dedup_" + UUID.randomUUID().toString.replace("-", "")
     val q = rawEvents(spark, sfDir)
@@ -170,8 +177,16 @@ object EventStream {
           var acc = state.getOption
           secs.foreach { sec =>
             acc = acc match {
-              case Some(SessionAcc(st, la, k)) if sec - la <= gapSec =>
-                Some(SessionAcc(st, math.max(la, sec), k + 1))
+              // cross-batch stragglers: an event older than the open
+              // session but within the gap extends it BACKWARD (start
+              // moves down); one beyond the gap on either side closes
+              // the open session. A real deployment would buffer late
+              // data under a watermark instead — this operator's
+              // contract is parity with batch sessionize for
+              // per-user-time-ordered batch delivery (the spec's case).
+              case Some(SessionAcc(st, la, k))
+                  if sec - la <= gapSec && st - sec <= gapSec =>
+                Some(SessionAcc(math.min(st, sec), math.max(la, sec), k + 1))
               case Some(SessionAcc(st, la, k)) =>
                 out += ((user, st, la, k))
                 Some(SessionAcc(sec, sec, 1L))
