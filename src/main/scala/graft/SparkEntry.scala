@@ -74,6 +74,7 @@ object SparkEntry {
     "q50_dedup_clusters" -> (TextOps.q50DedupClusters(_, _)),
     "q51_quantize"       -> (VectorOps.q51Quantize(_, _)),
     "q52_select_corpus"  -> (TextOps.q52SelectCorpus(_, _)),
+    "q53_frame_sample"   -> (CustomOps.q53FrameSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +139,6 @@ object SparkEntry {
     "q50_dedup_clusters" -> TextOps.q50DedupClustersSql,
     "q51_quantize"       -> VectorOps.q51QuantizeSql,
     "q52_select_corpus"  -> TextOps.q52SelectCorpusSql,
+    "q53_frame_sample"   -> CustomOps.q53FrameSampleSql,
   )
 }

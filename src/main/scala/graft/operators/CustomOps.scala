@@ -92,6 +92,34 @@ object CustomOps {
       .orderBy($"media_id")
   }
 
+  /** Frame sampling through the real typed-Dataset flatMap plumbing:
+    * each payload splits into four equal byte windows (the video
+    * frame-sample shape), and the emitted frame metadata — byte length
+    * and md5 — is recomputed by DuckDB over the same ASCII payload
+    * windows, so the operator's boundary arithmetic is hash-proven. */
+  def q53FrameSample(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(s, d)
+    Multimodal.frameSample(media, 4)
+      .select($"media_id", $"frame_id".cast("long").as("frame_id"),
+        octet_length($"frame_bytes").cast("long").as("n_bytes"),
+        md5($"frame_bytes").as("frame_md5"))
+      .orderBy($"media_id", $"frame_id")
+  }
+
+  val q53FrameSampleSql: String = {
+    // frame k of n=4: bytes [len*k/4, len*(k+1)/4) — integer arithmetic,
+    // 1-based substring; ASCII payload makes char slicing byte-exact
+    val len = "octet_length(encode(text))"
+    val from = s"(($len * k) // 4)"
+    val until = s"(($len * (k + 1)) // 4)"
+    s"""SELECT doc_id AS media_id, k AS frame_id,
+       |  $until - $from AS n_bytes,
+       |  md5(substring(text, CAST($from + 1 AS INT), CAST($until - $from AS INT))) AS frame_md5
+       |FROM documents, UNNEST(range(0, 4)) AS t(k)
+       |WHERE $len > 0
+       |ORDER BY media_id, frame_id""".stripMargin
+  }
+
   val q37MultimodalDecodeSql: String = {
     // byte-residue counts over the ASCII payload (char code == byte)
     val hists = (0 until 8).map(j =>
