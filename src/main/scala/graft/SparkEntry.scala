@@ -75,6 +75,8 @@ object SparkEntry {
     "q51_quantize"       -> (VectorOps.q51Quantize(_, _)),
     "q52_select_corpus"  -> (TextOps.q52SelectCorpus(_, _)),
     "q53_frame_sample"   -> (CustomOps.q53FrameSample(_, _)),
+    "q54_approx_quantiles" -> (Relational.q54ApproxQuantiles(_, _)),
+    "q55_mix_corpus"     -> (TextOps.q55MixCorpus(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -140,5 +142,7 @@ object SparkEntry {
     "q51_quantize"       -> VectorOps.q51QuantizeSql,
     "q52_select_corpus"  -> TextOps.q52SelectCorpusSql,
     "q53_frame_sample"   -> CustomOps.q53FrameSampleSql,
+    "q54_approx_quantiles" -> Relational.q54ApproxQuantilesSql,
+    "q55_mix_corpus"     -> TextOps.q55MixCorpusSql,
   )
 }

@@ -500,6 +500,41 @@ object Relational {
       |  TRUE AS sketch_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Sketch extension #2: KLL/GK-style approximate percentiles beside
+    * the exact ones — the quantile surface a 100 TB scan uses (exact
+    * `percentile` buffers every value; `approx_percentile` is a fixed
+    *-size mergeable sketch). Like q19, the sketch value itself can't be
+    * hash-compared across engines, so the query emits per-quantile
+    * error-bound flags the oracle asserts as literal TRUE: the sketch's
+    * rank accuracy (1/10000) puts the approx far inside 5% of the exact
+    * value at any tested scale, and Spark's sketch is deterministic for
+    * fixed data. */
+  def q54ApproxQuantiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, array(0.5D, 0.99D))").as("pe"),
+        expr("approx_percentile(l_extendedprice, array(0.5D, 0.99D), 10000)").as("pa"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag",
+        stableRound($"pe".getItem(0), 4).as("p50_exact"),
+        stableRound($"pe".getItem(1), 4).as("p99_exact"),
+        $"n_rows",
+        (abs($"pa".getItem(0) - $"pe".getItem(0)) <=
+          abs($"pe".getItem(0)) * 0.05).as("p50_sketch_ok"),
+        (abs($"pa".getItem(1) - $"pe".getItem(1)) <=
+          abs($"pe".getItem(1)) * 0.05).as("p99_sketch_ok"))
+      .orderBy($"l_returnflag")
+
+  val q54ApproxQuantilesSql: String =
+    s"""SELECT l_returnflag,
+       |  ${sqlRound("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50_exact,
+       |  ${sqlRound("quantile_cont(l_extendedprice, 0.99)", 4)} AS p99_exact,
+       |  count(*) AS n_rows,
+       |  TRUE AS p50_sketch_ok,
+       |  TRUE AS p99_sketch_ok
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Grouping-set extension: ROLLUP over the region→nation hierarchy with
     * NULL grouping keys coalesced to a sentinel for stable hashing. */
   def q18Rollup(s: SparkSession, d: String): DataFrame = {

@@ -644,6 +644,48 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // q55: deterministic hash-sampled corpus mix (data weighting)
+  // ---------------------------------------------------------------
+
+  /** Per-language sampling fractions — a data-mixing policy (upsample
+    * the target language, downsample the rest). Shared with the oracle
+    * SQL generator. */
+  private val MixByLang: Seq[(String, Double)] =
+    Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+  private val MixDefault = 0.1
+
+  /** Reproducible corpus mixing by DETERMINISTIC hash sampling: a doc is
+    * kept iff the first 32 bits of md5(doc_id) — a uniform value in
+    * [0, 1) — fall under its language's fraction. No RNG, no seed state:
+    * the sample is a pure function of the key, so it is identical across
+    * engines, runs, partitionings, and cluster sizes (the property that
+    * makes training mixes reproducible), and membership of any doc can
+    * be re-derived in O(1). Embarrassingly parallel: a filter on a
+    * per-row hash, no shuffle before the output sort. */
+  def q55MixCorpus(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+      .cast("long") / 4294967296.0
+    val frac = MixByLang.foldRight(lit(MixDefault): Column) {
+      case ((l, f), rest) => when($"lang" === l, lit(f)).otherwise(rest)
+    }
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", u.as("u"), frac.as("frac"))
+      .filter($"u" < $"frac")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
+  val q55MixCorpusSql: String = {
+    val u = "(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    val frac = MixByLang.map { case (l, f) => s"WHEN lang = '$l' THEN $f" }
+      .mkString("CASE ", " ", s" ELSE $MixDefault END")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE $u < ($frac)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)
   // ---------------------------------------------------------------
 
