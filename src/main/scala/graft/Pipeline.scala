@@ -44,16 +44,17 @@ object Pipeline {
     val staged = ohlcv.filter($"Close".isNotNull)
     // upsert into the staging store (empty target on first run)
     val stgPath = s"$outDir/stg_ohlcv"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(stgPath)
+    val fresh = new org.apache.hadoop.fs.Path(s"$stgPath.new")
+    val bak = new org.apache.hadoop.fs.Path(s"$stgPath.bak")
     // crash recovery: a previous run that died between its two swap
     // renames leaves the live store missing and the .bak holding the
     // only copy — restore it before reading, or the upsert history is
     // silently lost (and the .bak deleted below)
-    val fsPre = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val livePre = new org.apache.hadoop.fs.Path(stgPath)
-    val bakPre = new org.apache.hadoop.fs.Path(s"$stgPath.bak")
-    if (!fsPre.exists(livePre) && fsPre.exists(bakPre))
-      fsPre.rename(bakPre, livePre)
+    if (!fs.exists(live) && fs.exists(bak))
+      fs.rename(bak, live)
     val target = scala.util.Try(spark.read.parquet(stgPath))
       .getOrElse(staged.limit(0))
     Staging.upsertByNaturalKey(target, staged, Seq("Date"))
@@ -61,11 +62,6 @@ object Pipeline {
     // swap (parquet can't overwrite its own input): old → .bak first so
     // a crash at any point leaves a recoverable copy, then new → live,
     // then drop the .bak
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(stgPath)
-    val fresh = new org.apache.hadoop.fs.Path(s"$stgPath.new")
-    val bak = new org.apache.hadoop.fs.Path(s"$stgPath.bak")
     fs.delete(bak, true)
     if (fs.exists(live) && !fs.rename(live, bak))
       throw new java.io.IOException(

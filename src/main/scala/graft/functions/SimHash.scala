@@ -128,7 +128,9 @@ object SimHash {
        |hs AS (SELECT doc_id, $fnv AS h FROM toks),
        |v AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id),
        |simv AS (SELECT doc_id, $assemble AS simhash FROM v),
-       |sim AS (SELECT d.doc_id, coalesce(simv.simhash, 0) AS simhash
+       |sim AS (SELECT d.doc_id,
+       |          CASE WHEN d.text IS NULL THEN NULL
+       |               ELSE coalesce(simv.simhash, 0) END AS simhash
        |        FROM $docsRelation d LEFT JOIN simv USING (doc_id))""".stripMargin
   }
 

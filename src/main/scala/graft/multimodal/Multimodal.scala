@@ -40,6 +40,9 @@ object Multimodal {
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     Tables.documents(spark, sfDir)
+      // a media row requires a payload; a NULL text would otherwise
+      // become content=null and NPE inside the decode/frame operators
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id").as("media_id"),
         col("text").cast("binary").as("content"),

@@ -127,7 +127,7 @@ object CustomOps {
         s"i -> ascii(substring(text, i, 1)) % 8), b -> b = $j)) AS h$j")
     s"""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
        |  ${hists.mkString(",\n  ")}
-       |FROM documents ORDER BY media_id""".stripMargin
+       |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin
   }
 
 }

@@ -324,7 +324,10 @@ object TextOps {
 
   private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
     import graft.functions.SimHash._
+    // NULL texts hash to NULL and can't band meaningfully — drop them
+    // (mirrored by the oracle's `simhash IS NOT NULL` band filter)
     val hashes = docs.select($"doc_id", simhash64($"text").as("sh"))
+      .filter($"sh".isNotNull)
     val banded = hashes.select($"doc_id", $"sh", explode(array(
       (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -350,7 +353,8 @@ object TextOps {
     val bandSelects = (0 until 4).map { b =>
       val div = java.lang.Long.toUnsignedString(1L << (16 * b))
       s"SELECT doc_id, simhash, $b AS band_id, " +
-        s"CAST(($u // CAST('$div' AS HUGEINT)) % 65536 AS BIGINT) AS band_key FROM sim"
+        s"CAST(($u // CAST('$div' AS HUGEINT)) % 65536 AS BIGINT) AS band_key " +
+        s"FROM sim WHERE simhash IS NOT NULL"
     }.mkString(" UNION ALL ")
     s"""WITH ${graft.functions.SimHash.duckdbSigsCte("documents")},
        |bands AS ($bandSelects),
@@ -439,39 +443,45 @@ object TextOps {
     var rounds = 0
     val MaxRounds = 20 // >= diameter of any plausible near-dup cluster
     var prevCached: DataFrame = null
-    while (!converged && rounds < MaxRounds) {
-      val neighborMin = edges
-        .join(labels, $"b" === $"id")
-        .groupBy($"a")
-        .agg(min($"label").as("nmin"))
-      val next = labels
-        .join(neighborMin, $"id" === $"a", "left")
-        .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter($"label" =!= $"old").count()
+    try {
+      while (!converged && rounds < MaxRounds) {
+        val neighborMin = edges
+          .join(labels, $"b" === $"id")
+          .groupBy($"a")
+          .agg(min($"label").as("nmin"))
+        val next = labels
+          .join(neighborMin, $"id" === $"a", "left")
+          .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
+          .cache()
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter($"label" =!= $"old").count()
+        if (prevCached != null) prevCached.unpersist()
+        prevCached = next
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      // a silent partial propagation would emit canonical ids that are
+      // not the component minimum — fail loudly instead (a graph needing
+      // more rounds than this means the "near-dup" threshold is not
+      // selecting near-dups)
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedupClusters did not converge in $MaxRounds rounds - component diameter exceeds the cap")
+      val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select($"id".as("doc_id"), $"label".as("canonical_id"), $"cluster_size")
+        .orderBy($"doc_id")
+        // materialize before the finally releases the caches the plan
+        // depends on
+        .localCheckpoint(true)
+    } finally {
+      // runs on the non-convergence throw and any mid-loop failure too —
+      // a surviving session (Verify's per-query catch, the test suites)
+      // must not accumulate dead cached blocks
       if (prevCached != null) prevCached.unpersist()
-      prevCached = next
-      labels = next
-      converged = changed == 0
-      rounds += 1
+      edges.unpersist()
     }
-    // a silent partial propagation would emit canonical ids that are not
-    // the component minimum — fail loudly instead (a graph needing more
-    // rounds than this means the "near-dup" threshold is not selecting
-    // near-dups)
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupClusters did not converge in $MaxRounds rounds - component diameter exceeds the cap")
-    val sizes = labels.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sizes, "label")
-      .select($"id".as("doc_id"), $"label".as("canonical_id"), $"cluster_size")
-      .orderBy($"doc_id")
-      // materialize before releasing the caches the plan depends on
-      .localCheckpoint(true)
-    if (prevCached != null) prevCached.unpersist()
-    edges.unpersist()
-    out
   }
 
   /** Component CTE chain (shingles → … → comp/sizes), shared by the q50

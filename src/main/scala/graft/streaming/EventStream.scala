@@ -62,10 +62,11 @@ object EventStream {
         // session conf for whatever runs next
         spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-    q.awaitTermination()
-    // the uniquely-named checkpoint can never be resumed — remove it so
-    // repeated Verify/Bench runs don't accumulate orphans in /tmp
-    new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    // the uniquely-named checkpoint can never be resumed — remove it
+    // even when the query fails, so repeated Verify/Bench runs don't
+    // accumulate orphans in /tmp
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
     spark.table(name)
       .select(
         date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
