@@ -77,6 +77,8 @@ object SparkEntry {
     "q53_frame_sample"   -> (CustomOps.q53FrameSample(_, _)),
     "q54_approx_quantiles" -> (Relational.q54ApproxQuantiles(_, _)),
     "q55_mix_corpus"     -> (TextOps.q55MixCorpus(_, _)),
+    "q56_scd2"           -> (Relational.q56Scd2(_, _)),
+    "q57_skew_audit"     -> (Relational.q57SkewAudit(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -144,5 +146,7 @@ object SparkEntry {
     "q53_frame_sample"   -> CustomOps.q53FrameSampleSql,
     "q54_approx_quantiles" -> Relational.q54ApproxQuantilesSql,
     "q55_mix_corpus"     -> TextOps.q55MixCorpusSql,
+    "q56_scd2"           -> Relational.q56Scd2Sql,
+    "q57_skew_audit"     -> Relational.q57SkewAuditSql,
   )
 }

@@ -535,6 +535,59 @@ object Relational {
        |  TRUE AS p99_sketch_ok
        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SCD type-2 apply over a deterministic update batch: every even
+    * customer key gets an update dated 2020-06-01, half of them (key
+    * divisible by 4) with a CHANGED segment — those rows close and a new
+    * version opens; the same-value updates and the odd keys pass through
+    * untouched. The oracle constructs the expected version history
+    * directly (closed row + opened row for the %4 keys, original row for
+    * the rest) — an independent formulation of the SCD2 contract. Dates
+    * travel as strings per the determinism rules. */
+  def q56Scd2(s: SparkSession, d: String): DataFrame = {
+    val cus = Tables.customer(s, d)
+    val current = cus.select(
+      $"c_custkey".as("k"), $"c_mktsegment".as("attr"),
+      lit("1990-01-01").as("valid_from"),
+      lit("9999-12-31").as("valid_to"),
+      lit(true).as("is_current"))
+    val updates = cus.filter($"c_custkey" % 2 === 0)
+      .select(
+        $"c_custkey".as("k"),
+        when($"c_custkey" % 4 === 0, concat($"c_mktsegment", lit("_V2")))
+          .otherwise($"c_mktsegment").as("attr"),
+        lit("2020-06-01").as("chg"))
+    graft.stg.Staging.scd2Apply(current, updates, "k", "attr", "chg")
+      .orderBy($"k", $"valid_from")
+  }
+
+  val q56Scd2Sql: String =
+    """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS attr FROM customer)
+      |SELECT k, attr, '1990-01-01' AS valid_from,
+      |  CASE WHEN k % 4 = 0 THEN '2020-06-01' ELSE '9999-12-31' END AS valid_to,
+      |  k % 4 <> 0 AS is_current
+      |FROM cur
+      |UNION ALL
+      |SELECT k, attr || '_V2', '2020-06-01', '9999-12-31', TRUE
+      |FROM cur WHERE k % 4 = 0
+      |ORDER BY k, valid_from""".stripMargin
+
+  /** Key-skew audit: the rows-per-key histogram of the fact table's join
+    * key — the diagnostic that decides between a plain shuffle join and
+    * salting/AQE skew handling at scale. Two hash aggregations, both
+    * map-side combinable. */
+  def q57SkewAudit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("rows_per_key"))
+      .groupBy($"rows_per_key")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy($"rows_per_key")
+
+  val q57SkewAuditSql: String =
+    """SELECT rows_per_key, count(*) AS n_keys
+      |FROM (SELECT count(*) AS rows_per_key FROM lineitem GROUP BY l_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Grouping-set extension: ROLLUP over the region→nation hierarchy with
     * NULL grouping keys coalesced to a sentinel for stable hashing. */
   def q18Rollup(s: SparkSession, d: String): DataFrame = {

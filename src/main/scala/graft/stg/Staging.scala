@@ -32,6 +32,35 @@ object Staging {
       .select(target.columns.map(col): _*)
   }
 
+  /** SCD type-2 apply — the history-keeping upgrade of
+    * [[upsertByNaturalKey]]: an update whose attribute DIFFERS from the
+    * key's current row closes that row (`valid_to` = change date,
+    * `is_current` = false) and appends the new version; a same-value
+    * update is a no-op (so the apply is idempotent); keys without an
+    * update pass through. `current` must carry
+    * (key, attr, valid_from, valid_to, is_current); `updates` at most
+    * one row per key. One left join on the key + a union — the same
+    * shuffle shape as the upsert, history at no extra exchange. */
+  def scd2Apply(current: DataFrame, updates: DataFrame,
+      key: String, attr: String, changeDateCol: String): DataFrame = {
+    val upd = updates.select(
+      col(key), col(attr).as("__new_attr"), col(changeDateCol).as("__chg"))
+    val joined = current.join(upd, Seq(key), "left")
+    val changes = col("is_current") &&
+      col("__new_attr").isNotNull && col("__new_attr") =!= col(attr)
+    val untouched = joined.filter(!coalesce(changes, lit(false)))
+      .select(current.columns.map(col): _*)
+    val closed = joined.filter(changes)
+      .select(col(key), col(attr), col("valid_from"),
+        col("__chg").as("valid_to"), lit(false).as("is_current"))
+    val opened = joined.filter(changes)
+      .select(col(key), col("__new_attr").as(attr),
+        col("__chg").as("valid_from"),
+        col("valid_to"), // the closed row's sentinel carries over
+        lit(true).as("is_current"))
+    untouched.unionByName(closed).unionByName(opened)
+  }
+
   /** Audit-log row shape (reference `stg_checking_logs`,
     * `ETL Process/STG.py:143-161`). */
   case class AuditEntry(

@@ -126,6 +126,32 @@ class EngineSpec extends AnyFunSuite {
   // Messy-header normalizer (P3-P9, P11)
   // ------------------------------------------------------------------
 
+  test("SCD2 apply: change closes + reopens, same-value no-ops, re-apply idempotent") {
+    val current = Seq(
+      (1L, "A", "1990-01-01", "9999-12-31", true),
+      (2L, "B", "1990-01-01", "9999-12-31", true),
+      (3L, "C", "1990-01-01", "9999-12-31", true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "A2", "2020-06-01"), // changed → close + reopen
+      (2L, "B", "2020-06-01")   // same value → no-op
+    ).toDF("k", "attr", "chg")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+      .toSet
+    val once = Staging.scd2Apply(current, updates, "k", "attr", "chg")
+    assert(rows(once) === Set(
+      (1L, "A", "1990-01-01", "2020-06-01", false),
+      (1L, "A2", "2020-06-01", "9999-12-31", true),
+      (2L, "B", "1990-01-01", "9999-12-31", true),
+      (3L, "C", "1990-01-01", "9999-12-31", true)))
+    // applying the SAME batch again must change nothing: the changed key's
+    // current row now already carries the new value
+    val updates2 = Seq((1L, "A2", "2020-07-01"), (2L, "B", "2020-07-01"))
+      .toDF("k", "attr", "chg")
+    assert(rows(Staging.scd2Apply(once, updates2, "k", "attr", "chg")) === rows(once))
+  }
+
   test("P3/P5/P6/P8: rename dictionary, drop Unnamed, strip separators, sparse rows") {
     val messy = Seq(
       ("junk", "junk", null.asInstanceOf[String], "junk"),
