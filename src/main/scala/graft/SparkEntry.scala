@@ -113,7 +113,7 @@ object SparkEntry {
     "q25_dedup_summary" -> TextOps.q25DedupSummarySql,
     "q26_embed_stats"   -> VectorOps.q26EmbedStatsSql,
     "q27_knn_cosine"    -> VectorOps.q27KnnCosineSql,
-    // q28_ann_lsh: xxhash64-based buckets — no DuckDB equivalent (rows-only)
+    "q28_ann_lsh"       -> VectorOps.q28AnnLshBucketsSql,
     "q30_events_tumbling" -> EventOps.q30EventsTumblingSql,
     "q31_sessionize"    -> EventOps.q31SessionizeSql,
     "q32_asof_join"     -> EventOps.q32AsofJoinSql,

@@ -109,16 +109,22 @@ object VectorOps {
   private val NumPlanes = 8
 
   /** Bucket census of the random-hyperplane LSH index: how the corpus
-    * distributes over 2^8 sign-pattern buckets. No DuckDB oracle
-    * (xxhash64 has no DuckDB equivalent) → driver records a rows-only
-    * check; the ScalaTest suite asserts bucket-count invariants and
-    * recall against q27. */
+    * distributes over 2^8 sign-pattern buckets. Oracled: the hyperplane
+    * coefficients are md5-derived ([[Vectors.lshBucket]]), so DuckDB
+    * recomputes the exact same buckets; the ScalaTest suite additionally
+    * asserts recall against q27. */
   def q28AnnLshBuckets(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select($"vec_id", Vectors.lshBucket($"embedding", NumPlanes).as("bucket"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec_id"))
       .orderBy($"bucket")
+
+  val q28AnnLshBucketsSql: String =
+    s"""WITH b AS (SELECT vec_id, ${Vectors.lshBucketSql(NumPlanes)} AS bucket
+       |           FROM embeddings)
+       |SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   /** ANN query through the LSH index with MULTI-PROBE: each query scans
     * its own bucket plus every 1-bit-flipped neighbor bucket (the
