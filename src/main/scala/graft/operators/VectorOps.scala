@@ -103,7 +103,7 @@ object VectorOps {
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------
-  // q28: LSH-bucketed ANN (scale path; Spark-native hash → rows-only)
+  // q28: LSH-bucketed ANN (scale path; md5-derived planes → oracled)
   // ---------------------------------------------------------------
 
   private val NumPlanes = 8

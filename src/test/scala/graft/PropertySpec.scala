@@ -170,6 +170,21 @@ object PropertySpec extends Properties("graft") {
       got == expected
     }
 
+  property("hash-sampled mix is invariant to partitioning and repetition") =
+    forAll(Gen.chooseNum(1, 16), Gen.chooseNum(0.1, 0.9)) { (parts, frac) =>
+      // the q55 sampling trick: membership is a pure function of the key,
+      // so the kept set must not depend on how the data is partitioned
+      val docs = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+        .toDF("doc_id", "lang")
+      def kept(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+        val u = conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") / 4294967296.0
+        df.filter(u < frac).select($"doc_id").collect().map(_.getLong(0)).toSet
+      }
+      kept(docs) == kept(docs.repartition(parts, $"lang")) &&
+        kept(docs) == kept(docs.repartition(parts))
+    }
+
   property("dedup clustering == BFS components on random graphs") =
     forAll(Gen.listOfN(15, Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(1L, 25L)))) { raw =>
       val edges = raw.filter { case (a, b) => a != b }
