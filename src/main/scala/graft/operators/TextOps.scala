@@ -437,8 +437,13 @@ object TextOps {
       .unionByName(edges0.select($"d2".as("a"), $"d1".as("b")))
       .distinct()
       .cache()
-    var labels = edges.select($"a".as("id")).distinct()
-      .select($"id", $"id".as("label"))
+    // seed labels with the 1-hop minimum (least of self and all direct
+    // neighbors) instead of self: cliques — the common near-dup cluster
+    // shape — converge immediately, saving a full propagation round
+    var labels = edges
+      .groupBy($"a".as("id"))
+      .agg(min($"b").as("nmin"))
+      .select($"id", least($"id", $"nmin").as("label"))
     var converged = false
     var rounds = 0
     val MaxRounds = 20 // >= diameter of any plausible near-dup cluster
