@@ -46,17 +46,27 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info] and interleaves Spark logs, so the
-    // driver's stream parse can miss the line — ALSO write it to a file
-    // (driver + humans read either)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // driver's stream parse can miss the line — ALSO write it to files
+    // (driver + humans read either). Two files: the canonical path for
+    // the driver contract, plus an SF-tagged one so concurrent runs at
+    // different scale factors can't clobber each other's result.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_|_$", "")
+    val outPaths = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+      s"/tmp/graft_bench_$sfTag.json").distinct
+    outPaths.foreach { outPath =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (json + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
     }
     println(json)
-    System.out.flush()
+    // stderr copy: both sbt streams get tagged, but a parser scanning
+    // either stream finds the bare line in at least one of them
+    System.err.println(json)
+    System.out.flush(); System.err.flush()
     spark.stop()
   }
 }

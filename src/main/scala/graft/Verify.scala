@@ -15,6 +15,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Oracle-validity precondition, checked against the ACTUAL sfDir:
+    // several oracles mirror byte-level arithmetic (ascii(), FNV-1a
+    // simhash, winnow k-gram hashes, frame/BMP byte stats) that agree
+    // between Spark and DuckDB only when text is pure ASCII (char ==
+    // octet). The spec asserts this for sf0.001/0.01 — this guard covers
+    // whatever scale the driver actually runs, failing loudly instead of
+    // surfacing as a sub-1% hash mismatch.
+    locally {
+      import org.apache.spark.sql.functions._
+      val nonAscii = graft.sources.Tables.documents(spark, sfDir)
+        .filter(col("text").isNotNull &&
+          length(col("text")) =!= octet_length(col("text"))).count()
+      require(nonAscii == 0,
+        s"documents.text in $sfDir has $nonAscii non-ASCII rows - " +
+          "byte-level oracles (q35/q37/q44/q49/q53) would be invalid")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -32,15 +32,36 @@ object TextOps {
 
   /** LSH bucket cap: a degenerate band key (mass-duplicated or
     * near-empty docs all sharing one signature band) would otherwise
-    * `collect_set` an unbounded array into one row and emit O(|bucket|²)
+    * collect an unbounded array into one row and emit O(|bucket|²)
     * pairs from one task. Buckets are truncated to the first
-    * [[MaxBucket]] doc ids (after sort — deterministic); the cap is
+    * [[MaxBucket]] doc ids BEFORE the array aggregation (row_number
+    * over the bucket — deterministic, bounded buffers); the cap is
     * mirrored in the DuckDB oracle SQL so Spark and oracle agree at
     * every scale, and [[q46LshAudit]] reports over-cap buckets as a
     * driver-oracled audit channel (no silent truncation). Pairs lost to
     * the cap are pairs of *mass-duplicated* docs — exact dedup (q22/q25)
     * already catches those. */
   private[graft] val MaxBucket = 64
+
+  /** Constants the staged dedup relations depend on — part of the stage
+    * path, so changing any of them invalidates the staged tables. */
+  private def stageConsts = s"k${MinhashK}w${BandWidth}cap${MaxBucket}j$ClusterJaccard"
+
+  /** The LSH band relation, staged: computed once per corpus
+    * (shingles → md5 → minhash signatures → band keys), materialized,
+    * and read by every consumer (q23, q24's candidate side, q46, and
+    * transitively q50/q52) — the pipeline-staging shape of running the
+    * dedup stack at scale. */
+  private def bandsStaged(s: SparkSession, d: String): DataFrame =
+    Staged.orCompute(s, d, stageConsts, "lsh_bands")(bands(Tables.documents(s, d)))
+
+  /** The verified near-dup pair relation (LSH candidates + true
+    * Jaccard), staged: candidates derive from the staged band relation,
+    * the shingle sets from one fresh pass over the corpus. Read by q24,
+    * q50 and (transitively) q52. */
+  private def pairsStaged(s: SparkSession, d: String): DataFrame =
+    Staged.orCompute(s, d, stageConsts, "lsh_pairs")(
+      lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d)))
 
   // ---------------------------------------------------------------
   // q20: per-document token/quality statistics
@@ -211,7 +232,7 @@ object TextOps {
   }
 
   def q23Minhash(s: SparkSession, d: String): DataFrame =
-    bands(Tables.documents(s, d)).orderBy($"doc_id", $"band_id")
+    bandsStaged(s, d).orderBy($"doc_id", $"band_id")
 
   private def shinglesCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -237,18 +258,31 @@ object TextOps {
        |ORDER BY doc_id, band_id""".stripMargin
 
   /** Candidate pairs from banded keys: bucket per (band_id, band_key),
-    * collect the bucket's sorted doc ids CAPPED at [[MaxBucket]], emit
-    * i&lt;j combinations — ONE pass over the upstream pipeline (a band
-    * self-join would compute the signature subtree twice). Per-bucket
-    * work is O(MaxBucket²) worst-case, so no task can be wedged by a
-    * degenerate key. */
-  private def bucketPairs(banded: DataFrame, key: Column): DataFrame =
+    * keep each bucket's first [[MaxBucket]] keys, emit i&lt;j
+    * combinations — ONE pass over the upstream pipeline (a band
+    * self-join would compute the signature subtree twice).
+    *
+    * The cap is applied BEFORE the array aggregation (row_number over
+    * the bucket, ≤ MaxBucket survive), so a degenerate band key can
+    * never materialize an unbounded array in one aggregation buffer —
+    * both the per-row memory AND the O(bucket²) pair expansion are
+    * bounded. A bucket's keys are unique (one row per doc per band), so
+    * "first MaxBucket by key order" is exactly the old
+    * slice(array_sort(collect_set), 1, MaxBucket) — the oracle SQL's
+    * capped sorted list is unchanged. The window's (band_id, band_key)
+    * exchange is the same one the aggregation needed; only a per-bucket
+    * sort is added. */
+  private def bucketPairs(banded: DataFrame, key: Column): DataFrame = {
+    val w = Window.partitionBy($"band_id", $"band_key").orderBy(key.asc)
     banded
+      .withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= MaxBucket)
       .groupBy($"band_id", $"band_key")
-      .agg(slice(array_sort(collect_set(key)), 1, MaxBucket).as("ds"))
+      .agg(array_sort(collect_list(key)).as("ds"))
       .filter(size($"ds") > 1)
       .select($"ds", posexplode($"ds").as(Seq("i", "a")))
       .select($"a", explode(slice($"ds", $"i" + 2, size($"ds"))).as("b"))
+  }
 
   /** LSH candidate pairs + true shingle-set Jaccard — the near-dup
     * verifier. The band bucketing is the scale trick: only hash-equal
@@ -259,10 +293,13 @@ object TextOps {
     * only the provably-small candidate side shuffles). The intersection
     * is then per-pair local work (`array_intersect`). */
   def q24LshPairs(s: SparkSession, d: String): DataFrame =
-    lshPairs(Tables.documents(s, d))
+    pairsStaged(s, d).orderBy($"d1", $"d2")
 
-  private[graft] def lshPairs(docs: DataFrame): DataFrame = {
-    val cands = bucketPairs(bands(docs), $"doc_id")
+  private[graft] def lshPairs(docs: DataFrame): DataFrame =
+    lshPairsFrom(bands(docs), docs)
+
+  private def lshPairsFrom(banded: DataFrame, docs: DataFrame): DataFrame = {
+    val cands = bucketPairs(banded, $"doc_id")
       .select($"a".as("d1"), $"b".as("d2"))
       .distinct()
     val docsets = shingleArrays(docs)
@@ -385,7 +422,7 @@ object TextOps {
     * so a cap ever biting at some scale shows up as a non-zero
     * `n_over_cap` in a green CORRECTNESS row — audited, not silent. */
   def q46LshAudit(s: SparkSession, d: String): DataFrame =
-    bands(Tables.documents(s, d))
+    bandsStaged(s, d)
       .groupBy($"band_id", $"band_key")
       .agg(count(lit(1)).as("sz"))
       .groupBy($"band_id")
@@ -428,9 +465,11 @@ object TextOps {
     * (transitive closure → min reachable id), a fully independent
     * formulation. */
   def q50DedupClusters(s: SparkSession, d: String): DataFrame =
-    dedupClusters(lshPairs(Tables.documents(s, d))
-      .filter($"jaccard" >= ClusterJaccard)
-      .select($"d1", $"d2"))
+    Staged.orCompute(s, d, stageConsts, "dedup_clusters")(
+      dedupClusters(pairsStaged(s, d)
+        .filter($"jaccard" >= ClusterJaccard)
+        .select($"d1", $"d2")))
+      .orderBy($"doc_id")
 
   private[graft] def dedupClusters(edges0: DataFrame): DataFrame = {
     val edges = edges0.select($"d1".as("a"), $"d2".as("b"))
@@ -454,15 +493,21 @@ object TextOps {
           .join(labels, $"b" === $"id")
           .groupBy($"a")
           .agg(min($"label").as("nmin"))
+        // the convergence signal rides ALONG with the label recompute (a
+        // label changes iff a neighbor's label undercuts it), so ONE
+        // action per round both materializes the cache and counts the
+        // changes — no separate join-with-old-labels job
         val next = labels
           .join(neighborMin, $"id" === $"a", "left")
-          .select($"id", least($"label", coalesce($"nmin", $"label")).as("label"))
+          .select($"id",
+            least($"label", coalesce($"nmin", $"label")).as("label"),
+            (coalesce($"nmin", $"label") < $"label").cast("long").as("chg"))
           .cache()
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter($"label" =!= $"old").count()
+        val changed =
+          next.agg(coalesce(sum($"chg"), lit(0L))).head().getLong(0)
         if (prevCached != null) prevCached.unpersist()
         prevCached = next
-        labels = next
+        labels = next.select($"id", $"label")
         converged = changed == 0
         rounds += 1
       }

@@ -272,41 +272,69 @@ object VectorOps {
   /** Per-dimension min-max scalar quantization to 8-bit codes — the
     * standard 4× memory/IO reduction that makes a 100 TB ANN index fit
     * its executors. Shape: ONE aggregation pass builds the per-dim
-    * (min, max) arrays in a single broadcastable row — the corpus is
-    * never exploded (64× row inflation avoided); a second narrow pass
-    * computes codes and reconstruction error per vector. Emitted:
-    * boundary codes, the integer code checksum, and the per-vector
-    * reconstruction MSE — all mirrored exactly in DuckDB (same
-    * element-order arithmetic, floor-based rounding).
+    * (min, max) arrays (plus a dim-uniformity check) in a single
+    * metadata-sized row that is collected once and folded into the
+    * second pass as LITERALS — the corpus is never exploded (64× row
+    * inflation avoided) and the narrow pass needs no join at all.
+    * Emitted: boundary codes, the integer code checksum, and the
+    * per-vector reconstruction MSE — all mirrored exactly in DuckDB
+    * (same element-order arithmetic, floor-based rounding).
     *
-    * The embedding dimensionality is read from one row up front — a
-    * metadata lookup (like `Staging.lookupMeta`), not a data collect. */
+    * The code array is computed ONCE per vector in its own projection
+    * and every output derives from it via `element_at` — the projection
+    * boundary stops CollapseProject from re-inlining the (expensive)
+    * array per consumer, so the expression forest is O(dim), not
+    * O(dim × outputs). */
   def q51Quantize(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+    val probe = emb.agg(
+      count(lit(1)), min(size($"embedding")), max(size($"embedding"))).head()
+    if (probe.getLong(0) == 0L) {
+      // empty corpus: the oracle returns zero rows; match its schema
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("vec_id", LongType), StructField("n_dims", LongType),
+          StructField("code_first", LongType), StructField("code_last", LongType),
+          StructField("code_sum", LongType), StructField("mse", DoubleType))))
+    }
+    val dim = probe.getInt(1)
+    // a ragged corpus would silently skew codes vs the per-row-length
+    // oracle — refuse loudly instead
+    require(probe.getInt(2) == dim,
+      s"q51Quantize: ragged embedding dims (${probe.getInt(1)}..${probe.getInt(2)})")
     val params = emb.agg(
       array((1 to dim).map(i =>
         min(element_at($"embedding", i)).cast("double")): _*).as("mns"),
       array((1 to dim).map(i =>
-        max(element_at($"embedding", i)).cast("double")): _*).as("mxs"))
-    def mn(i: Int): Column = element_at($"mns", i)
-    def mx(i: Int): Column = element_at($"mxs", i)
+        max(element_at($"embedding", i)).cast("double")): _*).as("mxs")).head()
+    val mns = params.getSeq[Double](0)
+    val mxs = params.getSeq[Double](1)
     def v(i: Int): Column = element_at($"embedding", i).cast("double")
+    // per-dim (min,max) are plan-time constants, so the mx==mn guard
+    // resolves at build time and each code is a pure codegen'd
+    // multiply-floor over the vector element
     def code(i: Int): Column =
-      when(mx(i) === mn(i), lit(0L)).otherwise(
-        floor((v(i) - mn(i)) / (mx(i) - mn(i)) * 255.0 + 0.5))
+      if (mxs(i - 1) == mns(i - 1)) lit(0L)
+      else floor((v(i) - lit(mns(i - 1))) / lit(mxs(i - 1) - mns(i - 1)) * 255.0 + 0.5)
     def dequant(i: Int): Column =
-      mn(i) + code(i).cast("double") / 255.0 * (mx(i) - mn(i))
-    val mse = (1 to dim).map(i => (v(i) - dequant(i)) * (v(i) - dequant(i)))
-      .reduce(_ + _) / dim.toDouble
-    emb.crossJoin(broadcast(params))
+      lit(mns(i - 1)) + element_at($"codes", i).cast("double") / 255.0 *
+        lit(mxs(i - 1) - mns(i - 1))
+    emb
+      .select($"vec_id", $"embedding", array((1 to dim).map(code): _*).as("codes"))
+      .select($"vec_id", $"codes",
+        array((1 to dim).map { i =>
+          val e = v(i) - dequant(i); e * e
+        }: _*).as("sqerrs"))
       .select(
         $"vec_id",
         lit(dim.toLong).as("n_dims"),
-        code(1).as("code_first"),
-        code(dim).as("code_last"),
-        (1 to dim).map(code).reduce(_ + _).as("code_sum"),
-        stableRound(mse, 8).as("mse"))
+        element_at($"codes", 1).as("code_first"),
+        element_at($"codes", dim).as("code_last"),
+        (1 to dim).map(i => element_at($"codes", i)).reduce(_ + _).as("code_sum"),
+        stableRound(
+          (1 to dim).map(i => element_at($"sqerrs", i)).reduce(_ + _) / dim.toDouble,
+          8).as("mse"))
       .orderBy($"vec_id")
   }
 

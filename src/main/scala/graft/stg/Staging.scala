@@ -38,13 +38,25 @@ object Staging {
     * `is_current` = false) and appends the new version; a same-value
     * update is a no-op (so the apply is idempotent); keys without an
     * update pass through. `current` must carry
-    * (key, attr, valid_from, valid_to, is_current); `updates` at most
-    * one row per key. One left join on the key + a union — the same
-    * shuffle shape as the upsert, history at no extra exchange. */
+    * (key, attr, valid_from, valid_to, is_current). `updates` may carry
+    * SEVERAL rows per key (a real CDC batch does): they are collapsed to
+    * the LATEST state per key first (max change date, attribute as the
+    * deterministic tie-break), so one apply advances each key to its
+    * end-of-batch state — intermediate same-batch states do not become
+    * versions (batch-grain history, the semantics a periodic-batch
+    * pipeline wants). Without the collapse, a multi-update batch would
+    * silently emit overlapping versions. One window + one left join on
+    * the key + a union — the same shuffle shape as the upsert, history
+    * at no extra exchange (the window reuses the key partitioning). */
   def scd2Apply(current: DataFrame, updates: DataFrame,
       key: String, attr: String, changeDateCol: String): DataFrame = {
-    val upd = updates.select(
-      col(key), col(attr).as("__new_attr"), col(changeDateCol).as("__chg"))
+    val latestFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col(changeDateCol).desc, col(attr).desc)
+    val upd = updates
+      .withColumn("__rn", row_number().over(latestFirst))
+      .filter(col("__rn") === 1)
+      .select(col(key), col(attr).as("__new_attr"), col(changeDateCol).as("__chg"))
     val joined = current.join(upd, Seq(key), "left")
     val changes = col("is_current") &&
       col("__new_attr").isNotNull && col("__new_attr") =!= col(attr)
