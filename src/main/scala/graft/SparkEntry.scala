@@ -79,6 +79,7 @@ object SparkEntry {
     "q55_mix_corpus"     -> (TextOps.q55MixCorpus(_, _)),
     "q56_scd2"           -> (Relational.q56Scd2(_, _)),
     "q57_skew_audit"     -> (Relational.q57SkewAudit(_, _)),
+    "q58_multimodal_codec" -> (CustomOps.q58MultimodalCodec(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,5 +149,8 @@ object SparkEntry {
     "q55_mix_corpus"     -> TextOps.q55MixCorpusSql,
     "q56_scd2"           -> Relational.q56Scd2Sql,
     "q57_skew_audit"     -> Relational.q57SkewAuditSql,
+    // q58: REAL javax.imageio BMP decode; channel sums recomputed by
+    // DuckDB from the payload bytes (BGR triplet layout)
+    "q58_multimodal_codec" -> CustomOps.q58MultimodalCodecSql,
   )
 }

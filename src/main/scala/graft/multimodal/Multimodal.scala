@@ -10,11 +10,15 @@ import graft.sources.Tables
   * decode / feature-extract / frame-sample operators built on
   * `mapPartitions` so a real codec drops in without touching the plan.
   *
-  * The decode step is a clearly-marked STUB (this container ships no
-  * image/audio codecs): [[decodeStub]] produces a deterministic fake
-  * feature vector from the payload bytes. Everything around it — the
-  * schema, the binary column handling, the partition-batched iteration,
-  * the typed output — is real and tested.
+  * Two decode paths:
+  *  - REAL: [[mediaAsBmp]] synthesizes valid 24-bpp BMP containers from
+  *    the payload bytes and [[decodeImages]] decodes them with the
+  *    JDK's `javax.imageio` — an actual image decode whose channel sums
+  *    are a deterministic function of the payload, hence
+  *    DuckDB-oracle-able (q58).
+  *  - STUB: [[decodeStub]] stands in for codecs the JDK lacks
+  *    (JPEG video/audio etc. in this container): a deterministic fake
+  *    feature vector from the payload bytes, same plumbing.
   *
   * Scale shape: payloads stay columnar parquet binary; decode is
   * per-partition streaming (no collect, no driver bottleneck); feature
@@ -126,4 +130,105 @@ object Multimodal {
     * re-partition by size so no partition carries all the big blobs. */
   def repartitionForDecode(media: Dataset[MediaRow], partitions: Int): Dataset[MediaRow] =
     media.repartitionByRange(partitions, length(col("content")))
+
+  // ---------------------------------------------------------------
+  // REAL codec path: synthesized BMP containers decoded by the JDK's
+  // javax.imageio — an actual image decode, not the stub above
+  // ---------------------------------------------------------------
+
+  /** Fixed image width for the synthesized BMPs. 16 px × 3 B/px = 48 B
+    * per row — already 4-byte aligned, so the BMP stride needs no pad
+    * bytes and every payload byte maps 1:1 to a pixel channel. */
+  val BmpWidth = 16
+
+  private def bmpHeight(payloadLen: Int): Int = {
+    val stride = BmpWidth * 3
+    math.max(1, (payloadLen + stride - 1) / stride)
+  }
+
+  /** Wrap payload bytes in a VALID 24-bpp uncompressed BMP container:
+    * 14-byte file header + 40-byte BITMAPINFOHEADER + the payload laid
+    * out as (blue, green, red) pixel triplets, zero-padded to fill the
+    * last row. Deterministic — the decoded channel sums are a pure
+    * function of the payload bytes, which is what makes the decode
+    * DuckDB-oracle-able ([[graft.operators.CustomOps.q58MultimodalCodecSql]]). */
+  def encodeBmp(payload: Array[Byte]): Array[Byte] = {
+    val stride = BmpWidth * 3
+    val height = bmpHeight(payload.length)
+    val imageSize = stride * height
+    val buf = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + imageSize)            // file size
+    buf.putShort(0).putShort(0)           // reserved
+    buf.putInt(54)                        // pixel-data offset
+    buf.putInt(40)                        // BITMAPINFOHEADER size
+    buf.putInt(BmpWidth)
+    buf.putInt(height)                    // positive → bottom-up rows
+    buf.putShort(1)                       // color planes
+    buf.putShort(24)                      // bits per pixel
+    buf.putInt(0)                         // BI_RGB (uncompressed)
+    buf.putInt(imageSize)
+    buf.putInt(2835).putInt(2835)         // 72 dpi in px/metre
+    buf.putInt(0).putInt(0)               // palette sizes (none)
+    buf.put(payload)                      // trailing pad stays zero
+    buf.array()
+  }
+
+  /** One decoded image's aggregate pixel statistics. Channel SUMS are
+    * row-order invariant, so the BMP's bottom-up row storage doesn't
+    * enter the contract. */
+  case class DecodedImage(
+      media_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Media table whose payloads are real decodable BMPs synthesized
+    * from the document bytes (this container ships no image corpora —
+    * the codec is real, the pixels are deterministic test data). */
+  def mediaAsBmp(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        MediaRow(id, encodeBmp(payload), "bmp", BmpWidth, bmpHeight(payload.length))
+      }
+  }
+
+  /** REAL image decode via `javax.imageio.ImageIO` (the JDK's BMP
+    * reader — no container codecs needed), streamed per partition like
+    * [[extractFeatures]]. A payload that fails to decode fails LOUDLY
+    * (null-returning readers would otherwise silently zero the stats).
+    * Replaces [[decodeStub]] on the BMP path; the stub remains the
+    * fallback shape for formats the JDK cannot read. */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // ImageIO reader instances are fetched per call; a pooled codec
+      // context would initialize here
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null,
+          s"media_id=${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(r.media_id, w, h, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
 }

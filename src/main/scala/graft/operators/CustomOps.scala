@@ -120,6 +120,49 @@ object CustomOps {
        |ORDER BY media_id, frame_id""".stripMargin
   }
 
+  /** REAL image decode end to end: wrap each document's bytes in a
+    * valid 24-bpp BMP ([[Multimodal.encodeBmp]]), decode it with the
+    * JDK's `javax.imageio` BMP reader inside the partition-streamed
+    * decode operator ([[Multimodal.decodeImages]]), and emit per-image
+    * dimensions and channel sums. Oracled: BMP 24-bpp stores pixels as
+    * (blue, green, red) byte triplets, so payload byte i (0-based)
+    * lands in channel i % 3 — DuckDB recomputes the channel sums
+    * directly from the ASCII payload bytes; zero-padding in the last
+    * row adds nothing. Channel SUMS are row-order invariant, which
+    * keeps the oracle independent of BMP's bottom-up row layout. */
+  def q58MultimodalCodec(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImages(Multimodal.mediaAsBmp(s, d)).toDF()
+      .select($"media_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"n_pixels", $"sum_r", $"sum_g", $"sum_b")
+      .orderBy($"media_id")
+
+  val q58MultimodalCodecSql: String = {
+    val h = s"greatest(CAST(1 AS BIGINT), (octet_length(encode(text)) + 47) // 48)"
+    s"""WITH px AS (
+       |  SELECT doc_id, ((i - 1) % 3) AS chan,
+       |    ascii(substring(text, CAST(i AS INT), 1)) AS b
+       |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+       |  WHERE text IS NOT NULL),
+       |agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN chan = 2 THEN b ELSE 0 END) AS sum_r,
+       |    sum(CASE WHEN chan = 1 THEN b ELSE 0 END) AS sum_g,
+       |    sum(CASE WHEN chan = 0 THEN b ELSE 0 END) AS sum_b
+       |  FROM px GROUP BY doc_id)
+       |SELECT d.doc_id AS media_id,
+       |  CAST(${Multimodal.BmpWidth} AS BIGINT) AS width,
+       |  $h AS height,
+       |  ${Multimodal.BmpWidth} * $h AS n_pixels,
+       |  CAST(coalesce(a.sum_r, 0) AS BIGINT) AS sum_r,
+       |  CAST(coalesce(a.sum_g, 0) AS BIGINT) AS sum_g,
+       |  CAST(coalesce(a.sum_b, 0) AS BIGINT) AS sum_b
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |WHERE d.text IS NOT NULL
+       |ORDER BY media_id""".stripMargin
+  }
+
   val q37MultimodalDecodeSql: String = {
     // byte-residue counts over the ASCII payload (char code == byte)
     val hists = (0 until 8).map(j =>

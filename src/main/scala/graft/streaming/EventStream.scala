@@ -209,6 +209,47 @@ object EventStream {
     spark.table(name).orderBy(col("user_id"), col("start_s"))
   }
 
+  /** Watermarked STREAM-STREAM interval join — the streaming twin of
+    * the batch binned range join ([[graft.operators.EventOps
+    * .q38RangeJoin]]): clicks ⋈ purchases per user within ±1 hour of
+    * event time. Both sides carry a watermark and the join condition
+    * bounds `purchase_ts` to a window around `click_ts` — together
+    * those let the state store evict a row once the other stream's
+    * watermark passes its match window, so join state is O(events in
+    * the late+range window), not O(stream length) — the property that
+    * makes the operator runnable on an unbounded stream. Inner join:
+    * matches emit as soon as both sides arrive (no watermark hold).
+    *
+    * StreamingSpec asserts row-set equality with the batch q38 result
+    * on ordered finite input. */
+  def rangeJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
+    val clicks = rawEvents(spark, sfDir)
+      .filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"event_id")
+      .withWatermark("click_ts", "1 hour")
+    val purchases = rawEvents(spark, sfDir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val q = clicks
+      .join(purchases,
+        $"user_id" === $"p_user_id" &&
+          $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR") &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"user_id", $"event_id", $"purchase_id",
+        ($"purchase_ts".cast("long") - $"click_ts".cast("long")).as("gap_s"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy($"user_id", $"event_id", $"purchase_id")
+  }
+
   /** The ns-safe raw event stream (shared by the streaming operators). */
   private def rawEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

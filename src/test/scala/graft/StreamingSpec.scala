@@ -24,9 +24,35 @@ class StreamingSpec extends AnyFunSuite {
   private val d = "/root/testdata/sf0.001"
 
   test("streaming dedup count equals batch distinct event count") {
+    // dropDuplicatesWithinWatermark deliberately WEAKENS exact dedup to
+    // bound state: a duplicate id arriving > 1h apart in event time
+    // survives (its original's state was evicted). So the universal
+    // invariant is streaming >= batch-distinct; exact equality is only
+    // guaranteed when the dataset has no cross-watermark duplicate ids
+    // — assert that precondition explicitly so a future corpus that
+    // violates it fails HERE with a diagnosis, not as a mystery count
     val streaming = EventStream.dedupCount(spark, d)
     val batch = Tables.events(spark, d).select($"event_id").distinct().count()
+    assert(streaming >= batch)
+    val crossWatermarkDups = Tables.events(spark, d)
+      .select($"event_id", $"ts".cast("long").as("s"))
+      .groupBy($"event_id")
+      .agg((max($"s") - min($"s")).as("spread"))
+      .filter($"spread" > 3600L)
+      .count()
+    assert(crossWatermarkDups === 0L,
+      "dataset has duplicate ids >1h apart - exact-equality check below is not applicable")
     assert(streaming === batch)
+  }
+
+  test("stream-stream interval join equals the batch range join") {
+    val streaming = EventStream.rangeJoinStream(spark, d)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.EventOps.q38RangeJoin(spark, d)
+      .select($"user_id", $"event_id", $"purchase_id", $"gap_s")
+      .collect().map(_.toSeq).toSet
+    assert(streaming === batch)
+    assert(streaming.nonEmpty)
   }
 
   test("mapGroupsWithState final per-user counts equal batch group counts") {
