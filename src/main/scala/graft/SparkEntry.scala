@@ -80,6 +80,9 @@ object SparkEntry {
     "q56_scd2"           -> (Relational.q56Scd2(_, _)),
     "q57_skew_audit"     -> (Relational.q57SkewAudit(_, _)),
     "q58_multimodal_codec" -> (CustomOps.q58MultimodalCodec(_, _)),
+    "q59_pack_sequences" -> (TextOps.q59PackSequences(_, _)),
+    "q60_decontaminate"  -> (TextOps.q60Decontaminate(_, _)),
+    "q61_repetition"     -> (TextOps.q61Repetition(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +155,8 @@ object SparkEntry {
     // q58: REAL javax.imageio BMP decode; channel sums recomputed by
     // DuckDB from the payload bytes (BGR triplet layout)
     "q58_multimodal_codec" -> CustomOps.q58MultimodalCodecSql,
+    "q59_pack_sequences" -> TextOps.q59PackSequencesSql,
+    "q60_decontaminate"  -> TextOps.q60DecontaminateSql,
+    "q61_repetition"     -> TextOps.q61RepetitionSql,
   )
 }

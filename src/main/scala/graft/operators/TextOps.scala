@@ -112,22 +112,28 @@ object TextOps {
   // q21: n-gram-marker language ID (argmax over per-language scores)
   // ---------------------------------------------------------------
 
-  def q21LangId(s: SparkSession, d: String): DataFrame = {
-    val langs = Text.langMarkers.toSeq.sortBy(_._1)
-    val scoreCols = langs.map { case (lang, ws) =>
+  /** Per-language marker-score columns (shared by q21 and q52). */
+  private def langScoreCols: Seq[Column] =
+    Text.langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       Text.langScore($"text", ws).cast("int").as(s"score_$lang")
     }
-    val scored = Tables.documents(s, d).select(($"doc_id" +: scoreCols): _*)
-    // argmax via ordered CASE chain (first max wins — deterministic,
-    // mirrored exactly in the oracle SQL)
-    val pred = langs.map(_._1).foldRight(lit(langs.last._1)) { case (lang, rest) =>
+
+  /** Argmax over the score columns via ordered CASE chain (first max
+    * wins — deterministic, mirrored exactly in the oracle SQL). */
+  private def langPred: Column = {
+    val langs = Text.langMarkers.toSeq.sortBy(_._1)
+    langs.map(_._1).foldRight(lit(langs.last._1)) { case (lang, rest) =>
       val ge = langs.map(_._1).filter(_ != lang)
         .map(o => col(s"score_$lang") >= col(s"score_$o"))
         .reduce(_ && _)
       when(ge, lit(lang)).otherwise(rest)
     }
-    scored.withColumn("pred_lang", pred).orderBy($"doc_id")
   }
+
+  def q21LangId(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(($"doc_id" +: langScoreCols): _*)
+      .withColumn("pred_lang", langPred)
+      .orderBy($"doc_id")
 
   // lang-ID SQL pieces, shared by q21 and the q52 selection pipeline
   private lazy val langsSorted = Text.langMarkers.toSeq.sortBy(_._1)
@@ -587,15 +593,22 @@ object TextOps {
     * either un-duplicated or their near-dup cluster's canonical
     * representative (q50 components) — one declarative plan chaining
     * the analysis + dedup operators end to end. Emits the kept docs
-    * with quality, predicted language, and cluster size. */
+    * with quality, predicted language, and cluster size.
+    *
+    * Quality and language are PER-DOC projections, so they are computed
+    * in ONE scan of the corpus (column-parallel), not via self-joins of
+    * separately-scanned q20/q21 results; the cluster side is a read of
+    * the staged q50 relation. One scan + one small left join — the
+    * whole selection is two passes over nothing bigger than the corpus. */
   def q52SelectCorpus(s: SparkSession, d: String): DataFrame = {
-    val stats = q20TextStats(s, d).select($"doc_id", $"quality")
-    val lang = q21LangId(s, d).select($"doc_id", $"pred_lang")
+    val docStats = Tables.documents(s, d)
+      .select(($"doc_id" +:
+        stableRound(Text.qualityScore($"text"), 4).as("quality") +:
+        langScoreCols): _*)
+      .withColumn("pred_lang", langPred)
     val clusters = q50DedupClusters(s, d)
       .select($"doc_id", $"canonical_id", $"cluster_size")
-    Tables.documents(s, d).select($"doc_id")
-      .join(stats, "doc_id")
-      .join(lang, "doc_id")
+    docStats
       .join(clusters, Seq("doc_id"), "left")
       .filter($"quality" >= QualityMin &&
         ($"canonical_id".isNull || $"canonical_id" === $"doc_id"))
@@ -744,6 +757,114 @@ object TextOps {
        |WHERE $u < ($frac)
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q59: sequence packing (token-budget bin assignment)
+  // ---------------------------------------------------------------
+
+  private val PackBudget = 512L
+
+  /** Training-sequence packing: concatenate documents per language in
+    * doc-id order and split at a fixed token budget — each doc gets the
+    * pack (training sequence) it STARTS in plus its offset there, the
+    * assignment step of the packing every LLM data loader performs.
+    * Deterministic: a pure function of (lang, doc_id order, token
+    * counts) — no RNG, identical across engines and partitionings.
+    *
+    * Scale shape: the running total is windowed PER LANGUAGE (the
+    * shard key), never a single global cumsum — shards pack in
+    * parallel, which is how a 100 TB corpus packs on 1000 executors
+    * (shard by lang/source/hash, pack within shard). */
+  def q59PackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"lang", Text.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .select($"doc_id", $"lang", $"n_tokens",
+        expr(s"start_tok div $PackBudget").as("pack_id"),
+        ($"start_tok" % PackBudget).as("pack_offset"))
+      .orderBy($"doc_id")
+  }
+
+  val q59PackSequencesSql: String =
+    s"""WITH t AS (SELECT doc_id, lang, $tcSql AS n_tokens
+       |           FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, lang, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |          ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS start_tok
+       |      FROM t)
+       |SELECT doc_id, lang, n_tokens,
+       |  start_tok // $PackBudget AS pack_id,
+       |  start_tok % $PackBudget AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q60: benchmark decontamination (n-gram overlap with an eval set)
+  // ---------------------------------------------------------------
+
+  /** Decontamination — the training-data hygiene step: flag corpus
+    * documents sharing any 3-word shingle with a benchmark/eval set
+    * (here a deterministic tenth of the corpus, doc_id % 10 == 7; a
+    * real pipeline plugs in its eval suites). Emits each contaminated
+    * doc with its count of distinct shared shingles.
+    *
+    * Scale shape: one equi-join on the shingle string — shuffles
+    * hash-partition by shingle (near-uniform), never all-pairs; the
+    * benchmark side is deduped to distinct shingles first so each
+    * doc-shingle matches at most once (no hot-key amplification). A
+    * real eval set is tiny relative to the corpus — at scale it would
+    * be `broadcast()` and the corpus side never shuffles at all. */
+  def q60Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(Tables.documents(s, d)).distinct()
+    val bench = sh.filter($"doc_id" % 10 === 7).select($"sh").distinct()
+    sh.filter($"doc_id" % 10 =!= 7)
+      .join(bench, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val q60DecontaminateSql: String =
+    s"""WITH $shinglesCte,
+       |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 7)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+       |FROM sh s JOIN bench b ON s.sh = b.sh
+       |WHERE s.doc_id % 10 <> 7
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q61: intra-document repetition ratio (quality signal)
+  // ---------------------------------------------------------------
+
+  /** Repetition scoring — the "fraction of duplicated n-grams" quality
+    * signal (high repetition marks boilerplate/spam for filtering):
+    * per document, total vs distinct 3-word shingles and the duplicate
+    * fraction. One aggregation over the shingle stream, shuffle keyed
+    * by doc_id — the same partitioning every other per-doc text
+    * operator uses. */
+  def q61Repetition(s: SparkSession, d: String): DataFrame =
+    shingleRows(Tables.documents(s, d))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct($"sh").as("n_distinct"))
+      .select($"doc_id", $"n_shingles", $"n_distinct",
+        stableRound(lit(1.0) - $"n_distinct" / $"n_shingles", 6).as("rep_ratio"))
+      .orderBy($"doc_id")
+
+  val q61RepetitionSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |            WHERE len(string_split(text, ' ')) >= 3),
+       |shd AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+       |        FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct,
+       |  ${sqlRound("1.0 - count(DISTINCT sh) / count(*)", 6)} AS rep_ratio
+       |FROM shd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)
