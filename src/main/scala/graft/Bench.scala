@@ -26,6 +26,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // reproducible totals: clear this SF's staged dedup relations so
+    // every Bench run is COLD (a stage surviving from a prior
+    // Verify/Bench would silently shave ~13s off the metric and make
+    // cross-run comparisons cold-vs-warm). Within the run the pipeline
+    // still stages once and reuses — that reuse is what's being
+    // measured. Set SPARK_GRAFT_KEEP_STAGE=1 to bench warm instead.
+    val keepStage = sys.env.get("SPARK_GRAFT_KEEP_STAGE").contains("1")
+    if (!keepStage) graft.operators.Staged.clearFor(sfDir)
+
     // warm-up: JVM, codegen, parquet footer reads
     graft.sources.Tables.lineitem(spark, sfDir).count()
 
@@ -43,8 +52,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val stageMode = if (keepStage) "warm" else "cold"
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stageMode","queries":$qs,"sf":"$sfDir"}"""
     // sbt prefixes stdout with [info] and interleaves Spark logs, so the
     // driver's stream parse can miss the line — ALSO write it to files
     // (driver + humans read either). Two files: the canonical path for

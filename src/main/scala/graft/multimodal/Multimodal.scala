@@ -205,8 +205,10 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // ImageIO reader instances are fetched per call; a pooled codec
-      // context would initialize here
+      // per-partition codec setup: ImageIO's default FILE-cache would
+      // create+delete a temp file per decoded image inside this hot
+      // loop — force the in-memory stream cache instead
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.content))

@@ -40,8 +40,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Staged {
 
-  /** Bump when any staged derivation's LOGIC changes; the constants the
-    * derivations are parameterized by are appended automatically. */
+  /** Backstop version for derivation-logic changes the plan hash can't
+    * see (e.g. the imperative loop inside `dedupClusters`, whose stage
+    * token hashes only its INPUT plan). Declarative derivation changes
+    * invalidate automatically via [[planHash]]. */
   private val Version = 1
 
   private def root: String =
@@ -49,15 +51,48 @@ object Staged {
 
   private def versionSeg(constants: String): String = s"v$Version-$constants"
 
+  private def sfTag(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replaceAll("^_+|_+$", "")
+
   private def stagePath(sfDir: String, constants: String, name: String): Path = {
     val doc = Paths.get(sfDir, "documents.parquet")
     val fp =
       if (Files.exists(doc))
         s"${Files.size(doc)}-${Files.getLastModifiedTime(doc).toMillis}"
       else "nodocs"
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-      .replaceAll("^_+|_+$", "")
-    Paths.get(root, versionSeg(constants), s"$tag-$fp", name)
+    Paths.get(root, versionSeg(constants), s"${sfTag(sfDir)}-$fp", name)
+  }
+
+  /** Code-derived stage token: md5 of the CANONICALIZED analyzed plan,
+    * so the staged path changes whenever the derivation's expressions,
+    * constants, or upstream staged inputs change — the mandated
+    * Verify/check feedback loop then re-executes edited dedup code
+    * instead of reading a stale stage from a previous code version.
+    * Canonicalization normalizes expression ids, keeping the hash
+    * stable across JVMs; any residual instability only costs a
+    * recompute, never a stale read. */
+  def planHash(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Drop every staged relation for `sfDir` (all versions) — Bench runs
+    * this up front so its reported totals are reproducibly COLD (a
+    * surviving /tmp/graft_stage from a prior Verify/Bench would
+    * otherwise silently shave ~13s off the metric). */
+  def clearFor(sfDir: String): Unit = synchronized {
+    val r = Paths.get(root)
+    if (Files.exists(r)) {
+      import scala.jdk.CollectionConverters._
+      val prefix = sfTag(sfDir) + "-"
+      Files.list(r).iterator().asScala.filter(Files.isDirectory(_)).foreach { ver =>
+        Files.list(ver).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.startsWith(prefix))
+          .foreach(deleteRecursively)
+      }
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -67,13 +102,15 @@ object Staged {
     }
 
   /** Read the named stage for `sfDir`, computing and materializing it
-    * first if absent. Synchronized (stage computations can nest —
-    * clusters stages pairs stages bands — and re-entrant locking is what
-    * a single driver needs; cross-JVM races are settled by the atomic
-    * rename). */
+    * first if absent. `token` is the code-derived invalidation key
+    * (usually [[planHash]] of the derivation, or of its input when the
+    * derivation itself is imperative). Synchronized (stage computations
+    * can nest — clusters stages pairs stages bands — and re-entrant
+    * locking is what a single driver needs; cross-JVM races are settled
+    * by the atomic rename). */
   def orCompute(s: SparkSession, sfDir: String, constants: String,
-      name: String)(compute: => DataFrame): DataFrame = synchronized {
-    val path = stagePath(sfDir, constants, name)
+      name: String, token: String)(compute: => DataFrame): DataFrame = synchronized {
+    val path = stagePath(sfDir, constants, s"$name-$token")
     val success = path.resolve("_SUCCESS")
     if (!Files.exists(success)) {
       val df = compute

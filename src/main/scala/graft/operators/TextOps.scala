@@ -52,16 +52,21 @@ object TextOps {
     * and read by every consumer (q23, q24's candidate side, q46, and
     * transitively q50/q52) — the pipeline-staging shape of running the
     * dedup stack at scale. */
-  private def bandsStaged(s: SparkSession, d: String): DataFrame =
-    Staged.orCompute(s, d, stageConsts, "lsh_bands")(bands(Tables.documents(s, d)))
+  private def bandsStaged(s: SparkSession, d: String): DataFrame = {
+    def df = bands(Tables.documents(s, d))
+    Staged.orCompute(s, d, stageConsts, "lsh_bands", Staged.planHash(df))(df)
+  }
 
   /** The verified near-dup pair relation (LSH candidates + true
     * Jaccard), staged: candidates derive from the staged band relation,
     * the shingle sets from one fresh pass over the corpus. Read by q24,
     * q50 and (transitively) q52. */
-  private def pairsStaged(s: SparkSession, d: String): DataFrame =
-    Staged.orCompute(s, d, stageConsts, "lsh_pairs")(
-      lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d)))
+  private def pairsStaged(s: SparkSession, d: String): DataFrame = {
+    // the pairs plan READS the staged band path, so its hash also
+    // covers the band derivation transitively
+    def df = lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d))
+    Staged.orCompute(s, d, stageConsts, "lsh_pairs", Staged.planHash(df))(df)
+  }
 
   // ---------------------------------------------------------------
   // q20: per-document token/quality statistics
@@ -470,12 +475,16 @@ object TextOps {
     * Oracle side: the same components via a DuckDB recursive CTE
     * (transitive closure → min reachable id), a fully independent
     * formulation. */
-  def q50DedupClusters(s: SparkSession, d: String): DataFrame =
-    Staged.orCompute(s, d, stageConsts, "dedup_clusters")(
-      dedupClusters(pairsStaged(s, d)
-        .filter($"jaccard" >= ClusterJaccard)
-        .select($"d1", $"d2")))
+  def q50DedupClusters(s: SparkSession, d: String): DataFrame = {
+    // the stage token hashes the EDGE INPUT plan (the propagation loop
+    // itself is imperative — its logic changes ride Staged.Version)
+    def edges = pairsStaged(s, d)
+      .filter($"jaccard" >= ClusterJaccard)
+      .select($"d1", $"d2")
+    Staged.orCompute(s, d, stageConsts, "dedup_clusters", Staged.planHash(edges))(
+      dedupClusters(edges))
       .orderBy($"doc_id")
+  }
 
   private[graft] def dedupClusters(edges0: DataFrame): DataFrame = {
     val edges = edges0.select($"d1".as("a"), $"d2".as("b"))

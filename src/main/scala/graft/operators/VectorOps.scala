@@ -287,9 +287,11 @@ object VectorOps {
     * O(dim × outputs). */
   def q51Quantize(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
-    val probe = emb.agg(
-      count(lit(1)), min(size($"embedding")), max(size($"embedding"))).head()
-    if (probe.getLong(0) == 0L) {
+    // dim probe: ONE row fetched (LocalLimit scan — a metadata lookup,
+    // not an aggregation pass); the full-table work below is a single
+    // fused aggregation
+    val firstDim = emb.select(size($"embedding")).take(1)
+    if (firstDim.isEmpty) {
       // empty corpus: the oracle returns zero rows; match its schema
       import org.apache.spark.sql.types._
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -298,18 +300,22 @@ object VectorOps {
           StructField("code_first", LongType), StructField("code_last", LongType),
           StructField("code_sum", LongType), StructField("mse", DoubleType))))
     }
-    val dim = probe.getInt(1)
-    // a ragged corpus would silently skew codes vs the per-row-length
-    // oracle — refuse loudly instead
-    require(probe.getInt(2) == dim,
-      s"q51Quantize: ragged embedding dims (${probe.getInt(1)}..${probe.getInt(2)})")
+    val dim = firstDim.head.getInt(0)
+    // one fused metadata pass: per-dim (min,max) arrays AND the
+    // dim-uniformity probe in the same aggregation — no second scan
     val params = emb.agg(
+      min(size($"embedding")).as("mnsz"),
+      max(size($"embedding")).as("mxsz"),
       array((1 to dim).map(i =>
         min(element_at($"embedding", i)).cast("double")): _*).as("mns"),
       array((1 to dim).map(i =>
         max(element_at($"embedding", i)).cast("double")): _*).as("mxs")).head()
-    val mns = params.getSeq[Double](0)
-    val mxs = params.getSeq[Double](1)
+    // a ragged corpus would silently skew codes vs the per-row-length
+    // oracle — refuse loudly instead
+    require(params.getInt(0) == dim && params.getInt(1) == dim,
+      s"q51Quantize: ragged embedding dims (${params.getInt(0)}..${params.getInt(1)})")
+    val mns = params.getSeq[Double](2)
+    val mxs = params.getSeq[Double](3)
     def v(i: Int): Column = element_at($"embedding", i).cast("double")
     // per-dim (min,max) are plan-time constants, so the mx==mn guard
     // resolves at build time and each code is a pure codegen'd
@@ -358,6 +364,7 @@ object VectorOps {
        |    i -> $code)) AS BIGINT) AS code_sum,
        |  ${sqlRound(s"list_sum(list_transform(range(1, CAST(p.n_dims AS INT) + 1), i -> ($v - $dq) * ($v - $dq))) / p.n_dims", 8)} AS mse
        |FROM embeddings e CROSS JOIN p
+       |WHERE e.embedding IS NOT NULL
        |ORDER BY e.vec_id""".stripMargin
   }
 

@@ -224,13 +224,20 @@ object EventStream {
     * on ordered finite input. */
   def rangeJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
+    // timestamps are truncated to WHOLE SECONDS before the join so the
+    // ±1h bound matches the batch twin's floor-second gap arithmetic
+    // exactly (README determinism rule: temporal join keys at second
+    // grain) — with raw micro-precision, a pair whose real gap is in
+    // (3600s, 3601s) but truncated gap exactly 3600 would be included
+    // by batch yet excluded here
     val clicks = rawEvents(spark, sfDir)
       .filter($"event_type" === "click")
-      .select($"user_id", $"ts".as("click_ts"), $"event_id")
+      .select($"user_id", date_trunc("second", $"ts").as("click_ts"), $"event_id")
       .withWatermark("click_ts", "1 hour")
     val purchases = rawEvents(spark, sfDir)
       .filter($"event_type" === "purchase")
-      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"),
+      .select($"user_id".as("p_user_id"),
+        date_trunc("second", $"ts").as("purchase_ts"),
         $"event_id".as("purchase_id"))
       .withWatermark("purchase_ts", "1 hour")
     val q = clicks
