@@ -784,16 +784,20 @@ object TextOps {
     * shard key), never a single global cumsum — shards pack in
     * parallel, which is how a 100 TB corpus packs on 1000 executors
     * (shard by lang/source/hash, pack within shard). */
-  def q59PackSequences(s: SparkSession, d: String): DataFrame = {
+  def q59PackSequences(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d))
+
+  private[graft] def packSequences(docs: DataFrame,
+      budget: Long = PackBudget): DataFrame = {
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
+    docs
       .filter($"text".isNotNull)
       .select($"doc_id", $"lang", Text.tokenCount($"text").cast("long").as("n_tokens"))
       .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
       .select($"doc_id", $"lang", $"n_tokens",
-        expr(s"start_tok div $PackBudget").as("pack_id"),
-        ($"start_tok" % PackBudget).as("pack_offset"))
+        expr(s"start_tok div $budget").as("pack_id"),
+        ($"start_tok" % budget).as("pack_offset"))
       .orderBy($"doc_id")
   }
 
@@ -827,10 +831,13 @@ object TextOps {
     * doc-shingle matches at most once (no hot-key amplification). A
     * real eval set is tiny relative to the corpus — at scale it would
     * be `broadcast()` and the corpus side never shuffles at all. */
-  def q60Decontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(Tables.documents(s, d)).distinct()
-    val bench = sh.filter($"doc_id" % 10 === 7).select($"sh").distinct()
-    sh.filter($"doc_id" % 10 =!= 7)
+  def q60Decontaminate(s: SparkSession, d: String): DataFrame =
+    decontaminate(Tables.documents(s, d), $"doc_id" % 10 === 7)
+
+  private[graft] def decontaminate(docs: DataFrame, isBench: Column): DataFrame = {
+    val sh = shingleRows(docs).distinct()
+    val bench = sh.filter(isBench).select($"sh").distinct()
+    sh.filter(!isBench)
       .join(bench, "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shared_shingles"))
@@ -856,7 +863,10 @@ object TextOps {
     * by doc_id — the same partitioning every other per-doc text
     * operator uses. */
   def q61Repetition(s: SparkSession, d: String): DataFrame =
-    shingleRows(Tables.documents(s, d))
+    repetitionStats(Tables.documents(s, d))
+
+  private[graft] def repetitionStats(docs: DataFrame): DataFrame =
+    shingleRows(docs)
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),

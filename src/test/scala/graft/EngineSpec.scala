@@ -179,6 +179,59 @@ class EngineSpec extends AnyFunSuite {
       rows(current))
   }
 
+  test("sequence packing: per-language running totals, straddling docs, shard independence") {
+    import graft.operators.TextOps
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // lang A: 300 + 300 + 100 tokens at budget 512 → doc 2 STARTS in
+    // pack 0 at offset 300 (straddles into pack 1), doc 3 starts in
+    // pack 1 at offset 88; lang B packs independently from zero
+    val docs = Seq(
+      (1L, "A", words(300)), (2L, "A", words(300)), (3L, "A", words(100)),
+      (10L, "B", words(600)), (11L, "B", words(10))
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.packSequences(docs, budget = 512L).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 600L - 512L),
+      (10L, 0L, 0L), (11L, 1L, 600L - 512L)))
+    // partitioning invariance: the pack assignment is a pure function
+    // of (lang, doc_id order, token counts)
+    val repart = TextOps.packSequences(docs.repartition(7), budget = 512L)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    assert(repart === got)
+  }
+
+  test("decontamination flags exactly the docs sharing a shingle with the benchmark split") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (7L, "the secret eval answer is forty two"),      // benchmark (id % 10 == 7)
+      (1L, "padding words then the secret eval answer"), // shares 2 shingles
+      (2L, "completely unrelated text with other words"),
+      (3L, "the secret eval"),                           // 1 shared shingle
+      (17L, "another benchmark doc entirely different")  // benchmark too
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontaminate(docs, col("doc_id") % 10 === 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 1 shares "the secret eval" and "secret eval answer"; doc 3
+    // shares "the secret eval"; doc 2 nothing; benchmark docs excluded
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("repetition ratio: duplicate shingle fraction per document") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 7 shingles, 3 distinct → 1 - 3/7
+      (2L, "all distinct words here now"), // 3 shingles, all distinct → 0
+      (3L, "too short")          // < 3 words → no row
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L)._1 === 7L && got(1L)._2 === 3L)
+    assert(math.abs(got(1L)._3 - (1.0 - 3.0 / 7.0)) < 5e-7)
+    assert(got(2L) === ((3L, 3L, 0.0)))
+  }
+
   test("BMP codec: encodeBmp produces a real image javax.imageio decodes back to exact channel sums") {
     import graft.multimodal.Multimodal
     // payload bytes 0..99: channel sums are computable by hand —
