@@ -216,18 +216,18 @@ object Multimodal {
           s"media_id=${r.media_id}: payload is not a decodable image")
         val w = img.getWidth
         val h = img.getHeight
+        // bulk getRGB: one packed-int array per image instead of a
+        // JNI-ish per-pixel call — layout-independent (works whatever
+        // BufferedImage type the reader returned)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var sr = 0L; var sg = 0L; var sb = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff
-            sg += (rgb >> 8) & 0xff
-            sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xff
+          sg += (rgb >> 8) & 0xff
+          sb += rgb & 0xff
+          i += 1
         }
         DecodedImage(r.media_id, w, h, w.toLong * h, sr, sg, sb)
       }

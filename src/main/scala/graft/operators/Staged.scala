@@ -119,6 +119,19 @@ object Staged {
       try {
         df.write.mode("overwrite").parquet(tmp.toString)
         Files.createDirectories(path.getParent)
+        // a stage under the same name but an OLD plan token is stale by
+        // definition (the derivation changed) — reap it so /tmp doesn't
+        // accumulate one copy per code iteration
+        locally {
+          import scala.jdk.CollectionConverters._
+          val stale = Files.list(path.getParent).iterator().asScala.toSeq
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith(s"$name-") && n != path.getFileName.toString &&
+                !n.contains(".tmp-")
+            }
+          stale.foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+        }
         try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
         catch {
           case _: FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException =>

@@ -213,4 +213,27 @@ object PropertySpec extends Properties("graft") {
         got == want
       }
     }
+
+  property("sequence packing == sequential fold per language shard") =
+    forAll(
+      Gen.listOfN(12, Gen.zip(Gen.oneOf("en", "de"), Gen.chooseNum(1, 40))),
+      Gen.chooseNum(16L, 64L)) { (docsRaw, budget) =>
+      // doc_id = index; text = n 1-char words → tokenCount == n
+      val docs = docsRaw.zipWithIndex.map { case ((lang, n), i) =>
+        (i.toLong, lang, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "lang", "text")
+      val got = graft.operators.TextOps.packSequences(docs, budget)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      // reference: a plain sequential fold over each language shard in
+      // doc-id order — pack = runningTotal div budget at doc start
+      var want = Map.empty[Long, (Long, Long)]
+      docsRaw.zipWithIndex.groupBy(_._1._1).foreach { case (_, ds) =>
+        var total = 0L
+        ds.sortBy(_._2).foreach { case ((_, n), i) =>
+          want += i.toLong -> (total / budget, total % budget)
+          total += n
+        }
+      }
+      got == want
+    }
 }
