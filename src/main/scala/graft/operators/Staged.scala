@@ -47,7 +47,9 @@ object Staged {
   private val Version = 1
 
   private def root: String =
-    sys.env.getOrElse("GRAFT_STAGE_DIR", "/tmp/graft_stage")
+    sys.props.get("graft.stage.dir")
+      .orElse(sys.env.get("GRAFT_STAGE_DIR"))
+      .getOrElse("/tmp/graft_stage")
 
   private def versionSeg(constants: String): String = s"v$Version-$constants"
 

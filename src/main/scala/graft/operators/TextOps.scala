@@ -52,7 +52,7 @@ object TextOps {
     * and read by every consumer (q23, q24's candidate side, q46, and
     * transitively q50/q52) — the pipeline-staging shape of running the
     * dedup stack at scale. */
-  private def bandsStaged(s: SparkSession, d: String): DataFrame = {
+  def bandsStaged(s: SparkSession, d: String): DataFrame = {
     def df = bands(Tables.documents(s, d))
     Staged.orCompute(s, d, stageConsts, "lsh_bands", Staged.planHash(df))(df)
   }
@@ -61,7 +61,7 @@ object TextOps {
     * Jaccard), staged: candidates derive from the staged band relation,
     * the shingle sets from one fresh pass over the corpus. Read by q24,
     * q50 and (transitively) q52. */
-  private def pairsStaged(s: SparkSession, d: String): DataFrame = {
+  def pairsStaged(s: SparkSession, d: String): DataFrame = {
     // the pairs plan READS the staged band path, so its hash also
     // covers the band derivation transitively
     def df = lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d))

@@ -61,6 +61,39 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, d).count())
   }
 
+  test("staged dedup relations: warm reads are bare parquet scans; unwritable store falls back") {
+    import graft.operators.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val prevProp = sys.props.get("graft.stage.dir")
+    try {
+      // isolated store for this test
+      sys.props("graft.stage.dir") = "/tmp/graft_stage_spec"
+      new scala.reflect.io.Directory(new java.io.File("/tmp/graft_stage_spec")).deleteRecursively()
+      TextOps.pairsStaged(spark, sf).count() // cold: computes + stages bands, pairs
+      val warm = TextOps.pairsStaged(spark, sf)
+      val plan = warm.queryExecution.executedPlan.toString
+      // a warm staged read must be a parquet scan of the stage — any
+      // Window/Generate node means the derivation ran again
+      assert(plan.contains("graft_stage_spec"), s"not reading the stage:\n$plan")
+      assert(!plan.contains("Window") && !plan.contains("Generate"),
+        s"warm read re-derived the pipeline:\n$plan")
+      // identical content cold vs warm
+      assert(warm.count() === TextOps.lshPairs(
+        graft.sources.Tables.documents(spark, sf)).count())
+      // unwritable store: staging must FALL BACK to direct computation,
+      // never fail the query
+      sys.props("graft.stage.dir") = "/proc/graft_cannot_write_here"
+      val fallback = TextOps.bandsStaged(spark, sf)
+      assert(fallback.count() > 0)
+    } finally {
+      prevProp match {
+        case Some(v) => sys.props("graft.stage.dir") = v
+        case None => sys.props.remove("graft.stage.dir")
+      }
+      new scala.reflect.io.Directory(new java.io.File("/tmp/graft_stage_spec")).deleteRecursively()
+    }
+  }
+
   test("LSH bucket cap bounds pair generation on a degenerate mass-duplicate corpus") {
     // 10k identical docs: every band bucket collects the WHOLE corpus —
     // uncapped, that is one 10k-element array row and ~50M pairs from a
