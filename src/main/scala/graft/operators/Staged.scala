@@ -73,12 +73,21 @@ object Staged {
     * Canonicalization normalizes expression ids, keeping the hash
     * stable across JVMs; any residual instability only costs a
     * recompute, never a stale read. */
-  def planHash(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
+  private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8"))
+      .digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-  }
+
+  def planHash(df: DataFrame): String =
+    md5hex(df.queryExecution.analyzed.canonicalized.toString)
+
+  /** Combine a derivation's own plan hash with its UPSTREAM stages'
+    * tokens. Necessary because a parquet scan's canonicalized plan
+    * string shows only the format name, never the file path — a plan
+    * that reads a staged relation does NOT change when that stage's
+    * derivation (and hence path) changes, so transitive invalidation
+    * must be spliced in explicitly. */
+  def combine(tokens: String*): String = md5hex(tokens.mkString("|"))
 
   /** Drop every staged relation for `sfDir` (all versions) — Bench runs
     * this up front so its reported totals are reproducibly COLD (a
@@ -87,10 +96,9 @@ object Staged {
   def clearFor(sfDir: String): Unit = synchronized {
     val r = Paths.get(root)
     if (Files.exists(r)) {
-      import scala.jdk.CollectionConverters._
       val prefix = sfTag(sfDir) + "-"
-      Files.list(r).iterator().asScala.filter(Files.isDirectory(_)).foreach { ver =>
-        Files.list(ver).iterator().asScala.toSeq
+      listDir(r).filter(Files.isDirectory(_)).foreach { ver =>
+        listDir(ver)
           .filter(p => p.getFileName.toString.startsWith(prefix))
           .foreach(deleteRecursively)
       }
@@ -100,8 +108,16 @@ object Staged {
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      val all = try s.iterator().asScala.toSeq.reverse finally s.close()
+      all.foreach(Files.delete)
     }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
 
   /** Read the named stage for `sfDir`, computing and materializing it
     * first if absent. `token` is the code-derived invalidation key
@@ -123,14 +139,19 @@ object Staged {
         Files.createDirectories(path.getParent)
         // a stage under the same name but an OLD plan token is stale by
         // definition (the derivation changed) — reap it so /tmp doesn't
-        // accumulate one copy per code iteration
+        // accumulate one copy per code iteration. Age-gated: a stage
+        // modified in the last 30 min might still be mid-read by a
+        // concurrently-launched JVM running the previous code version,
+        // so only clearly-abandoned copies are deleted (the next run
+        // reaps the rest)
         locally {
-          import scala.jdk.CollectionConverters._
-          val stale = Files.list(path.getParent).iterator().asScala.toSeq
+          val cutoff = System.currentTimeMillis() - 30 * 60 * 1000L
+          val stale = listDir(path.getParent)
             .filter { p =>
               val n = p.getFileName.toString
               n.startsWith(s"$name-") && n != path.getFileName.toString &&
-                !n.contains(".tmp-")
+                !n.contains(".tmp-") &&
+                Files.getLastModifiedTime(p).toMillis < cutoff
             }
           stale.foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
         }

@@ -52,8 +52,15 @@ object TextOps {
     * and read by every consumer (q23, q24's candidate side, q46, and
     * transitively q50/q52) — the pipeline-staging shape of running the
     * dedup stack at scale. */
+  /** Token of the band derivation — also spliced into every DOWNSTREAM
+    * stage's token: a parquet scan's canonicalized plan names only the
+    * format, not the path, so a stage reading staged bands would not
+    * see a bands-logic change through its own plan hash alone. */
+  private def bandsToken(s: SparkSession, d: String): String =
+    Staged.planHash(bands(Tables.documents(s, d)))
+
   def bandsStaged(s: SparkSession, d: String): DataFrame = {
-    def df = bands(Tables.documents(s, d))
+    val df = bands(Tables.documents(s, d))
     Staged.orCompute(s, d, stageConsts, "lsh_bands", Staged.planHash(df))(df)
   }
 
@@ -61,11 +68,16 @@ object TextOps {
     * Jaccard), staged: candidates derive from the staged band relation,
     * the shingle sets from one fresh pass over the corpus. Read by q24,
     * q50 and (transitively) q52. */
+  /** Pairs-stage token: own plan hash COMBINED with the bands token
+    * (the plan itself cannot see which staged band path it reads). */
+  private def pairsToken(s: SparkSession, d: String): String =
+    Staged.combine(
+      Staged.planHash(lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d))),
+      bandsToken(s, d))
+
   def pairsStaged(s: SparkSession, d: String): DataFrame = {
-    // the pairs plan READS the staged band path, so its hash also
-    // covers the band derivation transitively
-    def df = lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d))
-    Staged.orCompute(s, d, stageConsts, "lsh_pairs", Staged.planHash(df))(df)
+    val df = lshPairsFrom(bandsStaged(s, d), Tables.documents(s, d))
+    Staged.orCompute(s, d, stageConsts, "lsh_pairs", pairsToken(s, d))(df)
   }
 
   // ---------------------------------------------------------------
@@ -476,12 +488,14 @@ object TextOps {
     * (transitive closure → min reachable id), a fully independent
     * formulation. */
   def q50DedupClusters(s: SparkSession, d: String): DataFrame = {
-    // the stage token hashes the EDGE INPUT plan (the propagation loop
-    // itself is imperative — its logic changes ride Staged.Version)
-    def edges = pairsStaged(s, d)
+    // token = edge-input plan hash ⊕ pairs token (the edge plan can't
+    // see which staged pair path it scans); the propagation loop itself
+    // is imperative — its logic changes ride Staged.Version
+    val edges = pairsStaged(s, d)
       .filter($"jaccard" >= ClusterJaccard)
       .select($"d1", $"d2")
-    Staged.orCompute(s, d, stageConsts, "dedup_clusters", Staged.planHash(edges))(
+    val token = Staged.combine(Staged.planHash(edges), pairsToken(s, d))
+    Staged.orCompute(s, d, stageConsts, "dedup_clusters", token)(
       dedupClusters(edges))
       .orderBy($"doc_id")
   }

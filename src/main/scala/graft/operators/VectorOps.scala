@@ -302,14 +302,17 @@ object VectorOps {
     }
     val dim = firstDim.head.getInt(0)
     // one fused metadata pass: per-dim (min,max) arrays AND the
-    // dim-uniformity probe in the same aggregation — no second scan
+    // dim-uniformity probe in the same aggregation — no second scan.
+    // try_element_at (NULL out-of-bounds instead of the ANSI throw)
+    // lets the pass COMPLETE on a ragged corpus so the require below
+    // can fail with its diagnostic rather than a cryptic index error
     val params = emb.agg(
       min(size($"embedding")).as("mnsz"),
       max(size($"embedding")).as("mxsz"),
       array((1 to dim).map(i =>
-        min(element_at($"embedding", i)).cast("double")): _*).as("mns"),
+        min(try_element_at($"embedding", lit(i))).cast("double")): _*).as("mns"),
       array((1 to dim).map(i =>
-        max(element_at($"embedding", i)).cast("double")): _*).as("mxs")).head()
+        max(try_element_at($"embedding", lit(i))).cast("double")): _*).as("mxs")).head()
     // a ragged corpus would silently skew codes vs the per-row-length
     // oracle — refuse loudly instead
     require(params.getInt(0) == dim && params.getInt(1) == dim,
