@@ -786,45 +786,57 @@ object TextOps {
   // ---------------------------------------------------------------
 
   private val PackBudget = 512L
+  private val PackShards = 8
 
-  /** Training-sequence packing: concatenate documents per language in
-    * doc-id order and split at a fixed token budget — each doc gets the
-    * pack (training sequence) it STARTS in plus its offset there, the
-    * assignment step of the packing every LLM data loader performs.
-    * Deterministic: a pure function of (lang, doc_id order, token
-    * counts) — no RNG, identical across engines and partitionings.
+  /** Training-sequence packing: concatenate documents per
+    * (language, shard) in doc-id order and split at a fixed token
+    * budget — each doc gets the pack (training sequence) it STARTS in
+    * plus its offset there, the assignment step of the packing every
+    * LLM data loader performs. Deterministic: the shard is the first
+    * 32 bits of md5(doc_id) mod [[PackShards]] (the q55 hash-sampling
+    * trick), so the whole assignment is a pure function of (lang,
+    * shard, doc_id order, token counts) — no RNG, identical across
+    * engines and partitionings.
     *
-    * Scale shape: the running total is windowed PER LANGUAGE (the
-    * shard key), never a single global cumsum — shards pack in
-    * parallel, which is how a 100 TB corpus packs on 1000 executors
-    * (shard by lang/source/hash, pack within shard). */
+    * Scale shape: the running total is windowed per (lang, shard) —
+    * language alone is a HANDFUL of values (a 5-language corpus would
+    * pack on 5 tasks no matter the cluster), so the hash shard key is
+    * what actually spreads the cumsum across executors; at 100 TB you
+    * raise PackShards to O(cores) and every shard packs independently,
+    * exactly how production loaders pack per input shard/file. */
   def q59PackSequences(s: SparkSession, d: String): DataFrame =
     packSequences(Tables.documents(s, d))
 
   private[graft] def packSequences(docs: DataFrame,
-      budget: Long = PackBudget): DataFrame = {
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      budget: Long = PackBudget, nShards: Int = PackShards): DataFrame = {
+    val w = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .filter($"text".isNotNull)
-      .select($"doc_id", $"lang", Text.tokenCount($"text").cast("long").as("n_tokens"))
+      .select($"doc_id", $"lang",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).as("shard"),
+        Text.tokenCount($"text").cast("long").as("n_tokens"))
       .withColumn("start_tok", coalesce(sum($"n_tokens").over(w), lit(0L)))
-      .select($"doc_id", $"lang", $"n_tokens",
+      .select($"doc_id", $"lang", $"shard", $"n_tokens",
         expr(s"start_tok div $budget").as("pack_id"),
         ($"start_tok" % budget).as("pack_offset"))
       .orderBy($"doc_id")
   }
 
   val q59PackSequencesSql: String =
-    s"""WITH t AS (SELECT doc_id, lang, $tcSql AS n_tokens
-       |           FROM documents WHERE text IS NOT NULL),
-       |c AS (SELECT doc_id, lang, n_tokens,
-       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+    s"""WITH t AS (SELECT doc_id, lang,
+       |        (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+       |          AS BIGINT) % $PackShards) AS shard,
+       |        $tcSql AS n_tokens
+       |      FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard
        |          ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |          AS BIGINT) AS start_tok
        |      FROM t)
-       |SELECT doc_id, lang, n_tokens,
+       |SELECT doc_id, lang, shard, n_tokens,
        |  start_tok // $PackBudget AS pack_id,
        |  start_tok % $PackBudget AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin

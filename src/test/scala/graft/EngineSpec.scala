@@ -189,16 +189,20 @@ class EngineSpec extends AnyFunSuite {
       (1L, "A", words(300)), (2L, "A", words(300)), (3L, "A", words(100)),
       (10L, "B", words(600)), (11L, "B", words(10))
     ).toDF("doc_id", "lang", "text")
-    val got = TextOps.packSequences(docs, budget = 512L).collect()
-      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
+    // nShards = 1 pins every doc to shard 0, keeping the hand-computed
+    // per-language expectations; multi-shard behavior is covered by the
+    // PropertySpec fold comparison
+    def packs(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(df, budget = 512L, nShards = 1).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toSet
+    val got = packs(docs)
     assert(got === Set(
       (1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 600L - 512L),
       (10L, 0L, 0L), (11L, 1L, 600L - 512L)))
     // partitioning invariance: the pack assignment is a pure function
-    // of (lang, doc_id order, token counts)
-    val repart = TextOps.packSequences(docs.repartition(7), budget = 512L)
-      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSet
-    assert(repart === got)
+    // of (lang, shard, doc_id order, token counts)
+    assert(packs(docs.repartition(7)) === got)
   }
 
   test("decontamination flags exactly the docs sharing a shingle with the benchmark split") {

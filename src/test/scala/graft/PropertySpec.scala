@@ -214,26 +214,38 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
-  property("sequence packing == sequential fold per language shard") =
+  property("sequence packing == sequential fold per (lang, shard)") =
     forAll(
       Gen.listOfN(12, Gen.zip(Gen.oneOf("en", "de"), Gen.chooseNum(1, 40))),
-      Gen.chooseNum(16L, 64L)) { (docsRaw, budget) =>
+      Gen.chooseNum(16L, 64L),
+      Gen.chooseNum(1, 3)) { (docsRaw, budget, nShards) =>
       // doc_id = index; text = n 1-char words → tokenCount == n
       val docs = docsRaw.zipWithIndex.map { case ((lang, n), i) =>
         (i.toLong, lang, Seq.fill(n)("w").mkString(" "))
       }.toDF("doc_id", "lang", "text")
-      val got = graft.operators.TextOps.packSequences(docs, budget)
-        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
-      // reference: a plain sequential fold over each language shard in
-      // doc-id order — pack = runningTotal div budget at doc start
-      var want = Map.empty[Long, (Long, Long)]
-      docsRaw.zipWithIndex.groupBy(_._1._1).foreach { case (_, ds) =>
-        var total = 0L
-        ds.sortBy(_._2).foreach { case ((_, n), i) =>
-          want += i.toLong -> (total / budget, total % budget)
-          total += n
-        }
+      val got = graft.operators.TextOps.packSequences(docs, budget, nShards)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+      // reference: the engine's shard fn re-derived independently (first
+      // 32 bits of md5(doc_id) mod nShards), then a sequential fold per
+      // (lang, shard) in doc-id order
+      def shardOf(id: Long): Long = {
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % nShards
       }
+      var want = Map.empty[Long, (Long, Long)]
+      docsRaw.zipWithIndex
+        .groupBy { case ((lang, _), i) => (lang, shardOf(i.toLong)) }
+        .foreach { case (_, ds) =>
+          var total = 0L
+          ds.sortBy(_._2).foreach { case ((_, n), i) =>
+            want += i.toLong -> (total / budget, total % budget)
+            total += n
+          }
+        }
       got == want
     }
 }
