@@ -83,6 +83,8 @@ object SparkEntry {
     "q59_pack_sequences" -> (TextOps.q59PackSequences(_, _)),
     "q60_decontaminate"  -> (TextOps.q60Decontaminate(_, _)),
     "q61_repetition"     -> (TextOps.q61Repetition(_, _)),
+    "q62_bigram_vocab"   -> (TextOps.q62BigramVocab(_, _)),
+    "q63_corpus_report"  -> (TextOps.q63CorpusReport(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -158,5 +160,7 @@ object SparkEntry {
     "q59_pack_sequences" -> TextOps.q59PackSequencesSql,
     "q60_decontaminate"  -> TextOps.q60DecontaminateSql,
     "q61_repetition"     -> TextOps.q61RepetitionSql,
+    "q62_bigram_vocab"   -> TextOps.q62BigramVocabSql,
+    "q63_corpus_report"  -> TextOps.q63CorpusReportSql,
   )
 }

@@ -912,6 +912,77 @@ object TextOps {
        |FROM shd GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q62: bigram vocabulary induction (the BPE counting step)
+  // ---------------------------------------------------------------
+
+  private val VocabTopK = 100
+
+  /** Corpus-wide top-k adjacent-pair counts — the counting step a BPE /
+    * WordPiece vocabulary induction loop runs each merge round, here at
+    * word granularity. Deterministic: ties broken by the bigram string.
+    *
+    * Scale shape: one explode → window(lead) per doc → hash aggregate
+    * (map-side partial combine collapses the heavy hitters before the
+    * shuffle) → global top-k, which Spark plans as
+    * TakeOrderedAndProject: each partition keeps only its local top-k
+    * before the single-row-ish final merge — no global sort of the
+    * vocabulary ever happens. */
+  def q62BigramVocab(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead($"w", 1).over(w))
+      .filter($"w1".isNotNull)
+      .select(concat_ws(" ", $"w", $"w1").as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"bigram")
+      .limit(VocabTopK)
+  }
+
+  val q62BigramVocabSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |            WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT w[i+1] || ' ' || w[i+2] AS bigram
+       |       FROM ws, UNNEST(range(0, len(w) - 1)) AS t(i))
+       |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+       |FROM bg GROUP BY bigram
+       |ORDER BY cnt DESC, bigram LIMIT $VocabTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q63: per-source corpus report (the "corpus card" rollup)
+  // ---------------------------------------------------------------
+
+  /** Per-source corpus accounting — the dataset-card numbers a corpus
+    * release ships: document and token counts, exact-duplicate rate,
+    * and mean quality per source. Single hash aggregation keyed by
+    * source (map-side combinable); the quality mean uses the engine's
+    * integer-grid trick (per-doc floor to 1e-4, exact order-independent
+    * sums) so the float mean is bit-identical across engines. */
+  def q63CorpusReport(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text").cast("long")).as("n_tokens"),
+        countDistinct(md5($"text")).as("n_distinct"),
+        (floor(sum(floor(Text.qualityScore($"text") * 1e4 + 0.5)) /
+          count($"text") + 0.5) / 1e4).as("avg_quality"))
+      .select($"source", $"n_docs", $"n_tokens", $"n_distinct",
+        stableRound(lit(1.0) - $"n_distinct" / $"n_docs", 6).as("dup_rate"),
+        $"avg_quality")
+      .orderBy($"source")
+
+  val q63CorpusReportSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |  CAST(sum($tcSql) AS BIGINT) AS n_tokens,
+       |  count(DISTINCT md5(text)) AS n_distinct,
+       |  ${sqlRound("1.0 - count(DISTINCT md5(text)) / count(*)", 6)} AS dup_rate,
+       |  floor(sum(floor(($qualitySql) * 1e4 + 0.5)) / count(text) + 0.5) / 1e4
+       |    AS avg_quality
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q25: corpus-level dedup summary (exact + normalized)
   // ---------------------------------------------------------------
 
