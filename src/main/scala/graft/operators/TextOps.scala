@@ -200,22 +200,28 @@ object TextOps {
   // q23/q24: MinHash signatures → LSH bands → candidate pairs → Jaccard
   // ---------------------------------------------------------------
 
-  /** 3-word shingle stream (duplicates included): posexplode the words,
-    * two `lead`s over (doc_id, pos), concat. Every expression here is
-    * codegen'd — the higher-order `transform`+`array_distinct`
-    * formulation benchmarked 4-5× slower (HOFs evaluate interpreted,
-    * per-element, with per-shingle allocations). One exchange total (the
-    * window's hash partition by doc_id), which downstream doc_id
-    * aggregations reuse. */
-  private def shingleRows(docs: DataFrame): DataFrame = {
+  /** n-word-gram stream (duplicates included): posexplode the words,
+    * n−1 `lead`s over (doc_id, pos) — one Window node computes them
+    * all — concat. Every expression here is codegen'd: the higher-order
+    * `transform`+`array_distinct` formulation benchmarked 4-5× slower
+    * (HOFs evaluate interpreted, per-element, with per-gram
+    * allocations). One exchange total (the window's hash partition by
+    * doc_id), which downstream doc_id aggregations reuse. */
+  private def ngramRows(docs: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    docs
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead($"w", 1).over(w))
-      .withColumn("w2", lead($"w", 2).over(w))
-      .filter($"w2".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"w", $"w1", $"w2").as("sh"))
+    val exploded =
+      docs.select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val withLeads = (1 until n).foldLeft(exploded) { (df, i) =>
+      df.withColumn(s"w$i", lead($"w", i).over(w))
+    }
+    val parts = $"w" +: (1 until n).map(i => col(s"w$i"))
+    withLeads
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select($"doc_id", concat_ws(" ", parts: _*).as("sh"))
   }
+
+  /** The dedup family's 3-word shingle stream. */
+  private def shingleRows(docs: DataFrame): DataFrame = ngramRows(docs, 3)
 
   /** Distinct shingle SET per doc (array column) — `collect_set` dedups
     * inside the aggregation, reusing the shingle stream's partitioning
@@ -927,18 +933,13 @@ object TextOps {
     * TakeOrderedAndProject: each partition keeps only its local top-k
     * before the single-row-ish final merge — no global sort of the
     * vocabulary ever happens. */
-  def q62BigramVocab(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    Tables.documents(s, d)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead($"w", 1).over(w))
-      .filter($"w1".isNotNull)
-      .select(concat_ws(" ", $"w", $"w1").as("bigram"))
+  def q62BigramVocab(s: SparkSession, d: String): DataFrame =
+    ngramRows(Tables.documents(s, d), 2)
+      .select($"sh".as("bigram"))
       .groupBy($"bigram")
       .agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"bigram")
       .limit(VocabTopK)
-  }
 
   val q62BigramVocabSql: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -965,7 +966,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(Text.tokenCount($"text").cast("long")).as("n_tokens"),
-        countDistinct(md5($"text")).as("n_distinct"),
+        countDistinct(Text.fingerprintMd5($"text")).as("n_distinct"),
         (floor(sum(floor(Text.qualityScore($"text") * 1e4 + 0.5)) /
           count($"text") + 0.5) / 1e4).as("avg_quality"))
       .select($"source", $"n_docs", $"n_tokens", $"n_distinct",

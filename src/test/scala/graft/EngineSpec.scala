@@ -203,6 +203,14 @@ class EngineSpec extends AnyFunSuite {
     // partitioning invariance: the pack assignment is a pure function
     // of (lang, shard, doc_id order, token counts)
     assert(packs(docs.repartition(7)) === got)
+    // ...and at the PRODUCTION shard count too: the md5 shard key must
+    // be partition-independent (a physical-partition-dependent hash
+    // here would only surface as a sub-1% driver mismatch)
+    def packs8(df: org.apache.spark.sql.DataFrame) =
+      TextOps.packSequences(df, budget = 512L).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toSet
+    assert(packs8(docs.repartition(7)) === packs8(docs))
   }
 
   test("decontamination flags exactly the docs sharing a shingle with the benchmark split") {
