@@ -85,6 +85,7 @@ object SparkEntry {
     "q61_repetition"     -> (TextOps.q61Repetition(_, _)),
     "q62_bigram_vocab"   -> (TextOps.q62BigramVocab(_, _)),
     "q63_corpus_report"  -> (TextOps.q63CorpusReport(_, _)),
+    "q64_salted_agg"     -> (Relational.q64SaltedAgg(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -162,5 +163,8 @@ object SparkEntry {
     "q61_repetition"     -> TextOps.q61RepetitionSql,
     "q62_bigram_vocab"   -> TextOps.q62BigramVocabSql,
     "q63_corpus_report"  -> TextOps.q63CorpusReportSql,
+    // q64: the salted two-phase rewrite must be invisible vs a plain
+    // group-by (l_quantity is integral → exact double sums)
+    "q64_salted_agg"     -> Relational.q64SaltedAggSql,
   )
 }

@@ -571,6 +571,24 @@ object Relational {
       |FROM cur WHERE k % 4 = 0
       |ORDER BY k, valid_from""".stripMargin
 
+  /** Salted aggregation as a driver query: the two-phase
+    * [[graft.operators.Scale.saltedSumCount]] rewrite (hot keys spread
+    * over salt buckets, partials merged per key) over the fact table.
+    * The oracle is the PLAIN group-by — salting must be semantically
+    * invisible. Exactness: l_quantity values are whole numbers, so
+    * every partial double sum is an exactly-representable integer and
+    * the result is order-independent (no float-summation hazard). */
+  def q64SaltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Scale.saltedSumCount(
+      Tables.lineitem(s, d), "l_returnflag", "l_quantity", salts = 8)
+      .select($"l_returnflag", $"sum_l_quantity", $"n_rows")
+      .orderBy($"l_returnflag")
+
+  val q64SaltedAggSql: String =
+    """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Key-skew audit: the rows-per-key histogram of the fact table's join
     * key — the diagnostic that decides between a plain shuffle join and
     * salting/AQE skew handling at scale. Two hash aggregations, both

@@ -61,6 +61,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(joined.count() === Tables.lineitem(spark, d).count())
   }
 
+  test("bigram-vocab top-k plans as TakeOrderedAndProject, never a global sort") {
+    val plan = graft.operators.TextOps.q62BigramVocab(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k lost its bounded per-partition shape:\n$plan")
+  }
+
   test("staged dedup relations: warm reads are bare parquet scans; unwritable store falls back") {
     import graft.operators.TextOps
     val sf = "/root/testdata/sf0.001"
