@@ -214,6 +214,25 @@ object PropertySpec extends Properties("graft") {
       }
     }
 
+  property("decontamination == brute-force shingle-set intersection") =
+    forAll(Gen.listOfN(8, Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d")))) { wordLists =>
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val got = graft.operators.TextOps.decontaminate(
+        docs.toDF("doc_id", "text"), col("doc_id") % 3 === 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: distinct 3-shingle sets intersected in plain Scala
+      def shingles(text: String): Set[String] = {
+        val ws = text.split(" ")
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val benchSet = docs.filter(_._1 % 3 == 0).flatMap(d => shingles(d._2)).toSet
+      val want = docs.filter(_._1 % 3 != 0)
+        .map { case (id, t) => id -> (shingles(t) & benchSet).size.toLong }
+        .filter(_._2 > 0).toMap
+      got == want
+    }
+
   property("sequence packing == sequential fold per (lang, shard)") =
     forAll(
       Gen.listOfN(12, Gen.zip(Gen.oneOf("en", "de"), Gen.chooseNum(1, 40))),
