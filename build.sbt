@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench's driver contract is "print ONE JSON line" — suppress sbt's
+// trailing "[success] Total time" line so the forked main's final
+// stdout line is the process's literal last line (last-line parsers
+// then read the JSON, not sbt's epilogue).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked run mains inherit sbt's stdout/stderr directly instead of
+// being re-logged with [info]/[error] tags — Bench's JSON line reaches
+// the driver bare, exactly as printed.
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

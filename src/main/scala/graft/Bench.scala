@@ -26,14 +26,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // reproducible totals: clear this SF's staged dedup relations so
-    // every Bench run is COLD (a stage surviving from a prior
+    // reproducible totals: point this run at a RUN-PRIVATE stage store
+    // so it is reproducibly COLD (a stage surviving from a prior
     // Verify/Bench would silently shave ~13s off the metric and make
-    // cross-run comparisons cold-vs-warm). Within the run the pipeline
-    // still stages once and reuses — that reuse is what's being
-    // measured. Set SPARK_GRAFT_KEEP_STAGE=1 to bench warm instead.
+    // cross-run comparisons cold-vs-warm). Private rather than clearing
+    // the shared store: a concurrent Verify/Bench on the same SF keeps
+    // its staged parquet — no cross-process delete race. Within the run
+    // the pipeline still stages once and reuses — that reuse is what's
+    // being measured. Set SPARK_GRAFT_KEEP_STAGE=1 to bench warm against
+    // the shared store instead.
     val keepStage = sys.env.get("SPARK_GRAFT_KEEP_STAGE").contains("1")
-    if (!keepStage) graft.operators.Staged.clearFor(sfDir)
+    val privateStage: Option[java.nio.file.Path] =
+      if (keepStage) None
+      else {
+        val p = java.nio.file.Paths.get(
+          s"/tmp/graft_stage_bench_${ProcessHandle.current().pid()}")
+        sys.props("graft.stage.dir") = p.toString
+        Some(p)
+      }
 
     // warm-up: JVM, codegen, parquet footer reads
     graft.sources.Tables.lineitem(spark, sfDir).count()
@@ -72,11 +82,21 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }
     }
-    println(json)
-    // stderr copy: both sbt streams get tagged, but a parser scanning
-    // either stream finds the bare line in at least one of them
+    // stderr copy first: a parser scanning either stream finds the line
+    // in at least one of them
     System.err.println(json)
-    System.out.flush(); System.err.flush()
+    // stop Spark BEFORE the final stdout line so no shutdown logging can
+    // print after it — with showSuccess off (build.sbt) the JSON below
+    // is the process's literal last stdout line, parseable by a
+    // last-line reader
     spark.stop()
+    privateStage.foreach { p =>
+      try graft.operators.Staged.wipeStore(p)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not remove private stage $p: ${e.getMessage}")
+      }
+    }
+    println(json)
+    System.out.flush(); System.err.flush()
   }
 }

@@ -205,13 +205,17 @@ object Multimodal {
   def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec setup: ImageIO's default FILE-cache would
-      // create+delete a temp file per decoded image inside this hot
-      // loop — force the in-memory stream cache instead
-      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
+        // in-memory image input stream, NOT ImageIO.read(InputStream):
+        // the latter consults the process-global use-cache flag (file
+        // cache = a temp file created+deleted per decoded image in this
+        // hot loop, and flipping the flag per task would mutate global
+        // ImageIO state for every other user of the executor JVM) —
+        // passing a MemoryCacheImageInputStream sidesteps the global
+        // entirely
         val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.content))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.content)))
         require(img != null,
           s"media_id=${r.media_id}: payload is not a decodable image")
         val w = img.getWidth

@@ -89,20 +89,16 @@ object Staged {
     * must be spliced in explicitly. */
   def combine(tokens: String*): String = md5hex(tokens.mkString("|"))
 
-  /** Drop every staged relation for `sfDir` (all versions) — Bench runs
-    * this up front so its reported totals are reproducibly COLD (a
-    * surviving /tmp/graft_stage from a prior Verify/Bench would
-    * otherwise silently shave ~13s off the metric). */
-  def clearFor(sfDir: String): Unit = synchronized {
-    val r = Paths.get(root)
-    if (Files.exists(r)) {
-      val prefix = sfTag(sfDir) + "-"
-      listDir(r).filter(Files.isDirectory(_)).foreach { ver =>
-        listDir(ver)
-          .filter(p => p.getFileName.toString.startsWith(prefix))
-          .foreach(deleteRecursively)
-      }
-    }
+  /** Remove an entire RUN-PRIVATE stage store (Bench cold runs point
+    * `graft.stage.dir` at a pid-suffixed dir and wipe it on exit). Only
+    * ever called on a store this process created for itself — the
+    * shared store is never bulk-deleted (a concurrent Verify/Bench may
+    * be mid-read there; its staleness is handled by the age-gated
+    * per-stage reaper in [[orCompute]]). */
+  def wipeStore(storeRoot: Path): Unit = synchronized {
+    require(storeRoot.getFileName.toString.startsWith("graft_stage_"),
+      s"refusing to wipe non-stage dir $storeRoot")
+    deleteRecursively(storeRoot)
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -153,7 +149,8 @@ object Staged {
                 !n.contains(".tmp-") &&
                 Files.getLastModifiedTime(p).toMillis < cutoff
             }
-          stale.foreach(p => try deleteRecursively(p) catch { case _: Throwable => () })
+          stale.foreach(p => try deleteRecursively(p)
+            catch { case scala.util.control.NonFatal(_) => () })
         }
         try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
         catch {
@@ -163,10 +160,14 @@ object Staged {
             deleteRecursively(tmp)
         }
       } catch {
-        case e: Throwable =>
+        // NonFatal only: an OutOfMemoryError / interrupt during the
+        // stage write must propagate, not silently continue unstaged
+        // with the JVM in an unknown state
+        case scala.util.control.NonFatal(e) =>
           System.err.println(
             s"[stage] could not materialize $name at $path (${e.getMessage}) - running unstaged")
-          try deleteRecursively(tmp) catch { case _: Throwable => () }
+          try deleteRecursively(tmp)
+          catch { case scala.util.control.NonFatal(_) => () }
           return df
       }
     }

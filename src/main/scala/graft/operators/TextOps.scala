@@ -500,11 +500,23 @@ object TextOps {
     val edges = pairsStaged(s, d)
       .filter($"jaccard" >= ClusterJaccard)
       .select($"d1", $"d2")
-    val token = Staged.combine(Staged.planHash(edges), pairsToken(s, d))
+    val token = Staged.combine(Staged.planHash(edges), pairsToken(s, d),
+      ClusterLoopTag)
     Staged.orCompute(s, d, stageConsts, "dedup_clusters", token)(
       dedupClusters(edges))
       .orderBy($"doc_id")
   }
+
+  /** Invalidation tag for the IMPERATIVE propagation loop below — the
+    * stage token hashes only the loop's input plan, which cannot see
+    * algorithm edits here. The tag is spliced into q50's stage token
+    * and interpolates every loop-affecting choice (round cap, seeding
+    * strategy, convergence signal), so changing a constant invalidates
+    * the stage without remembering to bump Staged.Version; renaming a
+    * strategy means renaming its tag segment here. */
+  private[graft] val ClusterMaxRounds = 20 // >= diameter of any plausible near-dup cluster
+  private[graft] def ClusterLoopTag =
+    s"cc-minlabel.rounds$ClusterMaxRounds.seed1hop.chgcol"
 
   private[graft] def dedupClusters(edges0: DataFrame): DataFrame = {
     val edges = edges0.select($"d1".as("a"), $"d2".as("b"))
@@ -520,7 +532,7 @@ object TextOps {
       .select($"id", least($"id", $"nmin").as("label"))
     var converged = false
     var rounds = 0
-    val MaxRounds = 20 // >= diameter of any plausible near-dup cluster
+    val MaxRounds = ClusterMaxRounds
     var prevCached: DataFrame = null
     try {
       while (!converged && rounds < MaxRounds) {
