@@ -86,6 +86,7 @@ object SparkEntry {
     "q62_bigram_vocab"   -> (TextOps.q62BigramVocab(_, _)),
     "q63_corpus_report"  -> (TextOps.q63CorpusReport(_, _)),
     "q64_salted_agg"     -> (Relational.q64SaltedAgg(_, _)),
+    "q65_kmeans_refine"  -> (VectorOps.q65KmeansRefine(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -166,5 +167,8 @@ object SparkEntry {
     // q64: the salted two-phase rewrite must be invisible vs a plain
     // group-by (l_quantity is integral → exact double sums)
     "q64_salted_agg"     -> Relational.q64SaltedAggSql,
+    // q65: one fixed Lloyd iteration — grid-exact per-dim means make
+    // the refined centroids identical doubles in both engines
+    "q65_kmeans_refine"  -> VectorOps.q65KmeansRefineSql,
   )
 }

@@ -371,6 +371,120 @@ object VectorOps {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q65: one Lloyd (k-means) refinement step over the IVF centroids
+  // ---------------------------------------------------------------
+
+  /** One deterministic Lloyd iteration over the seeded IVF centroids
+    * (q47): assign → per-cell per-dimension mean → re-assign, reported
+    * as a per-cell before/after census with the centroid shift
+    * (1 − cos(seed, refined)) and the mean within-cell cosine. This is
+    * the "training" step a production IVF index runs a handful of
+    * times; a FIXED single iteration keeps the whole computation a pure
+    * function of the corpus, so DuckDB recomputes it bit-exactly — no
+    * fitted state, nothing to ship.
+    *
+    * Determinism: per-dim means go through the 1e-6 grid (floor each
+    * element to an integer, sum integers — order-independent in both
+    * engines; Spark sums LONGs, DuckDB integer-valued doubles, exact
+    * below 2^53), so the refined centroids are identical doubles and
+    * every downstream cosine is identical arithmetic. Mean cosines use
+    * the same grid.
+    *
+    * Scale shape: two narrow corpus scans (assign, re-assign), each an
+    * arg-max against a BROADCAST [[NumCells]]-row centroid relation via
+    * the bounded TopKPerKey (at most one row per vector crosses the
+    * exchange), plus one metadata-sized aggregation for the means — the
+    * corpus is never self-joined, and another Lloyd round is the same
+    * two-scan shape again. */
+  def q65KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+    val firstDim = emb.select(size($"embedding")).take(1)
+    require(firstDim.nonEmpty, "q65KmeansRefine: empty embeddings corpus")
+    val dim = firstDim.head.getInt(0)
+
+    val cents0 = emb.filter($"vec_id" < NumCells)
+      .select($"vec_id".as("cell_id"), $"embedding".as("cvec0"))
+    def assignTo(cents: DataFrame, centVec: Column): DataFrame = {
+      val scored = emb.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"cell_id",
+          Vectors.cosine($"embedding", centVec).as("ccos"))
+      graft.plans.TopK.perKey(
+        scored, Seq($"vec_id"), Seq($"ccos".desc, $"cell_id"), 1)
+    }
+
+    // pass 1: assign to seeds; per-cell count, grid-summed cosine, and
+    // per-dim grid sums in ONE aggregation
+    val sums = assignTo(cents0, $"cvec0").groupBy($"cell_id").agg(
+      count(lit(1)).as("n0"),
+      sum(floor($"ccos" * 1e6 + 0.5)).as("cos0grid"),
+      array((1 to dim).map(i =>
+        sum(floor(element_at($"embedding", i).cast("double") * 1e6 + 0.5))): _*)
+        .as("sgrid"))
+    // refined centroid = per-dim grid mean (16 rows — the HOF here is
+    // interpreted but runs on a metadata-sized relation)
+    val cents1 = sums.select($"cell_id", $"n0", $"cos0grid",
+      transform($"sgrid", x => x / ($"n0" * 1e6)).as("cvec1"))
+
+    // pass 2: re-assign the corpus to the refined centroids
+    val census1 = assignTo(
+      cents1.select($"cell_id", $"cvec1"), $"cvec1")
+      .groupBy($"cell_id").agg(
+        count(lit(1)).as("n1"),
+        sum(floor($"ccos" * 1e6 + 0.5)).as("cos1grid"))
+      .withColumnRenamed("cell_id", "c1")
+
+    cents1
+      .join(cents0, "cell_id")
+      .join(census1, $"cell_id" === $"c1", "left")
+      .select(
+        $"cell_id", $"n0",
+        coalesce($"n1", lit(0L)).as("n1"),
+        stableRound(lit(1.0) - Vectors.cosine($"cvec0", $"cvec1"), 6).as("shift"),
+        (floor($"cos0grid" / $"n0" + 0.5) / 1e6).as("avg_cos0"),
+        (floor($"cos1grid" / $"n1" + 0.5) / 1e6).as("avg_cos1"))
+      .orderBy($"cell_id")
+  }
+
+  val q65KmeansRefineSql: String = {
+    def argmax(centsRel: String, vecCol: String, outCos: String): String =
+      s"""SELECT vec_id, embedding, cell_id, $outCos FROM (
+         |  SELECT e.vec_id, e.embedding, c.cell_id,
+         |    ${cosSql("e.embedding", s"c.$vecCol")} AS $outCos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", s"c.$vecCol")} DESC, c.cell_id) AS rn
+         |  FROM emb e CROSS JOIN $centsRel c) WHERE rn = 1""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |cents0 AS (SELECT vec_id AS cell_id, embedding AS cvec0 FROM emb
+       |           WHERE vec_id < $NumCells),
+       |a0 AS (${argmax("cents0", "cvec0", "ccos")}),
+       |sums AS (SELECT cell_id, count(*) AS n0,
+       |           sum(floor(ccos * 1e6 + 0.5)) AS cos0grid
+       |         FROM a0 GROUP BY cell_id),
+       |dsums AS (SELECT cell_id, i,
+       |            sum(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)) AS sg
+       |          FROM a0, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       |          GROUP BY cell_id, i),
+       |slists AS (SELECT cell_id, list(sg ORDER BY i) AS slist FROM dsums
+       |           GROUP BY cell_id),
+       |cents1 AS (SELECT s.cell_id, s.n0, s.cos0grid,
+       |             list_transform(l.slist, x -> x / (s.n0 * 1e6)) AS cvec1
+       |           FROM sums s JOIN slists l ON s.cell_id = l.cell_id),
+       |a1 AS (${argmax("cents1", "cvec1", "ccos1")}),
+       |census1 AS (SELECT cell_id AS c1, count(*) AS n1,
+       |              sum(floor(ccos1 * 1e6 + 0.5)) AS cos1grid
+       |            FROM a1 GROUP BY cell_id)
+       |SELECT v.cell_id, v.n0, coalesce(x.n1, CAST(0 AS BIGINT)) AS n1,
+       |  ${sqlRound(s"1.0 - ${cosSql("c0.cvec0", "v.cvec1")}", 6)} AS shift,
+       |  floor(v.cos0grid / v.n0 + 0.5) / 1e6 AS avg_cos0,
+       |  floor(x.cos1grid / x.n1 + 0.5) / 1e6 AS avg_cos1
+       |FROM cents1 v
+       |JOIN cents0 c0 ON v.cell_id = c0.cell_id
+       |LEFT JOIN census1 x ON v.cell_id = x.c1
+       |ORDER BY v.cell_id""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
     * (random hyperplane signs), generate candidates inside each bucket
     * AND each 1-bit-neighbor probe pairing (multi-probe recall), verify
