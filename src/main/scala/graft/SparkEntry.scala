@@ -87,6 +87,13 @@ object SparkEntry {
     "q63_corpus_report"  -> (TextOps.q63CorpusReport(_, _)),
     "q64_salted_agg"     -> (Relational.q64SaltedAgg(_, _)),
     "q65_kmeans_refine"  -> (VectorOps.q65KmeansRefine(_, _)),
+    "q66_redact"         -> (TextOps.q66Redact(_, _)),
+    "q67_tfidf"          -> (TextOps.q67Tfidf(_, _)),
+    "q68_token_entropy"  -> (TextOps.q68TokenEntropy(_, _)),
+    "q69_quality_bins"   -> (TextOps.q69QualityBins(_, _)),
+    "q70_bloom_semijoin" -> (Relational.q70BloomSemijoin(_, _)),
+    "q71_zorder"         -> (Relational.q71ZOrder(_, _)),
+    "q72_quota_sample"   -> (TextOps.q72QuotaSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -170,5 +177,17 @@ object SparkEntry {
     // q65: one fixed Lloyd iteration — grid-exact per-dim means make
     // the refined centroids identical doubles in both engines
     "q65_kmeans_refine"  -> VectorOps.q65KmeansRefineSql,
+    // q66: the redacted string is proven exactly via its md5
+    "q66_redact"         -> TextOps.q66RedactSql,
+    // q67/q68: ln-based scores land on the 1e-6 grid BEFORE ranking/
+    // summation, so FP noise cannot reorder ties or perturb sums
+    "q67_tfidf"          -> TextOps.q67TfidfSql,
+    "q68_token_entropy"  -> TextOps.q68TokenEntropySql,
+    "q69_quality_bins"   -> TextOps.q69QualityBinsSql,
+    // q70: the oracle is the PLAIN semi-join — the bloom pre-filter
+    // must be semantically invisible (no false negatives)
+    "q70_bloom_semijoin" -> Relational.q70BloomSemijoinSql,
+    "q71_zorder"         -> Relational.q71ZOrderSql,
+    "q72_quota_sample"   -> TextOps.q72QuotaSampleSql,
   )
 }

@@ -734,4 +734,102 @@ object Relational {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // =====================================================================
+  // q70: explicit runtime-filter (bloom-style) semi-join pushdown
+  // =====================================================================
+
+  /** Coarse-filter bucket count. Bounded: the filter relation can never
+    * exceed this many rows no matter how large the build side grows, so
+    * broadcasting it is safe at ANY scale — that's the whole point. */
+  private val BloomBuckets = 4096
+
+  /** Semi-join of the fact table against a filtered build side, with an
+    * explicit runtime-filter pre-pass: the build side's join keys are
+    * coarsened to ≤[[BloomBuckets]] distinct hash buckets (a 1-hash
+    * Bloom filter — false positives, never false negatives), broadcast,
+    * and applied to the probe side BEFORE the real shuffle join. Rows
+    * the filter rejects never enter the exchange — at 100 TB that's the
+    * difference between shuffling the whole fact table and shuffling
+    * the ~selectivity fraction that can possibly match. The exact
+    * semi-join then removes the false positives, so the rewrite is
+    * semantically invisible — which is exactly what the oracle checks:
+    * it runs the PLAIN semi-join (like q64, where the salting rewrite
+    * must be invisible to a plain group-by). Spark's own
+    * `spark.sql.optimizer.runtimeFilter.*` does this opaquely;
+    * ScaleSpec pins the explicit plan shape (broadcast of the bucket
+    * relation, probe filtered before the join exchange). */
+  def q70BloomSemijoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ords = Tables.orders(s, d)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 100000.0)
+    def bucketOf(k: Column): Column = pmod(xxhash64(k), lit(BloomBuckets))
+    val buckets = ords.select(bucketOf($"o_orderkey").as("bkt")).distinct()
+    li.join(broadcast(buckets), bucketOf($"l_orderkey") === $"bkt", "left_semi")
+      .join(ords.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum($"l_extendedprice").as("gross"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q70BloomSemijoinSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  ${sqlMoneySum("l_extendedprice")} AS gross
+       |FROM lineitem WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // =====================================================================
+  // q71: Z-order layout key (multi-dimensional clustering for pruning)
+  // =====================================================================
+
+  private val ZBits = 10
+
+  /** Morton/Z-value of two [[ZBits]]-bit dimensions: bit i of x lands at
+    * position 2i, bit i of y at 2i+1. Pure unrolled integer arithmetic
+    * (shift/and/add) — codegen'd, and the SAME Scala loop emits the
+    * oracle SQL so the two cannot drift. */
+  private[graft] def zValue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+
+  private def zValueSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order clustering audit: compute the interleaved layout key over
+    * (partkey, suppkey) and report, for each of the 64 top-level
+    * Z-buckets, how tightly BOTH source dimensions are bounded. This is
+    * the data-layout story for multi-dimensional pruning at 100 TB:
+    * sort/write by zval and a predicate on EITHER dimension prunes
+    * ~⅞ of the files from parquet min/max stats alone — the per-bucket
+    * min/max columns in this result ARE those file-skipping stats
+    * (each 2¹⁴-wide Z-bucket confines each dimension to a 128-wide
+    * range, asserted in ScaleSpec). One narrow projection + one 64-group
+    * aggregate; no shuffle beyond the 64-row final merge. */
+  def q71ZOrder(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        pmod($"l_partkey", lit(1024)).cast("long").as("zx"),
+        pmod($"l_suppkey", lit(1024)).cast("long").as("zy"))
+      .select($"zx", $"zy", zValue($"zx", $"zy").as("zval"))
+      .groupBy(shiftright($"zval", 14).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"zx").as("min_x"), max($"zx").as("max_x"),
+        min($"zy").as("min_y"), max($"zy").as("max_y"))
+      .orderBy($"zbucket")
+
+  val q71ZOrderSql: String =
+    s"""WITH z AS (SELECT zx, zy, ${zValueSql("zx", "zy")} AS zval FROM (
+       |    SELECT CAST(l_partkey % 1024 AS BIGINT) AS zx,
+       |           CAST(l_suppkey % 1024 AS BIGINT) AS zy FROM lineitem))
+       |SELECT zval >> 14 AS zbucket, count(*) AS n_rows,
+       |  min(zx) AS min_x, max(zx) AS max_x,
+       |  min(zy) AS min_y, max(zy) AS max_y
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
 }

@@ -1019,4 +1019,221 @@ object TextOps {
       |  count(DISTINCT source) AS n_sources
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q66: blocklist term redaction (PII/unsafe-term scrubbing shape)
+  // ---------------------------------------------------------------
+
+  /** Terms to scrub. A production pipeline loads thousands of these
+    * (PII patterns, unsafe terms, licensed strings); the mechanism is
+    * identical — one compiled alternation applied in a single codegen'd
+    * projection, no join, no shuffle. */
+  private[graft] val Blocklist = Seq("hash", "key", "value")
+
+  /** Word-boundary alternation — restricted to constructs with
+    * identical Java-regex / RE2 semantics so the oracle matches. */
+  private val blPattern = "\\b(" + Blocklist.mkString("|") + ")\\b"
+
+  /** Blocklist redaction over the corpus: per-doc match count plus the
+    * md5 of the redacted text, so the oracle proves the rewritten
+    * string EXACTLY (not just the count). Pure narrow projection —
+    * at 100 TB this runs scan-speed with zero exchanges. */
+  def q66Redact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(blPattern), lit(0)))
+          .cast("long").as("n_redacted"),
+        md5(regexp_replace($"text", blPattern, "[REDACTED]")).as("redacted_fp"))
+      .orderBy($"doc_id")
+
+  val q66RedactSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$blPattern')) AS BIGINT) AS n_redacted,
+       |  md5(regexp_replace(text, '$blPattern', '[REDACTED]', 'g')) AS redacted_fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q67: per-document top-k TF-IDF terms
+  // ---------------------------------------------------------------
+
+  private val TfidfTopK = 3
+
+  /** Top-[[TfidfTopK]] TF-IDF terms per document. Scores are gridded to
+    * 1e-6 integers BEFORE ranking so cross-engine FP noise in ln cannot
+    * reorder near-ties; the (score_grid, term) ordering is total.
+    *
+    * Scale shape: tf is one hash aggregate on (doc_id, term); df is a
+    * second aggregate of tf on term (vocabulary-sized — AQE broadcasts
+    * it when small, shuffles on term when not; no hand-forced broadcast
+    * because a 100 TB web corpus's vocabulary is NOT broadcastable);
+    * the per-doc top-k runs through the bounded-heap TopKPerKey plan —
+    * at most k rows per doc cross the final exchange, never the full
+    * posting list. */
+  def q67Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nRel = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nRel))
+      .select($"doc_id", $"term", $"tf", $"df",
+        floor($"tf" * log($"n_docs".cast("double") / $"df") * 1e6 + 0.5)
+          .cast("long").as("score_grid"))
+    graft.plans.TopK.perKey(
+        scored, Seq($"doc_id"), Seq($"score_grid".desc, $"term"), TfidfTopK)
+      .select($"doc_id", $"term", $"tf", $"df",
+        ($"score_grid" / 1e6).as("tfidf"))
+      .orderBy($"doc_id", $"tfidf".desc, $"term")
+  }
+
+  val q67TfidfSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY doc_id, term),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY term),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |scored AS (SELECT t.doc_id, t.term, t.tf, f.df,
+       |    CAST(floor(t.tf * ln(CAST(n.n_docs AS DOUBLE) / f.df) * 1e6 + 0.5)
+       |         AS BIGINT) AS sg
+       |  FROM tf t JOIN dfr f USING (term) CROSS JOIN n),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |         ORDER BY sg DESC, term) AS rn FROM scored)
+       |SELECT doc_id, term, tf, df, sg / 1e6 AS tfidf
+       |FROM rk WHERE rn <= $TfidfTopK
+       |ORDER BY doc_id, tfidf DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q68: per-document token entropy (repetitiveness quality signal)
+  // ---------------------------------------------------------------
+
+  /** Shannon entropy (nats) of each document's unigram distribution —
+    * low entropy flags boilerplate/spam the same way q61's shingle
+    * ratio does, from a different angle. H = ln(n) − (Σ c·ln c)/n;
+    * each c·ln c term is gridded to a 1e-6 integer before the sum, so
+    * the aggregation is order-independent and bit-identical across
+    * engines regardless of partitioning. Two hash aggregates, both
+    * map-side combinable. */
+  def q68TokenEntropy(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(floor($"c" * log($"c".cast("double")) * 1e6 + 0.5).cast("long"))
+          .as("sgrid"))
+      .select($"doc_id", $"n_tokens", $"n_distinct",
+        stableRound(
+          log($"n_tokens".cast("double")) - ($"sgrid" / 1e6) / $"n_tokens", 6)
+          .as("entropy_nats"))
+      .orderBy($"doc_id")
+
+  val q68TokenEntropySql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+       |       GROUP BY doc_id, term),
+       |agg AS (SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_distinct,
+       |    CAST(sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+       |                  AS BIGINT)) AS BIGINT) AS sgrid
+       |  FROM tf GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  ${sqlRound("ln(CAST(n_tokens AS DOUBLE)) - (sgrid / 1e6) / n_tokens", 6)}
+       |    AS entropy_nats
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q69: exact quality-quantile binning (histogram method, no global sort)
+  // ---------------------------------------------------------------
+
+  private val QualityBins = 10
+
+  /** Exact value-based decile binning of the corpus by quality score,
+    * computed the scale-correct way: the quality score lives on a 1e-4
+    * grid, so its full distribution is a ≤10⁴-row histogram — aggregate
+    * the histogram (one shuffle of ≤10⁴ rows), assign each grid value a
+    * decile from the cumulative count, and broadcast the tiny bucket map
+    * back onto the corpus. No global row sort, no single-partition
+    * window over the data — the window runs over the HISTOGRAM. Equal
+    * quality values always land in the same bucket (value-based
+    * quantiles), which is what makes the binning deterministic and
+    * partition-invariant. The 100 TB contrast: q39/q54 sketch these
+    * quantiles approximately in one pass; this is the exact two-pass
+    * version a curriculum-ordering pipeline runs when bucket boundaries
+    * must be reproducible. */
+  def q69QualityBins(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      $"doc_id",
+      floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("qg"),
+      Text.tokenCount($"text").cast("long").as("n_tokens"))
+    val hist = docs.groupBy($"qg").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"qg").rowsBetween(Window.unboundedPreceding, 0)
+    val buckets = hist
+      .select($"qg", sum($"cnt").over(w).as("cum"),
+        sum($"cnt").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+      .select($"qg",
+        least(floor(($"cum" * 10.0 + $"n" - 1) / $"n"), lit(QualityBins.toDouble))
+          .cast("long").as("bucket"))
+    docs.join(broadcast(buckets), "qg")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        (min($"qg") / 1e4).as("min_q"), (max($"qg") / 1e4).as("max_q"),
+        stableRound(sum($"n_tokens") / count(lit(1)), 4).as("avg_tokens"))
+      .orderBy($"bucket")
+  }
+
+  val q69QualityBinsSql: String =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(floor(($qualitySql) * 1e4 + 0.5) AS BIGINT) AS qg,
+       |    CAST($tcSql AS BIGINT) AS n_tokens FROM documents),
+       |hist AS (SELECT qg, CAST(count(*) AS BIGINT) AS cnt FROM docs
+       |         GROUP BY qg),
+       |buckets AS (SELECT qg,
+       |    CAST(least(floor((sum(cnt) OVER (ORDER BY qg ROWS BETWEEN
+       |        UNBOUNDED PRECEDING AND CURRENT ROW) * 10.0
+       |        + sum(cnt) OVER () - 1) / sum(cnt) OVER ()),
+       |      ${QualityBins}.0) AS BIGINT) AS bucket
+       |  FROM hist)
+       |SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       |  min(d.qg) / 1e4 AS min_q, max(d.qg) / 1e4 AS max_q,
+       |  ${sqlRound("CAST(sum(d.n_tokens) AS BIGINT) / count(*)", 4)} AS avg_tokens
+       |FROM docs d JOIN buckets b ON d.qg = b.qg
+       |GROUP BY b.bucket ORDER BY b.bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q72: deterministic per-source quota sampling
+  // ---------------------------------------------------------------
+
+  private val QuotaPerSource = 10
+
+  /** Exact-quota stratified sample: the [[QuotaPerSource]] docs per
+    * source with the smallest md5-derived sample keys. Membership is a
+    * pure function of (doc_id, source) — partition-invariant, stable
+    * across runs, and re-runnable incrementally (a new doc displaces at
+    * most one old member per source). Runs through the bounded-heap
+    * TopKPerKey plan: each partition keeps ≤ quota rows per source
+    * before the exchange — no global window sort of the corpus. */
+  def q72QuotaSample(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(
+      $"doc_id", $"source",
+      md5(concat(lit("smp:"), $"doc_id".cast("string"))).as("skey"))
+    graft.plans.TopK.perKey(
+        keyed, Seq($"source"), Seq($"skey", $"doc_id"), QuotaPerSource)
+      .orderBy($"source", $"skey")
+  }
+
+  val q72QuotaSampleSql: String =
+    s"""WITH keyed AS (SELECT doc_id, source,
+       |    md5('smp:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+       |         ORDER BY skey, doc_id) AS rn FROM keyed)
+       |SELECT doc_id, source, skey FROM rk WHERE rn <= $QuotaPerSource
+       |ORDER BY source, skey""".stripMargin
+
 }

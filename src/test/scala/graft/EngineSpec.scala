@@ -688,6 +688,121 @@ class EngineSpec extends AnyFunSuite {
   // Driver-contract smoke (mirrors the t1 gate)
   // ------------------------------------------------------------------
 
+  test("redaction: counts match an independent token-filter recomputation") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q66Redact(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_redacted")).toMap
+    // independent mechanism: split on spaces and count blocklist tokens
+    // (the query uses a word-boundary regex — same answer, different path)
+    val bl = TextOps.Blocklist.toSet
+    val exp = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).count(bl.contains).toLong).toMap
+    assert(got === exp)
+    assert(got.values.sum > 0, "blocklist never fired — vacuous test")
+  }
+
+  test("tf-idf: top-k per doc matches a brute-force recomputation") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val n = docs.size.toDouble
+    val dfreq = docs.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      toks.groupBy(identity).view.mapValues(_.size).toSeq
+        .map { case (t, tf) =>
+          val sg = math.floor(tf * math.log(n / dfreq(t)) * 1e6 + 0.5).toLong
+          (id, t, sg)
+        }
+        .sortBy { case (_, t, sg) => (-sg, t) }.take(3)
+    }.map { case (id, t, sg) => (id, t) }.toSet
+    val got = TextOps.q67Tfidf(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"))).toSet
+    assert(got === expected)
+  }
+
+  test("token entropy: gridded Shannon entropy matches brute force; uniform doc maxes") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q68TokenEntropy(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("entropy_nats"))).toMap
+    graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect().foreach { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val counts = toks.groupBy(identity).values.map(_.size)
+        val sg = counts.map(c => math.floor(c * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+        val h = math.floor((math.log(toks.length.toDouble) - (sg / 1e6) / toks.length) * 1e6 + 0.5) / 1e6
+        val (nTok, ent) = got(r.getLong(0))
+        assert(nTok === toks.length.toLong)
+        assert(ent === h, s"doc ${r.getLong(0)}")
+        // entropy is bounded by ln(n_distinct) (uniform distribution max),
+        // up to half a 1e-6 grid step of rounding
+        assert(ent <= math.log(counts.size.toDouble) + 5e-7)
+      }
+  }
+
+  test("quality bins: exact partition of the corpus with monotone boundaries") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val bins = TextOps.q69QualityBins(spark, d).collect()
+    val n = graft.sources.Tables.documents(spark, d).count()
+    assert(bins.map(_.getAs[Long]("n_docs")).sum === n)
+    bins.foreach { b =>
+      val id = b.getAs[Long]("bucket")
+      assert(id >= 1 && id <= 10)
+      assert(b.getAs[Double]("min_q") <= b.getAs[Double]("max_q"))
+    }
+    // value-based deciles: bucket ranges never overlap, in bucket order
+    bins.sortBy(_.getAs[Long]("bucket")).sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getAs[Double]("max_q") < hi.getAs[Double]("min_q"))
+      case _ =>
+    }
+  }
+
+  test("z-order: interleave unit vectors; every bucket bounds both dimensions") {
+    import graft.operators.Relational
+    // unit checks on the interleave itself via a literal frame
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (1023L, 1023L))
+      .toDF("zx", "zy")
+      .select(Relational.zValue($"zx", $"zy").as("z")).collect().map(_.getLong(0))
+    assert(df === Array(1L, 2L, 15L, (1L << 20) - 1))
+    // bucket audit: a 2^14-wide z-range confines each 10-bit dim to 128
+    val bins = Relational.q71ZOrder(spark, "/root/testdata/sf0.001").collect()
+    assert(bins.nonEmpty)
+    bins.foreach { b =>
+      assert(b.getAs[Long]("max_x") - b.getAs[Long]("min_x") < 128)
+      assert(b.getAs[Long]("max_y") - b.getAs[Long]("min_y") < 128)
+    }
+  }
+
+  test("quota sample: exact per-source quotas, brute-force-identical membership") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q72QuotaSample(spark, d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md5.digest(s"smp:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, id) => (key(id), id) }.take(10)
+    }.toSet
+    assert(got.toSet === expected)
+    // every source hits its quota or its full size
+    val sizes = docs.groupBy(_._1).view.mapValues(_.size).toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length === math.min(10, sizes(src)))
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -173,4 +173,37 @@ class ScaleSpec extends AnyFunSuite {
     val newSum = after.filter($"month" === target).agg(sum($"o_totalprice")).head().getDouble(0)
     assert(math.abs(newSum - origSum / 2) < 1e-6)
   }
+
+  test("bloom semi-join: pre-filter is invisible and stays broadcast when the build side can't be") {
+    val d = "/root/testdata/sf0.001"
+    // the rewrite must be semantically invisible vs the plain semi-join
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val ords = graft.sources.Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "F" && $"o_totalprice" > 100000.0)
+    val plain = li
+      .join(ords.select($"o_orderkey"), $"l_orderkey" === $"o_orderkey", "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bloom = graft.operators.Relational.q70BloomSemijoin(spark, d).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_items")).toMap
+    assert(bloom === plain)
+    // 100× behavior: with auto-broadcast off (the build side too big to
+    // broadcast), the BOUNDED bucket relation must still be broadcast —
+    // that's the point of coarsening to ≤4096 rows — while the exact
+    // semi-join becomes a shuffle join
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Relational.q70BloomSemijoin(spark, d)
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("BroadcastHashJoin"),
+        s"bucket pre-filter lost its broadcast:\n$planStr")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"exact semi-join did not become a shuffle join:\n$planStr")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
