@@ -94,6 +94,9 @@ object SparkEntry {
     "q70_bloom_semijoin" -> (Relational.q70BloomSemijoin(_, _)),
     "q71_zorder"         -> (Relational.q71ZOrder(_, _)),
     "q72_quota_sample"   -> (TextOps.q72QuotaSample(_, _)),
+    "q73_sliding_window" -> (EventOps.q73SlidingWindow(_, _)),
+    "q74_chunk"          -> (TextOps.q74Chunk(_, _)),
+    "q75_gapfill"        -> (EventOps.q75GapFill(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -189,5 +192,10 @@ object SparkEntry {
     "q70_bloom_semijoin" -> Relational.q70BloomSemijoinSql,
     "q71_zorder"         -> Relational.q71ZOrderSql,
     "q72_quota_sample"   -> TextOps.q72QuotaSampleSql,
+    // q73: the oracle reconstructs window() arithmetically; q75's LOCF
+    // uses last_value IGNORE NULLS over the same total order
+    "q73_sliding_window" -> EventOps.q73SlidingWindowSql,
+    "q74_chunk"          -> TextOps.q74ChunkSql,
+    "q75_gapfill"        -> EventOps.q75GapFillSql,
   )
 }

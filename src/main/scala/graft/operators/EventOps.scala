@@ -237,4 +237,97 @@ object EventOps {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q73: sliding (hopping) window aggregation
+  // ---------------------------------------------------------------
+
+  /** Hopping-window aggregation via Spark's native `window()` — 1-hour
+    * windows every 30 minutes, so each event lands in exactly
+    * size/slide = 2 windows. The replication factor is the window
+    * arithmetic's, not a join's: `window()` plans as one Expand-style
+    * projection before the hash aggregate, so the shuffle carries
+    * 2× the events, grouped on (window, type) — the same map-side-
+    * combinable shape as q30's tumbling twin, just denser. The oracle
+    * reconstructs the window assignment arithmetically (for positive
+    * epochs, floor(ts/slide) over the µs value equals floor over the
+    * floored-second value, so the two derivations agree exactly). */
+  def q73SlidingWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        moneySum($"value").as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+      .select(tstr($"w.start").as("window_start"), $"event_type",
+        $"n_events", $"sum_value", $"n_users")
+      .orderBy($"window_start", $"event_type")
+
+  val q73SlidingWindowSql: String =
+    s"""WITH wins AS (
+       |  SELECT make_timestamp(
+       |      ((epoch_us(ts) // CAST(1800000000 AS BIGINT)) - k)
+       |        * CAST(1800000000 AS BIGINT)) AS win_start,
+       |    event_type, value, user_id
+       |  FROM events, UNNEST(range(0, 2)) AS t(k))
+       |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  event_type, count(*) AS n_events,
+       |  ${sqlMoneySum("value")} AS sum_value,
+       |  count(DISTINCT user_id) AS n_users
+       |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q75: calendar gap-fill with last-observation-carried-forward
+  // ---------------------------------------------------------------
+
+  /** Daily resample of per-priority order totals onto a complete
+    * calendar spine, with gaps filled by LOCF — the classic
+    * daily-price-series repair (the reference's price CSVs skip
+    * weekends/holidays; any calendar-joined analysis needs this
+    * densification first). Gap days report n_orders = 0 and carry the
+    * last seen total; days before a series' first observation stay
+    * NULL in both engines.
+    *
+    * Scale shape: the spine is metadata-sized (days × keys — a few
+    * thousand rows per decade per key), built by one 1-row min/max
+    * aggregate + sequence(), then LEFT-joined by the daily aggregate.
+    * The LOCF window partitions by the series key — per-series state,
+    * parallelism scales with the number of series (at 100 TB: many
+    * thousands of instruments), never a global sort. */
+  def q75GapFill(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select(
+      $"o_orderpriority".as("prio"),
+      to_date($"o_orderdate").as("day"),
+      $"o_totalprice")
+    val daily = ord.groupBy($"prio", $"day")
+      .agg(moneySum($"o_totalprice").as("day_total"),
+        count(lit(1)).as("n_orders"))
+    val spine = ord.agg(min($"day").as("lo"), max($"day").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("day"))
+      .crossJoin(ord.select($"prio").distinct())
+    val locf = Window.partitionBy($"prio").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("prio", "day"), "left")
+      .select($"prio", date_format($"day", "yyyy-MM-dd").as("day"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        last($"day_total", ignoreNulls = true).over(locf).as("locf_total"))
+      .orderBy($"prio", $"day")
+  }
+
+  val q75GapFillSql: String =
+    s"""WITH ord AS (SELECT o_orderpriority AS prio,
+       |    CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+       |daily AS (SELECT prio, day, ${sqlMoneySum("o_totalprice")} AS day_total,
+       |    count(*) AS n_orders FROM ord GROUP BY prio, day),
+       |spine AS (SELECT p.prio, d.day
+       |  FROM (SELECT DISTINCT prio FROM ord) p
+       |  CROSS JOIN (SELECT unnest(generate_series(min(day), max(day),
+       |    INTERVAL 1 DAY))::DATE AS day FROM ord) d)
+       |SELECT s.prio, strftime(s.day, '%Y-%m-%d') AS day,
+       |  coalesce(dl.n_orders, 0) AS n_orders,
+       |  last_value(dl.day_total IGNORE NULLS) OVER (PARTITION BY s.prio
+       |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS locf_total
+       |FROM spine s LEFT JOIN daily dl ON s.prio = dl.prio AND s.day = dl.day
+       |ORDER BY 1, 2""".stripMargin
+
 }

@@ -1236,4 +1236,56 @@ object TextOps {
        |SELECT doc_id, source, skey FROM rk WHERE rn <= $QuotaPerSource
        |ORDER BY source, skey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q74: overlapping-chunk splitting (RAG / context-window prep)
+  // ---------------------------------------------------------------
+
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+  private val ChunkStride = ChunkSize - ChunkOverlap
+
+  /** Split every document into [[ChunkSize]]-token chunks overlapping
+    * by [[ChunkOverlap]] tokens — the standard RAG-indexing /
+    * context-window preparation step. Chunk count is arithmetic on the
+    * token count (never a loop); each chunk is proven EXACTLY via the
+    * md5 of its re-joined text. A short tail (< stride leftover) folds
+    * into the last full chunk's overlap rule: the final chunk may be
+    * shorter, never empty, and every token is covered at least once.
+    *
+    * Scale shape: one Generate (explode of the per-doc chunk-id range)
+    * over a narrow projection — output is ~n_tokens/stride rows per
+    * doc, no shuffle before the output sort. */
+  def q74Chunk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        when($"n" <= ChunkSize, lit(1L))
+          .otherwise(lit(1L) +
+            ceil(($"n" - ChunkSize) / ChunkStride.toDouble).cast("long")))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_id"))
+      .select($"doc_id", $"chunk_id",
+        slice($"toks", ($"chunk_id" * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)).as("chunk"))
+      .select($"doc_id", $"chunk_id",
+        size($"chunk").cast("long").as("n_chunk_tokens"),
+        md5(array_join($"chunk", " ")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+
+  val q74ChunkSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM documents),
+       |nc AS (SELECT doc_id, w, n,
+       |    CASE WHEN n <= $ChunkSize THEN 1
+       |         ELSE 1 + CAST(ceil((n - $ChunkSize) / ${ChunkStride}.0) AS BIGINT)
+       |    END AS n_chunks FROM ws),
+       |ch AS (SELECT doc_id, ck AS chunk_id,
+       |    w[ck * $ChunkStride + 1 : ck * $ChunkStride + $ChunkSize] AS chunk
+       |  FROM nc, UNNEST(range(0, n_chunks)) AS t(ck))
+       |SELECT doc_id, chunk_id,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
 }

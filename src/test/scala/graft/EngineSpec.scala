@@ -803,6 +803,84 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows: every event lands in exactly size/slide windows, starts on the slide grid") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val win = EventOps.q73SlidingWindow(spark, d).collect()
+    val total = graft.sources.Tables.events(spark, d).count()
+    // replication factor is exactly size/slide = 2
+    assert(win.map(_.getAs[Long]("n_events")).sum === 2 * total)
+    // all window starts align to the 30-minute slide grid
+    win.foreach { r =>
+      val mmss = r.getAs[String]("window_start").takeRight(5)
+      assert(mmss == "00:00" || mmss == "30:00", s"off-grid window: $r")
+    }
+  }
+
+  test("chunking: brute-force chunk equality, full coverage, overlap conservation") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q74Chunk(spark, d).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk_fp"))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(s: String) = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var checked = 0
+    graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect().foreach { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val n = toks.length
+        val nc = if (n <= 32) 1 else 1 + math.ceil((n - 32) / 24.0).toLong
+        val mine = got.filter(_._1._1 == r.getLong(0))
+        assert(mine.size.toLong === nc, s"doc ${r.getLong(0)} chunk count")
+        var covered = 0L
+        (0L until nc).foreach { k =>
+          val chunk = toks.slice((k * 24).toInt, (k * 24).toInt + 32)
+          val (len, h) = mine((r.getLong(0), k))
+          assert(len === chunk.length.toLong)
+          assert(h === fp(chunk.mkString(" ")))
+          covered += chunk.length
+          checked += 1
+        }
+        // overlap conservation: total chunked tokens = n + 8*(nc-1)
+        assert(covered === n + 8 * (nc - 1), s"doc ${r.getLong(0)} coverage")
+      }
+    assert(checked > 0)
+  }
+
+  test("gap-fill: complete spine, zero-order gap days carry the last observed total") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q75GapFill(spark, d).collect()
+    val prios = rows.map(_.getAs[String]("prio")).distinct
+    val days = rows.map(_.getAs[String]("day")).distinct
+    // the spine is the full cross product — every series covers every day
+    assert(rows.length === prios.length * days.length)
+    val gaps = rows.count(_.getAs[Long]("n_orders") == 0L)
+    assert(gaps > 0, "no gap days at sf0.001 — LOCF untested")
+    // independent recomputation of the daily totals from the raw orders
+    // (same cent-grid arithmetic), then LOCF as a plain Scala fold
+    val daily = graft.sources.Tables.orders(spark, d)
+      .select($"o_orderpriority", to_date($"o_orderdate").cast("string"),
+        $"o_totalprice").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => math.floor(r.getDouble(2) * 100.0 + 0.5).toLong).sum / 100.0 }
+    rows.groupBy(_.getAs[String]("prio")).foreach { case (prio, rs) =>
+      var lastSeen: Option[Double] = None
+      rs.sortBy(_.getAs[String]("day")).foreach { r =>
+        val day = r.getAs[String]("day")
+        daily.get((prio, day)).foreach { exp =>
+          assert(r.getAs[Long]("n_orders") > 0L)
+          lastSeen = Some(exp)
+        }
+        if (!daily.contains((prio, day))) assert(r.getAs[Long]("n_orders") === 0L)
+        val got = Option(r.get(r.fieldIndex("locf_total"))).map(_.asInstanceOf[Double])
+        assert(got === lastSeen, s"LOCF mismatch at $r")
+      }
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
