@@ -97,6 +97,10 @@ object SparkEntry {
     "q73_sliding_window" -> (EventOps.q73SlidingWindow(_, _)),
     "q74_chunk"          -> (TextOps.q74Chunk(_, _)),
     "q75_gapfill"        -> (EventOps.q75GapFill(_, _)),
+    "q76_multimodal_resize" -> (CustomOps.q76MultimodalResize(_, _)),
+    "q77_pq"             -> (VectorOps.q77Pq(_, _)),
+    "q78_containment"    -> (TextOps.q78Containment(_, _)),
+    "q79_random_projection" -> (VectorOps.q79RandomProjection(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -197,5 +201,15 @@ object SparkEntry {
     "q73_sliding_window" -> EventOps.q73SlidingWindowSql,
     "q74_chunk"          -> TextOps.q74ChunkSql,
     "q75_gapfill"        -> EventOps.q75GapFillSql,
+    // q76: re-decoded sums of the half-size image recomputed from
+    // payload byte positions (even columns, even decoded rows)
+    "q76_multimodal_resize" -> CustomOps.q76MultimodalResizeSql,
+    "q77_pq"             -> VectorOps.q77PqSql,
+    // q78: containment over the staged LSH pairs; oracle re-derives
+    // the full banded candidate set like q24's
+    "q78_containment"    -> TextOps.q78ContainmentSql,
+    // q79: the +-1 sign matrix is md5-derived identically in Scala
+    // (plan literals) and DuckDB SQL
+    "q79_random_projection" -> VectorOps.q79RandomProjectionSql,
   )
 }

@@ -29,7 +29,7 @@ object Verify {
           length(col("text")) =!= octet_length(col("text"))).count()
       require(nonAscii == 0,
         s"documents.text in $sfDir has $nonAscii non-ASCII rows - " +
-          "byte-level oracles (q35/q37/q44/q49/q53/q58) would be invalid")
+          "byte-level oracles (q35/q37/q44/q49/q53/q58/q76) would be invalid")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -237,4 +237,43 @@ object Multimodal {
       }
     }
   }
+
+  /** REAL image resize on the BMP path: decode with the JDK reader,
+    * nearest-neighbor downsample by `factor` (resized pixel (x, y) =
+    * source pixel (x·factor, y·factor) — exact pixel picks, no
+    * interpolation arithmetic, so the result is bit-deterministic),
+    * re-encode with the JDK BMP writer. Replaces [[resizeStub]] on the
+    * BMP path; the stub remains the shape for formats the JDK cannot
+    * write. Streamed per partition like [[decodeImages]] — payloads
+    * never collect, and a failed decode fails loudly. */
+  def resizeImages(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.content)))
+        require(img != null,
+          s"media_id=${r.media_id}: payload is not a decodable image")
+        val w2 = math.max(1, img.getWidth / factor)
+        val h2 = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        val ok = javax.imageio.ImageIO.write(out, "bmp", baos)
+        require(ok, "JDK BMP writer unavailable")
+        r.copy(content = baos.toByteArray, width = w2, height = h2)
+      }
+    }
+  }
 }

@@ -163,6 +163,59 @@ object CustomOps {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** REAL resize end to end: encode → decode → nearest-neighbor
+    * half-size → re-encode (JDK BMP writer) → re-DECODE the resized
+    * payload and emit its dimensions and channel sums. Every pixel of
+    * the resized image is an exact pick of source pixel (2x, 2y), so
+    * the re-decoded sums are a pure function of the original payload
+    * bytes: the oracle selects the bytes at even columns and even
+    * DECODED rows (BMP stores rows bottom-up — decoded row y lives at
+    * stored row h−1−y, handled in the index arithmetic below) and sums
+    * them per BGR channel. Proving the resized sums this way also
+    * proves the JDK writer/reader round-trip is lossless. */
+  def q76MultimodalResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeImages(
+        Multimodal.resizeImages(Multimodal.mediaAsBmp(s, d), 2)).toDF()
+      .select($"media_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"n_pixels", $"sum_r", $"sum_g", $"sum_b")
+      .orderBy($"media_id")
+
+  val q76MultimodalResizeSql: String = {
+    val h = s"greatest(CAST(1 AS BIGINT), (octet_length(encode(text)) + 47) // 48)"
+    // payload byte p (0-based) sits at stored row p//48, column
+    // (p%48)//3, channel p%3; decoded y = h-1-row. Selected for the
+    // half-size image: even column < 16 (i.e. all even columns), even
+    // decoded y with y/2 inside the resized height h2 = max(1, h//2).
+    val w2 = Multimodal.BmpWidth / 2
+    s"""WITH par AS (SELECT doc_id, text, length(text) AS len, $h AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       |sel AS (
+       |  SELECT doc_id, ((i - 1) % 3) AS chan,
+       |    ascii(substring(text, CAST(i AS INT), 1)) AS b
+       |  FROM par, UNNEST(range(1, len + 1)) AS t(i)
+       |  WHERE (((i - 1) % 48) // 3) % 2 = 0
+       |    AND ((h - 1 - ((i - 1) // 48)) % 2) = 0
+       |    AND ((h - 1 - ((i - 1) // 48)) // 2)
+       |          < greatest(CAST(1 AS BIGINT), h // 2)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN chan = 2 THEN b ELSE 0 END) AS sum_r,
+       |    sum(CASE WHEN chan = 1 THEN b ELSE 0 END) AS sum_g,
+       |    sum(CASE WHEN chan = 0 THEN b ELSE 0 END) AS sum_b
+       |  FROM sel GROUP BY doc_id)
+       |SELECT p.doc_id AS media_id,
+       |  CAST($w2 AS BIGINT) AS width,
+       |  greatest(CAST(1 AS BIGINT), h // 2) AS height,
+       |  $w2 * greatest(CAST(1 AS BIGINT), h // 2) AS n_pixels,
+       |  CAST(coalesce(a.sum_r, 0) AS BIGINT) AS sum_r,
+       |  CAST(coalesce(a.sum_g, 0) AS BIGINT) AS sum_g,
+       |  CAST(coalesce(a.sum_b, 0) AS BIGINT) AS sum_b
+       |FROM par p LEFT JOIN agg a USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+  }
+
   val q37MultimodalDecodeSql: String = {
     // byte-residue counts over the ASCII payload (char code == byte)
     val hists = (0 until 8).map(j =>

@@ -1237,6 +1237,62 @@ object TextOps {
        |ORDER BY source, skey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q78: shingle containment (near-superset / quote detection)
+  // ---------------------------------------------------------------
+
+  private val ContainThresh = 0.8
+
+  /** Directional containment over the LSH candidate pairs:
+    * cont1 = |A∩B| / |A| (how much of doc1 lives inside doc2) and the
+    * symmetric cont2 — the signal Jaccard misses when a small document
+    * is quoted whole inside a large one (intersection/union stays low
+    * while containment hits 1.0). Flags pairs where either direction
+    * crosses [[ContainThresh]].
+    *
+    * Scale shape: reads the STAGED verified-pairs relation (which
+    * already carries n_common/n1/n2 from q24's banded candidate
+    * generation) — a pure narrow projection on top of the shared dedup
+    * pipeline, no recomputation of shingles or buckets. */
+  def q78Containment(s: SparkSession, d: String): DataFrame =
+    pairsStaged(s, d)
+      .select($"d1", $"d2", $"n_common", $"n1", $"n2",
+        stableRound($"n_common" / $"n1", 6).as("cont1"),
+        stableRound($"n_common" / $"n2", 6).as("cont2"),
+        (greatest($"n_common" / $"n1", $"n_common" / $"n2") >= ContainThresh)
+          .as("near_superset"))
+      .orderBy($"d1", $"d2")
+
+  val q78ContainmentSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
+       |          FROM cands c
+       |          JOIN sh s1 ON s1.doc_id = c.d1
+       |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+       |          GROUP BY c.d1, c.d2)
+       |SELECT c.d1, c.d2, coalesce(i.n_common, 0) AS n_common,
+       |  c1.n AS n1, c2.n AS n2,
+       |  ${sqlRound("coalesce(i.n_common, 0) / c1.n", 6)} AS cont1,
+       |  ${sqlRound("coalesce(i.n_common, 0) / c2.n", 6)} AS cont2,
+       |  greatest(coalesce(i.n_common, 0) / c1.n,
+       |           coalesce(i.n_common, 0) / c2.n) >= $ContainThresh
+       |    AS near_superset
+       |FROM cands c
+       |LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |JOIN counts c1 ON c1.doc_id = c.d1
+       |JOIN counts c2 ON c2.doc_id = c.d2
+       |ORDER BY c.d1, c.d2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q74: overlapping-chunk splitting (RAG / context-window prep)
   // ---------------------------------------------------------------
 

@@ -513,4 +513,150 @@ object VectorOps {
       .orderBy($"id", $"id2")
   }
 
+  // ---------------------------------------------------------------
+  // q77: product quantization (per-subspace codebook assignment)
+  // ---------------------------------------------------------------
+
+  private val PqM = 4  // subspaces
+  private val PqK = 16 // codes per subspace
+
+  /** Product quantization census: split each vector into [[PqM]]
+    * subvectors, assign every subvector to its nearest code in a
+    * [[PqK]]-entry per-subspace codebook (deterministically seeded from
+    * the first [[PqK]] corpus vectors, like q47's IVF centroids — no
+    * fitted state to ship), and report each (subspace, code) cell's
+    * population and grid-mean similarity. PQ is the memory-side
+    * complement of q51's scalar quantization: M log₂K bits per vector
+    * (here 16 bits vs the original 256 bytes) is what makes a
+    * billion-vector ANN index RAM-resident.
+    *
+    * Scale shape: the codebook is PqM × PqK = 64 rows — broadcast by
+    * construction; assignment is one narrow pass through the bounded
+    * TopKPerKey (one row per (vector, subspace) crosses the exchange);
+    * the census is a ≤64-group aggregate. Another Lloyd round over the
+    * codebook would be q65's two-scan shape per subspace. */
+  def q77Pq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+    val firstDim = emb.select(size($"embedding")).take(1)
+    require(firstDim.nonEmpty, "q77Pq: empty embeddings corpus")
+    val dim = firstDim.head.getInt(0)
+    require(dim % PqM == 0, s"q77Pq: dim $dim not divisible by $PqM")
+    val subLen = dim / PqM
+    def subs(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select($"vec_id", explode(array((0 until PqM).map(m =>
+          struct(lit(m.toLong).as("m"),
+            slice($"embedding", m * subLen + 1, subLen).as(vecAs))): _*)).as("s"))
+        .select($"vec_id".as(idAs), $"s.m".as("m"), col(s"s.$vecAs"))
+    val corpus = subs(emb, "vec_id", "sub")
+    val codebook = subs(emb.filter($"vec_id" < PqK), "code", "csub")
+    val scored = corpus.join(broadcast(codebook), "m")
+      .select($"vec_id", $"m", $"code",
+        Vectors.cosine($"sub", $"csub").as("ccos"))
+    graft.plans.TopK.perKey(
+        scored, Seq($"vec_id", $"m"), Seq($"ccos".desc, $"code"), 1)
+      .groupBy($"m", $"code")
+      .agg(count(lit(1)).as("n_vecs"),
+        (floor(sum(floor($"ccos" * 1e6 + 0.5)) / count(lit(1)) + 0.5) / 1e6)
+          .as("avg_cos"))
+      .orderBy($"m", $"code")
+  }
+
+  val q77PqSql: String =
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |par AS (SELECT len(embedding) // $PqM AS sl FROM emb LIMIT 1),
+       |corpus AS (SELECT e.vec_id, t.m,
+       |    e.embedding[t.m * p.sl + 1 : (t.m + 1) * p.sl] AS sub
+       |  FROM emb e CROSS JOIN par p, UNNEST(range(0, $PqM)) AS t(m)),
+       |cb AS (SELECT vec_id AS code, m, sub AS csub FROM corpus
+       |       WHERE vec_id < $PqK),
+       |scored AS (SELECT c.vec_id, c.m, b.code,
+       |    ${cosSql("c.sub", "b.csub")} AS ccos
+       |  FROM corpus c JOIN cb b ON c.m = b.m),
+       |best AS (SELECT vec_id, m, code, ccos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY ccos DESC, code) AS rn FROM scored) WHERE rn = 1)
+       |SELECT m, code, count(*) AS n_vecs,
+       |  floor(sum(floor(ccos * 1e6 + 0.5)) / count(*) + 0.5) / 1e6 AS avg_cos
+       |FROM best GROUP BY m, code ORDER BY m, code""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q79: Johnson-Lindenstrauss random projection (dim reduction)
+  // ---------------------------------------------------------------
+
+  private val RpK = 16 // target dimensions
+
+  /** Deterministic sign for random-projection cell (j, i): +1 when the
+    * first hex digit of md5("rp:j:i") is 0-7. Computed HERE with the
+    * same MessageDigest the oracle's `md5()` uses, then baked into the
+    * plan as ±1 literals — executors carry no projection matrix at all,
+    * and DuckDB re-derives the identical signs from its own md5. */
+  private[graft] def rpSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Johnson-Lindenstrauss projection audit: project every embedding to
+    * [[RpK]] dimensions with a deterministic ±1 sign matrix (scaled by
+    * 1/√k) and report per-vector norm preservation — the contract a
+    * JL sketch must honor before replacing full vectors in distance
+    * computations. Each projected coordinate is a fixed-order signed
+    * sum (bit-identical to the oracle's sequential list_sum); the 16
+    * squared coordinates are gridded to integers before the cross-
+    * coordinate sum, so no FP reordering can perturb the result.
+    *
+    * Scale shape: one narrow codegen'd projection over the corpus —
+    * no joins, no shuffle before the output sort, and the "matrix" is
+    * plan literals (zero executor state, any cluster size). */
+  def q79RandomProjection(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+    val firstDim = emb.select(size($"embedding")).take(1)
+    require(firstDim.nonEmpty, "q79RandomProjection: empty embeddings corpus")
+    val dim = firstDim.head.getInt(0)
+    // proj_j = Σ_i sign(j,i)·x_i, left-assoc in index order
+    def proj(j: Int): Column =
+      (1 to dim).map(i =>
+        element_at($"embedding", i).cast("double") * lit(rpSign(j, i)))
+        .reduce(_ + _)
+    // (p·p)/k is one IEEE multiply + an EXACT divide (k = 16 = 2⁴), so
+    // both engines compute the identical double — no pow() involved
+    val projN2Grid = (0 until RpK).map { j =>
+      val p = proj(j)
+      floor(p * p / RpK.toDouble * 1e6 + 0.5).cast("long")
+    }.reduce(_ + _)
+    emb.select($"vec_id",
+        (floor(Vectors.normSq($"embedding") * 1e6 + 0.5) / 1e6).as("orig_n2"),
+        (projN2Grid / 1e6).as("proj_n2"))
+      .select($"vec_id", $"orig_n2", $"proj_n2",
+        when($"orig_n2" === 0.0, lit(0.0))
+          .otherwise(stableRound($"proj_n2" / $"orig_n2", 6)).as("norm_ratio"))
+      .orderBy($"vec_id")
+  }
+
+  val q79RandomProjectionSql: String = {
+    val sign = "CASE WHEN substring(md5('rp:' || j || ':' || i), 1, 1) " +
+      "IN ('0','1','2','3','4','5','6','7') THEN 1.0 ELSE -1.0 END"
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+       |            WHERE embedding IS NOT NULL),
+       |pj AS (SELECT vec_id, j,
+       |    list_sum(list_transform(range(1, len(embedding) + 1),
+       |      i -> ($sign) * CAST(embedding[i] AS DOUBLE))) AS p
+       |  FROM emb, UNNEST(range(0, $RpK)) AS t(j)),
+       |pn AS (SELECT vec_id,
+       |    CAST(sum(CAST(floor(p * p / ${RpK}.0 * 1e6 + 0.5)
+       |                  AS BIGINT)) AS BIGINT) AS png
+       |  FROM pj GROUP BY vec_id),
+       |onr AS (SELECT vec_id,
+       |    floor(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |      AS orig_n2
+       |  FROM emb)
+       |SELECT o.vec_id, o.orig_n2, p.png / 1e6 AS proj_n2,
+       |  CASE WHEN o.orig_n2 = 0.0 THEN 0.0
+       |       ELSE ${sqlRound("(p.png / 1e6) / o.orig_n2", 6)} END AS norm_ratio
+       |FROM onr o JOIN pn p USING (vec_id)
+       |ORDER BY o.vec_id""".stripMargin
+  }
+
 }

@@ -881,6 +881,82 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize: JDK round-trip halves dims and picks exactly the even-grid pixels") {
+    import graft.multimodal.Multimodal
+    // payload of 2 full rows (96 bytes) → 16×2 BMP → resized to 8×1
+    val payload = Array.tabulate(96)(i => (i % 251).toByte)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(7L, Multimodal.encodeBmp(payload), "bmp", 16, 2)))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.decodeImages(Multimodal.resizeImages(media, 2)).collect()
+    assert(out.length === 1)
+    val img = out.head
+    assert(img.width === 8 && img.height === 1 && img.n_pixels === 8L)
+    // decoded row 0 of the source = stored row h-1 = bytes 48..95 (BMP
+    // bottom-up); resized row 0 picks its even columns: byte triplets
+    // at offsets 48 + 6k for k in 0..7, layout (B, G, R)
+    val picks = (0 until 8).map(k => 48 + 6 * k)
+    def u(b: Byte) = b & 0xff
+    assert(img.sum_b === picks.map(p => u(payload(p))).sum.toLong)
+    assert(img.sum_g === picks.map(p => u(payload(p + 1))).sum.toLong)
+    assert(img.sum_r === picks.map(p => u(payload(p + 2))).sum.toLong)
+  }
+
+  test("product quantization: each subspace exactly partitions the corpus; codebook self-assigns") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val cells = VectorOps.q77Pq(spark, d).collect()
+    val n = graft.sources.Tables.embeddings(spark, d)
+      .filter($"embedding".isNotNull).count()
+    (0L until 4L).foreach { m =>
+      val mine = cells.filter(_.getAs[Long]("m") == m)
+      assert(mine.map(_.getAs[Long]("n_vecs")).sum === n,
+        s"subspace $m does not partition the corpus")
+      mine.foreach { c =>
+        assert(c.getAs[Long]("code") >= 0 && c.getAs[Long]("code") < 16)
+        assert(c.getAs[Double]("avg_cos") <= 1.0 + 5e-7)
+      }
+    }
+  }
+
+  test("containment: directional ratios recomputed from raw shingle sets; quote case flags") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q78Containment(spark, d).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation: 3-word shingle DISTINCT sets in Scala
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet).toMap
+    rows.foreach { r =>
+      val (a, b) = (docs(r.getAs[Long]("d1")), docs(r.getAs[Long]("d2")))
+      val common = (a intersect b).size.toLong
+      assert(r.getAs[Long]("n_common") === common)
+      assert(r.getAs[Long]("n1") === a.size.toLong)
+      assert(r.getAs[Long]("n2") === b.size.toLong)
+      val expFlag = math.max(common.toDouble / a.size, common.toDouble / b.size) >= 0.8
+      assert(r.getAs[Boolean]("near_superset") === expFlag)
+    }
+  }
+
+  test("random projection: JL norm preservation holds on average; ratios positive") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q79RandomProjection(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("orig_n2") > 0.0)
+      assert(r.getAs[Double]("norm_ratio") > 0.0)
+    }
+    // E[‖Rx‖²/k] = ‖x‖² for a ±1 JL matrix; with k=16 the corpus mean
+    // concentrates — a sign-derivation bug (biased signs, wrong scale)
+    // lands far outside this envelope
+    val mean = rows.map(_.getAs[Double]("norm_ratio")).sum / rows.length
+    assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
