@@ -101,6 +101,9 @@ object SparkEntry {
     "q77_pq"             -> (VectorOps.q77Pq(_, _)),
     "q78_containment"    -> (TextOps.q78Containment(_, _)),
     "q79_random_projection" -> (VectorOps.q79RandomProjection(_, _)),
+    "q80_corr_moments"   -> (Relational.q80CorrMoments(_, _)),
+    "q81_funnel"         -> (EventOps.q81Funnel(_, _)),
+    "q82_retention"      -> (EventOps.q82Retention(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -211,5 +214,10 @@ object SparkEntry {
     // q79: the +-1 sign matrix is md5-derived identically in Scala
     // (plan literals) and DuckDB SQL
     "q79_random_projection" -> VectorOps.q79RandomProjectionSql,
+    // q80: corr/covar from exact integer moments (the built-ins are
+    // FP-order-dependent and would hash-mismatch)
+    "q80_corr_moments"   -> Relational.q80CorrMomentsSql,
+    "q81_funnel"         -> EventOps.q81FunnelSql,
+    "q82_retention"      -> EventOps.q82RetentionSql,
   )
 }

@@ -276,6 +276,94 @@ object EventOps {
        |FROM wins GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // q81: ordered funnel analysis (view → click → purchase)
+  // ---------------------------------------------------------------
+
+  /** Classic ordered funnel: users who viewed, then clicked strictly
+    * after their first view, then purchased strictly after that first
+    * qualifying click. First-touch semantics (min timestamp per step)
+    * make each stage a pure aggregate — no per-user sequence scan, no
+    * session state. All comparisons run at seconds precision
+    * ([[sec]] — the ns-vs-µs parquet-reader guard every temporal
+    * operator here uses).
+    *
+    * Scale shape: three chained (filter → per-user min → join) passes,
+    * each shuffling only user-grain rows on user_id; the event table
+    * itself is scanned with the stage's type filter pushed to parquet.
+    * Output is one row of stage counts + gridded conversion rates. */
+  def q81Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select($"user_id", $"event_type",
+      sec($"ts").as("t"))
+    val u1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"t").as("t1"))
+    val u2 = ev.filter($"event_type" === "click")
+      .join(u1, "user_id").filter($"t" > $"t1")
+      .groupBy($"user_id").agg(min($"t").as("t2"))
+    val u3 = ev.filter($"event_type" === "purchase")
+      .join(u2, "user_id").filter($"t" > $"t2")
+      .groupBy($"user_id").agg(min($"t").as("t3"))
+    u1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(u2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(u3.agg(count(lit(1)).as("n_purchase")))
+      .select($"n_view", $"n_click", $"n_purchase",
+        stableRound($"n_click" / $"n_view", 6).as("view_to_click"),
+        stableRound($"n_purchase" / $"n_click", 6).as("click_to_purchase"))
+  }
+
+  val q81FunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+       |u1 AS (SELECT user_id, min(t) AS t1 FROM ev
+       |       WHERE event_type = 'view' GROUP BY user_id),
+       |u2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e
+       |       JOIN u1 USING (user_id)
+       |       WHERE e.event_type = 'click' AND e.t > u1.t1 GROUP BY e.user_id),
+       |u3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e
+       |       JOIN u2 USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND e.t > u2.t2 GROUP BY e.user_id)
+       |SELECT (SELECT count(*) FROM u1) AS n_view,
+       |  (SELECT count(*) FROM u2) AS n_click,
+       |  (SELECT count(*) FROM u3) AS n_purchase,
+       |  ${sqlRound("(SELECT count(*) FROM u2) / (SELECT count(*) FROM u1)", 6)}
+       |    AS view_to_click,
+       |  ${sqlRound("(SELECT count(*) FROM u3) / (SELECT count(*) FROM u2)", 6)}
+       |    AS click_to_purchase""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q82: cohort retention (first-seen day × activity-day offset)
+  // ---------------------------------------------------------------
+
+  /** Cohort retention triangle: users grouped by first-seen epoch day,
+    * counted on each later day they were active. Two user-grain
+    * aggregates joined on user_id, then a (cohort, offset) count —
+    * the standard product-analytics rollup, with day arithmetic on
+    * exact integers (epoch seconds // 86400).
+    *
+    * Scale shape: shuffles carry user-day-grain rows (already
+    * distinct-collapsed by the first aggregate), never raw events;
+    * the cohort join is user-grain on both sides. */
+  def q82Retention(s: SparkSession, d: String): DataFrame = {
+    val byDay = Tables.events(s, d)
+      .select($"user_id", (sec($"ts") / 86400).cast("long").as("day"))
+      .distinct()
+    val cohort = byDay.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    byDay.join(cohort, "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val q82RetentionSql: String =
+    """WITH byday AS (SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+      |cohort AS (SELECT user_id, min(day) AS cohort_day FROM byday
+      |           GROUP BY user_id)
+      |SELECT c.cohort_day, b.day - c.cohort_day AS day_offset,
+      |  count(DISTINCT b.user_id) AS n_users
+      |FROM byday b JOIN cohort c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q75: calendar gap-fill with last-observation-carried-forward
   // ---------------------------------------------------------------
 

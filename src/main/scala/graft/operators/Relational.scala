@@ -735,6 +735,70 @@ object Relational {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // =====================================================================
+  // q80: statistical aggregates from exact integer moments
+  // =====================================================================
+
+  /** Pearson correlation / covariance / stddev per group — computed
+    * from EXACT integer moments, not the built-in `corr()`: the
+    * built-ins accumulate doubles in partition order, so Spark and
+    * DuckDB (and two runs of the same engine with different
+    * partitioning) disagree in the last ulps. Here x is floored to
+    * integer dollars and y is integral, so Σx, Σy, Σxy, Σx², Σy² are
+    * exact BIGINTs — order-independent — and every double that follows
+    * is derived identically in both engines from identical integers.
+    * One map-side-combinable aggregate, 3 groups at any scale. */
+  def q80CorrMoments(s: SparkSession, d: String): DataFrame = {
+    val x = floor($"l_extendedprice").cast("long") // integer dollars
+    val y = $"l_quantity".cast("long")             // integral by data
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select($"l_returnflag", $"n", $"sx", $"sy", $"sxy", $"sxx", $"syy")
+      .select($"l_returnflag", $"n",
+        stableRound($"sx" / $"n", 6).as("mean_x"),
+        stableRound($"sy" / $"n", 6).as("mean_y"),
+        // products run in DOUBLE: n·sxx and sx² overflow BIGINT at
+        // scale, while every SUM is exact below 2^53 — so long→double
+        // conversion and the IEEE products/differences that follow are
+        // bit-identical in both engines (deterministic, order-free)
+        stableRound((dbl($"n") * $"sxy" - dbl($"sx") * $"sy") /
+          (dbl($"n") * $"n"), 6).as("covar_pop"),
+        stableRound((dbl($"n") * $"sxy" - dbl($"sx") * $"sy") /
+          (sqrt(dbl($"n") * $"sxx" - dbl($"sx") * $"sx") *
+           sqrt(dbl($"n") * $"syy" - dbl($"sy") * $"sy")), 6).as("corr"))
+      .orderBy($"l_returnflag")
+  }
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  val q80CorrMomentsSql: String = {
+    val moments =
+      """SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+        |             * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem GROUP BY l_returnflag""".stripMargin
+    val dn = "CAST(n AS DOUBLE)"
+    val dsx = "CAST(sx AS DOUBLE)"
+    val dsy = "CAST(sy AS DOUBLE)"
+    s"""WITH m AS ($moments)
+       |SELECT l_returnflag, n,
+       |  ${sqlRound("sx / n", 6)} AS mean_x,
+       |  ${sqlRound("sy / n", 6)} AS mean_y,
+       |  ${sqlRound(s"($dn * sxy - $dsx * sy) / ($dn * n)", 6)} AS covar_pop,
+       |  ${sqlRound(s"($dn * sxy - $dsx * sy) / (sqrt($dn * sxx - $dsx * sx) * sqrt($dn * syy - $dsy * sy))", 6)} AS corr
+       |FROM m ORDER BY l_returnflag""".stripMargin
+  }
+
+  // =====================================================================
   // q70: explicit runtime-filter (bloom-style) semi-join pushdown
   // =====================================================================
 

@@ -957,6 +957,78 @@ class EngineSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, s"mean norm ratio $mean")
   }
 
+  test("correlation from exact moments matches a brute-force recomputation") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val got = Relational.q80CorrMoments(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("corr")).toMap
+    val rows = graft.sources.Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1)).toLong, r.getDouble(2).toLong))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._2).sum.toDouble; val sy = rs.map(_._3).sum.toDouble
+      val sxy = rs.map(t => t._2 * t._3).sum.toDouble
+      val sxx = rs.map(t => t._2 * t._2).sum.toDouble
+      val syy = rs.map(t => t._3 * t._3).sum.toDouble
+      val corr = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(got(flag) >= -1.0 && got(flag) <= 1.0)
+      assert(math.abs(got(flag) - corr) < 2e-6, s"flag $flag: ${got(flag)} vs $corr")
+    }
+  }
+
+  test("funnel: stage counts monotone and equal to a per-user brute force") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val row = EventOps.q81Funnel(spark, d).collect().head
+    val (nv, nc, np) = (row.getAs[Long]("n_view"),
+      row.getAs[Long]("n_click"), row.getAs[Long]("n_purchase"))
+    assert(nv >= nc && nc >= np && nv > 0)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    def firstAfter(rs: Array[(Long, String, Long)], typ: String, after: Long) = {
+      val c = rs.filter(t => t._2 == typ && t._3 > after).map(_._3)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    var (ev1, ev2, ev3) = (0L, 0L, 0L)
+    byUser.foreach { case (_, rs) =>
+      val t1 = firstAfter(rs, "view", Long.MinValue)
+      if (t1.isDefined) {
+        ev1 += 1
+        val t2 = firstAfter(rs, "click", t1.get)
+        if (t2.isDefined) {
+          ev2 += 1
+          if (firstAfter(rs, "purchase", t2.get).isDefined) ev3 += 1
+        }
+      }
+    }
+    assert((nv, nc, np) === ((ev1, ev2, ev3)))
+  }
+
+  test("retention: offset-0 equals cohort size; counts never exceed it; total users conserved") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q82Retention(spark, d).collect()
+    val totalUsers = graft.sources.Tables.events(spark, d)
+      .select($"user_id").distinct().count()
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_day"))
+    // every user appears in exactly one cohort at offset 0
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+    assert(day0.map(_.getAs[Long]("n_users")).sum === totalUsers)
+    byCohort.foreach { case (_, rs) =>
+      val size0 = rs.find(_.getAs[Long]("day_offset") == 0L)
+        .map(_.getAs[Long]("n_users"))
+      assert(size0.isDefined, "cohort missing its own first day")
+      rs.foreach { r =>
+        assert(r.getAs[Long]("day_offset") >= 0L)
+        assert(r.getAs[Long]("n_users") <= size0.get)
+      }
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
