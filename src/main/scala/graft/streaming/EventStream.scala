@@ -74,6 +74,46 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Sliding (hopping) windows on the stream — the streaming twin of
+    * the batch q73: 1-hour windows every 30 minutes, each event
+    * contributing to exactly two open windows. Watermark semantics are
+    * identical to [[tumblingCounts]]; state holds size/slide window
+    * entries per key instead of one, which is the memory trade sliding
+    * windows make at any scale. */
+  def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evs_" + UUID.randomUUID().toString.replace("-", "")
+    val stream = rawEvents(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        window($"ts", "1 hour", "30 minutes").as("win"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.operators.Relational.moneySum($"value").as("sum_value"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q =
+      try {
+        stream.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    spark.table(name)
+      .select(
+        date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
   /** Streaming dedup: `dropDuplicatesWithinWatermark` on the event id —
     * the streaming twin of the exact-dedup batch operator, with the
     * bounded-state trade every streaming dedup makes: duplicates

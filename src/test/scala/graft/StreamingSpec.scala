@@ -74,6 +74,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("streaming sliding agg matches the batch sliding query row-for-row") {
+    val streaming = EventStream.slidingCounts(spark, d)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.EventOps.q73SlidingWindow(spark, d)
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(streaming === batch)
+  }
+
   test("flatMapGroupsWithState sessionization: closed sessions equal batch minus open tails") {
     val gap = 1800L // same gap as q31 (EventOps.SessionGapSec)
     val streaming = EventStream.sessionizeStream(spark, d, gap)
