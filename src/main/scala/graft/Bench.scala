@@ -65,6 +65,24 @@ object Bench {
     val stageMode = if (keepStage) "warm" else "cold"
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stageMode","queries":$qs,"sf":"$sfDir"}"""
+    // The driver's capture keeps only the LAST ~2000 characters of output;
+    // the full-name queries map overflows that, truncating the JSON line
+    // mid-object (BENCH_r01..r04 all show "parsed": null with the tail
+    // starting mid-line). The stdout contract line therefore uses the
+    // short query ids ("q24" for "q24_lsh_pairs" — the id prefix is unique
+    // across SparkEntry.queries) and millisecond precision: ~1.1 KB for 81
+    // queries, headroom for many more. Full names + full precision remain
+    // in the files and on stderr. BASELINE.md documents the id scheme.
+    def shortId(name: String): String = name.split("_")(0)
+    val qsShort = results
+      .map { case (k, v) =>
+        "\"" + shortId(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+      }
+      .mkString("{", ",", "}")
+    val jsonShort =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage":"$stageMode","queries":$qsShort,"sf":"$sfDir"}"""
+    require(results.map(r => shortId(r._1)).distinct.size == results.size,
+      "short query ids must stay unique — rename the colliding query")
     // sbt prefixes stdout with [info] and interleaves Spark logs, so the
     // driver's stream parse can miss the line — ALSO write it to files
     // (driver + humans read either). Two files: the canonical path for
@@ -88,15 +106,20 @@ object Bench {
     // stop Spark BEFORE the final stdout line so no shutdown logging can
     // print after it — with showSuccess off (build.sbt) the JSON below
     // is the process's literal last stdout line, parseable by a
-    // last-line reader
-    spark.stop()
+    // last-line reader. Shutdown is guarded: an exception during
+    // spark.stop() (event-log/temp-dir IO) must not prevent the stdout
+    // contract line from being printed.
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     privateStage.foreach { p =>
       try graft.operators.Staged.wipeStore(p)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not remove private stage $p: ${e.getMessage}")
       }
     }
-    println(json)
+    println(jsonShort)
     System.out.flush(); System.err.flush()
   }
 }

@@ -31,6 +31,19 @@ object Verify {
         s"documents.text in $sfDir has $nonAscii non-ASCII rows - " +
           "byte-level oracles (q35/q37/q44/q49/q53/q58/q76) would be invalid")
     }
+    // Transcendental-grid precondition (ADVICE r4): q67/q68 round
+    // ln-derived values onto a 1e-6 grid; Spark's Math.log and DuckDB's
+    // ln can disagree in the last ulp, which flips a grid cell only if
+    // a value sits within ulps of the floor boundary. Assert none does
+    // at THIS scale factor — a boundary hit fails here with the exact
+    // offending term instead of surfacing as a one-row hash mismatch.
+    locally {
+      val haz = graft.operators.TextOps.lnBoundaryHazards(spark, sfDir)
+        .limit(5).collect()
+      require(haz.isEmpty,
+        s"ln-grid boundary hazard in $sfDir - cross-engine flip possible: " +
+          haz.map(_.toString).mkString("; "))
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1068,17 +1068,27 @@ object TextOps {
     * the per-doc top-k runs through the bounded-heap TopKPerKey plan —
     * at most k rows per doc cross the final exchange, never the full
     * posting list. */
-  def q67Tfidf(s: SparkSession, d: String): DataFrame = {
+  /** The (doc_id, term, tf, df, n_docs) relation behind q67 plus the
+    * raw pre-floor grid value `score_y` = tf·ln(n_docs/df)·1e6 + 0.5 —
+    * shared by the query (which floors it) and the boundary-hazard
+    * guard (which measures its distance to the floor boundary). */
+  private def tfidfTerms(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val tf = docs
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val nRel = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nRel))
+    tf.join(dfreq, "term").crossJoin(broadcast(nRel))
       .select($"doc_id", $"term", $"tf", $"df",
-        floor($"tf" * log($"n_docs".cast("double") / $"df") * 1e6 + 0.5)
-          .cast("long").as("score_grid"))
+        ($"tf" * log($"n_docs".cast("double") / $"df") * 1e6 + 0.5)
+          .as("score_y"))
+  }
+
+  def q67Tfidf(s: SparkSession, d: String): DataFrame = {
+    val scored = tfidfTerms(s, d)
+      .select($"doc_id", $"term", $"tf", $"df",
+        floor($"score_y").cast("long").as("score_grid"))
     graft.plans.TopK.perKey(
         scored, Seq($"doc_id"), Seq($"score_grid".desc, $"term"), TfidfTopK)
       .select($"doc_id", $"term", $"tf", $"df",
@@ -1115,10 +1125,14 @@ object TextOps {
     * the aggregation is order-independent and bit-identical across
     * engines regardless of partitioning. Two hash aggregates, both
     * map-side combinable. */
-  def q68TokenEntropy(s: SparkSession, d: String): DataFrame =
+  /** Per-(doc, term) token counts — shared by q68 and its hazard guard. */
+  private def tokenCounts(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select($"doc_id", explode(Text.tokens($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("c"))
+
+  def q68TokenEntropy(s: SparkSession, d: String): DataFrame =
+    tokenCounts(s, d)
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_tokens"),
@@ -1146,6 +1160,64 @@ object TextOps {
        |  ${sqlRound("ln(CAST(n_tokens AS DOUBLE)) - (sgrid / 1e6) / n_tokens", 6)}
        |    AS entropy_nats
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ln-grid boundary guard: the q67/q68 transcendental hazard monitor
+  // ---------------------------------------------------------------
+
+  /** Distance from `y` to its nearest floor(·) flip point (the
+    * integers), and the tolerated margin: 8 ulp of `y` plus a tiny
+    * absolute floor for y near 0. */
+  private def boundaryDist(y: Column): Column = {
+    val f = y - floor(y)
+    least(f, lit(1.0) - f)
+  }
+  private val UlpScale = 8 * math.pow(2, -52)
+  private def boundaryMargin(y: Column): Column =
+    abs(y) * UlpScale + 1e-12
+
+  /** Cross-engine hazard monitor for the repo's only transcendental
+    * oracles (q67 TF-IDF, q68 entropy). Spark's `Math.log` (HotSpot
+    * intrinsic) and DuckDB's libm `ln` are each faithful (≤1 ulp) but
+    * NOT correctly rounded, so on rare arguments they disagree in the
+    * last ulp. The floor(x·1e6 + 0.5) grid absorbs that everywhere
+    * EXCEPT when the pre-floor value sits within the disagreement
+    * window of an integer flip point — there the two engines can land
+    * in different grid cells, changing q67's top-k membership or q68's
+    * entropy by one grid unit: a sub-1% mismatch that appears only at
+    * the scale factor whose data hits the boundary. Every other oracled
+    * query uses only IEEE-exact +,-,*,/,sqrt and has no such window.
+    *
+    * This returns every gridded ln term (all three rounding sites:
+    * q67 scores, q68 c·ln c terms, and q68's final entropy round,
+    * which embeds ln n) whose boundary distance is ≤ 8 ulp
+    * of the term — the 2-ulp ln disagreement amplified through one
+    * multiply chain stays well inside that, while 8 ulp of a typical
+    * 1e6-scale term is ~1e-9, so spurious trips are vanishingly rare.
+    * Verify runs it per scale factor and FAILS LOUDLY on any row,
+    * turning the silent flip into a diagnosed one. */
+  def lnBoundaryHazards(s: SparkSession, d: String): DataFrame = {
+    val scoreHaz = tfidfTerms(s, d)
+      .select(lit("q67_score").as("site"),
+        concat($"doc_id", lit(":"), $"term").as("key"), $"score_y".as("y"))
+    val counts = tokenCounts(s, d)
+    val termHaz = counts
+      .select(lit("q68_term").as("site"),
+        concat($"doc_id", lit(":"), $"term").as("key"),
+        ($"c" * log($"c".cast("double")) * 1e6 + 0.5).as("y"))
+    val entropyHaz = counts
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum(floor($"c" * log($"c".cast("double")) * 1e6 + 0.5).cast("long"))
+          .as("sgrid"))
+      .select(lit("q68_entropy").as("site"), $"doc_id".cast("string").as("key"),
+        ((log($"n_tokens".cast("double")) - ($"sgrid" / 1e6) / $"n_tokens")
+          * 1e6 + 0.5).as("y"))
+    scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
+      .filter(boundaryDist($"y") <= boundaryMargin($"y"))
+      .select($"site", $"key", $"y", boundaryDist($"y").as("dist"),
+        boundaryMargin($"y").as("margin"))
+  }
 
   // ---------------------------------------------------------------
   // q69: exact quality-quantile binning (histogram method, no global sort)

@@ -619,13 +619,24 @@ object VectorOps {
       (1 to dim).map(i =>
         element_at($"embedding", i).cast("double") * lit(rpSign(j, i)))
         .reduce(_ + _)
+    // Materialize the 16 projected coordinates ONCE in their own select:
+    // squaring below references each twice (p·p), and at the Column layer
+    // there is no CSE guarantee — inlining would double a dim-term chain
+    // per coordinate, and for wide embeddings the generated method can
+    // blow past the JVM's 64KB limit and silently fall back to
+    // interpreted evaluation. CollapseProject keeps the two projections
+    // separate (it never inlines a non-cheap expression that is consumed
+    // more than once), so each codegen'd function stays small.
+    val projected = emb.select(
+      $"vec_id" +: $"embedding" +:
+        (0 until RpK).map(j => proj(j).as(s"proj_$j")): _*)
     // (p·p)/k is one IEEE multiply + an EXACT divide (k = 16 = 2⁴), so
     // both engines compute the identical double — no pow() involved
     val projN2Grid = (0 until RpK).map { j =>
-      val p = proj(j)
+      val p = col(s"proj_$j")
       floor(p * p / RpK.toDouble * 1e6 + 0.5).cast("long")
     }.reduce(_ + _)
-    emb.select($"vec_id",
+    projected.select($"vec_id",
         (floor(Vectors.normSq($"embedding") * 1e6 + 0.5) / 1e6).as("orig_n2"),
         (projN2Grid / 1e6).as("proj_n2"))
       .select($"vec_id", $"orig_n2", $"proj_n2",
