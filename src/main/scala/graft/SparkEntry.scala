@@ -104,6 +104,10 @@ object SparkEntry {
     "q80_corr_moments"   -> (Relational.q80CorrMoments(_, _)),
     "q81_funnel"         -> (EventOps.q81Funnel(_, _)),
     "q82_retention"      -> (EventOps.q82Retention(_, _)),
+    "q83_grouping_sets"  -> (Relational.q83GroupingSets(_, _)),
+    "q84_rank_family"    -> (Relational.q84RankFamily(_, _)),
+    "q85_median_mode"    -> (Relational.q85MedianMode(_, _)),
+    "q86_edit_distance"  -> (TextOps.q86EditDistance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -219,5 +223,9 @@ object SparkEntry {
     "q80_corr_moments"   -> Relational.q80CorrMomentsSql,
     "q81_funnel"         -> EventOps.q81FunnelSql,
     "q82_retention"      -> EventOps.q82RetentionSql,
+    "q83_grouping_sets"  -> Relational.q83GroupingSetsSql,
+    "q84_rank_family"    -> Relational.q84RankFamilySql,
+    "q85_median_mode"    -> Relational.q85MedianModeSql,
+    "q86_edit_distance"  -> TextOps.q86EditDistanceSql,
   )
 }

@@ -896,4 +896,150 @@ object Relational {
        |  min(zy) AS min_y, max(zy) AS max_y
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // =====================================================================
+  // q83: explicit GROUPING SETS with grouping_id (beyond q17/q18's
+  // cube/rollup — the arbitrary-sets surface, Dataset.groupingSets)
+  // =====================================================================
+
+  /** Three grouping sets in ONE pass — (flag, status), (flag), and the
+    * grand total — with `grouping_id()` disambiguating real NULL group
+    * keys from "aggregated away" (the coalesce-to-ALL trick q17 uses
+    * breaks when a key column is genuinely nullable; the id does not).
+    * Spark expands the sets via a single Expand node feeding one hash
+    * aggregate — rows are replicated once per set they belong to and
+    * partially aggregated map-side, so the shuffle carries at most
+    * |groups| × |sets| rows at any scale, same as cube/rollup. */
+  def q83GroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("-")).as("rflag"),
+        coalesce($"l_linestatus", lit("-")).as("lstatus"),
+        $"gid", $"n_rows", $"sum_qty")
+      .orderBy($"gid", $"rflag", $"lstatus")
+
+  val q83GroupingSetsSql: String =
+    """SELECT coalesce(l_returnflag, '-') AS rflag,
+      |  coalesce(l_linestatus, '-') AS lstatus,
+      |  CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY gid, rflag, lstatus""".stripMargin
+
+  // =====================================================================
+  // q84: the full ranking-function family (rank / dense_rank /
+  // percent_rank / cume_dist / ntile) with real ties
+  // =====================================================================
+
+  /** Every SQL ranking function over a DELIBERATELY tied ordering
+    * (l_quantity is 1..50, so every partition has deep ties):
+    * rank/dense_rank/percent_rank/cume_dist depend only on the ORDER BY
+    * values and are deterministic under ties; ntile depends on row
+    * order WITHIN ties, so it (and only it) runs over the fully
+    * tie-broken ordering — the cross-engine determinism rule for window
+    * functions made explicit in one query. percent_rank = (rank−1)/(n−1)
+    * and cume_dist = peers/n are integer-derived IEEE divisions,
+    * bit-identical in both engines. One exchange on the partition key,
+    * one sort — the minimal window shape. */
+  def q84RankFamily(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tied = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity")
+    val broken = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("date"))
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber",
+        rank().over(tied).cast("long").as("rnk"),
+        dense_rank().over(tied).cast("long").as("drnk"),
+        stableRound(percent_rank().over(tied), 6).as("prnk"),
+        stableRound(cume_dist().over(tied), 6).as("cdist"),
+        ntile(8).over(broken).cast("long").as("octile"))
+      .orderBy($"l_returnflag", $"l_quantity", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q84RankFamilySql: String =
+    s"""SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+       |  CAST(rank() OVER w AS BIGINT) AS rnk,
+       |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+       |  ${sqlRound("percent_rank() OVER w", 6)} AS prnk,
+       |  ${sqlRound("cume_dist() OVER w", 6)} AS cdist,
+       |  CAST(ntile(8) OVER wb AS BIGINT) AS octile
+       |FROM lineitem WHERE l_shipdate >= DATE '1998-01-01'
+       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity),
+       |  wb AS (PARTITION BY l_returnflag
+       |         ORDER BY l_quantity, l_orderkey, l_linenumber)
+       |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
+
+  // =====================================================================
+  // q85: EXACT median + mode per group via histogram aggregation
+  // (the scale-correct exact-order-statistic algorithm — no global sort)
+  // =====================================================================
+
+  /** Exact per-group median and mode of `events.value` WITHOUT ever
+    * sorting the rows: values live on an exact cent grid, so aggregate
+    * the (type, cents) histogram first — at 100 TB the histogram is
+    * bounded by the value domain (≤49 002 cells/group here), not the
+    * row count — then take order statistics by cumulative count over
+    * the tiny histogram. Median = lower discrete median (smallest value
+    * whose running count reaches ⌈n/2⌉ — a VALUE from the set, no
+    * interpolation ambiguity); mode = highest count with smallest-value
+    * tie-break (total order, deterministic in both engines). Contrast
+    * with q39/q54: those exercise Spark's percentile machinery; this is
+    * the engine-neutral exact algorithm that scales. */
+  def q85MedianMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = Tables.events(s, d)
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy($"event_type").orderBy($"cents")
+    val scored = hist.select($"event_type", $"cents", $"c",
+      sum($"c").over(cum).as("cum"),
+      sum($"c").over(Window.partitionBy($"event_type")).as("n"))
+    val median = scored
+      .filter($"cum" * 2 >= $"n")
+      .groupBy($"event_type")
+      .agg(min($"cents").as("median_cents"), max($"n").as("n"))
+    val mode = hist
+      .groupBy($"event_type")
+      .agg(max(struct($"c", (-$"cents").as("neg"))).as("m"))
+      .select($"event_type", (-$"m.neg").as("mode_cents"),
+        $"m.c".as("mode_count"))
+    median.join(mode, "event_type")
+      .select($"event_type", $"n",
+        ($"median_cents" / 100.0).as("median_value"),
+        ($"mode_cents" / 100.0).as("mode_value"), $"mode_count")
+      .orderBy($"event_type")
+  }
+
+  val q85MedianModeSql: String =
+    """WITH hist AS (SELECT event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    count(*) AS c
+      |  FROM events GROUP BY event_type, cents),
+      |scored AS (SELECT event_type, cents, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM hist),
+      |med AS (SELECT event_type, min(cents) AS median_cents,
+      |    CAST(max(n) AS BIGINT) AS n
+      |  FROM scored WHERE cum * 2 >= n GROUP BY event_type),
+      |mode AS (SELECT event_type, cents AS mode_cents,
+      |    CAST(c AS BIGINT) AS mode_count
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+      |          ORDER BY c DESC, cents) AS rn FROM hist)
+      |  WHERE rn = 1)
+      |SELECT m.event_type, m.n, m.median_cents / 100.0 AS median_value,
+      |  o.mode_cents / 100.0 AS mode_value, o.mode_count
+      |FROM med m JOIN mode o USING (event_type)
+      |ORDER BY m.event_type""".stripMargin
+
 }

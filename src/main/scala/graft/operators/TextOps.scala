@@ -1416,4 +1416,75 @@ object TextOps {
        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q86: edit-distance verification of near-dup candidates
+  // ---------------------------------------------------------------
+
+  private val EditPrefix = 256
+
+  /** Character-level Levenshtein distance over the STAGED verified-pair
+    * relation — the character-grain check beside q24's token-shingle
+    * Jaccard (catches intra-token edits shingles are blind to, e.g.
+    * OCR noise). Distance runs on the first [[EditPrefix]] chars of
+    * each side: the DP is O(|a|·|b|) per pair, so the prefix cap is
+    * what keeps per-pair cost constant at 100 TB — uncapped documents
+    * would make a single skewed pair a straggler. Both engines compute
+    * the same exact integer DP (Spark `levenshtein`, DuckDB
+    * `levenshtein`); the similarity ratio is an integer-derived IEEE
+    * division. Pair generation is the staged LSH pipeline — this query
+    * adds one narrow doc-text join per side (sort-merge on doc id,
+    * corpus never broadcast) and per-pair local DP work. */
+  def q86EditDistance(s: SparkSession, d: String): DataFrame = {
+    val txt = Tables.documents(s, d)
+      .select($"doc_id", substring($"text", 1, EditPrefix).as("pfx"))
+    val pairs = pairsStaged(s, d).select($"d1", $"d2", $"jaccard")
+    pairs
+      .join(txt.select($"doc_id".as("d1"), $"pfx".as("t1")).hint("merge"), "d1")
+      .join(txt.select($"doc_id".as("d2"), $"pfx".as("t2")).hint("merge"), "d2")
+      .select($"d1", $"d2", $"jaccard",
+        levenshtein($"t1", $"t2").cast("long").as("edit_dist"),
+        greatest(length($"t1"), length($"t2")).cast("long").as("max_len"))
+      .select($"d1", $"d2", $"jaccard", $"edit_dist", $"max_len",
+        stableRound(lit(1.0) - $"edit_dist" / $"max_len", 6).as("edit_sim"))
+      .orderBy($"d1", $"d2")
+  }
+
+  val q86EditDistanceSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j),
+       |counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.d1, c.d2, count(*) AS n_common
+       |          FROM cands c
+       |          JOIN sh s1 ON s1.doc_id = c.d1
+       |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
+       |          GROUP BY c.d1, c.d2),
+       |pj AS (SELECT c.d1, c.d2,
+       |    ${sqlRound(
+           "coalesce(i.n_common, 0) / (c1.n + c2.n - coalesce(i.n_common, 0))",
+           6)} AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |  JOIN counts c1 ON c1.doc_id = c.d1
+       |  JOIN counts c2 ON c2.doc_id = c.d2),
+       |txt AS (SELECT doc_id, substring(text, 1, $EditPrefix) AS pfx
+       |        FROM documents)
+       |SELECT p.d1, p.d2, p.jaccard,
+       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(length(a.pfx), length(b.pfx)) AS BIGINT) AS max_len,
+       |  ${sqlRound(
+           "1.0 - levenshtein(a.pfx, b.pfx) / greatest(length(a.pfx), length(b.pfx))",
+           6)} AS edit_sim
+       |FROM pj p
+       |JOIN txt a ON a.doc_id = p.d1
+       |JOIN txt b ON b.doc_id = p.d2
+       |ORDER BY p.d1, p.d2""".stripMargin
+
 }

@@ -1029,6 +1029,104 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("grouping sets: each set matches its standalone aggregation") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q83GroupingSets(spark, d).collect()
+    assert(rows.map(_.getAs[Long]("gid")).toSet === Set(0L, 1L, 3L))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    // gid=0: the plain two-column group-by
+    val fine = li.groupBy($"l_returnflag", $"l_linestatus").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.filter(_.getAs[Long]("gid") == 0L).foreach { r =>
+      assert(fine((r.getString(0), r.getString(1))) === r.getAs[Long]("n_rows"))
+    }
+    // gid=1: linestatus aggregated away; gid=3: the grand total
+    val byFlag = li.groupBy($"l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_.getAs[Long]("gid") == 1L).foreach { r =>
+      assert(r.getString(1) === "-")
+      assert(byFlag(r.getString(0)) === r.getAs[Long]("n_rows"))
+    }
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1 && grand.head.getAs[Long]("n_rows") === li.count())
+  }
+
+  test("rank family: tie semantics match a brute force on one partition") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q84RankFamily(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rnk") >= r.getAs[Long]("drnk"))
+      val p = r.getAs[Double]("prnk"); val c = r.getAs[Double]("cdist")
+      assert(p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0)
+      val o = r.getAs[Long]("octile"); assert(o >= 1L && o <= 8L)
+    }
+    // brute-force one partition: rank = 1 + #strictly-smaller,
+    // dense_rank = 1 + #distinct-smaller, cume_dist = #(<=) / n
+    val flag = rows.head.getString(0)
+    val part = rows.filter(_.getString(0) == flag)
+    val qs = part.map(_.getAs[Double]("l_quantity"))
+    part.foreach { r =>
+      val q = r.getAs[Double]("l_quantity")
+      assert(r.getAs[Long]("rnk") === 1L + qs.count(_ < q))
+      assert(r.getAs[Long]("drnk") === 1L + qs.filter(_ < q).distinct.length)
+      assert(r.getAs[Double]("cdist") ===
+        math.floor(qs.count(_ <= q).toDouble / qs.length * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("median/mode: histogram order statistics equal a full sort") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val got = Relational.q85MedianMode(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    evs.groupBy(_._1).foreach { case (typ, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val lowerMedian = sorted((sorted.length - 1) / 2)
+      val modeCents = rs.groupBy(_._2).view.mapValues(_.length).toSeq
+        .maxBy { case (v, c) => (c, -v) }
+      val r = got(typ)
+      assert(r.getAs[Long]("n") === rs.length.toLong)
+      assert(r.getAs[Double]("median_value") === lowerMedian / 100.0)
+      assert(r.getAs[Double]("mode_value") === modeCents._1 / 100.0)
+      assert(r.getAs[Long]("mode_count") === modeCents._2.toLong)
+    }
+  }
+
+  test("edit distance: matches a textbook DP on the capped prefixes") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val txt = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", substring($"text", 1, 256).as("p")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.q86EditDistance(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected = lev(txt(r.getAs[Long]("d1")), txt(r.getAs[Long]("d2")))
+      assert(r.getAs[Long]("edit_dist") === expected.toLong)
+      val sim = r.getAs[Double]("edit_sim")
+      assert(sim >= 0.0 && sim <= 1.0)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
