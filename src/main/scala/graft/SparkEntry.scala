@@ -108,6 +108,12 @@ object SparkEntry {
     "q84_rank_family"    -> (Relational.q84RankFamily(_, _)),
     "q85_median_mode"    -> (Relational.q85MedianMode(_, _)),
     "q86_edit_distance"  -> (TextOps.q86EditDistance(_, _)),
+    "q87_markup_strip"   -> (TextOps.q87MarkupStrip(_, _)),
+    "q88_split"          -> (TextOps.q88Split(_, _)),
+    "q89_countmin"       -> (TextOps.q89CountMin(_, _)),
+    "q90_zscore"         -> (EventOps.q90ZscoreOutliers(_, _)),
+    "q91_autocorr"       -> (EventOps.q91Autocorr(_, _)),
+    "q92_source_overlap" -> (TextOps.q92SourceOverlap(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -227,5 +233,11 @@ object SparkEntry {
     "q84_rank_family"    -> Relational.q84RankFamilySql,
     "q85_median_mode"    -> Relational.q85MedianModeSql,
     "q86_edit_distance"  -> TextOps.q86EditDistanceSql,
+    "q87_markup_strip"   -> TextOps.q87MarkupStripSql,
+    "q88_split"          -> TextOps.q88SplitSql,
+    "q89_countmin"       -> TextOps.q89CountMinSql,
+    "q90_zscore"         -> EventOps.q90ZscoreOutliersSql,
+    "q91_autocorr"       -> EventOps.q91AutocorrSql,
+    "q92_source_overlap" -> TextOps.q92SourceOverlapSql,
   )
 }

@@ -418,4 +418,116 @@ object EventOps {
        |FROM spine s LEFT JOIN daily dl ON s.prio = dl.prio AND s.day = dl.day
        |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q90: z-score outlier detection from exact moments
+  // ---------------------------------------------------------------
+
+  private val ZThresh = 3.0
+
+  /** Per-type z-score outliers — the anomaly-flagging shape for metric
+    * streams. Population mean/σ come from exact integer cent-grid
+    * moments (one map-side-combinable aggregate; the q80 discipline:
+    * sums are exact BIGINTs < 2^53, cast to double BEFORE the products
+    * so both engines run identical IEEE ops — never the FP-order-
+    * dependent built-in stddev). The per-group stats relation is
+    * |event types| rows — broadcast back to the stream at ANY scale, so
+    * flagging is one narrow pass, no second shuffle. Both engines
+    * compute bit-identical z, making the >3σ cut deterministic. */
+  def q90ZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val cents = floor($"value" * 100.0 + 0.5).cast("long")
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"event_type", $"value", cents.as("cents"))
+    val stats = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sx"),
+        sum($"cents" * $"cents").as("sxx"))
+      .select($"event_type",
+        ($"sx".cast("double") / $"n" / 100.0).as("mean"),
+        (sqrt(($"n".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") /
+          ($"n".cast("double") * $"n")) / 100.0).as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .filter($"sd" > 0.0 &&
+        abs(($"cents" / 100.0 - $"mean") / $"sd") > ZThresh)
+      .select($"event_id", $"event_type", $"value",
+        stableRound(($"cents" / 100.0 - $"mean") / $"sd", 6).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val q90ZscoreOutliersSql: String =
+    s"""WITH ev AS (SELECT event_id, event_type, value,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events),
+       |st AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(cents) AS BIGINT) AS sx,
+       |    CAST(sum(cents * cents) AS BIGINT) AS sxx
+       |  FROM ev GROUP BY event_type),
+       |ms AS (SELECT event_type,
+       |    CAST(sx AS DOUBLE) / n / 100.0 AS mean,
+       |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+       |         (CAST(n AS DOUBLE) * n)) / 100.0 AS sd
+       |  FROM st)
+       |SELECT e.event_id, e.event_type, e.value,
+       |  ${sqlRound("(e.cents / 100.0 - m.mean) / m.sd", 6)} AS z
+       |FROM ev e JOIN ms m USING (event_type)
+       |WHERE m.sd > 0.0 AND abs((e.cents / 100.0 - m.mean) / m.sd) > $ZThresh
+       |ORDER BY e.event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q91: lag-1 autocorrelation of the daily series
+  // ---------------------------------------------------------------
+
+  /** Lag-1 autocorrelation of each type's daily event-count series —
+    * the burstiness/trend signal behind traffic anomaly detection.
+    * Daily counts are exact integers; consecutive OBSERVED days pair up
+    * via one lag window (per-type partitions, unique day ordering);
+    * Pearson r over the pairs comes from exact BIGINT moments with the
+    * q80/q90 double-before-product discipline — no built-in corr(), no
+    * FP-order dependence. Scale shape: the window and the aggregation
+    * both run on the |types|×|days| daily relation (bounded by the
+    * calendar, not the event count), after one map-side-combinable
+    * count aggregation over the raw stream. */
+  def q91Autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val pairs = daily
+      .select($"event_type", $"x", lag($"x", 1).over(w).as("y"))
+      .filter($"y".isNotNull)
+    def dbl(c: Column): Column = c.cast("double")
+    pairs.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"x").as("sx"), sum($"y").as("sy"), sum($"x" * $"y").as("sxy"),
+        sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+      .select($"event_type", $"n_pairs",
+        stableRound((dbl($"n_pairs") * $"sxy" - dbl($"sx") * $"sy") /
+          (sqrt(dbl($"n_pairs") * $"sxx" - dbl($"sx") * $"sx") *
+           sqrt(dbl($"n_pairs") * $"syy" - dbl($"sy") * $"sy")), 6)
+          .as("autocorr_lag1"))
+      .orderBy($"event_type")
+  }
+
+  val q91AutocorrSql: String = {
+    val dn = "CAST(n_pairs AS DOUBLE)"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |pr AS (SELECT event_type, x,
+       |    lag(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+       |  FROM daily),
+       |mom AS (SELECT event_type, count(*) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM pr WHERE y IS NOT NULL GROUP BY event_type)
+       |SELECT event_type, n_pairs,
+       |  ${sqlRound(
+          s"($dn * sxy - CAST(sx AS DOUBLE) * sy) / " +
+            s"(sqrt($dn * sxx - CAST(sx AS DOUBLE) * sx) * " +
+            s"sqrt($dn * syy - CAST(sy AS DOUBLE) * sy))", 6)}
+       |    AS autocorr_lag1
+       |FROM mom ORDER BY event_type""".stripMargin
+  }
+
 }

@@ -1487,4 +1487,227 @@ object TextOps {
        |JOIN txt b ON b.doc_id = p.d2
        |ORDER BY p.d1, p.d2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q87: markup stripping + link density (web-corpus extraction)
+  // ---------------------------------------------------------------
+
+  /** Markup stripping with a built-in PROOF of recovery. The synthetic
+    * corpus is plain text, so the query first wraps each document in
+    * deterministic markup (a div/p envelope + an anchor around every
+    * standalone "the" — the q45-normalizer trick of deriving the messy
+    * input from the clean table) and then runs the real extraction the
+    * wrapper pipeline needs at 100 TB: strip tags, count links, measure
+    * markup overhead (link/boilerplate density is a standard web-corpus
+    * quality gate). `recovered_ok` proves strip(mark(text)) == text
+    * per row, so the tag regex is oracle-verified end-to-end, not just
+    * counted. One narrow codegen'd projection, no shuffle before the
+    * output sort. */
+  def q87MarkupStrip(s: SparkSession, d: String): DataFrame = {
+    val anchored = regexp_replace($"text", lit("\\bthe\\b"),
+      concat(lit("<a href=\"/w/"), $"doc_id", lit("\">the</a>")))
+    val marked = concat(lit("<div id=\"d"), $"doc_id", lit("\"><p>"),
+      anchored, lit("</p></div>"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"text", marked.as("marked"))
+      .select($"doc_id",
+        size(regexp_extract_all($"marked", lit("<a [^>]*>"), lit(0)))
+          .cast("long").as("n_links"),
+        length($"marked").cast("long").as("marked_len"),
+        regexp_replace($"marked", "<[^>]*>", "").as("stripped"),
+        $"text")
+      .select($"doc_id", $"n_links", $"marked_len",
+        stableRound(lit(1.0) - length($"stripped") / $"marked_len", 6)
+          .as("markup_ratio"),
+        md5($"stripped").as("stripped_fp"),
+        ($"stripped" === $"text").as("recovered_ok"))
+      .orderBy($"doc_id")
+  }
+
+  val q87MarkupStripSql: String =
+    s"""WITH mk AS (SELECT doc_id, text,
+       |    '<div id="d' || doc_id || '"><p>' ||
+       |    regexp_replace(text, '\\bthe\\b',
+       |      '<a href="/w/' || doc_id || '">the</a>', 'g') ||
+       |    '</p></div>' AS marked
+       |  FROM documents),
+       |st AS (SELECT doc_id, text, marked,
+       |    CAST(len(regexp_extract_all(marked, '<a [^>]*>')) AS BIGINT)
+       |      AS n_links,
+       |    CAST(length(marked) AS BIGINT) AS marked_len,
+       |    regexp_replace(marked, '<[^>]*>', '', 'g') AS stripped
+       |  FROM mk)
+       |SELECT doc_id, n_links, marked_len,
+       |  ${sqlRound("1.0 - length(stripped) / marked_len", 6)} AS markup_ratio,
+       |  md5(stripped) AS stripped_fp,
+       |  stripped = text AS recovered_ok
+       |FROM st ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q88: deterministic train/val/test split
+  // ---------------------------------------------------------------
+
+  private val SplitTrain = 0.8
+  private val SplitVal = 0.9 // train < 0.8 <= val < 0.9 <= test
+
+  /** Three-way train/val/test split as a pure function of the document
+    * key (the q55 md5-uniform: first 32 bits of md5 → [0,1)) with
+    * per-(split, lang) census — membership is reproducible across
+    * engines, partitionings, and reruns, and never needs a shuffle of
+    * its own (the census aggregation is the only exchange, bounded by
+    * |splits|×|langs|). The split column is exactly what a 100 TB
+    * pipeline would partition-write by. */
+  def q88Split(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("split:"),
+      $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long") / 4294967296.0
+    val split = when(u < SplitTrain, "train")
+      .when(u < SplitVal, "val").otherwise("test")
+    Tables.documents(s, d)
+      .select(split.as("split"), $"lang", Text.tokenCount($"text").as("tk"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"tk").cast("long").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
+  val q88SplitSql: String = {
+    val u = "(CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    s"""SELECT CASE WHEN $u < $SplitTrain THEN 'train'
+       |            WHEN $u < $SplitVal THEN 'val' ELSE 'test' END AS split,
+       |  lang, count(*) AS n_docs, CAST(sum($tcSql) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q89: count-min sketch of term frequencies
+  // ---------------------------------------------------------------
+
+  private val CmDepth = 4
+  private val CmWidth = 1024
+  private val CmTopK = 20
+
+  /** Count-min sketch beside ground truth: [[CmDepth]] md5-derived hash
+    * rows × [[CmWidth]] buckets summarize the FULL term-frequency
+    * distribution in a fixed 4096-cell table — the bounded-memory
+    * frequency oracle for vocabularies too big to materialize (the HLL/
+    * KLL companion for point frequency queries). Estimates for the
+    * exact top-[[CmTopK]] terms come back by joining their buckets and
+    * taking the min over rows; `overest_ok` asserts the sketch's
+    * one-sided error guarantee (est ≥ exact, always). Everything is
+    * integer arithmetic on md5-derived buckets — deterministic in both
+    * engines. Scale shape: one token aggregation (vocabulary-sized,
+    * AQE-planned), one bounded 4096-group aggregation, one broadcast
+    * join of a 20-row relation; the raw stream is touched once. */
+  def q89CountMin(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(explode(Text.tokens($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("c"))
+    def bucket(j: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"cm:$j:"), $"term")), 1, 8), 16, 10)
+        .cast("long"), lit(CmWidth))
+    val rows = (0 until CmDepth).map(j =>
+      terms.select(lit(j).as("j"), bucket(j).as("bucket"), $"c"))
+      .reduce(_ unionAll _)
+    val sketch = rows.groupBy($"j", $"bucket").agg(sum($"c").as("cell"))
+    // global top-k: orderBy.limit → TakeOrderedAndProject (per-partition
+    // heaps, no global sort — the q62 idiom)
+    val top = terms.orderBy($"c".desc, $"term").limit(CmTopK)
+    val probes = (0 until CmDepth).foldLeft(top)((df, j) =>
+      df.withColumn(s"b$j", bucket(j)))
+    val est = (0 until CmDepth).foldLeft(probes) { (df, j) =>
+      df.join(broadcast(sketch.filter($"j" === j)
+          .select($"bucket".as(s"b$j"), $"cell".as(s"e$j"))), s"b$j")
+    }
+    est.select($"term", $"c".as("exact"),
+        least((0 until CmDepth).map(j => col(s"e$j")): _*).as("estimate"))
+      .select($"term", $"exact", $"estimate",
+        ($"estimate" >= $"exact").as("overest_ok"))
+      .orderBy($"exact".desc, $"term")
+  }
+
+  val q89CountMinSql: String = {
+    def bucketSql(j: Int, t: String): String =
+      s"(CAST('0x' || substring(md5('cm:$j:' || $t), 1, 8) AS BIGINT) % $CmWidth)"
+    val rowsSql = (0 until CmDepth).map(j =>
+      s"SELECT $j AS j, ${bucketSql(j, "term")} AS bucket, c FROM terms")
+      .mkString(" UNION ALL ")
+    val estSql = (0 until CmDepth).map(j =>
+      s"(SELECT cell FROM sketch s WHERE s.j = $j AND s.bucket = ${bucketSql(j, "t.term")})")
+      .mkString("least(", ", ", ")")
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |terms AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       |          FROM toks GROUP BY term),
+       |cmrows AS ($rowsSql),
+       |sketch AS (SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell
+       |           FROM cmrows GROUP BY j, bucket),
+       |top AS (SELECT term, c FROM terms
+       |        ORDER BY c DESC, term LIMIT $CmTopK)
+       |SELECT t.term, t.c AS exact, $estSql AS estimate,
+       |  $estSql >= t.c AS overest_ok
+       |FROM top t ORDER BY exact DESC, term""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q92: source-overlap matrix via bottom-k minhash sketches
+  // ---------------------------------------------------------------
+
+  private val SketchK = 64
+
+  /** Pairwise dataset-overlap estimation — "how much of source A is
+    * also in source B" across the whole corpus, the question behind
+    * cross-dataset contamination audits. Each source is summarized by
+    * its [[SketchK]] smallest distinct shingle hashes (a bottom-k
+    * minhash sketch, built with the bounded-heap TopKPerKey — at most k
+    * rows per source cross the exchange, never a source's shingle set);
+    * the pairwise estimate Ĵ = |bottom-k(A∪B) ∩ A ∩ B| / k then runs
+    * entirely on the |sources|²·k sketch relation — the corpus itself
+    * is read exactly once regardless of how many source pairs exist.
+    * All arithmetic is integer/md5 — bit-identical across engines. */
+  def q92SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val hashes = shingleRows(docs)
+      // fresh scan for the source lookup — same table, separate plan
+      // subtree (no self-join attribute ambiguity)
+      .join(Tables.documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .select($"source",
+        conv(substring(md5($"sh"), 1, 12), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sketch = graft.plans.TopK.perKey(
+        hashes, Seq($"source"), Seq($"h"), SketchK)
+      .groupBy($"source").agg(array_sort(collect_list($"h")).as("sk"))
+    val pairs = sketch.select($"source".as("s1"), $"sk".as("k1"))
+      .crossJoin(sketch.select($"source".as("s2"), $"sk".as("k2")))
+      .filter($"s1" < $"s2")
+    pairs
+      .select($"s1", $"s2",
+        slice(array_sort(array_union($"k1", $"k2")), 1, SketchK).as("merged"),
+        $"k1", $"k2")
+      .select($"s1", $"s2",
+        size(array_intersect(array_intersect($"merged", $"k1"), $"k2"))
+          .cast("long").as("n_shared"))
+      .select($"s1", $"s2", $"n_shared",
+        stableRound($"n_shared" / SketchK.toDouble, 6).as("est_jaccard"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val q92SourceOverlapSql: String =
+    s"""WITH $shinglesCte,
+       |hs AS (SELECT DISTINCT d.source,
+       |    CAST('0x' || substring(md5(s.sh), 1, 12) AS BIGINT) AS h
+       |  FROM sh s JOIN documents d USING (doc_id)),
+       |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source
+       |         ORDER BY h) AS rn FROM hs),
+       |sk AS (SELECT source, list_sort(list(h)) AS sk FROM rk
+       |       WHERE rn <= $SketchK GROUP BY source),
+       |pr AS (SELECT a.source AS s1, a.sk AS k1, b.source AS s2, b.sk AS k2
+       |       FROM sk a, sk b WHERE a.source < b.source),
+       |mg AS (SELECT s1, s2, k1, k2,
+       |    list_sort(list_distinct(list_concat(k1, k2)))[1:$SketchK] AS merged
+       |  FROM pr)
+       |SELECT s1, s2,
+       |  CAST(len(list_intersect(list_intersect(merged, k1), k2)) AS BIGINT)
+       |    AS n_shared,
+       |  ${sqlRound(s"len(list_intersect(list_intersect(merged, k1), k2)) / ${SketchK}.0", 6)}
+       |    AS est_jaccard
+       |FROM mg ORDER BY s1, s2""".stripMargin
+
 }

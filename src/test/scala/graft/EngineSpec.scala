@@ -1127,6 +1127,119 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("markup strip: every document recovers its original text exactly") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q87MarkupStrip(spark, d).collect()
+    assert(rows.nonEmpty)
+    val theCounts = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").count(_ == "the").toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recovered_ok"),
+        s"doc ${r.getLong(0)}: strip(mark(text)) != text")
+      // every standalone "the" became exactly one anchor
+      assert(r.getAs[Long]("n_links") === theCounts(r.getLong(0)))
+      val ratio = r.getAs[Double]("markup_ratio")
+      assert(ratio > 0.0 && ratio < 1.0)
+    }
+  }
+
+  test("split: partitions the corpus, near the 80/10/10 design") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q88Split(spark, d).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = graft.sources.Tables.documents(spark, d).count()
+    assert(total === nDocs) // every doc in exactly one split
+    val bySplit = rows.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // md5-uniform: train fraction concentrates near 0.8 (±3σ ≈ ±0.17
+    // at n=50) — a biased key derivation lands far outside
+    val trainFrac = bySplit.getOrElse("train", 0L).toDouble / nDocs
+    assert(trainFrac > 0.6 && trainFrac < 0.95, s"train fraction $trainFrac")
+  }
+
+  test("count-min: one-sided error and exactness when no collision") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q89CountMin(spark, d).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("overest_ok"))
+      assert(r.getAs[Long]("estimate") >= r.getAs[Long]("exact"))
+    }
+    // the estimate is bounded by exact + (total mass)/width per row and
+    // the min over 4 independent rows is usually much tighter; with
+    // ~20k tokens over 1024 buckets the top term's overestimate stays
+    // far below its own count — a bucketing bug (all terms in one cell)
+    // would blow this up by orders of magnitude
+    val top = rows.head
+    assert(top.getAs[Long]("estimate") < top.getAs[Long]("exact") * 3)
+  }
+
+  test("z-score outliers: match a brute force from the same grid") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q90ZscoreOutliers(spark, d).collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5).toLong))
+    val expected = evs.groupBy(_._2).valuesIterator.flatMap { rs =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._3).sum.toDouble
+      val sxx = rs.map(t => t._3 * t._3).sum.toDouble
+      val mean = sx / n / 100.0
+      val sd = math.sqrt((n * sxx - sx * sx) / (n * n)) / 100.0
+      rs.filter(t => sd > 0.0 &&
+        math.abs((t._3 / 100.0 - mean) / sd) > 3.0).map(_._1)
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("autocorr: equals Pearson r over the brute-force lag pairs") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q91Autocorr(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("autocorr_lag1")).toMap
+    val daily = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((typ, day), n) => (typ, day, n) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val series = rs.sortBy(_._2).map(_._3)
+      val pairs = series.zip(series.tail).map { case (y, x) => (x, y) }
+      val n = pairs.length.toDouble
+      val sx = pairs.map(_._1).sum.toDouble; val sy = pairs.map(_._2).sum.toDouble
+      val sxy = pairs.map(t => t._1 * t._2).sum.toDouble
+      val sxx = pairs.map(t => t._1 * t._1).sum.toDouble
+      val syy = pairs.map(t => t._2 * t._2).sum.toDouble
+      val r = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      assert(math.abs(got(typ) - r) < 2e-6, s"$typ: ${got(typ)} vs $r")
+      assert(got(typ) >= -1.0 && got(typ) <= 1.0)
+    }
+  }
+
+  test("source overlap: estimates bounded and exact on identical sketches") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q92SourceOverlap(spark, d).collect()
+    val nSources = graft.sources.Tables.documents(spark, d)
+      .select($"source").distinct().count()
+    assert(rows.length === (nSources * (nSources - 1) / 2).toInt)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Long]("n_shared") <= 64L)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
