@@ -114,6 +114,9 @@ object SparkEntry {
     "q90_zscore"         -> (EventOps.q90ZscoreOutliers(_, _)),
     "q91_autocorr"       -> (EventOps.q91Autocorr(_, _)),
     "q92_source_overlap" -> (TextOps.q92SourceOverlap(_, _)),
+    "q93_novelty"        -> (TextOps.q93Novelty(_, _)),
+    "q94_label_outliers" -> (VectorOps.q94LabelOutliers(_, _)),
+    "q95_conversion_lag" -> (EventOps.q95ConversionLag(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -239,5 +242,8 @@ object SparkEntry {
     "q90_zscore"         -> EventOps.q90ZscoreOutliersSql,
     "q91_autocorr"       -> EventOps.q91AutocorrSql,
     "q92_source_overlap" -> TextOps.q92SourceOverlapSql,
+    "q93_novelty"        -> TextOps.q93NoveltySql,
+    "q94_label_outliers" -> VectorOps.q94LabelOutliersSql,
+    "q95_conversion_lag" -> EventOps.q95ConversionLagSql,
   )
 }

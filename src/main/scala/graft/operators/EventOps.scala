@@ -530,4 +530,43 @@ object EventOps {
        |FROM mom ORDER BY event_type""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q95: conversion-lag distribution (view → purchase time-to-event)
+  // ---------------------------------------------------------------
+
+  /** Distribution of the view→purchase conversion lag in whole days —
+    * the time-to-event histogram behind funnel latency dashboards
+    * (q81's counts say HOW MANY convert; this says HOW FAST). Exact
+    * integer arithmetic on epoch seconds throughout. Shape: two
+    * type-filtered user-grain aggregations (filters push to the scan),
+    * one shuffle join on user_id, then a histogram aggregation bounded
+    * by the lag domain (days, not users) — the result is
+    * calendar-sized at any corpus scale. */
+  def q95ConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val firstView = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min(sec($"ts")).as("tv"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", sec($"ts").as("tp"))
+    firstView.join(purchases, "user_id")
+      .filter($"tp" >= $"tv")
+      .groupBy($"user_id", $"tv").agg(min($"tp").as("tp"))
+      // floor, not a bare long cast: Spark's double→long cast truncates
+      // while DuckDB's rounds — floor() is identical in both
+      .select(floor(($"tp" - $"tv") / 86400.0).cast("long").as("lag_days"))
+      .groupBy($"lag_days").agg(count(lit(1)).as("n_users"))
+      .orderBy($"lag_days")
+  }
+
+  val q95ConversionLagSql: String =
+    """WITH fv AS (SELECT user_id, min(floor(epoch(ts))) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |fp AS (SELECT e.user_id, f.tv, min(floor(epoch(e.ts))) AS tp
+      |  FROM events e JOIN fv f USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND floor(epoch(e.ts)) >= f.tv
+      |  GROUP BY e.user_id, f.tv)
+      |SELECT CAST(floor((tp - tv) / 86400.0) AS BIGINT) AS lag_days,
+      |  count(*) AS n_users
+      |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin
+
 }

@@ -1710,4 +1710,41 @@ object TextOps {
        |    AS est_jaccard
        |FROM mg ORDER BY s1, s2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q93: per-document novelty (first-occurrence shingle fraction)
+  // ---------------------------------------------------------------
+
+  /** Novelty = the fraction of a document's distinct shingles it is the
+    * FIRST (lowest doc id) to contribute to the corpus — the
+    * contribution-ordering view of duplication: later copies of shared
+    * text score low while the canonical first copy keeps scoring high
+    * (complementary to q61's intra-doc repetition and q50's cluster
+    * decision). Shape: one min-aggregation on the shingle key plus one
+    * shuffle join back on the same key — both bounded per shingle, no
+    * per-shingle doc-list is ever collected (a common shingle appears
+    * in billions of documents at 100 TB; `collect_list` per shingle
+    * would be an unbounded buffer, the join is not). */
+  def q93Novelty(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleRows(Tables.documents(s, d)).distinct()
+    val firsts = shd.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+    shd.join(firsts, "sh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .select($"doc_id", $"n_shingles", $"n_novel",
+        stableRound($"n_novel" / $"n_shingles", 6).as("novelty"))
+      .orderBy($"doc_id")
+  }
+
+  val q93NoveltySql: String =
+    s"""WITH $shinglesCte,
+       |firsts AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+       |agg AS (SELECT s.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_novel
+       |  FROM sh s JOIN firsts f USING (sh) GROUP BY s.doc_id)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  ${sqlRound("n_novel / n_shingles", 6)} AS novelty
+       |FROM agg ORDER BY doc_id""".stripMargin
+
 }

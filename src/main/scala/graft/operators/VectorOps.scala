@@ -670,4 +670,82 @@ object VectorOps {
        |ORDER BY o.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q94: label-centroid distance outliers (mislabel detection)
+  // ---------------------------------------------------------------
+
+  /** Per-label embedding quality audit: squared distance of every
+    * vector to its OWN label's centroid, flagging vectors beyond 2× the
+    * label's mean — the standard first pass for mislabeled or corrupted
+    * embeddings before a training run. Centroids are per-label per-dim
+    * grid means (the q65 arithmetic: exact integer grid sums, one IEEE
+    * division — bit-identical in both engines); each squared-diff term
+    * is gridded to an integer before the cross-dim sum (the q79
+    * discipline), so distances are order-free. Shape: one map-side-
+    * combinable centroid aggregation (|labels| rows, broadcast back),
+    * then two narrow passes over the corpus (mean, then flags) — the
+    * per-label stats relation is metadata-sized at any scale. */
+  def q94LabelOutliers(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull && $"label".isNotNull)
+    val firstDim = emb.select(size($"embedding")).take(1)
+    require(firstDim.nonEmpty, "q94LabelOutliers: empty embeddings corpus")
+    val dim = firstDim.head.getInt(0)
+    val cents = emb.groupBy($"label").agg(
+        count(lit(1)).as("cn"),
+        array((1 to dim).map(i =>
+          sum(floor(element_at($"embedding", i).cast("double") * 1e6 + 0.5))): _*)
+          .as("sgrid"))
+      .select($"label",
+        transform($"sgrid", x => x / ($"cn" * 1e6)).as("cvec"))
+    val d2grid = (1 to dim).map { i =>
+      val diff = element_at($"embedding", i).cast("double") -
+        element_at($"cvec", i)
+      floor(diff * diff * 1e6 + 0.5).cast("long")
+    }.reduce(_ + _)
+    val scored = emb.join(broadcast(cents), "label")
+      .select($"vec_id", $"label", d2grid.as("d2g"))
+    val stats = scored.groupBy($"label").agg(
+      count(lit(1)).as("n"),
+      (floor(sum($"d2g") / count(lit(1)) + 0.5) / 1e6).as("mean_d2"),
+      (max($"d2g") / 1e6).as("max_d2"))
+    val far = scored
+      .join(broadcast(stats.select($"label", $"mean_d2")), "label")
+      .filter($"d2g" / 1e6 > $"mean_d2" * 2.0)
+      .groupBy($"label").agg(count(lit(1)).as("n_far"))
+    stats.join(far, Seq("label"), "left")
+      .select($"label", $"n", $"mean_d2", $"max_d2",
+        coalesce($"n_far", lit(0L)).as("n_far"))
+      .orderBy($"label")
+  }
+
+  val q94LabelOutliersSql: String =
+    """WITH emb AS (SELECT vec_id, embedding, label FROM embeddings
+      |            WHERE embedding IS NOT NULL AND label IS NOT NULL),
+      |cd AS (SELECT label, i,
+      |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+      |                  AS BIGINT)) AS BIGINT) AS sg
+      |  FROM emb, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      |  GROUP BY label, i),
+      |cn AS (SELECT label, count(*) AS cn FROM emb GROUP BY label),
+      |cent AS (SELECT c.label, list(c.sg / (n.cn * 1e6) ORDER BY c.i) AS cvec
+      |         FROM cd c JOIN cn n USING (label) GROUP BY c.label),
+      |sc AS (SELECT e.vec_id, e.label,
+      |    CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+      |      CAST(floor((CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) *
+      |                 (CAST(e.embedding[i] AS DOUBLE) - c.cvec[i]) * 1e6
+      |                 + 0.5) AS BIGINT))) AS BIGINT) AS d2g
+      |  FROM emb e JOIN cent c USING (label)),
+      |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |    floor(CAST(sum(d2g) AS BIGINT) / count(*) + 0.5) / 1e6 AS mean_d2,
+      |    max(d2g) / 1e6 AS max_d2
+      |  FROM sc GROUP BY label),
+      |fr AS (SELECT sc.label, CAST(count(*) AS BIGINT) AS n_far
+      |       FROM sc JOIN st USING (label)
+      |       WHERE sc.d2g / 1e6 > st.mean_d2 * 2.0 GROUP BY sc.label)
+      |SELECT s.label, s.n, s.mean_d2, s.max_d2,
+      |  CAST(coalesce(f.n_far, 0) AS BIGINT) AS n_far
+      |FROM st s LEFT JOIN fr f USING (label)
+      |ORDER BY s.label""".stripMargin
+
 }

@@ -1240,6 +1240,68 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: first-occurrence fractions match a sequential replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q93Novelty(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // sequential replay in doc_id order: a shingle is novel for the
+    // first doc that contributes it
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length >= 3) {
+        val shingles = toks.sliding(3).map(_.mkString(" ")).toSet
+        val novel = shingles.count(sh => !seen.contains(sh))
+        shingles.foreach(seen.add)
+        val r = got(id)
+        assert(r.getAs[Long]("n_shingles") === shingles.size.toLong)
+        assert(r.getAs[Long]("n_novel") === novel.toLong, s"doc $id")
+      } else assert(!got.contains(id))
+    }
+    // the lowest doc id is 100% novel by construction
+    assert(got(docs.head._1).getAs[Double]("novelty") === 1.0)
+  }
+
+  test("label outliers: centroids conserve vectors; flags are sane") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q94LabelOutliers(spark, d).collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, d)
+      .filter($"embedding".isNotNull && $"label".isNotNull).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === nVecs)
+    rows.foreach { r =>
+      val mean = r.getAs[Double]("mean_d2"); val mx = r.getAs[Double]("max_d2")
+      assert(mean > 0.0 && mx >= mean)
+      val nFar = r.getAs[Long]("n_far")
+      assert(nFar >= 0L && nFar < r.getAs[Long]("n"))
+      // flags exist iff some vector exceeds 2x the mean
+      assert((mx > 2.0 * mean) === (nFar > 0L))
+    }
+  }
+
+  test("conversion lag: histogram mass equals the brute-force pair count") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q95ConversionLag(spark, d).collect()
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = evs.groupBy(_._1).valuesIterator.flatMap { rs =>
+      val views = rs.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None
+      else {
+        val tv = views.min
+        val ps = rs.filter(t => t._2 == "purchase" && t._3 >= tv).map(_._3)
+        if (ps.isEmpty) None else Some((ps.min - tv) / 86400L)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
