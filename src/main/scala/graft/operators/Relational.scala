@@ -1000,20 +1000,20 @@ object Relational {
       .select($"event_type",
         floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
       .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
-    val cum = Window.partitionBy($"event_type").orderBy($"cents")
+    // ONE histogram derivation feeds median AND mode: all three windows
+    // share the event_type exchange (two orderings → two local sorts),
+    // and the raw stream is scanned exactly once — a second arm deriving
+    // its own histogram would scan the corpus twice for no reason
+    val byType = Window.partitionBy($"event_type")
     val scored = hist.select($"event_type", $"cents", $"c",
-      sum($"c").over(cum).as("cum"),
-      sum($"c").over(Window.partitionBy($"event_type")).as("n"))
-    val median = scored
-      .filter($"cum" * 2 >= $"n")
-      .groupBy($"event_type")
-      .agg(min($"cents").as("median_cents"), max($"n").as("n"))
-    val mode = hist
-      .groupBy($"event_type")
-      .agg(max(struct($"c", (-$"cents").as("neg"))).as("m"))
-      .select($"event_type", (-$"m.neg").as("mode_cents"),
-        $"m.c".as("mode_count"))
-    median.join(mode, "event_type")
+      sum($"c").over(byType.orderBy($"cents")).as("cum"),
+      sum($"c").over(byType).as("n"),
+      row_number().over(byType.orderBy($"c".desc, $"cents")).as("mrn"))
+    scored.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        min(when($"cum" * 2 >= $"n", $"cents")).as("median_cents"),
+        max(when($"mrn" === 1, $"cents")).as("mode_cents"),
+        max(when($"mrn" === 1, $"c")).as("mode_count"))
       .select($"event_type", $"n",
         ($"median_cents" / 100.0).as("median_value"),
         ($"mode_cents" / 100.0).as("mode_value"), $"mode_count")
@@ -1027,19 +1027,15 @@ object Relational {
       |  FROM events GROUP BY event_type, cents),
       |scored AS (SELECT event_type, cents, c,
       |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
-      |    sum(c) OVER (PARTITION BY event_type) AS n
-      |  FROM hist),
-      |med AS (SELECT event_type, min(cents) AS median_cents,
-      |    CAST(max(n) AS BIGINT) AS n
-      |  FROM scored WHERE cum * 2 >= n GROUP BY event_type),
-      |mode AS (SELECT event_type, cents AS mode_cents,
-      |    CAST(c AS BIGINT) AS mode_count
-      |  FROM (SELECT *, row_number() OVER (PARTITION BY event_type
-      |          ORDER BY c DESC, cents) AS rn FROM hist)
-      |  WHERE rn = 1)
-      |SELECT m.event_type, m.n, m.median_cents / 100.0 AS median_value,
-      |  o.mode_cents / 100.0 AS mode_value, o.mode_count
-      |FROM med m JOIN mode o USING (event_type)
-      |ORDER BY m.event_type""".stripMargin
+      |    sum(c) OVER (PARTITION BY event_type) AS n,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, cents) AS mrn
+      |  FROM hist)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum * 2 >= n THEN cents END) / 100.0 AS median_value,
+      |  max(CASE WHEN mrn = 1 THEN cents END) / 100.0 AS mode_value,
+      |  CAST(max(CASE WHEN mrn = 1 THEN c END) AS BIGINT) AS mode_count
+      |FROM scored GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
 }

@@ -1603,21 +1603,25 @@ object TextOps {
     def bucket(j: Int): Column =
       pmod(conv(substring(md5(concat(lit(s"cm:$j:"), $"term")), 1, 8), 16, 10)
         .cast("long"), lit(CmWidth))
-    val rows = (0 until CmDepth).map(j =>
-      terms.select(lit(j).as("j"), bucket(j).as("bucket"), $"c"))
-      .reduce(_ unionAll _)
-    val sketch = rows.groupBy($"j", $"bucket").agg(sum($"c").as("cell"))
+    // ONE derivation of the vocabulary feeds both the sketch and the
+    // ground-truth probes (a per-row union / per-j filtered join would
+    // re-run the corpus aggregation 4+ times): each term explodes into
+    // its CmDepth (row, bucket) cells, the sketch aggregates those into
+    // ≤ CmDepth×CmWidth cells, and the 20 probe terms join the sketch
+    // ONCE on (j, bucket) before a min-reduce over rows.
+    val cells = terms.select($"term", $"c",
+        posexplode(array((0 until CmDepth).map(bucket): _*))
+          .as(Seq("j", "bucket")))
+    val sketch = cells.groupBy($"j", $"bucket").agg(sum($"c").as("cell"))
     // global top-k: orderBy.limit → TakeOrderedAndProject (per-partition
     // heaps, no global sort — the q62 idiom)
     val top = terms.orderBy($"c".desc, $"term").limit(CmTopK)
-    val probes = (0 until CmDepth).foldLeft(top)((df, j) =>
-      df.withColumn(s"b$j", bucket(j)))
-    val est = (0 until CmDepth).foldLeft(probes) { (df, j) =>
-      df.join(broadcast(sketch.filter($"j" === j)
-          .select($"bucket".as(s"b$j"), $"cell".as(s"e$j"))), s"b$j")
-    }
-    est.select($"term", $"c".as("exact"),
-        least((0 until CmDepth).map(j => col(s"e$j")): _*).as("estimate"))
+    val probes = top.select($"term", $"c",
+      posexplode(array((0 until CmDepth).map(bucket): _*))
+        .as(Seq("j", "bucket")))
+    probes.join(broadcast(sketch), Seq("j", "bucket"))
+      .groupBy($"term")
+      .agg(max($"c").as("exact"), min($"cell").as("estimate"))
       .select($"term", $"exact", $"estimate",
         ($"estimate" >= $"exact").as("overest_ok"))
       .orderBy($"exact".desc, $"term")
@@ -1674,8 +1678,12 @@ object TextOps {
     val sketch = graft.plans.TopK.perKey(
         hashes, Seq($"source"), Seq($"h"), SketchK)
       .groupBy($"source").agg(array_sort(collect_list($"h")).as("sk"))
+    // broadcast the right sketch copy: |sources|×k rows — the pairwise
+    // expansion is over the bounded source catalog, never the corpus
+    // (BroadcastNestedLoopJoin, not a partitioned CartesianProduct)
     val pairs = sketch.select($"source".as("s1"), $"sk".as("k1"))
-      .crossJoin(sketch.select($"source".as("s2"), $"sk".as("k2")))
+      .crossJoin(broadcast(
+        sketch.select($"source".as("s2"), $"sk".as("k2"))))
       .filter($"s1" < $"s2")
     pairs
       .select($"s1", $"s2",
@@ -1727,7 +1735,12 @@ object TextOps {
   def q93Novelty(s: SparkSession, d: String): DataFrame = {
     val shd = shingleRows(Tables.documents(s, d)).distinct()
     val firsts = shd.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-    shd.join(firsts, "sh")
+    // merge hint: firsts is SHINGLE-keyed — corpus-sized at 100 TB, the
+    // one relation that must never be broadcast (AQE would happily
+    // broadcast it at test SF and OOM at scale — the q24-docsets class
+    // of hazard). Both sides arrive hash-partitioned by sh from their
+    // own aggregations, so the merge join adds no exchange.
+    shd.join(firsts.hint("merge"), "sh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"first_doc" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
