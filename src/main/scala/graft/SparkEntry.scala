@@ -117,6 +117,8 @@ object SparkEntry {
     "q93_novelty"        -> (TextOps.q93Novelty(_, _)),
     "q94_label_outliers" -> (VectorOps.q94LabelOutliers(_, _)),
     "q95_conversion_lag" -> (EventOps.q95ConversionLag(_, _)),
+    "q96_range_frame"    -> (EventOps.q96RangeFrame(_, _)),
+    "q97_weighted_quality" -> (TextOps.q97WeightedQuality(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -245,5 +247,7 @@ object SparkEntry {
     "q93_novelty"        -> TextOps.q93NoveltySql,
     "q94_label_outliers" -> VectorOps.q94LabelOutliersSql,
     "q95_conversion_lag" -> EventOps.q95ConversionLagSql,
+    "q96_range_frame"    -> EventOps.q96RangeFrameSql,
+    "q97_weighted_quality" -> TextOps.q97WeightedQualitySql,
   )
 }

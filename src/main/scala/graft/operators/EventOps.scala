@@ -569,4 +569,52 @@ object EventOps {
       |  count(*) AS n_users
       |FROM fp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q96: value-based RANGE window frames (rolling 7-day aggregates)
+  // ---------------------------------------------------------------
+
+  /** Rolling 7-day totals over each type's daily series using a
+    * VALUE-based frame (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` on
+    * the day number) — the frame every ROWS-based window (q8's MAs)
+    * cannot express when the series has gaps: missing days must shrink
+    * the window, not slide it. Also carries `first_value`/`nth_value`
+    * over the same ordering (frame-start day and second-highest count)
+    * — completing the window-function surface beside q7's lead and
+    * q84's ranks. All integer arithmetic; the window runs on the
+    * calendar-bounded daily relation, never the raw stream. */
+  def q96RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val range7 = Window.partitionBy($"event_type").orderBy($"day")
+      .rangeBetween(-6, Window.currentRow)
+    val byCount = Window.partitionBy($"event_type")
+      .orderBy($"x".desc, $"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select($"event_type", $"day", $"x",
+        sum($"x").over(range7).as("roll7_sum"),
+        count(lit(1)).over(range7).cast("long").as("roll7_days"),
+        first($"day").over(range7).as("frame_start_day"),
+        nth_value($"x", 2).over(byCount).as("second_best"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q96RangeFrameSql: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, x,
+      |  CAST(sum(x) OVER w7 AS BIGINT) AS roll7_sum,
+      |  CAST(count(*) OVER w7 AS BIGINT) AS roll7_days,
+      |  first_value(day) OVER w7 AS frame_start_day,
+      |  nth_value(x, 2) OVER wb AS second_best
+      |FROM daily
+      |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  wb AS (PARTITION BY event_type ORDER BY x DESC, day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
 }

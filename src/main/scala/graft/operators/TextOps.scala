@@ -1749,6 +1749,53 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  // q97: token-weighted quality quantiles (curation cutoffs)
+  // ---------------------------------------------------------------
+
+  /** Token-weighted quality quantiles per language: the quality value
+    * at which the TOKEN-weighted CDF crosses 50% / 90% — the cutoff a
+    * curation pipeline actually needs ("keep the best X% of TOKENS",
+    * not of documents: one long high-quality document outweighs many
+    * snippets). Same exact-histogram algorithm as q69/q85 generalized
+    * to weighted order statistics: quality lives on the 1e-4 grid, the
+    * (lang, grid) histogram aggregates token weights, and the cutoff is
+    * the smallest grid value whose running weight reaches the target —
+    * deterministic integer arithmetic end to end, never a corpus sort.
+    */
+  def q97WeightedQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      $"lang",
+      floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("qg"),
+      Text.tokenCount($"text").cast("long").as("tk"))
+    val hist = docs.groupBy($"lang", $"qg").agg(sum($"tk").as("w"))
+    val byLang = Window.partitionBy($"lang")
+    val scored = hist.select($"lang", $"qg", $"w",
+      sum($"w").over(byLang.orderBy($"qg")).as("cum"),
+      sum($"w").over(byLang).as("wtot"))
+    // p-th weighted quantile = smallest qg with cum*100 >= p*wtot
+    scored.groupBy($"lang")
+      .agg(max($"wtot").as("total_tokens"),
+        (min(when($"cum" * 100 >= $"wtot" * 50, $"qg")) / 1e4).as("q50"),
+        (min(when($"cum" * 100 >= $"wtot" * 90, $"qg")) / 1e4).as("q90"))
+      .orderBy($"lang")
+  }
+
+  val q97WeightedQualitySql: String =
+    s"""WITH docs AS (SELECT lang,
+       |    CAST(floor(($qualitySql) * 1e4 + 0.5) AS BIGINT) AS qg,
+       |    CAST($tcSql AS BIGINT) AS tk FROM documents),
+       |hist AS (SELECT lang, qg, CAST(sum(tk) AS BIGINT) AS w
+       |         FROM docs GROUP BY lang, qg),
+       |scored AS (SELECT lang, qg, w,
+       |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY qg) AS BIGINT) AS cum,
+       |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS wtot
+       |  FROM hist)
+       |SELECT lang, CAST(max(wtot) AS BIGINT) AS total_tokens,
+       |  min(CASE WHEN cum * 100 >= 50 * wtot THEN qg END) / 1e4 AS q50,
+       |  min(CASE WHEN cum * 100 >= 90 * wtot THEN qg END) / 1e4 AS q90
+       |FROM scored GROUP BY lang ORDER BY lang""".stripMargin
+
   val q93NoveltySql: String =
     s"""WITH $shinglesCte,
        |firsts AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),

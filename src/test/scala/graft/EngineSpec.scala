@@ -1302,6 +1302,61 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
   }
 
+  test("range frame: gap-aware rolling sums match a value-window replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q96RangeFrame(spark, d).collect()
+    val daily = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    rows.foreach { r =>
+      val (typ, day) = (r.getString(0), r.getLong(1))
+      val inFrame = daily(typ).filter { case (d2, _) => d2 >= day - 6 && d2 <= day }
+      assert(r.getAs[Long]("roll7_sum") === inFrame.values.sum)
+      assert(r.getAs[Long]("roll7_days") === inFrame.size.toLong)
+      assert(r.getAs[Long]("frame_start_day") === inFrame.keys.min)
+    }
+    // nth_value: the global second-best count per type, null only on the
+    // single best row
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val sorted = rs.map(r => (r.getLong(2), -r.getLong(1))).sortBy(t => (-t._1, -t._2))
+      val secondBest = sorted(1)._1
+      val withVal = rs.filter(!_.isNullAt(rs.head.fieldIndex("second_best")))
+      assert(withVal.length === rs.length - 1)
+      assert(withVal.forall(_.getAs[Long]("second_best") === secondBest)
+        || rs.length < 2)
+    }
+  }
+
+  test("weighted quality: cutoffs split token mass at the right fractions") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q97WeightedQuality(spark, d).collect()
+    assert(rows.nonEmpty)
+    import graft.functions.Text
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"lang",
+        (floor(Text.qualityScore($"text") * 1e4 + 0.5) / 1e4).as("q"),
+        Text.tokenCount($"text").cast("long").as("tk"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val mine = docs.filter(_._1 == lang)
+      val total = mine.map(_._3).sum
+      assert(r.getAs[Long]("total_tokens") === total)
+      val q50 = r.getAs[Double]("q50"); val q90 = r.getAs[Double]("q90")
+      assert(q50 <= q90) // weighted CDF is monotone
+      // the exact weighted-quantile property: at least half the token
+      // mass sits at or below the 50% cutoff, strictly less than half
+      // strictly below it (and likewise at 90%)
+      def mass(p: Double)(keep: Double => Boolean): Long =
+        mine.filter(t => keep(t._2)).map(_._3).sum
+      assert(mass(q50)(_ <= q50) * 2 >= total)
+      assert(mass(q50)(_ < q50) * 2 < total)
+      assert(mass(q90)(_ <= q90) * 10 >= total * 9)
+      assert(mass(q90)(_ < q90) * 10 < total * 9)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
