@@ -1357,6 +1357,15 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ln-grid boundary guard: no transcendental hazard in test corpora") {
+    import graft.operators.TextOps
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val haz = TextOps.lnBoundaryHazards(spark, d).collect()
+      assert(haz.isEmpty,
+        s"$d: ${haz.take(3).mkString("; ")} — q67/q68 may flip a grid cell")
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
