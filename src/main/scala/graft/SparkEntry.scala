@@ -119,6 +119,11 @@ object SparkEntry {
     "q95_conversion_lag" -> (EventOps.q95ConversionLag(_, _)),
     "q96_range_frame"    -> (EventOps.q96RangeFrame(_, _)),
     "q97_weighted_quality" -> (TextOps.q97WeightedQuality(_, _)),
+    "q98_snapshot_diff"  -> (Relational.q98SnapshotDiff(_, _)),
+    "q99_segment_dedup"  -> (TextOps.q99SegmentDedup(_, _)),
+    "q100_transitions"   -> (EventOps.q100Transitions(_, _)),
+    "q101_logparse"      -> (EventOps.q101LogParse(_, _)),
+    "q102_unigram_lm"    -> (TextOps.q102UnigramLm(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -249,5 +254,10 @@ object SparkEntry {
     "q95_conversion_lag" -> EventOps.q95ConversionLagSql,
     "q96_range_frame"    -> EventOps.q96RangeFrameSql,
     "q97_weighted_quality" -> TextOps.q97WeightedQualitySql,
+    "q98_snapshot_diff"  -> Relational.q98SnapshotDiffSql,
+    "q99_segment_dedup"  -> TextOps.q99SegmentDedupSql,
+    "q100_transitions"   -> EventOps.q100TransitionsSql,
+    "q101_logparse"      -> EventOps.q101LogParseSql,
+    "q102_unigram_lm"    -> TextOps.q102UnigramLmSql,
   )
 }

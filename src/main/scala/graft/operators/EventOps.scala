@@ -617,4 +617,121 @@ object EventOps {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q100: user-journey transition matrix (event-type bigrams)
+  // ---------------------------------------------------------------
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: lead() pairs each event with the user's next one
+    * (ordering carries the `(ts, event_id)` unique tie-break — README
+    * rule 3; concurrent same-second events would otherwise make the
+    * pairing engine-dependent), then the (from, to) counts and exact
+    * ppm row probabilities. One exchange on `user_id` for the window —
+    * the partitioning every sessionized event pipeline already has —
+    * then a map-side-combinable aggregate whose output is bounded by
+    * |types|² regardless of corpus size; the row-total join runs on
+    * that bounded relation, never the stream. Probabilities are
+    * floor-gridded to integer ppm (rule 6) so ranking downstream is
+    * cross-engine stable. */
+  def q100Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    val tr = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", sec($"ts").as("tsec"))
+      .select($"event_type".as("from_type"),
+        lead($"event_type", 1).over(w).as("to_type"))
+      .filter($"to_type".isNotNull)
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy($"from_type")
+    tr.select($"from_type", $"to_type", $"n",
+        sum($"n").over(byFrom).as("total_from"))
+      .select($"from_type", $"to_type", $"n", $"total_from",
+        floor($"n" * 1000000.0 / $"total_from").cast("long").as("prob_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q100TransitionsSql: String =
+    """WITH ord AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY floor(epoch(ts)), event_id) AS to_type
+      |  FROM events),
+      |tr AS (SELECT from_type, to_type, count(*) AS n
+      |  FROM ord WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS total_from,
+      |  CAST(floor(n * 1000000.0 /
+      |    sum(n) OVER (PARTITION BY from_type)) AS BIGINT) AS prob_ppm
+      |FROM tr ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q101: log-line structured extraction (regex parse round-trip)
+  // ---------------------------------------------------------------
+
+  /** Regex structured extraction — the normalization step behind every
+    * weblog/text-log source: render each event as an access-log-style
+    * line (the q45/q87 derive-messy-from-clean trick, so ground truth
+    * exists per row), then parse the line BACK into typed fields with
+    * `regexp_extract` and prove the round-trip row by row. The pattern
+    * keeps to the regex subset Java and RE2/DuckDB treat identically
+    * (anchors, literal text, `\d` classes, greedy quantifiers on
+    * disjoint delimiters). Entirely per-row codegen'd work — the only
+    * shuffle is the final bounded per-type census; at 100 TB the parse
+    * runs as a narrow map over the log scan, which is exactly how a
+    * production ingest normalizer must behave. */
+  def q101LogParse(s: SparkSession, d: String): DataFrame = {
+    val line = concat(
+      $"user_id".cast("string"), lit(" - ["),
+      date_format($"ts", "yyyy-MM-dd"), lit("] \"GET /event/"),
+      $"event_type", lit(" HTTP/1.1\" 200 "),
+      floor($"value" * 100.0 + 0.5).cast("long").cast("string"))
+    val pat = "^(\\d+) - \\[(\\d{4}-\\d{2}-\\d{2})\\] " +
+      "\"GET /event/([a-z]+) HTTP/1\\.1\" (\\d+) (\\d+)$"
+    Tables.events(s, d)
+      .select($"user_id", $"event_type", $"ts", $"value",
+        line.as("log_line"))
+      .select($"user_id", $"event_type", $"ts", $"value",
+        regexp_extract($"log_line", pat, 1).as("p_user"),
+        regexp_extract($"log_line", pat, 2).as("p_date"),
+        regexp_extract($"log_line", pat, 3).as("p_type"),
+        regexp_extract($"log_line", pat, 5).as("p_cents"))
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"p_user" === $"user_id".cast("string") &&
+          $"p_date" === date_format($"ts", "yyyy-MM-dd") &&
+          $"p_type" === $"event_type", 1L).otherwise(0L)).as("n_roundtrip"),
+        sum($"p_cents".cast("long")).as("sum_cents"),
+        count_distinct($"p_date").as("n_days"))
+      .select($"p_type", $"n_lines", $"n_roundtrip",
+        ($"sum_cents" / 100.0).as("sum_value"), $"n_days")
+      .orderBy($"p_type")
+  }
+
+  val q101LogParseSql: String =
+    """WITH lines AS (SELECT user_id, event_type, ts, value,
+      |    CAST(user_id AS VARCHAR) || ' - [' || strftime(ts, '%Y-%m-%d') ||
+      |    '] "GET /event/' || event_type || ' HTTP/1.1" 200 ' ||
+      |    CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+      |      AS log_line
+      |  FROM events),
+      |parsed AS (SELECT user_id, event_type, ts,
+      |    regexp_extract(log_line,
+      |      '^(\d+) - \[(\d{4}-\d{2}-\d{2})\] "GET /event/([a-z]+) HTTP/1\.1" (\d+) (\d+)$',
+      |      1) AS p_user,
+      |    regexp_extract(log_line,
+      |      '^(\d+) - \[(\d{4}-\d{2}-\d{2})\] "GET /event/([a-z]+) HTTP/1\.1" (\d+) (\d+)$',
+      |      2) AS p_date,
+      |    regexp_extract(log_line,
+      |      '^(\d+) - \[(\d{4}-\d{2}-\d{2})\] "GET /event/([a-z]+) HTTP/1\.1" (\d+) (\d+)$',
+      |      3) AS p_type,
+      |    regexp_extract(log_line,
+      |      '^(\d+) - \[(\d{4}-\d{2}-\d{2})\] "GET /event/([a-z]+) HTTP/1\.1" (\d+) (\d+)$',
+      |      5) AS p_cents
+      |  FROM lines)
+      |SELECT p_type, count(*) AS n_lines,
+      |  CAST(sum(CASE WHEN p_user = CAST(user_id AS VARCHAR)
+      |    AND p_date = strftime(ts, '%Y-%m-%d')
+      |    AND p_type = event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+      |  sum(CAST(p_cents AS BIGINT)) / 100.0 AS sum_value,
+      |  CAST(count(DISTINCT p_date) AS BIGINT) AS n_days
+      |FROM parsed GROUP BY p_type ORDER BY p_type""".stripMargin
+
 }

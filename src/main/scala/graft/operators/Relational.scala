@@ -1038,4 +1038,57 @@ object Relational {
       |FROM scored GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // =====================================================================
+  // q98: FULL OUTER snapshot reconciliation (period-over-period diff)
+  // =====================================================================
+
+  private val SnapCutoff = "1998-04-01"
+
+  /** Period-over-period customer reconciliation — the FULL OUTER JOIN
+    * primitive (the one join type the q4/q5/q6/q6b family doesn't
+    * cover): per-customer aggregates of the orders BEFORE vs AFTER a
+    * cutoff date, joined full-outer on the customer key and classified
+    * churned / new / retained with an exact money delta. This is the
+    * snapshot-diff shape every CDC/batch-reconciliation pipeline runs
+    * (yesterday's load vs today's). Both snapshot aggregations shuffle
+    * on `o_custkey` and the join reuses that partitioning, so the whole
+    * diff costs ONE exchange per side at any scale; totals stay on the
+    * exact integer cent grid until the final division (README rule 2),
+    * so the delta is order-independent in both engines. */
+  def q98SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    def snap(pred: Column, tag: String): DataFrame = orders.filter(pred)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as(s"${tag}_n"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).as(s"${tag}_cents"))
+    val cutoff = lit(SnapCutoff).cast("date")
+    snap($"o_orderdate" < cutoff, "old")
+      .join(snap($"o_orderdate" >= cutoff, "new"), Seq("o_custkey"), "full_outer")
+      .select($"o_custkey",
+        when($"old_n".isNull, lit("new"))
+          .when($"new_n".isNull, lit("churned"))
+          .otherwise(lit("retained")).as("status"),
+        coalesce($"old_n", lit(0L)).as("old_n"),
+        coalesce($"new_n", lit(0L)).as("new_n"),
+        ((coalesce($"new_cents", lit(0L)) - coalesce($"old_cents", lit(0L)))
+          / 100.0).as("delta"))
+      .orderBy($"o_custkey")
+  }
+
+  val q98SnapshotDiffSql: String =
+    s"""WITH a AS (SELECT o_custkey, count(*) AS old_n,
+       |    sum(floor(o_totalprice * 100.0 + 0.5)) AS old_cents
+       |  FROM orders WHERE o_orderdate < DATE '$SnapCutoff' GROUP BY 1),
+       |b AS (SELECT o_custkey, count(*) AS new_n,
+       |    sum(floor(o_totalprice * 100.0 + 0.5)) AS new_cents
+       |  FROM orders WHERE o_orderdate >= DATE '$SnapCutoff' GROUP BY 1)
+       |SELECT o_custkey,
+       |  CASE WHEN a.o_custkey IS NULL THEN 'new'
+       |       WHEN b.o_custkey IS NULL THEN 'churned'
+       |       ELSE 'retained' END AS status,
+       |  coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n,
+       |  (coalesce(new_cents, 0) - coalesce(old_cents, 0)) / 100.0 AS delta
+       |FROM a FULL OUTER JOIN b USING (o_custkey)
+       |ORDER BY o_custkey""".stripMargin
+
 }

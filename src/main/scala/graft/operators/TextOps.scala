@@ -1213,7 +1213,17 @@ object TextOps {
       .select(lit("q68_entropy").as("site"), $"doc_id".cast("string").as("key"),
         ((log($"n_tokens".cast("double")) - ($"sgrid" / 1e6) / $"n_tokens")
           * 1e6 + 0.5).as("y"))
+    // q102's two grid sites: ln(cf) per distinct term and the single
+    // ln(N) — vocabulary-grain, so the guard scan is vocab-sized
+    val cfRel = counts.groupBy($"term").agg(sum($"c").as("cf"))
+    val cfHaz = cfRel
+      .select(lit("q102_cf").as("site"), $"term".as("key"),
+        (log($"cf".cast("double")) * 1e6 + 0.5).as("y"))
+    val lnNHaz = cfRel.agg(sum($"cf").as("nn"))
+      .select(lit("q102_lnN").as("site"), lit("N").as("key"),
+        (log($"nn".cast("double")) * 1e6 + 0.5).as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
+      .unionAll(cfHaz).unionAll(lnNHaz)
       .filter(boundaryDist($"y") <= boundaryMargin($"y"))
       .select($"site", $"key", $"y", boundaryDist($"y").as("dist"),
         boundaryMargin($"y").as("margin"))
@@ -1806,5 +1816,139 @@ object TextOps {
        |SELECT doc_id, n_shingles, n_novel,
        |  ${sqlRound("n_novel / n_shingles", 6)} AS novelty
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q99: segment-level exact dedup (C4-style span removal)
+  // ---------------------------------------------------------------
+
+  private val SegLen = 8
+  /** Unique occurrence key: doc_id·10⁵ + seg_idx. Valid while every
+    * document has < 10⁵ segments (800k tokens here — far above any
+    * corpus doc); the q50 clusters use the same doc_id-arithmetic
+    * trick. */
+  private val SegIdxSpan = 100000L
+
+  /** Segment-grain exact deduplication — the C4/RefinedWeb "repeated
+    * span removal" pass, one grain finer than q22's whole-doc dedup:
+    * split each document into non-overlapping [[SegLen]]-token
+    * segments, keep only the globally-FIRST occurrence of each
+    * distinct segment (total order = (doc_id, seg_idx), encoded as one
+    * integer key so min() resolves the winner in a single aggregation),
+    * and report the per-document kept/dropped token census a trimming
+    * pass would apply. Boilerplate (headers, footers, licence blocks)
+    * repeats across billions of pages at 100 TB; dedup at DOCUMENT
+    * grain never sees it. Shape: one Generate per doc → min-agg on the
+    * segment fingerprint → shuffle join back on the same key (both
+    * sides hash-partitioned by fp; bounded per segment — never a
+    * per-segment doc list) → per-doc aggregate. */
+  def q99SegmentDedup(s: SparkSession, d: String): DataFrame = {
+    val occ = Tables.documents(s, d)
+      .select($"doc_id", Text.tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" > 0)
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L),
+          ceil($"n" / SegLen.toDouble).cast("long") - 1)).as("seg_idx"))
+      .select($"doc_id", $"seg_idx",
+        slice($"toks", ($"seg_idx" * SegLen + 1).cast("int"), lit(SegLen))
+          .as("seg"))
+      .select($"doc_id", $"seg_idx",
+        size($"seg").cast("long").as("seg_len"),
+        md5(array_join($"seg", " ")).as("fp"),
+        ($"doc_id" * SegIdxSpan + $"seg_idx").as("okey"))
+    val winners = occ.groupBy($"fp").agg(min($"okey").as("wkey"))
+    // merge hint: winners is segment-keyed — corpus-sized at 100 TB,
+    // must never be broadcast (the q24-docsets / q93-firsts hazard)
+    occ.join(winners.hint("merge"), "fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when($"okey" === $"wkey", 1L).otherwise(0L)).as("n_kept"),
+        sum($"seg_len").as("n_tokens"),
+        sum(when($"okey" === $"wkey", $"seg_len").otherwise(0L))
+          .as("kept_tokens"))
+      .select($"doc_id", $"n_segs", $"n_kept", $"n_tokens", $"kept_tokens",
+        stableRound($"kept_tokens" / $"n_tokens", 6).as("kept_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q99SegmentDedupSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0),
+       |segs AS (SELECT doc_id, sg AS seg_idx,
+       |    w[sg * $SegLen + 1 : sg * $SegLen + $SegLen] AS seg
+       |  FROM ws, UNNEST(range(0, CAST(ceil(n / ${SegLen}.0) AS BIGINT)))
+       |    AS t(sg)),
+       |occ AS (SELECT doc_id, seg_idx, CAST(len(seg) AS BIGINT) AS seg_len,
+       |    md5(array_to_string(seg, ' ')) AS fp,
+       |    doc_id * $SegIdxSpan + seg_idx AS okey FROM segs),
+       |win AS (SELECT fp, min(okey) AS wkey FROM occ GROUP BY fp),
+       |agg AS (SELECT o.doc_id, count(*) AS n_segs,
+       |    CAST(sum(CASE WHEN o.okey = w.wkey THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum(o.seg_len) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN o.okey = w.wkey THEN o.seg_len ELSE 0 END)
+       |      AS BIGINT) AS kept_tokens
+       |  FROM occ o JOIN win w USING (fp) GROUP BY o.doc_id)
+       |SELECT doc_id, n_segs, n_kept, n_tokens, kept_tokens,
+       |  ${sqlRound("kept_tokens / n_tokens", 6)} AS kept_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q102: unigram-LM surprisal scoring (perplexity-filter shape)
+  // ---------------------------------------------------------------
+
+  /** Corpus-unigram-LM quality scoring — the CCNet/Gopher
+    * "perplexity filter" shape with the LM reduced to the corpus's own
+    * unigram distribution (no external model ships with the engine):
+    * each document scores its mean token surprisal −⟨ln p(t)⟩ =
+    * ln N − ⟨ln cf(t)⟩ in nats; outlier-high docs are gibberish/noise,
+    * outlier-low docs are boilerplate. Transcendental discipline
+    * (README rule 8): every ln is gridded to integer micro-nats AT THE
+    * VOCABULARY GRAIN — per distinct term, not per token — so the
+    * per-doc sums are exact integer arithmetic and order-independent;
+    * both grid sites are registered in [[lnBoundaryHazards]]. Scale
+    * shape: term frequencies aggregate from the per-doc tf relation
+    * (two map-side-combinable hash aggs), the tf⋈cf join is
+    * vocabulary-keyed and NOT hand-broadcast (a web-corpus vocabulary
+    * isn't broadcastable — q67's df discipline; AQE decides locally),
+    * and ln N joins as a 1-row broadcast. */
+  def q102UnigramLm(s: SparkSession, d: String): DataFrame = {
+    val tf = tokenCounts(s, d)
+    val cf = tf.groupBy($"term").agg(sum($"c").as("cf"))
+    val lnN = cf.agg(sum($"cf").as("nn"))
+      .select(floor(log($"nn".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_n_grid"))
+    val g = cf.select($"term",
+      floor(log($"cf".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_cf_grid"))
+    tf.join(g, "term")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * $"ln_cf_grid").as("sum_lncf"))
+      .crossJoin(broadcast(lnN))
+      .select($"doc_id", $"n_tokens",
+        stableRound((($"n_tokens" * $"ln_n_grid" - $"sum_lncf") / 1e6)
+          / $"n_tokens", 6).as("surprisal_nats"))
+      .orderBy($"doc_id")
+  }
+
+  val q102UnigramLmSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+       |       GROUP BY doc_id, term),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+       |lnn AS (SELECT CAST(floor(ln(CAST(sum(cf) AS DOUBLE)) * 1e6 + 0.5)
+       |                    AS BIGINT) AS ln_n_grid FROM cf),
+       |g AS (SELECT term, CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5)
+       |                        AS BIGINT) AS ln_cf_grid FROM cf),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * ln_cf_grid) AS BIGINT) AS sum_lncf
+       |  FROM tf JOIN g USING (term) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  ${sqlRound("((n_tokens * ln_n_grid - sum_lncf) / 1e6) / n_tokens", 6)}
+       |    AS surprisal_nats
+       |FROM agg, lnn ORDER BY doc_id""".stripMargin
 
 }

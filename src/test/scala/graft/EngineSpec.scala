@@ -1357,6 +1357,133 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff: classes partition customers and deltas reconcile") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q98SnapshotDiff(spark, d).collect()
+    assert(rows.nonEmpty)
+    // every customer with any order appears exactly once
+    val nCust = graft.sources.Tables.orders(spark, d)
+      .select($"o_custkey").distinct().count()
+    assert(rows.length.toLong === nCust)
+    rows.foreach { r =>
+      val (st, on, nn) =
+        (r.getString(1), r.getAs[Long]("old_n"), r.getAs[Long]("new_n"))
+      st match {
+        case "new"      => assert(on === 0L && nn > 0L)
+        case "churned"  => assert(on > 0L && nn === 0L)
+        case "retained" => assert(on > 0L && nn > 0L)
+      }
+    }
+    // the deltas reconcile to the overall new-minus-old total in cents
+    val cents = graft.sources.Tables.orders(spark, d)
+      .select(date_format($"o_orderdate", "yyyy-MM-dd").as("dt"),
+        floor($"o_totalprice" * 100.0 + 0.5).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expect = cents.collect { case (dt, c) if dt >= "1998-04-01" => c }.sum -
+      cents.collect { case (dt, c) if dt < "1998-04-01" => c }.sum
+    val got = math.round(rows.map(_.getAs[Double]("delta")).sum * 100.0)
+    assert(got === expect)
+  }
+
+  test("segment dedup: winners are globally unique and census conserves") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q99SegmentDedup(spark, d).collect()
+    assert(rows.nonEmpty)
+    // brute-force replay: first (doc_id, seg_idx) occurrence of each
+    // distinct segment wins; everything else is dropped
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+      .sortBy(_._1)
+    val segs = docs.flatMap { case (id, toks) =>
+      toks.grouped(8).zipWithIndex.map { case (sg, i) => (id, i, sg) }
+    }
+    val firstOf = segs.groupBy(_._3).view
+      .mapValues(os => os.map(o => (o._1, o._2)).min).toMap
+    val expect = segs.groupBy(_._1).map { case (id, os) =>
+      val kept = os.filter(o => firstOf(o._3) == ((o._1, o._2)))
+      id -> (os.size.toLong, kept.size.toLong,
+        os.map(_._3.size.toLong).sum, kept.map(_._3.size.toLong).sum)
+    }
+    rows.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens")) === e)
+    }
+    // token conservation: kept + dropped = corpus total
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      docs.map(_._2.size.toLong).sum)
+  }
+
+  test("transitions: counts match a per-user sequential replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q100Transitions(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = evs.groupBy(_._1).valuesIterator.flatMap { rs =>
+      val ord = rs.sortBy(t => (t._2, t._3)).map(_._4)
+      ord.zip(ord.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+      .toMap === expect)
+    // row-probabilities: ppm of each from-row sums to ~1e6 (floor loss < |tos|)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getAs[Long]("prob_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rs.length)
+    }
+  }
+
+  test("log parse: every line round-trips and money reconciles") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q101LogParse(spark, d).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 100.0 + 0.5).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val typ = r.getString(0)
+      val mine = ev.filter(_._1 == typ)
+      // the parse is total: every rendered line parses back exactly
+      assert(r.getAs[Long]("n_lines") === mine.length.toLong)
+      assert(r.getAs[Long]("n_roundtrip") === mine.length.toLong)
+      assert(math.round(r.getAs[Double]("sum_value") * 100.0) === mine.map(_._2).sum)
+    }
+    assert(rows.map(_.getAs[Long]("n_lines")).sum === ev.length.toLong)
+  }
+
+  test("unigram LM: surprisal matches a brute-force model within grid") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q102UnigramLm(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val cf = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val bigN = cf.values.sum.toDouble
+    rows.foreach { r =>
+      val toks = docs.find(_._1 == r.getLong(0)).get._2
+      assert(r.getAs[Long]("n_tokens") === toks.size.toLong)
+      val exact = toks.map(t => math.log(bigN) - math.log(cf(t).toDouble))
+        .sum / toks.size
+      // grid error bound: two 1e-6 grids + final round
+      assert(math.abs(r.getAs[Double]("surprisal_nats") - exact) < 3e-6)
+    }
+    // a doc of pure top-frequency tokens would score below the corpus
+    // mean; sanity: scores are positive and bounded by ln N
+    rows.foreach { r =>
+      val sNats = r.getAs[Double]("surprisal_nats")
+      assert(sNats > 0.0 && sNats <= math.log(bigN))
+    }
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
