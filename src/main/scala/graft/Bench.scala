@@ -45,8 +45,13 @@ object Bench {
         Some(p)
       }
 
-    // warm-up: JVM, codegen, parquet footer reads
+    // warm-up: JVM, codegen, parquet footer reads — one count per table
+    // family so the alphabetically-first query (q100 since round 5) is
+    // not billed the session's cold-start the way q1_agg used to be
     graft.sources.Tables.lineitem(spark, sfDir).count()
+    graft.sources.Tables.events(spark, sfDir).count()
+    graft.sources.Tables.documents(spark, sfDir).count()
+    graft.sources.Tables.embeddings(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
