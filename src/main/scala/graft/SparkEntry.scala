@@ -124,6 +124,9 @@ object SparkEntry {
     "q100_transitions"   -> (EventOps.q100Transitions(_, _)),
     "q101_logparse"      -> (EventOps.q101LogParse(_, _)),
     "q102_unigram_lm"    -> (TextOps.q102UnigramLm(_, _)),
+    "q103_profile"       -> (Relational.q103Profile(_, _)),
+    "q104_hotcold_join"  -> (Relational.q104HotColdJoin(_, _)),
+    "q105_weighted_sample" -> (TextOps.q105WeightedSample(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,5 +262,8 @@ object SparkEntry {
     "q100_transitions"   -> EventOps.q100TransitionsSql,
     "q101_logparse"      -> EventOps.q101LogParseSql,
     "q102_unigram_lm"    -> TextOps.q102UnigramLmSql,
+    "q103_profile"       -> Relational.q103ProfileSql,
+    "q104_hotcold_join"  -> Relational.q104HotColdJoinSql,
+    "q105_weighted_sample" -> TextOps.q105WeightedSampleSql,
   )
 }

@@ -1091,4 +1091,108 @@ object Relational {
        |FROM a FULL OUTER JOIN b USING (o_custkey)
        |ORDER BY o_custkey""".stripMargin
 
+  // =====================================================================
+  // q103: multi-column data profile (quality audit in one corpus pass)
+  // =====================================================================
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+
+  /** Column profiler — the data-quality audit every ingest runs before
+    * trusting a new drop: per numeric column, row/null counts, EXACT
+    * distinct cardinality, and cent-grid min/max/mean, all from ONE
+    * declarative aggregation over the table (Spark expands the four
+    * COUNT(DISTINCT)s into a single Expand→aggregate pair — one scan,
+    * |cols|× map-side replication, never |cols| scans). Exact NDV is
+    * the honest profile at any scale — the sketch alternative is q19's
+    * HLL, which a 100 TB profile would swap in per column. The one-row
+    * aggregate is then exploded to a per-column relation driver-side of
+    * nothing: the pivot happens in the plan, not in a collect. */
+  def q103Profile(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast("long")
+    val aggs = ProfileCols.flatMap { c =>
+      val col0 = col(c)
+      Seq(
+        sum(when(col0.isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col0).as(s"${c}__ndv"),
+        min(cents(col0)).as(s"${c}__min"),
+        max(cents(col0)).as(s"${c}__max"),
+        sum(cents(col0)).as(s"${c}__sum"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val packed = one.select(explode(array(ProfileCols.map { c =>
+      struct(lit(c).as("col_name"), $"n_rows",
+        col(s"${c}__nulls").as("n_null"), col(s"${c}__ndv").as("n_distinct"),
+        (col(s"${c}__min") / 100.0).as("min_v"),
+        (col(s"${c}__max") / 100.0).as("max_v"),
+        stableRound(col(s"${c}__sum") / 100.0 / $"n_rows", 4).as("avg_v"))
+    }: _*)).as("p"))
+    packed.select($"p.*").orderBy($"col_name")
+  }
+
+  val q103ProfileSql: String = {
+    val arms = ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, n_rows, ${c}__nulls AS n_null,
+         |  ${c}__ndv AS n_distinct, ${c}__min / 100.0 AS min_v,
+         |  ${c}__max / 100.0 AS max_v,
+         |  ${sqlRound(s"${c}__sum / 100.0 / n_rows", 4)} AS avg_v FROM a""".stripMargin
+    }.mkString("\n", "\nUNION ALL\n", "\n")
+    val aggs = ProfileCols.map { c =>
+      s"""  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ${c}__nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ${c}__ndv,
+         |  CAST(min(floor($c * 100.0 + 0.5)) AS BIGINT) AS ${c}__min,
+         |  CAST(max(floor($c * 100.0 + 0.5)) AS BIGINT) AS ${c}__max,
+         |  CAST(sum(floor($c * 100.0 + 0.5)) AS BIGINT) AS ${c}__sum""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (SELECT count(*) AS n_rows,\n$aggs\n  FROM lineitem)
+       |SELECT * FROM ($arms) AS u ORDER BY col_name""".stripMargin
+  }
+
+  // =====================================================================
+  // q104: skew-differentiated hot/cold join (broadcast the hot keys,
+  // shuffle the cold tail) — the OTHER standard skew weapon beside
+  // q64's salting
+  // =====================================================================
+
+  private val HotKeys = 20
+
+  /** Differentiated join: the [[HotKeys]] heaviest join keys take a
+    * broadcast path (their rows NEVER shuffle — the straggler a skewed
+    * key causes in a sort-merge join simply doesn't exist), the cold
+    * tail takes the ordinary sort-merge path, and the arms union before
+    * the final aggregate. The hot set is found with a bounded
+    * TakeOrdered (per-partition top-k heaps, K rows to the driver-side
+    * merge — never a global sort) and stays a broadcast relation
+    * end-to-end. Like q64 and q70 the rewrite must be INVISIBLE: the
+    * oracle is the PLAIN join+aggregate, so the driver hash-checks that
+    * differentiation changes the plan, not the answer. */
+  def q104HotColdJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ords = Tables.orders(s, d)
+    val hot = li.groupBy($"l_orderkey").agg(count(lit(1)).as("hc"))
+      .orderBy($"hc".desc, $"l_orderkey").limit(HotKeys)
+      .select($"l_orderkey".as("hk"))
+    val liHot = li.join(broadcast(hot), $"l_orderkey" === $"hk", "left_semi")
+    val liCold = li.join(broadcast(hot), $"l_orderkey" === $"hk", "left_anti")
+    val ordsHot = ords.join(broadcast(hot), $"o_orderkey" === $"hk", "left_semi")
+    val armHot = liHot.join(broadcast(ordsHot),
+      $"l_orderkey" === $"o_orderkey")
+    val armCold = liCold.join(ords.hint("merge"),
+      $"l_orderkey" === $"o_orderkey")
+    armHot.select($"o_orderpriority", $"l_extendedprice")
+      .unionByName(armCold.select($"o_orderpriority", $"l_extendedprice"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum($"l_extendedprice").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q104HotColdJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  sum(floor(l_extendedprice * 100.0 + 0.5)) / 100.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
 }

@@ -1222,8 +1222,16 @@ object TextOps {
     val lnNHaz = cfRel.agg(sum($"cf").as("nn"))
       .select(lit("q102_lnN").as("site"), lit("N").as("key"),
         (log($"nn".cast("double")) * 1e6 + 0.5).as("y"))
+    // q105's grid site: ln(u) of the md5-derived uniform, one per doc
+    val lnuHaz = {
+      val u = (conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))),
+        1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+      Tables.documents(s, d)
+        .select(lit("q105_lnu").as("site"), $"doc_id".cast("string").as("key"),
+          (log(u) * 1e6 + 0.5).as("y"))
+    }
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
-      .unionAll(cfHaz).unionAll(lnNHaz)
+      .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
       .filter(boundaryDist($"y") <= boundaryMargin($"y"))
       .select($"site", $"key", $"y", boundaryDist($"y").as("dist"),
         boundaryMargin($"y").as("margin"))
@@ -1950,5 +1958,51 @@ object TextOps {
        |  ${sqlRound("((n_tokens * ln_n_grid - sum_lncf) / 1e6) / n_tokens", 6)}
        |    AS surprisal_nats
        |FROM agg, lnn ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q105: deterministic weighted sampling (Efraimidis–Spirakis top-k)
+  // ---------------------------------------------------------------
+
+  private val WsK = 100
+
+  /** Weighted sampling without replacement, Efraimidis–Spirakis style:
+    * each document draws a deterministic uniform u from md5(doc_id)
+    * (the q55/q72 derandomization — membership is a pure function of
+    * the key, so the sample is partition-invariant and reproducible at
+    * any cluster size) and ranks by ln(u)/w with w = token count; the
+    * top [[WsK]] by that key ARE a weighted sample without replacement
+    * (Efraimidis & Spirakis 2006, IPL — public result). The +0.5
+    * offset keeps u strictly inside (0,1) so ln is finite; ln(u) is
+    * gridded to integer micro-units (README rule 8, registered in
+    * [[lnBoundaryHazards]]) and the priority is the exact-integer
+    * division lnu_grid/w — identical IEEE division both engines. The
+    * top-k runs as TakeOrdered (per-partition bounded heaps, k rows to
+    * the final merge), never a global sort — the same 100 TB shape as
+    * q16. */
+  def q105WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))),
+      1, 8), 16, 10).cast("long") + 0.5) / 4294967296.0
+    Tables.documents(s, d)
+      .select($"doc_id",
+        Text.tokenCount($"text").cast("long").as("n_tokens"),
+        floor(log(u) * 1e6 + 0.5).cast("long").as("lnu_grid"))
+      .filter($"n_tokens" > 0)
+      .select($"doc_id", $"n_tokens",
+        ($"lnu_grid" / $"n_tokens").as("priority"))
+      .orderBy($"priority".desc, $"doc_id")
+      .limit(WsK)
+  }
+
+  private val wsUSql =
+    "((CAST('0x' || substring(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8) " +
+      "AS BIGINT) + 0.5) / 4294967296.0)"
+
+  val q105WeightedSampleSql: String =
+    s"""WITH w AS (SELECT doc_id, CAST($tcSql AS BIGINT) AS n_tokens,
+       |    CAST(floor(ln($wsUSql) * 1e6 + 0.5) AS BIGINT) AS lnu_grid
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, lnu_grid / n_tokens AS priority
+       |FROM w WHERE n_tokens > 0
+       |ORDER BY priority DESC, doc_id LIMIT $WsK""".stripMargin
 
 }

@@ -1484,6 +1484,52 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("profile: per-column stats match standalone recomputation") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q103Profile(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    val li = graft.sources.Tables.lineitem(spark, d)
+    rows.foreach { r =>
+      val c = r.getString(0)
+      val vals = li.select((floor(col(c) * 100.0 + 0.5) / 100.0).as("v"))
+        .collect().map(_.getDouble(0))
+      assert(r.getAs[Long]("n_rows") === vals.length.toLong)
+      assert(r.getAs[Long]("n_null") === 0L)
+      assert(r.getAs[Long]("n_distinct") ===
+        li.select(col(c)).distinct().count())
+      assert(r.getAs[Double]("min_v") === vals.min)
+      assert(r.getAs[Double]("max_v") === vals.max)
+    }
+  }
+
+  test("weighted sample: matches brute-force ES ranking and favors weight") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q105WeightedSample(spark, d).collect()
+    assert(rows.length === 100)
+    // brute-force replay of the priority key
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+      .filter(_._2 > 0)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pri = docs.map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"ws:$id").take(8), 16) + 0.5) /
+        4294967296.0
+      (id, w, math.floor(math.log(u) * 1e6 + 0.5).toLong.toDouble / w)
+    }
+    val expect = pri.sortBy(t => (-t._3, t._1)).take(100).map(_._1).toSeq
+    assert(rows.map(_.getLong(0)).toSeq === expect)
+    // ES property: the sample over-represents heavy docs vs uniform
+    val sampleMean = rows.map(_.getAs[Long]("n_tokens")).sum.toDouble / 100
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>

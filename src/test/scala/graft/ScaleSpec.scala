@@ -206,4 +206,37 @@ class ScaleSpec extends AnyFunSuite {
         s"exact semi-join did not become a shuffle join:\n$planStr")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q104 hot/cold join: invisible rewrite, hot arm stays broadcast " +
+    "when auto-broadcast is off") {
+    val d = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val ords = graft.sources.Tables.orders(spark, d)
+    val plain = li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(floor($"l_extendedprice" * 100.0 + 0.5)) / 100.0).as("revenue"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val split = graft.operators.Relational.q104HotColdJoin(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_lines"), r.getAs[Double]("revenue"))).toMap
+    assert(split === plain)
+    // 100× behavior: with auto-broadcast off (orders too big to
+    // broadcast wholesale), the BOUNDED hot-key arm must still run as
+    // broadcast joins — that is the point of the differentiation —
+    // while the cold tail is a shuffle join
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val planStr = graft.operators.Relational.q104HotColdJoin(spark, d)
+        .queryExecution.executedPlan.toString
+      assert(planStr.contains("BroadcastHashJoin"),
+        s"hot arm lost its broadcast:\n$planStr")
+      assert(planStr.contains("SortMergeJoin") || planStr.contains("ShuffledHashJoin"),
+        s"cold arm did not run as a shuffle join:\n$planStr")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
