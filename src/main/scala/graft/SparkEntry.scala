@@ -127,6 +127,9 @@ object SparkEntry {
     "q103_profile"       -> (Relational.q103Profile(_, _)),
     "q104_hotcold_join"  -> (Relational.q104HotColdJoin(_, _)),
     "q105_weighted_sample" -> (TextOps.q105WeightedSample(_, _)),
+    "q106_incremental_agg" -> (Relational.q106IncrementalAgg(_, _)),
+    "q107_basket_pairs"  -> (EventOps.q107BasketPairs(_, _)),
+    "q108_nested_arrays" -> (EventOps.q108NestedArrays(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -265,5 +268,8 @@ object SparkEntry {
     "q103_profile"       -> Relational.q103ProfileSql,
     "q104_hotcold_join"  -> Relational.q104HotColdJoinSql,
     "q105_weighted_sample" -> TextOps.q105WeightedSampleSql,
+    "q106_incremental_agg" -> Relational.q106IncrementalAggSql,
+    "q107_basket_pairs"  -> EventOps.q107BasketPairsSql,
+    "q108_nested_arrays" -> EventOps.q108NestedArraysSql,
   )
 }

@@ -734,4 +734,95 @@ object EventOps {
       |  CAST(count(DISTINCT p_date) AS BIGINT) AS n_days
       |FROM parsed GROUP BY p_type ORDER BY p_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107: co-occurrence pairs (market-basket affinity, user-day baskets)
+  // ---------------------------------------------------------------
+
+  /** Market-basket co-occurrence: which event types happen TOGETHER in
+    * the same user-day basket, with exact ppm support. The scale
+    * discipline is pair generation WITHIN bounded groups only: baskets
+    * are (user, day) with ≤|types| distinct items each, so the
+    * self-join emits ≤|types|²/2 pairs per basket — never a global
+    * cross join. Both sides of the pair join arrive hash-partitioned by
+    * the (user_id, day) basket key from the same distinct-aggregation,
+    * and the output is bounded by |types|² regardless of corpus size.
+    * Support joins against the basket count as a 1-row broadcast. */
+  def q107BasketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.events(s, d)
+      .select($"user_id",
+        floor(sec($"ts") / 86400L).cast("long").as("day"), $"event_type")
+      .distinct()
+    val nb = items.select($"user_id", $"day").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val a = items.select($"user_id", $"day", $"event_type".as("ta"))
+    val b = items.select($"user_id", $"day", $"event_type".as("tb"))
+    a.join(b, Seq("user_id", "day")).filter($"ta" < $"tb")
+      .groupBy($"ta", $"tb").agg(count(lit(1)).as("n_baskets_with_pair"))
+      .crossJoin(broadcast(nb))
+      .select($"ta", $"tb", $"n_baskets_with_pair", $"n_baskets",
+        floor($"n_baskets_with_pair" * 1000000.0 / $"n_baskets")
+          .cast("long").as("support_ppm"))
+      .orderBy($"ta", $"tb")
+  }
+
+  val q107BasketPairsSql: String =
+    """WITH items AS (SELECT DISTINCT user_id,
+      |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day, event_type
+      |  FROM events),
+      |nb AS (SELECT count(*) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, day FROM items) AS g),
+      |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |    count(*) AS n_baskets_with_pair
+      |  FROM items a JOIN items b USING (user_id, day)
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ta, tb, n_baskets_with_pair, n_baskets,
+      |  CAST(floor(n_baskets_with_pair * 1000000.0 / n_baskets) AS BIGINT)
+      |    AS support_ppm
+      |FROM pairs, nb ORDER BY ta, tb""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q108: nested arrays (ordered array_agg + higher-order functions)
+  // ---------------------------------------------------------------
+
+  /** The nested-type surface: per user-day, an ORDERED array of the
+    * day's event types built the deterministic way — `collect_list`
+    * alone has no ordering guarantee under parallel merge, so the
+    * elements carry their (tsec, event_id) sort key into the array as
+    * structs, `sort_array` orders lexicographically by that unique key,
+    * and `transform` projects the payload back out (the Spark idiom for
+    * SQL's `array_agg(... ORDER BY ...)`). Downstream: array cardinality,
+    * `array_distinct`, `array_contains`, `slice` + `array_join` — the
+    * higher-order-function family over a genuinely nested column. Group
+    * state is bounded by a user-day's events (cap with `slice` before
+    * persisting if a bot user-day could be pathological); one exchange
+    * on the basket key. */
+  def q108NestedArrays(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select($"user_id",
+        floor(sec($"ts") / 86400L).cast("long").as("day"),
+        struct(sec($"ts").as("tsec"), $"event_id", $"event_type").as("e"))
+      .groupBy($"user_id", $"day")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select($"user_id", $"day",
+        transform($"es", e => e.getField("event_type")).as("types"))
+      .select($"user_id", $"day",
+        size($"types").cast("long").as("n_events"),
+        size(array_distinct($"types")).cast("long").as("n_distinct_types"),
+        array_contains($"types", "purchase").as("has_purchase"),
+        array_join(slice($"types", 1, 3), ",").as("first3"))
+      .orderBy($"user_id", $"day")
+
+  val q108NestedArraysSql: String =
+    """WITH baskets AS (SELECT user_id,
+      |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+      |    list(event_type ORDER BY floor(epoch(ts)), event_id) AS types
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(len(types) AS BIGINT) AS n_events,
+      |  CAST(len(list_distinct(types)) AS BIGINT) AS n_distinct_types,
+      |  list_contains(types, 'purchase') AS has_purchase,
+      |  array_to_string(types[1:3], ',') AS first3
+      |FROM baskets ORDER BY user_id, day""".stripMargin
+
 }

@@ -1195,4 +1195,45 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // =====================================================================
+  // q106: incremental aggregate maintenance (partial-state merge)
+  // =====================================================================
+
+  /** Incremental view maintenance — the reason a 100 TB daily pipeline
+    * never rescans history: yesterday's aggregate persists as PARTIAL
+    * state (count + exact cent sum per group — both mergeable), today's
+    * delta aggregates alone, and the two merge in a bounded-size
+    * aggregation (|groups| rows, not |history| rows). Here the state is
+    * simulated from the pre-cutoff orders (same [[SnapCutoff]] as q98)
+    * and the delta is the rest; the oracle is the FULL recompute over
+    * all orders, so the driver hash-proves merge(state, agg(delta)) ≡
+    * agg(everything) — the algebraic property (commutative-monoid
+    * partials) that makes incremental maintenance correct at all.
+    * AVG is deliberately derived from the mergeable (sum, count) pair
+    * at the END — the classic non-mergeable aggregate done right. */
+  def q106IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val cutoff = lit(SnapCutoff).cast("date")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"o_totalprice" * 100.0 + 0.5)).as("cents"))
+    val state = partial(orders.filter($"o_orderdate" < cutoff))
+    val delta = partial(orders.filter($"o_orderdate" >= cutoff))
+    state.unionByName(delta)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"n").as("n_orders"), sum($"cents").as("cents"))
+      .select($"o_orderpriority", $"n_orders",
+        ($"cents" / 100.0).as("total"),
+        stableRound($"cents" / 100.0 / $"n_orders", 2).as("avg_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q106IncrementalAggSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders,
+       |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total,
+       |  ${sqlRound("sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 / count(*)", 2)}
+       |    AS avg_price
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
 }

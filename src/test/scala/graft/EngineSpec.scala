@@ -1530,6 +1530,66 @@ class EngineSpec extends AnyFunSuite {
     assert(sampleMean > corpusMean)
   }
 
+  test("incremental agg: partial-state merge equals the full recompute") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val merged = Relational.q106IncrementalAgg(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_orders"), r.getAs[Double]("total"))).toMap
+    val full = graft.sources.Tables.orders(spark, d)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        (sum(floor($"o_totalprice" * 100.0 + 0.5)) / 100.0).as("t"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(merged === full)
+  }
+
+  test("basket pairs: counts match a brute-force basket replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q107BasketPairs(spark, d).collect()
+    assert(rows.nonEmpty)
+    val baskets = graft.sources.Tables.events(spark, d)
+      .select($"user_id", floor($"ts".cast("long") / 86400L).cast("long"),
+        $"event_type")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nb = baskets.size.toLong
+    val expect = baskets.values.flatMap { ts =>
+      ts.toSeq.sorted.combinations(2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_baskets_with_pair")).toMap === expect)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_baskets") === nb)
+      assert(r.getAs[Long]("support_ppm") ===
+        r.getAs[Long]("n_baskets_with_pair") * 1000000L / nb)
+    }
+  }
+
+  test("nested arrays: order is the (tsec, event_id) replay per basket") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q108NestedArrays(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = evs.groupBy(e => (e._1, e._2 / 86400L)).view.mapValues { es =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+    }.toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val types = expect(key)
+      assert(r.getAs[Long]("n_events") === types.length.toLong)
+      assert(r.getAs[Long]("n_distinct_types") === types.distinct.length.toLong)
+      assert(r.getAs[Boolean]("has_purchase") === types.contains("purchase"))
+      assert(r.getAs[String]("first3") === types.take(3).mkString(","))
+    }
+    assert(rows.length === expect.size)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
