@@ -1845,10 +1845,10 @@ object TextOps {
     * and report the per-document kept/dropped token census a trimming
     * pass would apply. Boilerplate (headers, footers, licence blocks)
     * repeats across billions of pages at 100 TB; dedup at DOCUMENT
-    * grain never sees it. Shape: one Generate per doc → min-agg on the
-    * segment fingerprint → shuffle join back on the same key (both
-    * sides hash-partitioned by fp; bounded per segment — never a
-    * per-segment doc list) → per-doc aggregate. */
+    * grain never sees it. Shape: ONE Generate per doc → min window over
+    * the segment fingerprint (one exchange on fp; beats the agg+join
+    * alternative, which explodes the corpus twice and adds a
+    * sort-merge join) → per-doc aggregate. */
   def q99SegmentDedup(s: SparkSession, d: String): DataFrame = {
     val occ = Tables.documents(s, d)
       .select($"doc_id", Text.tokens($"text").as("toks"))
@@ -1864,10 +1864,8 @@ object TextOps {
         size($"seg").cast("long").as("seg_len"),
         md5(array_join($"seg", " ")).as("fp"),
         ($"doc_id" * SegIdxSpan + $"seg_idx").as("okey"))
-    val winners = occ.groupBy($"fp").agg(min($"okey").as("wkey"))
-    // merge hint: winners is segment-keyed — corpus-sized at 100 TB,
-    // must never be broadcast (the q24-docsets / q93-firsts hazard)
-    occ.join(winners.hint("merge"), "fp")
+    occ
+      .withColumn("wkey", min($"okey").over(Window.partitionBy($"fp")))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when($"okey" === $"wkey", 1L).otherwise(0L)).as("n_kept"),
@@ -1890,14 +1888,15 @@ object TextOps {
        |occ AS (SELECT doc_id, seg_idx, CAST(len(seg) AS BIGINT) AS seg_len,
        |    md5(array_to_string(seg, ' ')) AS fp,
        |    doc_id * $SegIdxSpan + seg_idx AS okey FROM segs),
-       |win AS (SELECT fp, min(okey) AS wkey FROM occ GROUP BY fp),
-       |agg AS (SELECT o.doc_id, count(*) AS n_segs,
-       |    CAST(sum(CASE WHEN o.okey = w.wkey THEN 1 ELSE 0 END) AS BIGINT)
+       |wocc AS (SELECT doc_id, seg_len, okey,
+       |    min(okey) OVER (PARTITION BY fp) AS wkey FROM occ),
+       |agg AS (SELECT doc_id, count(*) AS n_segs,
+       |    CAST(sum(CASE WHEN okey = wkey THEN 1 ELSE 0 END) AS BIGINT)
        |      AS n_kept,
-       |    CAST(sum(o.seg_len) AS BIGINT) AS n_tokens,
-       |    CAST(sum(CASE WHEN o.okey = w.wkey THEN o.seg_len ELSE 0 END)
+       |    CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+       |    CAST(sum(CASE WHEN okey = wkey THEN seg_len ELSE 0 END)
        |      AS BIGINT) AS kept_tokens
-       |  FROM occ o JOIN win w USING (fp) GROUP BY o.doc_id)
+       |  FROM wocc GROUP BY doc_id)
        |SELECT doc_id, n_segs, n_kept, n_tokens, kept_tokens,
        |  ${sqlRound("kept_tokens / n_tokens", 6)} AS kept_ratio
        |FROM agg ORDER BY doc_id""".stripMargin
