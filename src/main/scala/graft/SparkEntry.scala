@@ -130,6 +130,7 @@ object SparkEntry {
     "q106_incremental_agg" -> (Relational.q106IncrementalAgg(_, _)),
     "q107_basket_pairs"  -> (EventOps.q107BasketPairs(_, _)),
     "q108_nested_arrays" -> (EventOps.q108NestedArrays(_, _)),
+    "q109_checksum"      -> (Relational.q109Checksum(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -271,5 +272,6 @@ object SparkEntry {
     "q106_incremental_agg" -> Relational.q106IncrementalAggSql,
     "q107_basket_pairs"  -> EventOps.q107BasketPairsSql,
     "q108_nested_arrays" -> EventOps.q108NestedArraysSql,
+    "q109_checksum"      -> Relational.q109ChecksumSql,
   )
 }

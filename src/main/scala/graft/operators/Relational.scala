@@ -1236,4 +1236,51 @@ object Relational {
        |    AS avg_price
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // =====================================================================
+  // q109: order-independent table checksum (snapshot reconciliation)
+  // =====================================================================
+
+  /** Content fingerprint of a relation that two systems can compare
+    * WITHOUT sorting or moving the data: every row canonicalizes to a
+    * delimited string (money on the cent grid, dates as yyyy-MM-dd —
+    * the cross-engine-stable forms), hashes to a 60-bit integer (15
+    * md5 hex digits — inside BIGINT range in every engine; a full
+    * 64-bit value would overflow Spark's signed string→long cast), and
+    * the per-group fingerprint is the XOR of the row hashes — an
+    * abelian-group aggregate, so it is partition- and order-invariant,
+    * never overflows, and map-side partials combine exactly like the
+    * cluster computes them. Each side of a migration/CDC pipeline
+    * computes its |groups|-row checksum relation locally and compares
+    * tiny outputs — the way you reconcile two 100 TB copies without a
+    * 100 TB join. A single flipped cent flips the group fingerprint. */
+  def q109Checksum(s: SparkSession, d: String): DataFrame = {
+    val row = concat_ws("|",
+      $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+      $"o_orderstatus",
+      floor($"o_totalprice" * 100.0 + 0.5).cast("long").cast("string"),
+      date_format($"o_orderdate", "yyyy-MM-dd"), $"o_orderpriority")
+    Tables.orders(s, d)
+      .select($"o_orderpriority",
+        conv(substring(md5(row), 1, 15), 16, 10).cast("long").as("rh"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(rh)").as("fingerprint"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q109ChecksumSql: String =
+    """WITH rh AS (SELECT o_orderpriority,
+      |    CAST('0x' || substring(md5(
+      |      CAST(o_orderkey AS VARCHAR) || '|' ||
+      |      CAST(o_custkey AS VARCHAR) || '|' ||
+      |      o_orderstatus || '|' ||
+      |      CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+      |        || '|' ||
+      |      strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+      |      o_orderpriority), 1, 15) AS BIGINT) AS rh
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_rows,
+      |  bit_xor(rh) AS fingerprint
+      |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
 }

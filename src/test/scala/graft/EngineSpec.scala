@@ -1590,6 +1590,53 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.length === expect.size)
   }
 
+  test("checksum: partition-invariant, and one flipped cent changes it") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val base = Relational.q109Checksum(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("fingerprint")).toMap
+    assert(base.nonEmpty)
+    // partition invariance: the same rows through a different layout
+    // give the identical fingerprints (abelian-group aggregation)
+    val reparted = {
+      val orig = graft.sources.Tables.orders(spark, d)
+      val row = concat_ws("|",
+        $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").cast("string"),
+        date_format($"o_orderdate", "yyyy-MM-dd"), $"o_orderpriority")
+      orig.repartition(13, $"o_custkey")
+        .select($"o_orderpriority",
+          conv(substring(md5(row), 1, 15), 16, 10).cast("long").as("rh"))
+        .groupBy($"o_orderpriority")
+        .agg(expr("bit_xor(rh)").as("fp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(reparted === base)
+    // sensitivity: corrupt ONE row by one cent and the group flips
+    val corrupted = {
+      val orig = graft.sources.Tables.orders(spark, d)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" === 1L, $"o_totalprice" + 0.01)
+            .otherwise($"o_totalprice"))
+      val row = concat_ws("|",
+        $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").cast("string"),
+        date_format($"o_orderdate", "yyyy-MM-dd"), $"o_orderpriority")
+      orig.select($"o_orderpriority",
+          conv(substring(md5(row), 1, 15), 16, 10).cast("long").as("rh"))
+        .groupBy($"o_orderpriority")
+        .agg(expr("bit_xor(rh)").as("fp"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val prio1 = graft.sources.Tables.orders(spark, d)
+      .filter($"o_orderkey" === 1L).select($"o_orderpriority")
+      .head().getString(0)
+    assert(corrupted(prio1) !== base(prio1))
+    assert((corrupted - prio1) === (base - prio1))
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>

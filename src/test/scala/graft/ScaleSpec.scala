@@ -172,6 +172,14 @@ class ScaleSpec extends AnyFunSuite {
     val origSum = orders.filter($"month" === target).agg(sum($"o_totalprice")).head().getDouble(0)
     val newSum = after.filter($"month" === target).agg(sum($"o_totalprice")).head().getDouble(0)
     assert(math.abs(newSum - origSum / 2) < 1e-6)
+    // a month-filtered read must PRUNE partitions at plan time — the
+    // filter reaches the scan's PartitionFilters, so a 100 TB table
+    // reads one month's files, not all of them
+    val pruned = after.filter($"month" === target)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains(target),
+      s"month filter did not reach PartitionFilters:\n$scan")
   }
 
   test("bloom semi-join: pre-filter is invisible and stays broadcast when the build side can't be") {
