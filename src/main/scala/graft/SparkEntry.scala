@@ -131,6 +131,7 @@ object SparkEntry {
     "q107_basket_pairs"  -> (EventOps.q107BasketPairs(_, _)),
     "q108_nested_arrays" -> (EventOps.q108NestedArrays(_, _)),
     "q109_checksum"      -> (Relational.q109Checksum(_, _)),
+    "q110_pagerank"      -> (EventOps.q110Pagerank(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -273,5 +274,6 @@ object SparkEntry {
     "q107_basket_pairs"  -> EventOps.q107BasketPairsSql,
     "q108_nested_arrays" -> EventOps.q108NestedArraysSql,
     "q109_checksum"      -> Relational.q109ChecksumSql,
+    "q110_pagerank"      -> EventOps.q110PagerankSql,
   )
 }

@@ -1637,6 +1637,41 @@ class EngineSpec extends AnyFunSuite {
     assert((corrupted - prio1) === (base - prio1))
   }
 
+  test("pagerank: matches a driver-side power-iteration replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q110Pagerank(spark, d).collect()
+    assert(rows.nonEmpty)
+    // brute-force replay with the same grid arithmetic
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long"), $"event_id", $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val edges = evs.groupBy(_._1).valuesIterator.flatMap { rs =>
+      val ord = rs.sortBy(t => (t._2, t._3)).map(_._4)
+      ord.zip(ord.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outW = edges.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nodes = (edges.keys.map(_._1) ++ edges.keys.map(_._2)).toSet.toSeq.sorted
+    val nn = nodes.length
+    var rank = nodes.map(_ -> math.floor(1000000000.0 / nn).toLong).toMap
+    (1 to 3).foreach { _ =>
+      val contribs = edges.toSeq.map { case ((s0, d0), n) =>
+        d0 -> math.floor(rank(s0) * n.toDouble / outW(s0)).toLong
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      rank = nodes.map { v =>
+        v -> (math.floor(150000000.0 / nn).toLong +
+          math.floor(contribs.getOrElse(v, 0L) * 85.0 / 100.0).toLong)
+      }.toMap
+    }
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("rank_ppb")).toMap === rank)
+    // mass check: floor losses only ever shrink the total below 1e9
+    val total = rows.map(_.getAs[Long]("rank_ppb")).sum
+    assert(total <= 1000000000L && total > 900000000L)
+    // output ordering is rank-desc with node tie-break
+    assert(rows.map(_.getAs[Long]("rank_ppb")).toSeq ===
+      rows.map(_.getAs[Long]("rank_ppb")).sortBy(-_).toSeq)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
