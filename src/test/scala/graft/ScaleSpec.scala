@@ -182,6 +182,33 @@ class ScaleSpec extends AnyFunSuite {
       s"month filter did not reach PartitionFilters:\n$scan")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact partitions " +
+    "at runtime") {
+    val t = freshTable("stg.dpp_orders")
+    val d = "/root/testdata/sf0.001"
+    val orders = Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_totalprice",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+    Scale.writePartitioned(orders, t, "month")
+    // a month "dimension" with an attribute only the dim knows — the
+    // star-schema case where static pruning is impossible: the fact
+    // filter exists only AFTER the dim filter runs. DPP injects the
+    // dim's surviving keys into the fact scan's PartitionFilters as a
+    // runtime subquery, so the 100 TB fact reads only January files
+    val dim = orders.select($"month").distinct()
+      .withColumn("mm", substring($"month", 6, 2).cast("int"))
+    val joined = spark.table(t).join(broadcast(dim.filter($"mm" === 1)), "month")
+      .groupBy($"month").agg(count(lit(1)).as("n"))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic-pruning subquery in the fact scan:\n$planStr")
+    val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = orders.filter(substring($"month", 6, 2).cast("int") === 1)
+      .groupBy($"month").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("bloom semi-join: pre-filter is invisible and stays broadcast when the build side can't be") {
     val d = "/root/testdata/sf0.001"
     // the rewrite must be semantically invisible vs the plain semi-join
