@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Embedding-vector math over `ArrayType(FloatType)` columns using only
   * higher-order functions (`transform`/`aggregate`/`zip_with`) — codegen'd
@@ -19,12 +20,15 @@ object Vectors {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Element-wise product (both sides cast to double first). */
+  /** Σ aᵢ·bᵢ — native codegen'd left fold ([[VecDot]]); bit-identical
+    * to `aggregate(zip_with(..))` (same order, same double widening)
+    * but it stays inside whole-stage codegen with no per-row
+    * intermediate array. */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
 
   def normSq(a: Column): Column =
-    foldSum(transform(a, x => x.cast("double") * x.cast("double")))
+    Bridge.column(VecNormSq(Bridge.expression(a)))
 
   def norm(a: Column): Column = sqrt(normSq(a))
 

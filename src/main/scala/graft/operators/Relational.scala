@@ -482,12 +482,20 @@ object Relational {
     * stays in the driver-run plan; the spec additionally checks the
     * tighter 3σ bound. */
   def q19ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    // Two-level rewrite of COUNT(DISTINCT): pre-aggregate on the full
+    // grouping key so the map side collapses duplicates BEFORE the
+    // shuffle (the Expand-based plan Spark picks for a bare
+    // countDistinct ships every raw row). The HLL sketch rides the
+    // deduplicated relation unchanged — HLL is insert-only, so
+    // duplicates never move the estimate.
     Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_partkey")
+      .agg(count(lit(1)).as("dup_n"))
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("exact_parts"),
+        sum($"dup_n").as("n_rows"))
       .select($"l_returnflag", $"exact_parts", $"n_rows",
         (abs($"approx_parts" - $"exact_parts") <=
           $"exact_parts" * 0.1).as("sketch_ok"))
