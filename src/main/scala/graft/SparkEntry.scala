@@ -132,6 +132,10 @@ object SparkEntry {
     "q108_nested_arrays" -> (EventOps.q108NestedArrays(_, _)),
     "q109_checksum"      -> (Relational.q109Checksum(_, _)),
     "q110_pagerank"      -> (EventOps.q110Pagerank(_, _)),
+    "q111_concurrency"   -> (EventOps.q111Concurrency(_, _)),
+    "q112_cumulative_users" -> (EventOps.q112CumulativeUsers(_, _)),
+    "q113_constraint_audit" -> (Relational.q113ConstraintAudit(_, _)),
+    "q114_dead_letter"   -> (EventOps.q114DeadLetter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -275,5 +279,9 @@ object SparkEntry {
     "q108_nested_arrays" -> EventOps.q108NestedArraysSql,
     "q109_checksum"      -> Relational.q109ChecksumSql,
     "q110_pagerank"      -> EventOps.q110PagerankSql,
+    "q111_concurrency"   -> EventOps.q111ConcurrencySql,
+    "q112_cumulative_users" -> EventOps.q112CumulativeUsersSql,
+    "q113_constraint_audit" -> Relational.q113ConstraintAuditSql,
+    "q114_dead_letter"   -> EventOps.q114DeadLetterSql,
   )
 }

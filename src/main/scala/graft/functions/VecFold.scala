@@ -47,6 +47,28 @@ object VecFoldImpl {
     acc
   }
 
+  /** Σᵢ floor((aᵢ−bᵢ)²·scale + 0.5) as a long — the gridded squared
+    * distance of the outlier/centroid queries: each term is floored to
+    * an integer BEFORE the cross-dim sum, so the total is
+    * order-independent (README grid discipline). Identical arithmetic
+    * to the per-dim `floor(diff*diff*scale+0.5)` column chain it
+    * replaces. */
+  def dist2Grid(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean,
+      scale: Double): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n,
+      s"vec_dist2_grid: length mismatch ($n vs ${b.numElements()})")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i) && !b.isNullAt(i), "vec_dist2_grid: null element")
+      val diff = get(a, i, aF) - get(b, i, bF)
+      acc += Math.floor(diff * diff * scale + 0.5).toLong
+      i += 1
+    }
+    acc
+  }
+
   def normSq(a: ArrayData, aF: Boolean): Double = {
     val n = a.numElements()
     var acc = 0.0
@@ -85,6 +107,24 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "vec_dot"
+}
+
+/** `vec_dist2_grid(a, b)` — Σᵢ floor((aᵢ−bᵢ)²·scale + 0.5), LongType. */
+case class VecDist2Grid(left: Expression, right: Expression, scale: Double)
+    extends BinaryExpression {
+  private lazy val aF = VecFold.isFloatArray(left.dataType)
+  private lazy val bF = VecFold.isFloatArray(right.dataType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecFoldImpl.dist2Grid(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF, scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecFoldImpl.dist2Grid($a, $b, $aF, $bF, ${scale}D)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDist2Grid =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dist2_grid"
 }
 
 /** `vec_norm_sq(a)` — Σ aᵢ², double accumulator, element order. */

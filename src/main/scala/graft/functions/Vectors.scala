@@ -30,6 +30,11 @@ object Vectors {
   def normSq(a: Column): Column =
     Bridge.column(VecNormSq(Bridge.expression(a)))
 
+  /** Σᵢ floor((aᵢ−bᵢ)²·scale + 0.5) as LongType — order-free gridded
+    * squared distance ([[VecDist2Grid]]). */
+  def dist2Grid(a: Column, b: Column, scale: Double): Column =
+    Bridge.column(VecDist2Grid(Bridge.expression(a), Bridge.expression(b), scale))
+
   def norm(a: Column): Column = sqrt(normSq(a))
 
   /** Cosine similarity; 0 when either side has zero norm. */

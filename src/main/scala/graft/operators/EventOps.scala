@@ -919,4 +919,208 @@ object EventOps {
        |ORDER BY rank_ppb DESC, node""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q111: interval-overlap concurrency (two-phase sweep line)
+  // ---------------------------------------------------------------
+
+  /** Interval TTL: every event is live for this many seconds. */
+  private val ConcTtl = 300L
+
+  /** Peak concurrency per event type — "how many sessions were live at
+    * once" — by the sweep-line algorithm: each interval emits a +1 at
+    * its start and a −1 at its end, and concurrency at any boundary is
+    * the running sum of deltas in time order.
+    *
+    * A single running sum per type is a sequential scan of the whole
+    * type at 100 TB, so this runs the TWO-PHASE prefix sum: per-day
+    * partial prefix sums in parallel (partition = (type, day)), plus a
+    * carry-in per day from the bounded (type × day) daily-net relation
+    * — the textbook distributed scan decomposition. Ties at the same
+    * second order (−1 before +1), so touching intervals never count as
+    * concurrent; (delta, event_id) completes the unique total order
+    * (README rule 3). All integer arithmetic. The oracle is the
+    * independent SINGLE-phase sweep, so the decomposition itself is
+    * what the hash check proves. */
+  def q111Concurrency(s: SparkSession, d: String): DataFrame = {
+    val deltas = Tables.events(s, d)
+      .select($"event_type", $"event_id", sec($"ts").as("t0"))
+      .select($"event_type", $"event_id", explode(array(
+        struct($"t0".as("t"), lit(1).as("delta")),
+        struct(($"t0" + ConcTtl).as("t"), lit(-1).as("delta")))).as("dl"))
+      .select($"event_type", $"event_id", $"dl.t", $"dl.delta",
+        expr("dl.t div 86400").as("day"))
+    val wDays = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = deltas.groupBy($"event_type", $"day")
+      .agg(sum($"delta").as("net"))
+      .select($"event_type", $"day",
+        coalesce(sum($"net").over(wDays), lit(0L)).as("carry_in"))
+    val wIn = Window.partitionBy($"event_type", $"day")
+      .orderBy($"t", $"delta", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .join(broadcast(carry), Seq("event_type", "day"))
+      .select($"event_type", $"delta",
+        ($"carry_in" + sum($"delta").over(wIn)).as("conc"))
+      .groupBy($"event_type")
+      .agg(
+        sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_events"),
+        max($"conc").as("max_concurrent"))
+      .orderBy($"event_type")
+  }
+
+  val q111ConcurrencySql: String =
+    s"""WITH dl AS (
+       |  SELECT event_type, event_id, floor(epoch(ts)) AS t, 1 AS delta
+       |  FROM events
+       |  UNION ALL
+       |  SELECT event_type, event_id, floor(epoch(ts)) + $ConcTtl, -1
+       |  FROM events),
+       |run AS (SELECT event_type, delta,
+       |    sum(delta) OVER (PARTITION BY event_type
+       |      ORDER BY t, delta, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS conc
+       |  FROM dl)
+       |SELECT event_type,
+       |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_events,
+       |  CAST(max(conc) AS BIGINT) AS max_concurrent
+       |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q112: cumulative distinct users per day (expanding distinct)
+  // ---------------------------------------------------------------
+
+  /** Users-to-date per day — the growth curve every product dashboard
+    * needs, and the classic trap query: a naive expanding
+    * COUNT(DISTINCT) rescans all history per day. The scale shape is
+    * min-first-seen: one aggregation to each user's first day (map-side
+    * combinable), a bounded per-day census, and a running sum over the
+    * DAY AXIS only (≤ a few thousand rows at any corpus size — the
+    * single-partition window is metadata-sized by construction).
+    * Per-day active counts use the q19 two-level distinct rewrite. */
+  def q112CumulativeUsers(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select($"user_id", date_format($"ts", "yyyy-MM-dd").as("day"))
+    val newPerDay = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new"))
+    val activePerDay = ev.groupBy($"day", $"user_id").agg(count(lit(1)).as("nr"))
+      .groupBy($"day").agg(count(lit(1)).as("n_active"))
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    activePerDay
+      .join(newPerDay, Seq("day"), "left")
+      .select($"day", $"n_active",
+        coalesce($"n_new", lit(0L)).as("n_new"))
+      .select($"day", $"n_active", $"n_new",
+        sum($"n_new").over(wCum).as("users_to_date"),
+        floor($"n_new" * 1000000.0 / $"n_active").cast("long")
+          .as("new_frac_ppm"))
+      .orderBy($"day")
+  }
+
+  val q112CumulativeUsersSql: String =
+    """WITH ev AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+      |  FROM events),
+      |first AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+      |npd AS (SELECT day, count(*) AS n_new FROM first GROUP BY 1),
+      |apd AS (SELECT day, count(DISTINCT user_id) AS n_active
+      |  FROM ev GROUP BY 1)
+      |SELECT a.day, CAST(a.n_active AS BIGINT) AS n_active,
+      |  CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+      |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS users_to_date,
+      |  CAST(floor(coalesce(n.n_new, 0) * 1000000.0 / a.n_active)
+      |    AS BIGINT) AS new_frac_ppm
+      |FROM apd a LEFT JOIN npd n USING (day)
+      |ORDER BY a.day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q114: malformed-record routing (dead-letter JSON ingest)
+  // ---------------------------------------------------------------
+
+  /** Fraction of rendered lines corrupted: md5-uniform 1-in-20. */
+  private def dlCorrupt(id: Column): Column =
+    conv(substring(md5(concat(lit("dl"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 20 === 0
+
+  /** Dead-letter routing — the ingest contract for untrusted feeds:
+    * parse what parses, quarantine what doesn't, lose NOTHING silently.
+    * Lines are rendered from events (q101's derive-messy-from-clean, so
+    * per-row ground truth exists) with a deterministic md5-chosen 5%
+    * corrupted (truncated mid-token → invalid JSON). `from_json` in
+    * PERMISSIVE mode yields a null struct for those; rows route to
+    * `dead` with the original line retained (the quarantine table), the
+    * rest round-trip-verify field by field. Entirely narrow per-row
+    * work + one bounded census — at 100 TB the parse rides the scan.
+    * The oracle re-renders identically but routes via DuckDB's OWN
+    * `json_valid`/`json_extract` — two independent JSON parsers must
+    * agree on every line. */
+  def q114DeadLetter(s: SparkSession, d: String): DataFrame = {
+    val cents = floor($"value" * 100.0 + 0.5).cast("long")
+    val goodLine = concat(
+      lit("{\"id\":"), $"event_id".cast("string"),
+      lit(",\"type\":\""), $"event_type",
+      lit("\",\"cents\":"), cents.cast("string"), lit("}"))
+    val line = when(dlCorrupt($"event_id"),
+      goodLine.substr(lit(1), length(goodLine) - 3)).otherwise(goodLine)
+    val parsed = from_json($"line",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType))))
+    Tables.events(s, d)
+      .select($"event_id", $"event_type", cents.as("cents0"), line.as("line"))
+      .withColumn("p", parsed)
+      // Route on the LAST field: Spark's PERMISSIVE from_json may keep a
+      // partial prefix of a truncated record (id/type can survive), but
+      // the corruption always damages the tail, so `cents IS NULL` ⇔
+      // "line does not parse as a whole" — the exact predicate DuckDB's
+      // json_valid evaluates.
+      .select($"event_type",
+        when($"p.cents".isNull, lit("dead")).otherwise(lit("ok")).as("route"),
+        $"p.id", $"p.type", $"p.cents", $"cents0")
+      .groupBy($"route", $"event_type")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(coalesce($"cents", lit(0L))).as("cents_recovered"),
+        sum(when($"id".isNotNull && $"type" === $"event_type" &&
+          $"cents" === $"cents0", 1L).otherwise(0L)).as("n_roundtrip"))
+      .orderBy($"route", $"event_type")
+  }
+
+  val q114DeadLetterSql: String =
+    """WITH r AS (SELECT event_type,
+      |    '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' ||
+      |      event_type || '","cents":' ||
+      |      CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) ||
+      |      '}' AS good,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents0,
+      |    (CAST('0x' || substring(md5('dl' || CAST(event_id AS VARCHAR)),
+      |       1, 8) AS BIGINT) % 20 = 0) AS corrupt
+      |  FROM events),
+      |l AS (SELECT event_type, cents0,
+      |    CASE WHEN corrupt THEN substring(good, 1, length(good) - 3)
+      |         ELSE good END AS line
+      |  FROM r),
+      |p AS (SELECT event_type, cents0, line,
+      |    CASE WHEN json_valid(line) THEN 'ok' ELSE 'dead' END AS route,
+      |    CASE WHEN json_valid(line)
+      |         THEN CAST(json_extract_string(line, '$.id') AS BIGINT) END AS id,
+      |    CASE WHEN json_valid(line)
+      |         THEN json_extract_string(line, '$.type') END AS typ,
+      |    CASE WHEN json_valid(line)
+      |         THEN CAST(json_extract_string(line, '$.cents') AS BIGINT)
+      |         END AS cents
+      |  FROM l)
+      |SELECT route, event_type, count(*) AS n_lines,
+      |  CAST(sum(coalesce(cents, 0)) AS BIGINT) AS cents_recovered,
+      |  CAST(sum(CASE WHEN id IS NOT NULL AND typ = event_type
+      |    AND cents = cents0 THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip
+      |FROM p GROUP BY route, event_type
+      |ORDER BY route, event_type""".stripMargin
+
 }

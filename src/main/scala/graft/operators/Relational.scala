@@ -1291,4 +1291,87 @@ object Relational {
       |  bit_xor(rh) AS fingerprint
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // =====================================================================
+  // q113: declarative constraint audit (data-quality gate)
+  // =====================================================================
+
+  /** One-pass data-quality gate — the acceptance check a pipeline runs
+    * before promoting a landed batch: primary-key uniqueness,
+    * referential integrity, domain ranges, enum membership, and
+    * NOT-NULL checks, each as a violation COUNT (never a row dump — the
+    * report stays bounded at any corpus size). Mixed by design: some
+    * constraints genuinely fire on this data (negative account
+    * balances), most pass — a gate that can only say "pass" proves
+    * nothing. Shapes: uniqueness is the q19 two-level rewrite (keys
+    * collapse map-side); orphans are a LEFT ANTI join on the join key
+    * both tables already shuffle on; ranges/enums/nulls ride single
+    * scans as conditional sums. */
+  def q113ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val pkDups = Tables.orders(s, d)
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
+      .filter($"n" > 1)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("n_violations"))
+      .select(lit("orders_pk_unique").as("constraint_name"),
+        lit("orders").as("table_name"), $"n_violations")
+    val orphans = li
+      .join(Tables.orders(s, d).select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_fk_orders").as("constraint_name"),
+        lit("lineitem").as("table_name"), $"n_violations")
+    val qtyRange = li
+      .agg(sum(when($"l_quantity" < 1.0 || $"l_quantity" > 50.0, 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_qty_range").as("constraint_name"),
+        lit("lineitem").as("table_name"), $"n_violations")
+    val flagEnum = li
+      .agg(sum(when(!$"l_returnflag".isin("A", "N", "R"), 1L)
+        .otherwise(0L)).as("n_violations"))
+      .select(lit("lineitem_flag_enum").as("constraint_name"),
+        lit("lineitem").as("table_name"), $"n_violations")
+    val acctbal = Tables.customer(s, d)
+      .agg(sum(when($"c_acctbal" < 0.0, 1L).otherwise(0L))
+        .as("n_violations"))
+      .select(lit("customer_acctbal_nonneg").as("constraint_name"),
+        lit("customer").as("table_name"), $"n_violations")
+    val textNn = Tables.documents(s, d)
+      .agg(sum(when($"text".isNull, 1L).otherwise(0L)).as("n_violations"))
+      .select(lit("documents_text_notnull").as("constraint_name"),
+        lit("documents").as("table_name"), $"n_violations")
+    Seq(pkDups, orphans, qtyRange, flagEnum, acctbal, textNn)
+      .reduce(_.union(_))
+      .select($"constraint_name", $"table_name", $"n_violations",
+        ($"n_violations" === 0L).as("pass"))
+      .orderBy($"constraint_name")
+  }
+
+  val q113ConstraintAuditSql: String =
+    """WITH a AS (
+      |  SELECT 'orders_pk_unique' AS constraint_name, 'orders' AS table_name,
+      |    (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+      |      GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders', 'lineitem',
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range', 'lineitem',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+      |  UNION ALL
+      |  SELECT 'lineitem_flag_enum', 'lineitem',
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_returnflag NOT IN ('A', 'N', 'R'))
+      |  UNION ALL
+      |  SELECT 'customer_acctbal_nonneg', 'customer',
+      |    (SELECT count(*) FROM customer WHERE c_acctbal < 0.0)
+      |  UNION ALL
+      |  SELECT 'documents_text_notnull', 'documents',
+      |    (SELECT count(*) FROM documents WHERE text IS NULL))
+      |SELECT constraint_name, table_name,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  (n_violations = 0) AS pass
+      |FROM a ORDER BY constraint_name""".stripMargin
+
 }

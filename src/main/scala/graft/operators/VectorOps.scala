@@ -698,11 +698,7 @@ object VectorOps {
           .as("sgrid"))
       .select($"label",
         transform($"sgrid", x => x / ($"cn" * 1e6)).as("cvec"))
-    val d2grid = (1 to dim).map { i =>
-      val diff = element_at($"embedding", i).cast("double") -
-        element_at($"cvec", i)
-      floor(diff * diff * 1e6 + 0.5).cast("long")
-    }.reduce(_ + _)
+    val d2grid = Vectors.dist2Grid($"embedding", $"cvec", 1e6)
     val scored = emb.join(broadcast(cents), "label")
       .select($"vec_id", $"label", d2grid.as("d2g"))
     val stats = scored.groupBy($"label").agg(

@@ -1672,6 +1672,101 @@ class EngineSpec extends AnyFunSuite {
       rows.map(_.getAs[Long]("rank_ppb")).sortBy(-_).toSeq)
   }
 
+  test("concurrency: two-phase sweep matches a single-pass sequential replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q111Concurrency(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"event_id", $"ts".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val typ = r.getString(0)
+      val mine = evs.filter(_._1 == typ)
+      assert(r.getAs[Long]("n_events") === mine.length.toLong)
+      // single-pass sweep: deltas in (t, delta, id) order, running max
+      val deltas = mine.flatMap { case (_, id, t) =>
+        Seq((t, 1, id), (t + 300L, -1, id)) }
+        .sortBy { case (t, dl, id) => (t, dl, id) }
+      var cur = 0L; var mx = 0L
+      deltas.foreach { case (_, dl, _) => cur += dl; if (cur > mx) mx = cur }
+      assert(r.getAs[Long]("max_concurrent") === mx,
+        s"$typ: peak concurrency mismatch")
+    }
+  }
+
+  test("cumulative users: running distinct matches set-union replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q112CumulativeUsers(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select(date_format($"ts", "yyyy-MM-dd"), $"user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byDay = evs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    byDay.keys.toSeq.sorted.zip(rows).foreach { case (day, r) =>
+      assert(r.getString(0) === day)
+      assert(r.getAs[Long]("n_active") === byDay(day).size.toLong)
+      val fresh = byDay(day) -- seen
+      assert(r.getAs[Long]("n_new") === fresh.size.toLong)
+      seen ++= byDay(day)
+      assert(r.getAs[Long]("users_to_date") === seen.size.toLong)
+    }
+  }
+
+  test("constraint audit: counts match standalone recomputation; non-vacuous") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q113ConstraintAudit(spark, d).collect()
+    assert(rows.length === 6)
+    val byName = rows.map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_violations"), r.getBoolean(3))).toMap
+    val negBal = graft.sources.Tables.customer(spark, d)
+      .filter($"c_acctbal" < 0.0).count()
+    assert(byName("customer_acctbal_nonneg") === ((negBal, negBal == 0L)))
+    // this dataset has negative balances — the audit must FIRE, not
+    // just rubber-stamp
+    assert(negBal > 0 && !byName("customer_acctbal_nonneg")._2)
+    assert(byName("orders_pk_unique") === ((0L, true)))
+    assert(byName("lineitem_fk_orders") === ((0L, true)))
+    assert(byName("lineitem_qty_range") === ((0L, true)))
+  }
+
+  test("dead letter: routing conserves rows and ok-rows all round-trip") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q114DeadLetter(spark, d).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def corrupt(id: Long): Boolean = {
+      val hex = md.digest(s"dl$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 20 == 0
+    }
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_id", $"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = evs.groupBy(e => (if (corrupt(e._1)) "dead" else "ok", e._2))
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val mine = expected(key)
+      assert(r.getAs[Long]("n_lines") === mine.length.toLong)
+      if (key._1 == "ok") {
+        // every valid line parses back exactly: count AND cents match
+        assert(r.getAs[Long]("n_roundtrip") === mine.length.toLong)
+        assert(r.getAs[Long]("cents_recovered") === mine.map(_._3).sum)
+      } else {
+        assert(r.getAs[Long]("n_roundtrip") === 0L)
+        assert(r.getAs[Long]("cents_recovered") === 0L)
+      }
+    }
+    // conservation: routed lines = source rows, and corruption really fires
+    assert(rows.map(_.getAs[Long]("n_lines")).sum === evs.length.toLong)
+    assert(rows.exists(_.getString(0) == "dead"), "no corrupted lines at all")
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
