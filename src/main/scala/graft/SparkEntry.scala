@@ -136,6 +136,10 @@ object SparkEntry {
     "q112_cumulative_users" -> (EventOps.q112CumulativeUsers(_, _)),
     "q113_constraint_audit" -> (Relational.q113ConstraintAudit(_, _)),
     "q114_dead_letter"   -> (EventOps.q114DeadLetter(_, _)),
+    "q115_histogram"     -> (Relational.q115Histogram(_, _)),
+    "q116_mad_outliers"  -> (Relational.q116MadOutliers(_, _)),
+    "q117_ab_lift"       -> (EventOps.q117AbLift(_, _)),
+    "q118_url_canon"     -> (TextOps.q118UrlCanon(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -283,5 +287,9 @@ object SparkEntry {
     "q112_cumulative_users" -> EventOps.q112CumulativeUsersSql,
     "q113_constraint_audit" -> Relational.q113ConstraintAuditSql,
     "q114_dead_letter"   -> EventOps.q114DeadLetterSql,
+    "q115_histogram"     -> Relational.q115HistogramSql,
+    "q116_mad_outliers"  -> Relational.q116MadOutliersSql,
+    "q117_ab_lift"       -> EventOps.q117AbLiftSql,
+    "q118_url_canon"     -> TextOps.q118UrlCanonSql,
   )
 }

@@ -1036,6 +1036,87 @@ object EventOps {
       |ORDER BY a.day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q117: A/B experiment lift (two-proportion z from exact counts)
+  // ---------------------------------------------------------------
+
+  /** Deterministic A/B experiment readout: users split into variants by
+    * an md5 hash of the user key (the q55/q88 assignment discipline —
+    * membership is a pure function of the key, so any executor, any
+    * partitioning, any rerun lands every user in the same arm),
+    * conversion = "user has ≥1 purchase", and the two-proportion
+    * z-statistic computed from the four EXACT integer counts. The only
+    * floating arithmetic is the final formula — division and sqrt are
+    * IEEE-correctly-rounded (README rule: sqrt is in the exact set), in
+    * the identical operation order in both engines. Scale shape: one
+    * user-grain aggregation, then a 2-row census; nothing bigger than
+    * |users| ever shuffles. */
+  def q117AbLift(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      // "converted" = made a HIGH-VALUE purchase: with the driver data
+      // every user purchases something, so the bare-purchase definition
+      // is degenerate (pooled rate 1 ⇒ zero z denominator)
+      .agg(max(when($"event_type" === "purchase" && $"value" > 90.0, 1L)
+        .otherwise(0L)).as("converted"))
+      .select(
+        when(conv(substring(md5(concat(lit("ab"),
+          $"user_id".cast("string"))), 1, 8), 16, 10).cast("long") % 2 === 0,
+          lit("A")).otherwise(lit("B")).as("variant"),
+        $"converted")
+    val arms = users.groupBy($"variant")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("conv"))
+    val wide = arms.groupBy()
+      .agg(
+        max(when($"variant" === "A", $"n")).as("n_a"),
+        max(when($"variant" === "A", $"conv")).as("conv_a"),
+        max(when($"variant" === "B", $"n")).as("n_b"),
+        max(when($"variant" === "B", $"conv")).as("conv_b"))
+    val pa = $"conv_a" / $"n_a"
+    val pb = $"conv_b" / $"n_b"
+    val pp = ($"conv_a" + $"conv_b") / ($"n_a" + $"n_b")
+    val den =
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    wide.select(
+      $"n_a", $"conv_a", $"n_b", $"conv_b",
+      stableRound(pa, 6).as("rate_a"),
+      stableRound(pb, 6).as("rate_b"),
+      // degenerate experiment (pooled rate 0 or 1) → z defined as 0
+      when(den === 0.0, lit(0.0))
+        .otherwise(stableRound((pa - pb) / den, 6)).as("z_stat"))
+  }
+
+  private val abDenSql: String =
+    "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 / n_a + 1.0 / n_b))"
+
+  val q117AbLiftSql: String =
+    s"""WITH u AS (SELECT user_id,
+       |    max(CASE WHEN event_type = 'purchase' AND value > 90.0
+       |        THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY user_id),
+       |v AS (SELECT CASE WHEN CAST('0x' || substring(
+       |      md5('ab' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+       |    THEN 'A' ELSE 'B' END AS variant, converted FROM u),
+       |arms AS (SELECT variant, count(*) AS n, sum(converted) AS conv
+       |  FROM v GROUP BY variant),
+       |w AS (SELECT
+       |    max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+       |    max(CASE WHEN variant = 'A' THEN conv END) AS conv_a,
+       |    max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+       |    max(CASE WHEN variant = 'B' THEN conv END) AS conv_b
+       |  FROM arms)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       |  ${sqlRound("CAST(conv_a AS DOUBLE) / n_a", 6)} AS rate_a,
+       |  ${sqlRound("CAST(conv_b AS DOUBLE) / n_b", 6)} AS rate_b,
+       |  CASE WHEN $abDenSql = 0.0 THEN 0.0
+       |    ELSE ${sqlRound(
+               "(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)" +
+               s" / $abDenSql", 6)} END AS z_stat
+       |FROM w""".stripMargin
+
+  // ---------------------------------------------------------------
   // q114: malformed-record routing (dead-letter JSON ingest)
   // ---------------------------------------------------------------
 

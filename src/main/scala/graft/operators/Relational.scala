@@ -1292,6 +1292,139 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q115: equi-width histogram (two-pass distribution profile)
+  // =====================================================================
+
+  private val HistBuckets = 20L
+
+  /** Equi-width value histogram — the distribution profile behind every
+    * data-card "price distribution" panel. Two passes, both bounded:
+    * one aggregation for the exact global cent-grid min/max (a 1-row
+    * relation, broadcast back), one scan assigning each row its bucket
+    * by pure integer arithmetic (`(cents−min)·B div span`, clamped to
+    * B−1 so max lands in the last bucket) and aggregating the ≤
+    * flag×B-row census. No sort anywhere; both engines run the same
+    * integer division on positive operands. */
+  def q115Histogram(s: SparkSession, d: String): DataFrame = {
+    val cents = floor($"l_extendedprice" * 100.0 + 0.5).cast("long")
+    val li = Tables.lineitem(s, d).select($"l_returnflag", cents.as("cents"))
+    val bounds = li.agg(min($"cents").as("minc"), max($"cents").as("maxc"))
+    li.crossJoin(broadcast(bounds))
+      .select($"l_returnflag", $"minc", $"maxc",
+        least(expr(s"(cents - minc) * $HistBuckets div (maxc - minc + 1)"),
+          lit(HistBuckets - 1)).as("bucket"))
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        max($"minc").as("minc"), max($"maxc").as("maxc"))
+      .select($"l_returnflag", $"bucket", $"n",
+        (expr(s"minc + bucket * (maxc - minc + 1) div $HistBuckets") / 100.0)
+          .as("lo_approx"))
+      .orderBy($"l_returnflag", $"bucket")
+  }
+
+  val q115HistogramSql: String =
+    s"""WITH li AS (SELECT l_returnflag,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem),
+       |b AS (SELECT min(cents) AS minc, max(cents) AS maxc FROM li),
+       |bu AS (SELECT l_returnflag, minc, maxc,
+       |    least((cents - minc) * $HistBuckets // (maxc - minc + 1),
+       |          $HistBuckets - 1) AS bucket
+       |  FROM li CROSS JOIN b)
+       |SELECT l_returnflag, bucket, count(*) AS n,
+       |  (min(minc) + bucket * (min(maxc) - min(minc) + 1)
+       |    // $HistBuckets) / 100.0 AS lo_approx
+       |FROM bu GROUP BY l_returnflag, bucket
+       |ORDER BY l_returnflag, bucket""".stripMargin
+
+  // =====================================================================
+  // q116: MAD robust outliers (median absolute deviation)
+  // =====================================================================
+
+  private val MadK = 3L
+
+  /** Robust outlier detection by median absolute deviation — the
+    * z-score's (q90) resistant sibling: median and MAD don't move when
+    * the outliers themselves get worse, so heavy-tailed telemetry
+    * doesn't inflate its own threshold. Both medians run the q85/q69
+    * exact-histogram order statistic: aggregate to the bounded cent-
+    * grid histogram, order-stat the HISTOGRAM, never sort rows. Two
+    * corpus scans total (value histogram; deviation histogram with the
+    * 1-row-per-type medians broadcast back); the outlier census comes
+    * from the deviation HISTOGRAM itself — no third scan. Flags use
+    * `dev > K·MAD` in exact integer cents. */
+  def q116MadOutliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy($"event_type")
+    def histMedian(rows: DataFrame, valCol: String): DataFrame =
+      rows.groupBy($"event_type", col(valCol)).agg(count(lit(1)).as("c"))
+        .select($"event_type", col(valCol), $"c",
+          sum($"c").over(byType.orderBy(col(valCol))).as("cum"),
+          sum($"c").over(byType).as("n"))
+        .groupBy($"event_type")
+        .agg(max($"n").as("n"),
+          min(when($"cum" * 2 >= $"n", col(valCol))).as("median"))
+    val ev = Tables.events(s, d).select($"event_type",
+      floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val med = histMedian(ev, "cents")
+      .select($"event_type", $"n", $"median".as("med_cents"))
+    val devs = ev.join(broadcast(med), "event_type")
+      .select($"event_type", abs($"cents" - $"med_cents").as("dev"))
+    val devHist = devs.groupBy($"event_type", $"dev").agg(count(lit(1)).as("c"))
+    val mad = devHist
+      .select($"event_type", $"dev", $"c",
+        sum($"c").over(byType.orderBy($"dev")).as("cum"),
+        sum($"c").over(byType).as("n"))
+      .groupBy($"event_type")
+      .agg(min(when($"cum" * 2 >= $"n", $"dev")).as("mad_cents"))
+    devHist.join(broadcast(mad), "event_type")
+      .groupBy($"event_type")
+      .agg(sum(when($"dev" > $"mad_cents" * MadK, $"c").otherwise(0L))
+        .as("n_outliers"),
+        max($"mad_cents").as("mad_cents"))
+      .join(med, "event_type")
+      .select($"event_type", $"n",
+        ($"med_cents" / 100.0).as("median_value"),
+        ($"mad_cents" / 100.0).as("mad_value"),
+        $"n_outliers")
+      .orderBy($"event_type")
+  }
+
+  val q116MadOutliersSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |h1 AS (SELECT event_type, cents, count(*) AS c
+       |  FROM ev GROUP BY 1, 2),
+       |s1 AS (SELECT event_type, cents, c,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM h1),
+       |med AS (SELECT event_type, max(n) AS n,
+       |    min(CASE WHEN cum * 2 >= n THEN cents END) AS med_cents
+       |  FROM s1 GROUP BY event_type),
+       |dh AS (SELECT e.event_type, abs(e.cents - m.med_cents) AS dev,
+       |    count(*) AS c
+       |  FROM ev e JOIN med m USING (event_type) GROUP BY 1, 2),
+       |s2 AS (SELECT event_type, dev, c,
+       |    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+       |    sum(c) OVER (PARTITION BY event_type) AS n
+       |  FROM dh),
+       |mad AS (SELECT event_type,
+       |    min(CASE WHEN cum * 2 >= n THEN dev END) AS mad_cents
+       |  FROM s2 GROUP BY event_type),
+       |fl AS (SELECT d.event_type,
+       |    CAST(sum(CASE WHEN d.dev > $MadK * a.mad_cents THEN d.c
+       |             ELSE 0 END) AS BIGINT) AS n_outliers,
+       |    max(a.mad_cents) AS mad_cents
+       |  FROM dh d JOIN mad a USING (event_type) GROUP BY d.event_type)
+       |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+       |  m.med_cents / 100.0 AS median_value,
+       |  f.mad_cents / 100.0 AS mad_value, f.n_outliers
+       |FROM med m JOIN fl f USING (event_type)
+       |ORDER BY m.event_type""".stripMargin
+
+  // =====================================================================
   // q113: declarative constraint audit (data-quality gate)
   // =====================================================================
 

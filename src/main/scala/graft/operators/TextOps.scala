@@ -2004,4 +2004,96 @@ object TextOps {
        |FROM w WHERE n_tokens > 0
        |ORDER BY priority DESC, doc_id LIMIT $WsK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q118: URL canonicalization (web-corpus key normalization)
+  // ---------------------------------------------------------------
+
+  /** URL canonicalization — the key-normalization step every web-corpus
+    * dedup runs before grouping by URL (rescrapes of one page differ in
+    * host case, explicit default ports, query-param order, and
+    * fragments). Messy URLs are rendered deterministically from the
+    * documents table (the q45/q101 derive-messy-from-clean trick:
+    * md5-chosen case-mangled hosts, md5-chosen explicit `:80`,
+    * params deliberately unsorted, a fragment on every URL), then
+    * canonicalized by actually PARSING them back — regex host/path/
+    * query extraction in the Java∩RE2-identical subset, lowercase
+    * host, strip the default port, split + SORT + rejoin the params,
+    * drop the fragment. The per-source bit_xor fingerprint of every
+    * canonical string (q109's order-free checksum) proves the exact
+    * output strings against DuckDB's independent parse. Pure narrow
+    * per-row work + a bounded census. */
+  def q118UrlCanon(s: SparkSession, d: String): DataFrame = {
+    def mdFlag(salt: String, m: Int): Column =
+      conv(substring(md5(concat(lit(salt), $"doc_id".cast("string"))),
+        1, 8), 16, 10).cast("long") % m === 0
+    val lang = coalesce($"lang", lit("und"))
+    val host = when(mdFlag("uh:", 2),
+      concat(lit("WWW."), upper($"source"), lit(".EXAMPLE.COM")))
+      .otherwise(concat(lit("www."), $"source", lit(".example.com")))
+    val url = concat(
+      lit("http://"), host,
+      when(mdFlag("up:", 3), lit(":80")).otherwise(lit("")),
+      lit("/docs/"), $"doc_id".cast("string"),
+      lit("?z="), lang, lit("&a="), ($"doc_id" % 7).cast("string"),
+      lit("#sec"), ($"doc_id" % 5).cast("string"))
+    // the real operator: parse the messy URL back into components
+    val hostP = lower(regexp_extract($"url", "^http://([^/:?#]+)", 1))
+    val pathP = regexp_extract($"url", "^http://[^/?#]+(/[^?#]*)", 1)
+    val queryP = regexp_extract($"url", "\\?([^#]*)", 1)
+    val canon = concat(lit("http://"), hostP, pathP, lit("?"),
+      array_join(sort_array(split(queryP, "&")), "&"))
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", url.as("url"))
+      // repair census derives from the URL STRING (what a real
+      // normalizer sees), not from the render-side flags
+      .select($"source", $"url",
+        canon.as("canon"),
+        $"url".startsWith("http://WWW.").as("case_fixed"),
+        $"url".contains(":80/").as("port_stripped"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_urls"),
+        sum(when($"case_fixed", 1L).otherwise(0L)).as("n_case_fixed"),
+        sum(when($"port_stripped", 1L).otherwise(0L)).as("n_port_stripped"),
+        sum(when($"canon" =!= $"url", 1L).otherwise(0L)).as("n_changed"),
+        expr("bit_xor(cast(conv(substring(md5(canon), 1, 15), 16, 10) " +
+          "as long))").as("fingerprint"))
+      .orderBy($"source")
+  }
+
+  val q118UrlCanonSql: String =
+    """WITH u AS (SELECT doc_id, source,
+      |    'http://' ||
+      |    (CASE WHEN (CAST('0x' || substring(md5('uh:' ||
+      |         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0)
+      |      THEN 'WWW.' || upper(source) || '.EXAMPLE.COM'
+      |      ELSE 'www.' || source || '.example.com' END) ||
+      |    (CASE WHEN (CAST('0x' || substring(md5('up:' ||
+      |         CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 3 = 0)
+      |      THEN ':80' ELSE '' END) ||
+      |    '/docs/' || CAST(doc_id AS VARCHAR) ||
+      |    '?z=' || coalesce(lang, 'und') ||
+      |    '&a=' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    '#sec' || CAST(doc_id % 5 AS VARCHAR) AS url
+      |  FROM documents),
+      |p AS (SELECT source, url,
+      |    'http://' ||
+      |    lower(regexp_extract(url, '^http://([^/:?#]+)', 1)) ||
+      |    regexp_extract(url, '^http://[^/?#]+(/[^?#]*)', 1) || '?' ||
+      |    array_to_string(list_sort(string_split(
+      |      regexp_extract(url, '\?([^#]*)', 1), '&')), '&') AS canon,
+      |    (url LIKE 'http://WWW.%') AS case_fixed,
+      |    (url LIKE '%:80/%') AS port_stripped
+      |  FROM u)
+      |SELECT source, count(*) AS n_urls,
+      |  CAST(sum(CASE WHEN case_fixed THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_case_fixed,
+      |  CAST(sum(CASE WHEN port_stripped THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_port_stripped,
+      |  CAST(sum(CASE WHEN canon <> url THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  bit_xor(CAST('0x' || substring(md5(canon), 1, 15) AS BIGINT))
+      |    AS fingerprint
+      |FROM p GROUP BY source ORDER BY source""".stripMargin
+
 }

@@ -1767,6 +1767,125 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0) == "dead"), "no corrupted lines at all")
   }
 
+  test("histogram: bucket assignment matches integer replay; mass conserved") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q115Histogram(spark, d).collect()
+    assert(rows.nonEmpty)
+    val cents = graft.sources.Tables.lineitem(spark, d)
+      .select($"l_returnflag", floor($"l_extendedprice" * 100.0 + 0.5)
+        .cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val minc = cents.map(_._2).min
+    val maxc = cents.map(_._2).max
+    val span = maxc - minc + 1
+    val expect = cents.groupBy { case (f, c) =>
+      (f, math.min((c - minc) * 20L / span, 19L))
+    }.view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("bucket")) ->
+      r.getAs[Long]("n")).toMap === expect)
+    assert(rows.map(_.getAs[Long]("n")).sum === cents.length.toLong)
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 &&
+      r.getAs[Long]("bucket") < 20))
+  }
+
+  test("MAD outliers: median/MAD/flags match a full-sort replay") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q116MadOutliers(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medOf(xs: Seq[Long]): Long = {
+      // lowest value whose cumulative count reaches half the mass (the
+      // q85 histogram order statistic): smallest i with 2(i+1) >= n
+      val sorted = xs.sorted
+      sorted((xs.size + 1) / 2 - 1)
+    }
+    rows.foreach { r =>
+      val typ = r.getString(0)
+      val mine = evs.filter(_._1 == typ).map(_._2)
+      val med = medOf(mine)
+      val devs = mine.map(c => math.abs(c - med))
+      val mad = medOf(devs)
+      assert(r.getAs[Long]("n") === mine.size.toLong)
+      assert(r.getAs[Double]("median_value") === med / 100.0)
+      assert(r.getAs[Double]("mad_value") === mad / 100.0)
+      assert(r.getAs[Long]("n_outliers") ===
+        devs.count(_ > 3L * mad).toLong)
+    }
+  }
+
+  test("A/B lift: arms, rates, and z match an md5-replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val r = EventOps.q117AbLift(spark, d).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isA(uid: Long): Boolean = {
+      val hex = md.digest(s"ab$uid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val conv = graft.sources.Tables.events(spark, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" > 90.0, 1L)
+        .otherwise(0L)).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val (a, b) = conv.partition(u => isA(u._1))
+    assert(r.getAs[Long]("n_a") === a.length.toLong)
+    assert(r.getAs[Long]("conv_a") === a.map(_._2).sum)
+    assert(r.getAs[Long]("n_b") === b.length.toLong)
+    assert(r.getAs[Long]("conv_b") === b.map(_._2).sum)
+    val (na, ca, nb, cb) =
+      (a.length.toDouble, a.map(_._2).sum.toDouble,
+        b.length.toDouble, b.map(_._2).sum.toDouble)
+    val pp = (ca + cb) / (na + nb)
+    val z = (ca / na - cb / nb) /
+      math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 2e-6)
+    // both arms populated and the experiment is non-degenerate
+    assert(a.nonEmpty && b.nonEmpty && pp > 0.0 && pp < 1.0)
+  }
+
+  test("URL canon: every canonical string matches a parse replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q118UrlCanon(spark, d).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(sel: String): Long = java.lang.Long.parseLong(
+      md.digest(sel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16)
+    def h60(sel: String): Long = java.lang.Long.parseLong(
+      md.digest(sel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source", coalesce($"lang", lit("und"))).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = docs.map { case (id, src, lang) =>
+      val upperHost = h8(s"uh:$id") % 2 == 0
+      val host = if (upperHost) s"WWW.${src.toUpperCase}.EXAMPLE.COM"
+        else s"www.$src.example.com"
+      val port = if (h8(s"up:$id") % 3 == 0) ":80" else ""
+      val url = s"http://$host$port/docs/$id?z=$lang&a=${id % 7}#sec${id % 5}"
+      // independent canonicalization replay (string surgery, no regex)
+      val hostOut = host.toLowerCase
+      val canon = s"http://$hostOut/docs/$id?a=${id % 7}&z=$lang"
+      (src, url, canon, upperHost, port.nonEmpty)
+    }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = expected.filter(_._1 == src)
+      assert(r.getAs[Long]("n_urls") === mine.length.toLong)
+      assert(r.getAs[Long]("n_case_fixed") === mine.count(_._4).toLong)
+      assert(r.getAs[Long]("n_port_stripped") === mine.count(_._5).toLong)
+      assert(r.getAs[Long]("n_changed") === mine.count(e => e._3 != e._2).toLong)
+      assert(r.getAs[Long]("fingerprint") ===
+        mine.map(e => h60(e._3)).reduce(_ ^ _), s"$src fingerprint")
+    }
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
