@@ -175,6 +175,65 @@ object Multimodal {
     buf.array()
   }
 
+  /** Per-image perceptual hash (aHash family): the 64-bit
+    * brightness-pattern fingerprint image-dedup pipelines bucket on —
+    * near-identical images differ in few bits, so the q44 hamming-LSH
+    * machinery applies downstream unchanged. Bit k is set iff the mean
+    * sample of the k-th of 64 equal stream cells exceeds the image's
+    * global mean, compared in EXACT integers (s_k·L > tot·cnt_k — no
+    * division). The sample stream is the decoded pixel channels in
+    * STORED order (BMP rows bottom-up, B,G,R per pixel), i.e. exactly
+    * the payload bytes plus the zero pad of the final row — which is
+    * what makes the hash of a REAL `javax.imageio` decode mirrorable
+    * byte-for-byte in the DuckDB oracle. */
+  case class MediaPHash(
+      media_id: Long, n_stream: Long, phash: Long, bits_set: Long)
+
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaPHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(r.content)))
+        require(img != null,
+          s"media_id=${r.media_id}: payload is not a decodable image")
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val stride = w * 3
+        val len = stride.toLong * h
+        val sums = new Array[Long](64)
+        var tot = 0L
+        var p = 0L
+        while (p < len) {
+          val rStored = (p / stride).toInt
+          val rem = (p % stride).toInt
+          val x = rem / 3
+          val rgb = px((h - 1 - rStored) * w + x)
+          val v = (rem % 3) match {
+            case 0 => rgb & 0xff         // blue  = payload byte 3k
+            case 1 => (rgb >> 8) & 0xff  // green = payload byte 3k+1
+            case _ => (rgb >> 16) & 0xff // red   = payload byte 3k+2
+          }
+          sums(((p * 64) / len).toInt) += v
+          tot += v
+          p += 1
+        }
+        var hash = 0L
+        var bits = 0L
+        var k = 0
+        while (k < 64) {
+          // cell k covers stream positions [ceil(kL/64), ceil((k+1)L/64))
+          val cnt = ((k + 1) * len + 63) / 64 - (k * len + 63) / 64
+          if (sums(k) * len > tot * cnt) { hash |= (1L << k); bits += 1 }
+          k += 1
+        }
+        MediaPHash(r.media_id, len, hash, bits)
+      }
+    }
+  }
+
   /** One decoded image's aggregate pixel statistics. Channel SUMS are
     * row-order invariant, so the BMP's bottom-up row storage doesn't
     * enter the contract. */

@@ -216,6 +216,51 @@ object CustomOps {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** Perceptual image hash over the REAL decode path: BMP-encode the
+    * payloads, decode with `javax.imageio`, fingerprint the decoded
+    * pixel stream ([[Multimodal.perceptualHash]]). Near-duplicate
+    * images (rescrapes, thumbnails of the same asset) land within a few
+    * hamming bits, so the q44 band machinery buckets them downstream;
+    * here the hash itself is the proven artifact. The oracle recomputes
+    * every bit from the payload bytes: cell sums over
+    * `(i−1)·64 div L` with the zero pad entering only the cell-size
+    * arithmetic (zeros add nothing to sums), the global mean
+    * comparison in exact integers, and the signed bit-63 assembly of
+    * q35's SimHash mirror. */
+  def q122Phash(s: SparkSession, d: String): DataFrame =
+    Multimodal.perceptualHash(Multimodal.mediaAsBmp(s, d)).toDF()
+      .select($"media_id", $"n_stream", $"phash", $"bits_set")
+      .orderBy($"media_id")
+
+  val q122PhashSql: String = {
+    val assemble = ("(CASE WHEN b63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)" +:
+      (0 until 63).map(k => s"(CASE WHEN b$k THEN CAST(${1L << k} AS BIGINT) ELSE 0 END)"))
+      .mkString(" + ")
+    val bitCols = (0 until 64).map(k =>
+      s"bool_or(k = $k AND s * L > tot * cnt) AS b$k").mkString(",\n  ")
+    s"""WITH par AS (SELECT doc_id, text, length(text) AS len,
+       |    48 * greatest(CAST(1 AS BIGINT), (length(text) + 47) // 48) AS L
+       |  FROM documents WHERE text IS NOT NULL),
+       |cs AS (SELECT doc_id, ((i - 1) * 64) // L AS cell,
+       |    sum(ascii(substring(text, CAST(i AS INT), 1))) AS s
+       |  FROM par, UNNEST(range(1, len + 1)) AS t(i) GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, sum(s) AS tot FROM cs GROUP BY 1),
+       |cells AS (SELECT p.doc_id, p.L, coalesce(t.tot, 0) AS tot, u.k,
+       |    ((u.k + 1) * p.L + 63) // 64 - (u.k * p.L + 63) // 64 AS cnt,
+       |    coalesce(c.s, 0) AS s
+       |  FROM par p
+       |  LEFT JOIN tt t USING (doc_id)
+       |  CROSS JOIN UNNEST(range(0, 64)) AS u(k)
+       |  LEFT JOIN cs c ON c.doc_id = p.doc_id AND c.cell = u.k),
+       |bits AS (SELECT doc_id, max(L) AS n_stream,
+       |  $bitCols,
+       |  CAST(sum(CASE WHEN s * L > tot * cnt THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS bits_set
+       |  FROM cells GROUP BY doc_id)
+       |SELECT doc_id AS media_id, n_stream, $assemble AS phash, bits_set
+       |FROM bits ORDER BY media_id""".stripMargin
+  }
+
   val q37MultimodalDecodeSql: String = {
     // byte-residue counts over the ASCII payload (char code == byte)
     val hists = (0 until 8).map(j =>

@@ -1036,6 +1036,44 @@ object EventOps {
       |ORDER BY a.day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q120: leave-last-out temporal split (recsys evaluation holdout)
+  // ---------------------------------------------------------------
+
+  /** Leave-last-out split — the recommendation-training holdout: every
+    * user's LAST event (by time) is the test set, everything before it
+    * is train. Unlike q88's hash split this one is temporal and
+    * per-user, the shape that actually prevents future-leakage in
+    * sequence-model training. One window over the (user_id) exchange
+    * with the unique (tsec, event_id) tie-break, then a bounded
+    * split × type census with exact money sums. Single-event users
+    * contribute only a test row — asserted, not assumed, by the spec. */
+  def q120LeaveLastOut(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tsec".desc, $"event_id".desc)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id", $"event_type", $"value",
+        sec($"ts").as("tsec"))
+      .select($"event_type", $"value",
+        when(row_number().over(w) === 1, lit("test")).otherwise(lit("train"))
+          .as("split"))
+      .groupBy($"split", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        moneySum($"value").as("sum_value"))
+      .orderBy($"split", $"event_type")
+  }
+
+  val q120LeaveLastOutSql: String =
+    s"""WITH r AS (SELECT event_type, value,
+       |    CASE WHEN row_number() OVER (PARTITION BY user_id
+       |        ORDER BY floor(epoch(ts)) DESC, event_id DESC) = 1
+       |      THEN 'test' ELSE 'train' END AS split
+       |  FROM events)
+       |SELECT split, event_type, count(*) AS n_events,
+       |  ${sqlMoneySum("value")} AS sum_value
+       |FROM r GROUP BY split, event_type
+       |ORDER BY split, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // q117: A/B experiment lift (two-proportion z from exact counts)
   // ---------------------------------------------------------------
 

@@ -1292,8 +1292,78 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
-  // q115: equi-width histogram (two-pass distribution profile)
+  // q121: time-decayed score (recency weighting with exact dyadic decay)
   // =====================================================================
+
+  private val DecayTopK = 100
+
+  /** Recency-decayed customer value — "revenue half-lifes every 4
+    * weeks" — the weighting every churn/LTV model applies to history.
+    * The naive formulation (SUM over rows of cents·decay^age) is a
+    * float sum over unordered terms: cross-engine-nondeterministic
+    * (README rule 2). This one is exact end to end:
+    *   1. per-(customer, age-bucket) integer cent sums — exact,
+    *      order-free;
+    *   2. weight 2^−k — a pure exponent shift, so weekSum·2^−k is
+    *      EXACT (mantissa unchanged; k ≥ 63 defined as weight 0);
+    *   3. the ≤|buckets| weighted terms fold in FIXED age order inside
+    *      one `aggregate` HOF over a sorted array — both engines run
+    *      the identical correctly-rounded addition sequence.
+    * The per-customer bucket relation is bounded (|customers| ×
+    * calendar buckets), so the sorted-array fold is metadata-sized per
+    * key — never a corpus-sized collect. */
+  def q121DecayedValue(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val cents = floor($"o_totalprice" * 100.0 + 0.5).cast("long")
+    // age buckets: 4-week (28-day) periods back from the corpus max day
+    val withAge = o
+      .crossJoin(broadcast(o.agg(
+        max(datediff(to_date($"o_orderdate"), lit("1970-01-01")))
+          .as("max_day"))))
+      .select($"o_custkey", cents.as("cents"),
+        expr("(max_day - datediff(to_date(o_orderdate), '1970-01-01')) div 28")
+          .as("age_b"))
+    val perBucket = withAge.groupBy($"o_custkey", $"age_b")
+      .agg(sum($"cents").as("bcents"))
+    perBucket
+      // the exact weighted term, per bucket row: bcents · 2^−k shifts
+      // only the exponent, so the double is exact
+      .select($"o_custkey", $"age_b",
+        ($"bcents" * expr("CASE WHEN age_b >= 63 THEN 0.0 ELSE " +
+          "1.0 / shiftleft(CAST(1 AS BIGINT), CAST(age_b AS INT)) END"))
+          .as("term"))
+      .groupBy($"o_custkey")
+      .agg(sort_array(collect_list(struct($"age_b", $"term"))).as("arr"))
+      .select($"o_custkey",
+        aggregate($"arr", lit(0.0), (acc, x) => acc + x.getField("term"))
+          .as("raw"))
+      .select($"o_custkey", ($"raw" / 100.0).as("score_raw"))
+      .orderBy($"score_raw".desc, $"o_custkey")
+      .limit(DecayTopK)
+      .select($"o_custkey", stableRound($"score_raw", 4).as("decayed_value"))
+  }
+
+  val q121DecayedValueSql: String =
+    s"""WITH mx AS (SELECT max(datediff('day', DATE '1970-01-01',
+       |    CAST(o_orderdate AS DATE))) AS max_day FROM orders),
+       |pb AS (SELECT o_custkey,
+       |    (mx.max_day - datediff('day', DATE '1970-01-01',
+       |       CAST(o_orderdate AS DATE))) // 28 AS age_b,
+       |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS bcents
+       |  FROM orders, mx GROUP BY 1, 2),
+       |tm AS (SELECT o_custkey, age_b,
+       |    bcents * (CASE WHEN age_b >= 63 THEN 0.0
+       |              ELSE 1.0 / (1::BIGINT << CAST(age_b AS INT)) END)
+       |      AS term
+       |  FROM pb),
+       |f AS (SELECT o_custkey,
+       |    list_sum(list_transform(
+       |      list_sort(list(struct_pack(age_b := age_b, term := term))),
+       |      x -> x.term)) AS raw
+       |  FROM tm GROUP BY o_custkey)
+       |SELECT o_custkey,
+       |  ${sqlRound("raw / 100.0", 4)} AS decayed_value
+       |FROM f ORDER BY raw / 100.0 DESC, o_custkey LIMIT $DecayTopK""".stripMargin
 
   private val HistBuckets = 20L
 

@@ -2005,6 +2005,80 @@ object TextOps {
        |ORDER BY priority DESC, doc_id LIMIT $WsK""".stripMargin
 
   // ---------------------------------------------------------------
+  // q119: collocation detection (bigram lift, transcendental-free PMI)
+  // ---------------------------------------------------------------
+
+  private val LiftMinSupport = 5L
+  private val LiftTopK = 50
+
+  /** Collocation mining — which word pairs co-occur far beyond chance —
+    * the phrase-detection pass (word2vec-style phrase merging, index
+    * phrase dictionaries) of a text pipeline. Scored by LIFT,
+    * P(ab) / (P(a)·P(b)), which ranks identically to PMI (its log)
+    * without the cross-engine transcendental hazard (README rule 8) —
+    * the engine's deliberate alternative to an ln-based PMI. All counts
+    * are exact integers; the score is division/multiplication of
+    * < 2^53 exacts (correctly rounded, identical op order both
+    * engines), so even the RANKING is deterministic. Shape: one token
+    * explode feeds bigram (via lead over the doc_id exchange) and
+    * unigram aggregations; vocabulary-sized joins are NOT hand-
+    * broadcast (q67 df discipline — a web-corpus vocabulary isn't
+    * broadcastable); totals are 1-row broadcasts; top-k is a bounded
+    * TakeOrdered, never a global sort. */
+  def q119BigramLift(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val bi = toks
+      .withColumn("wb", lead($"w", 1).over(w))
+      .filter($"wb".isNotNull)
+      .groupBy($"w".as("w1"), $"wb".as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val totals = uni.agg(sum($"n_w").as("n_tok"))
+      .crossJoin(bi.agg(sum($"n_ab").as("n_bi")))
+    val lift = ($"n_ab" / $"n_bi") /
+      (($"n_a" / $"n_tok") * ($"n_b" / $"n_tok"))
+    bi.filter($"n_ab" >= LiftMinSupport)
+      .join(uni.select($"w".as("w1"), $"n_w".as("n_a")), "w1")
+      .join(uni.select($"w".as("w2"), $"n_w".as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", $"w1", $"w2").as("bigram"),
+        $"n_ab", $"n_a", $"n_b", lift.as("lift_raw"))
+      .orderBy($"lift_raw".desc, $"bigram")
+      .limit(LiftTopK)
+      .select($"bigram", $"n_ab", $"n_a", $"n_b",
+        Relational.stableRound($"lift_raw", 4).as("lift"))
+  }
+
+  val q119BigramLiftSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |toks AS (SELECT w[CAST(i + 1 AS INT)] AS w
+       |  FROM ws, UNNEST(range(0, len(w))) AS t(i)),
+       |bi AS (SELECT w[CAST(i + 1 AS INT)] AS w1,
+       |    w[CAST(i + 2 AS INT)] AS w2, count(*) AS n_ab
+       |  FROM ws, UNNEST(range(0, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 2 GROUP BY 1, 2),
+       |uni AS (SELECT w, count(*) AS n_w FROM toks GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(n_w) FROM uni) AS n_tok,
+       |    (SELECT sum(n_ab) FROM bi) AS n_bi),
+       |sc AS (SELECT b.w1 || ' ' || b.w2 AS bigram, b.n_ab,
+       |    ua.n_w AS n_a, ub.n_w AS n_b,
+       |    (CAST(b.n_ab AS DOUBLE) / t.n_bi) /
+       |      ((CAST(ua.n_w AS DOUBLE) / t.n_tok) *
+       |       (CAST(ub.n_w AS DOUBLE) / t.n_tok)) AS lift_raw
+       |  FROM bi b
+       |  JOIN uni ua ON ua.w = b.w1
+       |  JOIN uni ub ON ub.w = b.w2
+       |  CROSS JOIN tot t
+       |  WHERE b.n_ab >= $LiftMinSupport)
+       |SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ${Relational.sqlRound("lift_raw", 4)} AS lift
+       |FROM sc ORDER BY lift_raw DESC, bigram LIMIT $LiftTopK""".stripMargin
+
+  // ---------------------------------------------------------------
   // q118: URL canonicalization (web-corpus key normalization)
   // ---------------------------------------------------------------
 

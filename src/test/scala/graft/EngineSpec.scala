@@ -1886,6 +1886,132 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram lift: scores and top-k membership match a token replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q119BigramLift(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"text").filter($"text".isNotNull).collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = uni.values.sum.toDouble
+    val nBi = bi.values.sum.toDouble
+    val scored = bi.toSeq.filter(_._2 >= 5L).map { case ((a, b), nab) =>
+      val lift = (nab / nBi) / ((uni(a) / nTok) * (uni(b) / nTok))
+      (s"$a $b", nab, uni(a), uni(b), lift)
+    }
+    val expect = scored.sortBy(x => (-x._5, x._1)).take(50)
+    assert(rows.map(_.getString(0)).toSeq === expect.map(_._1))
+    rows.zip(expect).foreach { case (r, e) =>
+      assert(r.getAs[Long]("n_ab") === e._2)
+      assert(r.getAs[Long]("n_a") === e._3)
+      assert(r.getAs[Long]("n_b") === e._4)
+      assert(math.abs(r.getAs[Double]("lift") - e._5) < 1e-4 + 1e-9)
+    }
+  }
+
+  test("leave-last-out: exactly one test event per user, counts replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q120LeaveLastOut(spark, d).collect()
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_id", $"event_type", $"ts".cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val lastPerUser = evs.groupBy(_._1).view.mapValues(
+      _.maxBy(e => (e._4, e._2))._2).toMap.values.toSet
+    val expect = evs.groupBy(e =>
+      (if (lastPerUser(e._2)) "test" else "train", e._3))
+      .view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getString(0), r.getString(1)) ->
+      r.getAs[Long]("n_events")).toMap === expect)
+    // exactly one test row per user
+    val nTest = rows.filter(_.getString(0) == "test")
+      .map(_.getAs[Long]("n_events")).sum
+    assert(nTest === evs.map(_._1).distinct.length.toLong)
+  }
+
+  test("decayed value: fold matches an exact dyadic replay") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q121DecayedValue(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    val os = graft.sources.Tables.orders(spark, d)
+      .select($"o_custkey",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long"),
+        datediff(to_date($"o_orderdate"), lit("1970-01-01"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val maxDay = os.map(_._3).max
+    val scores = os.groupBy(_._1).view.mapValues { rs =>
+      val buckets = rs.groupBy(e => (maxDay - e._3) / 28)
+        .view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var acc = 0.0
+      buckets.foreach { case (k, c) =>
+        acc += (if (k >= 63) 0.0 else c.toDouble / (1L << k))
+      }
+      acc / 100.0
+    }.toMap
+    val expect = scores.toSeq.sortBy(x => (-x._2, x._1)).take(100)
+    assert(rows.map(_.getLong(0)).toSeq === expect.map(_._1))
+    rows.zip(expect).foreach { case (r, (_, sc)) =>
+      assert(r.getAs[Double]("decayed_value") ===
+        math.floor(sc * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("phash: decode-path hash equals pure byte arithmetic; dups collide") {
+    import graft.operators.CustomOps
+    val d = "/root/testdata/sf0.001"
+    val rows = CustomOps.q122Phash(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").filter($"text".isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def replay(text: String): (Long, Long, Long) = {
+      val bytes = text.getBytes("UTF-8")
+      val h = math.max(1, (bytes.length + 47) / 48)
+      val len = 48L * h
+      val sums = new Array[Long](64)
+      var tot = 0L
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        sums(((i.toLong * 64) / len).toInt) += (b & 0xff); tot += (b & 0xff)
+      }
+      var hash = 0L; var bits = 0L
+      (0 until 64).foreach { k =>
+        val cnt = ((k + 1) * len + 63) / 64 - (k * len + 63) / 64
+        if (sums(k) * len > tot * cnt) { hash |= (1L << k); bits += 1 }
+      }
+      (len, hash, bits)
+    }
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_stream"), r.getAs[Long]("phash"),
+        r.getAs[Long]("bits_set"))).toMap
+    docs.foreach { case (id, text) =>
+      assert(byId(id) === replay(text), s"doc $id")
+    }
+    // crafted: identical payloads collide exactly; a one-char edit
+    // moves few bits (the property image-dedup bucketing relies on)
+    locally {
+      import graft.multimodal.Multimodal
+      import graft.multimodal.Multimodal.MediaRow
+      val base = ("the quick brown fox jumps over the lazy dog " * 20).trim
+      val tweaked = base.updated(5, 'Q')
+      val media = spark.createDataset(Seq(
+        MediaRow(1L, Multimodal.encodeBmp(base.getBytes("UTF-8")), "bmp", 16, 1),
+        MediaRow(2L, Multimodal.encodeBmp(base.getBytes("UTF-8")), "bmp", 16, 1),
+        MediaRow(3L, Multimodal.encodeBmp(tweaked.getBytes("UTF-8")), "bmp", 16, 1)
+      ))(org.apache.spark.sql.Encoders.product[MediaRow])
+      val hs = Multimodal.perceptualHash(media).collect()
+        .map(m => m.media_id -> m.phash).toMap
+      assert(hs(1L) === hs(2L), "identical payloads must collide")
+      val dist = java.lang.Long.bitCount(hs(1L) ^ hs(3L))
+      assert(dist <= 8, s"one-char edit moved $dist bits")
+    }
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
