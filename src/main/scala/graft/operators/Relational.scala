@@ -1292,6 +1292,131 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q123: blocked entity resolution (multi-pass blocking + fuzzy match)
+  // =====================================================================
+
+  /** Entity resolution with blocking — the dedup-across-sources shape:
+    * match a dirty feed (customer names with a deterministic md5-chosen
+    * 30% carrying a one-digit typo — derive-messy-from-clean, so ground
+    * truth exists per row) against the clean registry WITHOUT ever
+    * comparing all pairs. Candidates come from TWO blocking passes over
+    * the name's 9-digit tail, split by POSITION PARITY (odd digits →
+    * key 1, even digits → key 2): a single-character typo lands in
+    * exactly one parity class, so it breaks exactly one pass — recall
+    * is 100% by pigeonhole, the q44 band argument — while BOTH keys
+    * draw entropy from the low-order digits (a prefix/suffix split
+    * degenerates to one giant all-leading-zeros block until the
+    * registry outgrows the prefix). Block-key selectivity must grow
+    * with the registry — here every available digit is in one of the
+    * two keys, the honest limit of single-attribute blocking; real
+    * registries add a second blocking attribute. Verification is
+    * `levenshtein` (both engines ship the classic integer DP); best
+    * match per dirty row by (distance, clean key) — deterministic, and
+    * deliberately able to pick a WRONG neighbor at distance 1 (adjacent
+    * registry names differ by one digit too), which the census reports
+    * honestly instead of hiding. Matching never touches the true key;
+    * the key only scores the outcome. */
+  def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), $"c_custkey".cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
+    // one-digit typo at md5-chosen tail position, md5-chosen new digit
+    val pos = (h("ep") % 9 + 10).cast("int")
+    val newDigit = ((ascii(substring($"c_name", pos, lit(1))) - 48 +
+      (h("ec") % 9) + 1) % 10 + 48).cast("int")
+    val messy = clean.select(
+      $"c_custkey".as("true_key"),
+      when(h("er") % 10 < 3,
+        concat($"c_name".substr(lit(1), pos - 1), char(newDigit),
+          $"c_name".substr(pos + 1, lit(18))))
+        .otherwise($"c_name").as("m_name"))
+    def parityKey(name: Column, odd: Boolean): Column = {
+      val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
+      concat(lit(if (odd) "o" else "e") +:
+        ps.map(p => substring(name, p, 1)): _*)
+    }
+    def blocks(df: DataFrame, nameCol: String, keyCols: Seq[Column]) =
+      df.select(keyCols :+ col(nameCol) :+
+        parityKey(col(nameCol), odd = true).as("bk") : _*)
+        .union(df.select(keyCols :+ col(nameCol) :+
+          parityKey(col(nameCol), odd = false).as("bk") : _*))
+    import org.apache.spark.sql.expressions.Window
+    val cand = blocks(messy, "m_name", Seq($"true_key"))
+      .join(blocks(clean, "c_name", Seq($"c_custkey")), "bk")
+      .select($"true_key", $"m_name", $"c_custkey", $"c_name").distinct()
+      .select($"true_key", $"m_name", $"c_custkey",
+        levenshtein($"m_name", $"c_name").as("dist"))
+      .filter($"dist" <= 1)
+    val w = Window.partitionBy($"true_key", $"m_name")
+      .orderBy($"dist", $"c_custkey")
+    val best = cand.select($"true_key", $"c_custkey", $"dist",
+        row_number().over(w).as("rn"))
+      .filter($"rn" === 1)
+    // outcome taxonomy: a typo can land EXACTLY on a neighboring
+    // registry name ("collision") — no name-only matcher can detect
+    // that, so the census reports it as its own class rather than
+    // hiding it inside "exact"
+    messy.join(best, Seq("true_key"), "left")
+      .select(
+        when($"c_custkey".isNull, lit("unmatched"))
+          .when($"c_custkey" === $"true_key" && $"dist" === 0, lit("exact"))
+          .when($"c_custkey" === $"true_key", lit("fuzzy_correct"))
+          .when($"dist" === 0, lit("collision"))
+          .otherwise(lit("fuzzy_wrong")).as("outcome"))
+      .groupBy($"outcome").agg(count(lit(1)).as("n"))
+      .orderBy($"outcome")
+  }
+
+  val q123EntityResolutionSql: String = {
+    def h(salt: String) =
+      s"CAST('0x' || substring(md5('$salt' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    def parityKeySql(col: String, odd: Boolean): String = {
+      val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
+      (s"'${if (odd) "o" else "e"}'" +:
+        ps.map(p => s"substring($col, $p, 1)")).mkString(" || ")
+    }
+    val oddKeySqlM = parityKeySql("m_name", odd = true)
+    val evenKeySqlM = parityKeySql("m_name", odd = false)
+    val oddKeySqlC = parityKeySql("c_name", odd = true)
+    val evenKeySqlC = parityKeySql("c_name", odd = false)
+    s"""WITH m0 AS (SELECT c_custkey AS true_key, c_name,
+       |    CAST(${h("ep")} % 9 + 10 AS INT) AS pos,
+       |    CAST((ascii(substring(c_name, CAST(${h("ep")} % 9 + 10 AS INT), 1))
+       |      - 48 + (${h("ec")} % 9) + 1) % 10 + 48 AS INT) AS nd,
+       |    (${h("er")} % 10 < 3) AS typo
+       |  FROM customer),
+       |messy AS (SELECT true_key,
+       |    CASE WHEN typo THEN substring(c_name, 1, pos - 1) || chr(nd) ||
+       |      substring(c_name, pos + 1, 18) ELSE c_name END AS m_name
+       |  FROM m0),
+       |mb AS (SELECT true_key, m_name, $oddKeySqlM AS bk FROM messy
+       |  UNION ALL
+       |  SELECT true_key, m_name, $evenKeySqlM FROM messy),
+       |cb AS (SELECT c_custkey, c_name, $oddKeySqlC AS bk FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey, c_name, $evenKeySqlC FROM customer),
+       |cand AS (SELECT DISTINCT true_key, m_name, c_custkey,
+       |    levenshtein(m_name, c_name) AS dist
+       |  FROM mb JOIN cb USING (bk)
+       |  WHERE levenshtein(m_name, c_name) <= 1),
+       |best AS (SELECT true_key, c_custkey, dist,
+       |    row_number() OVER (PARTITION BY true_key, m_name
+       |      ORDER BY dist, c_custkey) AS rn
+       |  FROM cand),
+       |oc AS (SELECT CASE
+       |    WHEN b.c_custkey IS NULL THEN 'unmatched'
+       |    WHEN b.c_custkey = m.true_key AND b.dist = 0 THEN 'exact'
+       |    WHEN b.c_custkey = m.true_key THEN 'fuzzy_correct'
+       |    WHEN b.dist = 0 THEN 'collision'
+       |    ELSE 'fuzzy_wrong' END AS outcome
+       |  FROM messy m LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |    USING (true_key))
+       |SELECT outcome, count(*) AS n FROM oc
+       |GROUP BY outcome ORDER BY outcome""".stripMargin
+  }
+
+  // =====================================================================
   // q121: time-decayed score (recency weighting with exact dyadic decay)
   // =====================================================================
 

@@ -583,7 +583,10 @@ object TextOps {
 
   /** Component CTE chain (shingles → … → comp/sizes), shared by the q50
     * oracle and the q52 selection oracle. Must follow `WITH RECURSIVE`. */
-  private lazy val clusterCtes: String =
+  /** CTE chain up to the thresholded near-dup pair relation `near` —
+    * shared by the clustering mirror (q50/q52) and the incremental
+    * ingest gate (q124). */
+  private lazy val nearPairCtes: String =
     s"""$shinglesCte,
        |$bandsCte,
        |buckets AS (SELECT band_id, band_key,
@@ -606,7 +609,10 @@ object TextOps {
        |         JOIN counts c1 ON c1.doc_id = c.d1
        |         JOIN counts c2 ON c2.doc_id = c.d2
        |         WHERE ${sqlRound("i.n_common / (c1.n + c2.n - i.n_common)", 6)}
-       |               >= $ClusterJaccard),
+       |               >= $ClusterJaccard)""".stripMargin
+
+  private lazy val clusterCtes: String =
+    s"""$nearPairCtes,
        |sym AS (SELECT d1 AS a, d2 AS b FROM near
        |        UNION SELECT d2, d1 FROM near),
        |reach AS (
@@ -2003,6 +2009,75 @@ object TextOps {
        |SELECT doc_id, n_tokens, lnu_grid / n_tokens AS priority
        |FROM w WHERE n_tokens > 0
        |ORDER BY priority DESC, doc_id LIMIT $WsK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q124: incremental ingest dedup (delta batch vs the staged index)
+  // ---------------------------------------------------------------
+
+  /** The ingest gate of a continuously-growing corpus: an incoming
+    * batch (an md5-chosen 10% of documents plays the delta) is checked
+    * against the ALREADY-INDEXED corpus — exact duplicates by staged
+    * fingerprint, near-duplicates through the STAGED verified-pair
+    * relation — and each incoming doc gets a decision:
+    * `exact_dup` / `near_dup` / `unique`. Nothing is re-derived: the
+    * band/pair pipeline ran once when the corpus was staged
+    * ([[pairsStaged]]), and the delta pass reads it plus one narrow
+    * fingerprint scan. That asymmetry IS the operator: at 100 TB the
+    * index is petabytes and the delta is gigabytes, so re-deriving the
+    * index per batch (what q24 alone would do) is the difference
+    * between minutes and days. Exact-dup wins over near-dup; census is
+    * bounded (3 rows). */
+  def q124IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val isNew =
+      conv(substring(md5(concat(lit("inc:"), $"doc_id".cast("string"))),
+        1, 8), 16, 10).cast("long") % 10 === 3
+    val fp = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", md5($"text").as("fp"), isNew.as("is_new"))
+    val newDocs = fp.filter($"is_new").select($"doc_id", $"fp")
+    val oldFps = fp.filter(!$"is_new").select($"fp").distinct()
+    val exactDup = newDocs.join(oldFps, Seq("fp"), "left_semi")
+      .select($"doc_id".as("ed"))
+    val pairs = pairsStaged(s, d).filter($"jaccard" >= ClusterJaccard)
+    val nearDup = pairs.select($"d1".as("nid"), $"d2".as("oid"))
+      .union(pairs.select($"d2".as("nid"), $"d1".as("oid")))
+      .join(newDocs.select($"doc_id".as("nid")), "nid")
+      .join(fp.filter(!$"is_new").select($"doc_id".as("oid")), "oid")
+      .select($"nid").distinct()
+    newDocs
+      .join(exactDup, $"doc_id" === $"ed", "left")
+      .join(nearDup, $"doc_id" === $"nid", "left")
+      .select(
+        when($"ed".isNotNull, lit("exact_dup"))
+          .when($"nid".isNotNull, lit("near_dup"))
+          .otherwise(lit("unique")).as("decision"))
+      .groupBy($"decision").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"decision")
+  }
+
+  val q124IncrementalDedupSql: String =
+    s"""WITH $nearPairCtes,
+       |fp AS (SELECT doc_id, md5(text) AS fp,
+       |    (CAST('0x' || substring(md5('inc:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8) AS BIGINT) % 10 = 3) AS is_new
+       |  FROM documents WHERE text IS NOT NULL),
+       |ex AS (SELECT DISTINCT n.doc_id FROM fp n
+       |  WHERE n.is_new AND EXISTS (SELECT 1 FROM fp o
+       |    WHERE o.fp = n.fp AND NOT o.is_new)),
+       |nd AS (SELECT DISTINCT p.nid AS doc_id
+       |  FROM (SELECT d1 AS nid, d2 AS oid FROM near
+       |        UNION ALL SELECT d2, d1 FROM near) p
+       |  JOIN fp nn ON nn.doc_id = p.nid AND nn.is_new
+       |  JOIN fp oo ON oo.doc_id = p.oid AND NOT oo.is_new),
+       |dec AS (SELECT CASE
+       |    WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |    WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       |    ELSE 'unique' END AS decision
+       |  FROM fp f
+       |  LEFT JOIN ex e USING (doc_id)
+       |  LEFT JOIN nd nr USING (doc_id)
+       |  WHERE f.is_new)
+       |SELECT decision, count(*) AS n_docs FROM dec
+       |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
   // q119: collocation detection (bigram lift, transcendental-free PMI)

@@ -2012,6 +2012,82 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("entity resolution: census matches an all-pairs brute-force match") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q123EntityResolution(spark, d).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(salt: String, k: Long): Long = java.lang.Long.parseLong(
+      md.digest(s"$salt$k".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 8), 16)
+    val clean = graft.sources.Tables.customer(spark, d)
+      .select($"c_custkey", $"c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val outcomes = clean.map { case (k, name) =>
+      val messy = if (h("er", k) % 10 < 3) {
+        val pos = (h("ep", k) % 9 + 10).toInt  // 1-based
+        val nd = ((name(pos - 1) - '0' + (h("ec", k) % 9) + 1) % 10 + '0')
+          .toChar
+        name.updated(pos - 1, nd)
+      } else name
+      // brute force: best (dist, custkey) over candidates with dist<=1
+      val cands = clean.map { case (ck, cn) => (lev(messy, cn), ck) }
+        .filter(_._1 <= 1)
+      if (cands.isEmpty) "unmatched"
+      else {
+        val (dist, ck) = cands.min
+        if (ck == k && dist == 0) "exact"
+        else if (ck == k) "fuzzy_correct"
+        else if (dist == 0) "collision"
+        else "fuzzy_wrong"
+      }
+    }
+    val expect = outcomes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("n")).toMap === expect)
+    // the typo generator really fires and fuzzy matching really recovers
+    assert(expect.getOrElse("fuzzy_correct", 0L) > 0L)
+  }
+
+  test("incremental dedup: decisions replay from the verified pair relation") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q124IncrementalDedup(spark, d).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isNew(id: Long): Boolean = java.lang.Long.parseLong(
+      md.digest(s"inc:$id".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.substring(0, 8), 16) % 10 == 3
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").filter($"text".isNotNull).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val oldTexts = docs.filter(e => !isNew(e._1)).map(_._2).toSet
+    // near-dup partners from the independently-oracled q24 relation
+    val pairs = TextOps.q24LshPairs(spark, d)
+      .filter($"jaccard" >= 0.8).select($"d1", $"d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val newWithOldPartner = (pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)) }
+      .filter { case (n, o) => isNew(n) && !isNew(o) }.map(_._1)).toSet
+    val expect = docs.filter(e => isNew(e._1)).map { case (id, text) =>
+      if (oldTexts.contains(text)) "exact_dup"
+      else if (newWithOldPartner(id)) "near_dup"
+      else "unique"
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+      === expect)
+    // the gate actually fires on this corpus
+    assert(expect.getOrElse("near_dup", 0L) +
+      expect.getOrElse("exact_dup", 0L) > 0L)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
