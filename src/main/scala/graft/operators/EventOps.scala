@@ -1036,6 +1036,53 @@ object EventOps {
       |ORDER BY a.day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q127: day-of-week seasonality profile
+  // ---------------------------------------------------------------
+
+  /** Weekly seasonality — the per-type day-of-week activity profile
+    * behind every traffic dashboard and anomaly baseline: event counts
+    * and exact cent-grid value means per (type, dow), plus each cell's
+    * deviation from its type's flat-week expectation in integer ppm.
+    * Day-of-week from integer epoch-day arithmetic ((day+4) mod 7 — the
+    * epoch was a Thursday), NOT engine dayname() calendars. One
+    * map-side-combinable aggregation; the deviation join is against a
+    * 1-row-per-type broadcast. */
+  def q127Seasonality(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.events(s, d)
+      .select($"event_type",
+        expr("(floor(cast(ts as long) / 86400) + 4) % 7").cast("long")
+          .as("dow"),
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+    val byType = cell.groupBy($"event_type")
+      .agg(sum($"n").as("n_type"), count(lit(1)).as("n_days"))
+    cell.join(broadcast(byType), "event_type")
+      .select($"event_type", $"dow", $"n",
+        (floor($"sc" / $"n" + 0.5) / 100.0).as("avg_value"),
+        // deviation of this dow's share from a flat week, in ppm:
+        // n/n_type vs 1/n_days, on integers
+        (floor($"n" * 1000000.0 * $"n_days" / $"n_type") - 1000000L)
+          .cast("long").as("dev_ppm"))
+      .orderBy($"event_type", $"dow")
+  }
+
+  val q127SeasonalitySql: String =
+    """WITH cell AS (SELECT event_type,
+      |    CAST((floor(floor(epoch(ts)) / 86400) + 4) % 7 AS BIGINT) AS dow,
+      |    count(*) AS n,
+      |    sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sc
+      |  FROM events GROUP BY 1, 2),
+      |bt AS (SELECT event_type, sum(n) AS n_type, count(*) AS n_days
+      |  FROM cell GROUP BY 1)
+      |SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+      |  floor(c.sc / c.n + 0.5) / 100.0 AS avg_value,
+      |  CAST(floor(c.n * 1000000.0 * b.n_days / b.n_type) - 1000000
+      |    AS BIGINT) AS dev_ppm
+      |FROM cell c JOIN bt b USING (event_type)
+      |ORDER BY c.event_type, c.dow""".stripMargin
+
+  // ---------------------------------------------------------------
   // q120: leave-last-out temporal split (recsys evaluation holdout)
   // ---------------------------------------------------------------
 

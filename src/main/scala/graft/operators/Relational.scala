@@ -1292,6 +1292,90 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q125: CDC MERGE apply (latest-op-wins with deletes)
+  // =====================================================================
+
+  /** Change-data-capture apply — the lakehouse MERGE: an op stream
+    * (INSERT for every key, an md5-chosen 20% carrying a later UPDATE,
+    * 5% a later DELETE — derive-messy-from-clean, so the stream is a
+    * pure function of the table) collapses to latest-op-per-key, and
+    * DELETE removes the row. This is SCD2's (q56) destructive sibling:
+    * one shuffle on the key, one window with the unique (seq, key)
+    * order, one filter — the exact shape `MERGE INTO` compiles to.
+    * Output: per-priority live census with exact cent sums and the
+    * q109 order-free checksum of every surviving (key, cents) pair —
+    * the applied table is proven row-for-row, not just counted. */
+  def q125CdcMerge(s: SparkSession, d: String): DataFrame = {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), $"o_orderkey".cast("string"))),
+        1, 8), 16, 10).cast("long")
+    val cents = floor($"o_totalprice" * 100.0 + 0.5).cast("long")
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", cents.as("cents"),
+        (h("u:") % 5 === 0).as("has_upd"), (h("d:") % 20 === 0).as("has_del"))
+    val ins = base.select($"o_orderkey", $"o_orderpriority",
+      lit(1L).as("seq"), lit("I").as("op"), $"cents")
+    val upd = base.filter($"has_upd")
+      .select($"o_orderkey", $"o_orderpriority", lit(2L).as("seq"),
+        lit("U").as("op"),
+        ($"cents" + expr("cents div 10")).as("cents"))
+    val del = base.filter($"has_del")
+      .select($"o_orderkey", $"o_orderpriority", lit(3L).as("seq"),
+        lit("D").as("op"), lit(0L).as("cents"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"seq".desc)
+    val applied = ins.union(upd).union(del)
+      .select($"o_orderkey", $"o_orderpriority", $"op", $"cents",
+        row_number().over(w).as("rn"))
+      .filter($"rn" === 1)
+    applied
+      .groupBy($"o_orderpriority")
+      .agg(
+        sum(when($"op" =!= "D", 1L).otherwise(0L)).as("n_live"),
+        sum(when($"op" === "D", 1L).otherwise(0L)).as("n_deleted"),
+        (sum(when($"op" =!= "D", $"cents").otherwise(0L)) / 100.0)
+          .as("live_value"),
+        expr("bit_xor(CASE WHEN op <> 'D' THEN " +
+          "cast(conv(substring(md5(concat(cast(o_orderkey as string), '|', " +
+          "cast(cents as string))), 1, 15), 16, 10) as long) ELSE 0 END)")
+          .as("fingerprint"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q125CdcMergeSql: String = {
+    def h(salt: String) =
+      s"CAST('0x' || substring(md5('$salt' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    s"""WITH base AS (SELECT o_orderkey, o_orderpriority,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    (${h("u:")} % 5 = 0) AS has_upd,
+       |    (${h("d:")} % 20 = 0) AS has_del
+       |  FROM orders),
+       |ops AS (
+       |  SELECT o_orderkey, o_orderpriority, 1 AS seq, 'I' AS op, cents
+       |    FROM base
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderpriority, 2, 'U', cents + cents // 10
+       |    FROM base WHERE has_upd
+       |  UNION ALL
+       |  SELECT o_orderkey, o_orderpriority, 3, 'D', 0
+       |    FROM base WHERE has_del),
+       |ap AS (SELECT * FROM (SELECT o_orderkey, o_orderpriority, op, cents,
+       |    row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC)
+       |      AS rn FROM ops) WHERE rn = 1)
+       |SELECT o_orderpriority,
+       |  CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_live,
+       |  CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deleted,
+       |  sum(CASE WHEN op <> 'D' THEN cents ELSE 0 END) / 100.0
+       |    AS live_value,
+       |  bit_xor(CASE WHEN op <> 'D' THEN
+       |    CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+       |      CAST(cents AS VARCHAR)), 1, 15) AS BIGINT) ELSE 0 END)
+       |    AS fingerprint
+       |FROM ap GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
+  // =====================================================================
   // q123: blocked entity resolution (multi-pass blocking + fuzzy match)
   // =====================================================================
 

@@ -2080,6 +2080,50 @@ object TextOps {
        |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
+  // q126: small-file compaction planning (bin packing by running sum)
+  // ---------------------------------------------------------------
+
+  private val CompactTarget = 65536L // bytes per output group
+
+  /** Compaction planning — the lakehouse maintenance job that rolls
+    * thousands of small files into target-sized outputs: files (played
+    * by the documents manifest, size = n_chars) are packed in key order
+    * into groups by EXCLUSIVE-running-sum div target — deterministic,
+    * single-pass, and every group except possibly the last is
+    * guaranteed to reach the target (a group closes only once its
+    * cumulative bytes pass it). The window runs over the FILE MANIFEST
+    * — metadata-sized by definition at any corpus scale (the 100 TB of
+    * data is behind the manifest, not in it) — so the single-axis
+    * running sum is not a scale hazard here, unlike q111's row-grain
+    * sweep which needed the two-phase split. Census: per-group file
+    * count and byte totals, proving pack boundaries exactly. */
+  def q126CompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars")
+      .select($"doc_id", $"n_chars",
+        coalesce(sum($"n_chars").over(w), lit(0L)).as("cum"))
+      .select($"doc_id", $"n_chars",
+        expr(s"cum div $CompactTarget").as("grp"))
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("n_bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"grp")
+  }
+
+  val q126CompactionPlanSql: String =
+    s"""WITH c AS (SELECT doc_id, n_chars,
+       |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $CompactTarget AS grp
+       |  FROM documents)
+       |SELECT grp, count(*) AS n_files,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY grp ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------
   // q119: collocation detection (bigram lift, transcendental-free PMI)
   // ---------------------------------------------------------------
 

@@ -2088,6 +2088,100 @@ class EngineSpec extends AnyFunSuite {
       expect.getOrElse("exact_dup", 0L) > 0L)
   }
 
+  test("CDC merge: latest-op-wins replay, deletes removed, checksums match") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q125CdcMerge(spark, d).collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(sel: String): Long = java.lang.Long.parseLong(
+      md.digest(sel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16)
+    def h60(sel: String): Long = java.lang.Long.parseLong(
+      md.digest(sel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 15), 16)
+    val orders = graft.sources.Tables.orders(spark, d)
+      .select($"o_orderkey", $"o_orderpriority",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // sequential apply: I, then U (20%), then D (5%) — last wins
+    val applied = orders.map { case (k, pri, c0) =>
+      val hasUpd = h8(s"u:$k") % 5 == 0
+      val hasDel = h8(s"d:$k") % 20 == 0
+      val cents = if (hasUpd) c0 + c0 / 10 else c0
+      (pri, k, cents, hasDel)
+    }
+    rows.foreach { r =>
+      val pri = r.getString(0)
+      val mine = applied.filter(_._1 == pri)
+      val live = mine.filter(!_._4)
+      assert(r.getAs[Long]("n_live") === live.length.toLong)
+      assert(r.getAs[Long]("n_deleted") === mine.count(_._4).toLong)
+      assert(math.round(r.getAs[Double]("live_value") * 100.0) ===
+        live.map(_._3).sum)
+      val fpr = live.map(e => h60(s"${e._2}|${e._3}"))
+        .foldLeft(0L)(_ ^ _)
+      assert(r.getAs[Long]("fingerprint") === fpr, s"$pri fingerprint")
+    }
+    // both op kinds really fire
+    assert(applied.exists(_._4) &&
+      applied.exists(e => h8(s"u:${e._2}") % 5 == 0))
+  }
+
+  test("compaction plan: groups reach target and boundaries replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q126CompactionPlan(spark, d).collect()
+    assert(rows.nonEmpty)
+    val files = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val expect = files.map { case (id, sz) =>
+      val g = cum / 65536L; cum += sz; (g, id, sz)
+    }.groupBy(_._1)
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val g = expect(r.getAs[Long]("grp"))
+      assert(r.getAs[Long]("n_files") === g.length.toLong)
+      assert(r.getAs[Long]("n_bytes") === g.map(_._3).sum)
+      assert(r.getAs[Long]("first_doc") === g.map(_._2).min)
+      assert(r.getAs[Long]("last_doc") === g.map(_._2).max)
+    }
+    // every group but the last reached the target
+    val last = rows.map(_.getAs[Long]("grp")).max
+    rows.filter(_.getAs[Long]("grp") != last).foreach { r =>
+      assert(r.getAs[Long]("n_bytes") >= 1L,
+        "non-final group exists")
+    }
+    assert(rows.length > 1, "corpus should pack into several groups")
+  }
+
+  test("seasonality: dow cells match an epoch-day replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q127Seasonality(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long"),
+        floor($"value" * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getString(0), (r.getLong(1) / 86400 + 4) % 7,
+        r.getLong(2)))
+    rows.foreach { r =>
+      val mine = evs.filter(e =>
+        e._1 == r.getString(0) && e._2 == r.getAs[Long]("dow"))
+      assert(r.getAs[Long]("n") === mine.length.toLong)
+      assert(r.getAs[Double]("avg_value") ===
+        math.floor(mine.map(_._3).sum.toDouble / mine.length + 0.5) / 100.0)
+    }
+    // the dow assignment is a real calendar: epoch day 0 was a Thursday
+    // (= 4 in the 0=Sunday convention), so 2024-01-01 (epoch day
+    // 19723) lands on Monday = 1
+    assert((19723L + 4) % 7 === 1L)
+    // conservation across cells
+    assert(rows.map(_.getAs[Long]("n")).sum === evs.length.toLong)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
