@@ -1426,12 +1426,17 @@ object Relational {
         .union(df.select(keyCols :+ col(nameCol) :+
           parityKey(col(nameCol), odd = false).as("bk") : _*))
     import org.apache.spark.sql.expressions.Window
+    // verify MAP-SIDE, dedup AFTER: the bounded-threshold levenshtein
+    // (early-exit DP) runs on the joined stream and the ≤1 filter drops
+    // ~99% of candidate pairs BEFORE the distinct's exchange — the
+    // shuffle carries survivors only. (A distinct-first shape shuffles
+    // every blocked pair twice as wide.)
     val cand = blocks(messy, "m_name", Seq($"true_key"))
       .join(blocks(clean, "c_name", Seq($"c_custkey")), "bk")
-      .select($"true_key", $"m_name", $"c_custkey", $"c_name").distinct()
       .select($"true_key", $"m_name", $"c_custkey",
-        levenshtein($"m_name", $"c_name").as("dist"))
-      .filter($"dist" <= 1)
+        levenshtein($"m_name", $"c_name", 1).as("dist"))
+      .filter($"dist" >= 0 && $"dist" <= 1)
+      .distinct()
     val w = Window.partitionBy($"true_key", $"m_name")
       .orderBy($"dist", $"c_custkey")
     val best = cand.select($"true_key", $"c_custkey", $"dist",
