@@ -1036,6 +1036,55 @@ object EventOps {
       |ORDER BY a.day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q130: journey pattern matching (MATCH_RECOGNIZE by regex)
+  // ---------------------------------------------------------------
+
+  /** Sequential pattern matching over user journeys — the
+    * MATCH_RECOGNIZE workload (SQL:2016 row-pattern recognition, which
+    * neither engine ships) expressed portably: each user's events
+    * collapse to an ORDERED initial string (q108's sort_array
+    * discipline over the unique (tsec, event_id) key; the five event
+    * types have distinct initials), and patterns become regexes over
+    * that string, evaluated once per user. The per-user journey string
+    * is bounded by the user's own history, the census by the pattern
+    * count; regexes stay in the Java∩RE2-identical subset (literals,
+    * classes, `*`). Patterns: direct conversion (view…purchase with no
+    * error between), error recovery (error then a later purchase), and
+    * abandoned (view, never purchase after). */
+  def q130JourneyPatterns(s: SparkSession, d: String): DataFrame = {
+    val journeys = Tables.events(s, d)
+      .select($"user_id", sec($"ts").as("tsec"), $"event_id",
+        substring($"event_type", 1, 1).as("ini"))
+      .groupBy($"user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct($"tsec", $"event_id", $"ini"))),
+        x => x.getField("ini")), "").as("j"))
+    journeys.select(
+        $"j".rlike("v[^ep]*p").as("clean_convert"),
+        $"j".rlike("e[^p]*p").as("error_recovery"),
+        $"j".rlike("v[^p]*$").as("abandoned"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when($"clean_convert", 1L).otherwise(0L)).as("n_clean_convert"),
+        sum(when($"error_recovery", 1L).otherwise(0L)).as("n_error_recovery"),
+        sum(when($"abandoned", 1L).otherwise(0L)).as("n_abandoned"))
+  }
+
+  val q130JourneyPatternsSql: String =
+    """WITH j AS (SELECT user_id,
+      |    array_to_string(list(substring(event_type, 1, 1)
+      |      ORDER BY floor(epoch(ts)), event_id), '') AS j
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN regexp_matches(j, 'v[^ep]*p') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean_convert,
+      |  CAST(sum(CASE WHEN regexp_matches(j, 'e[^p]*p') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_error_recovery,
+      |  CAST(sum(CASE WHEN regexp_matches(j, 'v[^p]*$') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_abandoned
+      |FROM j""".stripMargin
+
+  // ---------------------------------------------------------------
   // q127: day-of-week seasonality profile
   // ---------------------------------------------------------------
 

@@ -1292,6 +1292,73 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q128: winsorized statistics (percentile clipping)
+  // =====================================================================
+
+  /** Winsorization — the ML-preprocessing clip that tames heavy tails
+    * without dropping rows: per type, the exact p05/p95 cent-grid
+    * boundaries (the q85 histogram order statistic at both tails),
+    * clip counts, and the winsorized mean. EVERYTHING derives from the
+    * bounded histogram — boundaries, clip census, and the clipped sum
+    * (Σ clip(v)·count over histogram rows) — so the corpus is scanned
+    * exactly once and no second pass applies the clip. */
+  def q128Winsorize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy($"event_type")
+    val hist = Tables.events(s, d)
+      .select($"event_type",
+        floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy($"event_type", $"cents").agg(count(lit(1)).as("c"))
+      .select($"event_type", $"cents", $"c",
+        sum($"c").over(byType.orderBy($"cents")).as("cum"),
+        sum($"c").over(byType).as("n"))
+    val bounds = hist.groupBy($"event_type")
+      .agg(max($"n").as("n"),
+        min(when($"cum" * 20 >= $"n", $"cents")).as("lo"),
+        min(when($"cum" * 20 >= $"n" * 19, $"cents")).as("hi"))
+    hist.join(broadcast(bounds.select($"event_type", $"lo", $"hi")),
+        "event_type")
+      .groupBy($"event_type")
+      .agg(
+        sum($"c").as("n"),
+        sum(when($"cents" < $"lo", $"c").otherwise(0L)).as("n_clipped_lo"),
+        sum(when($"cents" > $"hi", $"c").otherwise(0L)).as("n_clipped_hi"),
+        sum(greatest(least($"cents", $"hi"), $"lo") * $"c").as("wsum"),
+        max($"lo").as("loc"), max($"hi").as("hic"))
+      .select($"event_type", $"n",
+        ($"loc" / 100.0).as("lo_value"),
+        ($"hic" / 100.0).as("hi_value"),
+        $"n_clipped_lo", $"n_clipped_hi",
+        (floor($"wsum" / $"n" + 0.5) / 100.0).as("winsorized_mean"))
+      .orderBy($"event_type")
+  }
+
+  val q128WinsorizeSql: String =
+    """WITH h AS (SELECT event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sc AS (SELECT event_type, cents, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h),
+      |b AS (SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN cum * 20 >= n THEN cents END) AS lo,
+      |    min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS hi
+      |  FROM sc GROUP BY event_type)
+      |SELECT s.event_type, CAST(sum(s.c) AS BIGINT) AS n,
+      |  max(b.lo) / 100.0 AS lo_value,
+      |  max(b.hi) / 100.0 AS hi_value,
+      |  CAST(sum(CASE WHEN s.cents < b.lo THEN s.c ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_lo,
+      |  CAST(sum(CASE WHEN s.cents > b.hi THEN s.c ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_hi,
+      |  floor(sum(greatest(least(s.cents, b.hi), b.lo) * s.c)
+      |    / sum(s.c) + 0.5) / 100.0 AS winsorized_mean
+      |FROM sc s JOIN b USING (event_type)
+      |GROUP BY s.event_type ORDER BY s.event_type""".stripMargin
+
+  // =====================================================================
   // q125: CDC MERGE apply (latest-op-wins with deletes)
   // =====================================================================
 

@@ -2080,6 +2080,67 @@ object TextOps {
        |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
+  // q129: token-budget curation (best docs under a budget)
+  // ---------------------------------------------------------------
+
+  private val CurationBudget = 100000L // tokens
+
+  /** Budgeted curation — "fill a 100k-token training budget with the
+    * highest-quality documents": the greedy quality-descending take,
+    * computed WITHOUT ever sorting documents. Quality lives on the 1e-4
+    * grid (q69), so the budget cut happens on the bounded quality-level
+    * histogram: per-level token sums, a running sum in quality-DESC
+    * order over the ≤10⁴-row histogram, and the cutoff = the lowest
+    * level that still fits entirely. Docs strictly above the cutoff are
+    * selected via one broadcast-scalar filter pass; a partially-
+    * affordable boundary level is EXCLUDED whole, never silently
+    * half-taken — doc-grain tie-breaking inside one level is a
+    * quota-sample (q72) composition, not hidden inside this operator.
+    * Census per source over selected docs. */
+  def q129BudgetCuration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"source",
+        Text.tokenCount($"text").cast("long").as("n_tokens"),
+        floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("q4"))
+    val wDesc = Window.orderBy($"q4".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val levels = docs.groupBy($"q4")
+      .agg(sum($"n_tokens").as("ltok"))
+      .select($"q4", $"ltok",
+        coalesce(sum($"ltok").over(wDesc), lit(0L)).as("above"))
+    // cutoff: lowest level whose ENTIRE mass (plus everything better)
+    // fits the budget
+    val cut = levels.filter($"above" + $"ltok" <= CurationBudget)
+      .agg(coalesce(min($"q4"), lit(Long.MaxValue)).as("cut_q4"))
+    docs.crossJoin(broadcast(cut))
+      .filter($"q4" >= $"cut_q4")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"q4").as("min_q4"))
+      .select($"source", $"n_docs", $"n_tokens", ($"min_q4" / 1e4).as("min_quality"))
+      .orderBy($"source")
+  }
+
+  val q129BudgetCurationSql: String =
+    s"""WITH dq AS (SELECT doc_id, source,
+       |    CAST($tcSql AS BIGINT) AS n_tokens,
+       |    CAST(floor(($qualitySql) * 1e4 + 0.5) AS BIGINT) AS q4
+       |  FROM documents WHERE text IS NOT NULL),
+       |lv AS (SELECT q4, sum(n_tokens) AS ltok FROM dq GROUP BY q4),
+       |ab AS (SELECT q4, ltok,
+       |    coalesce(sum(ltok) OVER (ORDER BY q4 DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+       |  FROM lv),
+       |ct AS (SELECT coalesce(min(q4), 9223372036854775807) AS cut_q4
+       |  FROM ab WHERE above + ltok <= $CurationBudget)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(q4) / 1e4 AS min_quality
+       |FROM dq, ct WHERE q4 >= cut_q4
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q126: small-file compaction planning (bin packing by running sum)
   // ---------------------------------------------------------------
 

@@ -2182,6 +2182,84 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n")).sum === evs.length.toLong)
   }
 
+  test("winsorize: boundaries, clip census, and mean match a sort replay") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q128Winsorize(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val mine = evs.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = mine.length
+      def pct(mult: Long): Long =
+        mine(mine.indices.find(i => (i + 1).toLong * 20 >= n * mult).get)
+      val (lo, hi) = (pct(1), pct(19))
+      assert(r.getAs[Double]("lo_value") === lo / 100.0)
+      assert(r.getAs[Double]("hi_value") === hi / 100.0)
+      assert(r.getAs[Long]("n_clipped_lo") === mine.count(_ < lo).toLong)
+      assert(r.getAs[Long]("n_clipped_hi") === mine.count(_ > hi).toLong)
+      val wsum = mine.map(c => math.max(math.min(c, hi), lo)).sum
+      assert(r.getAs[Double]("winsorized_mean") ===
+        math.floor(wsum.toDouble / n + 0.5) / 100.0)
+      // clipping really fires on both tails
+      assert(r.getAs[Long]("n_clipped_lo") > 0 &&
+        r.getAs[Long]("n_clipped_hi") > 0)
+    }
+  }
+
+  test("budget curation: level cutoff matches a greedy quality replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q129BudgetCuration(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.operators.TextOps.q20TextStats(spark, d)
+      .select($"doc_id", $"n_tokens", floor($"quality" * 1e4 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val srcs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // greedy replay: cutoff = lowest quality level whose own mass plus
+    // everything above it still fits the budget
+    val levels = docs.groupBy(_._3).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(-_._1)
+    var above = 0L
+    var cutQ4 = Long.MaxValue
+    levels.foreach { case (q4, ltok) =>
+      if (above + ltok <= 100000L) cutQ4 = q4
+      above += ltok
+    }
+    val sel = docs.filter(_._3 >= cutQ4)
+    val expect = sel.groupBy(e => srcs(e._1)).view.mapValues { g =>
+      (g.length.toLong, g.map(_._2).sum, g.map(_._3).min)
+    }.toMap
+    assert(rows.map(r => r.getString(0) ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        math.round(r.getAs[Double]("min_quality") * 1e4)))).toMap === expect)
+    // the budget binds: selected mass fits, adding the next level wouldn't
+    assert(sel.map(_._2).sum <= 100000L)
+  }
+
+  test("journey patterns: regex census matches a per-user replay") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val r = EventOps.q130JourneyPatterns(spark, d).collect().head
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long"), $"event_id",
+        substring($"event_type", 1, 1)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getString(3)))
+    val js = evs.groupBy(_._1).values.map(g =>
+      g.sortBy(e => (e._2, e._3)).map(_._4).mkString).toSeq
+    assert(r.getAs[Long]("n_users") === js.length.toLong)
+    assert(r.getAs[Long]("n_clean_convert") ===
+      js.count(j => "v[^ep]*p".r.findFirstIn(j).isDefined).toLong)
+    assert(r.getAs[Long]("n_error_recovery") ===
+      js.count(j => "e[^p]*p".r.findFirstIn(j).isDefined).toLong)
+    assert(r.getAs[Long]("n_abandoned") ===
+      js.count(j => "v[^p]*$".r.findFirstIn(j).isDefined).toLong)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
