@@ -313,4 +313,47 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  // ---------------------------------------------------------------
+  // q131: driver-oracled streaming sessionization
+  // ---------------------------------------------------------------
+
+  /** Gap for the oracled sessionization run — matches the batch q31's
+    * `EventOps.SessionGapSec`. */
+  private val StreamGapSec = 1800L
+
+  /** The second driver-oracled STREAMING query (beside q33's tumbling
+    * aggregation): [[sessionizeStream]]'s flatMapGroupsWithState run
+    * over the events parquet with the availableNow trigger, hash-
+    * checked against a pure-SQL DuckDB sessionization. The stream emits
+    * CLOSED sessions only (each user's final session stays open in the
+    * state store forever), so the oracle excludes every user's last
+    * session — the exclusion is itself part of the proven semantics.
+    * Valid because the driver's events table is a single parquet file
+    * (one micro-batch ⇒ the per-user sort inside the state function
+    * sees the whole history); the general multi-batch out-of-order
+    * contract is StreamingSpec's subject, not this oracle's. */
+  def q131StreamSessions(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeStream(spark, sfDir, StreamGapSec)
+
+  val q131StreamSessionsSql: String =
+    s"""WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+       |  FROM events),
+       |b AS (SELECT user_id, s,
+       |    CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w
+       |      > $StreamGapSec THEN 1 ELSE 0 END AS boundary
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)),
+       |sess AS (SELECT user_id, s,
+       |    sum(boundary) OVER (PARTITION BY user_id ORDER BY s
+       |      ROWS UNBOUNDED PRECEDING) AS seq
+       |  FROM b),
+       |agg AS (SELECT user_id, seq, min(s) AS start_s, max(s) AS end_s,
+       |    count(*) AS n_events
+       |  FROM sess GROUP BY 1, 2),
+       |mx AS (SELECT user_id, max(seq) AS mseq FROM agg GROUP BY 1)
+       |SELECT a.user_id, a.start_s, a.end_s,
+       |  CAST(a.n_events AS BIGINT) AS n_events
+       |FROM agg a JOIN mx USING (user_id)
+       |WHERE a.seq < mx.mseq
+       |ORDER BY a.user_id, a.start_s""".stripMargin
+
 }
