@@ -2269,6 +2269,36 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("order-sensitive new ops are partitioning-invariant") {
+    // q111 (two-phase running sums), q117 (md5 arms + float formula),
+    // q121 (fixed-order decay fold), q114 (md5 routing): identical
+    // results under a different shuffle width and much smaller scan
+    // splits — catches any hidden dependence on partition count or
+    // intra-partition order
+    val d = "/root/testdata/sf0.001"
+    def runAll(): Map[String, Seq[String]] = Map(
+      "q111" -> graft.operators.EventOps.q111Concurrency(spark, d)
+        .collect().map(_.toString).toSeq,
+      "q114" -> graft.operators.EventOps.q114DeadLetter(spark, d)
+        .collect().map(_.toString).toSeq,
+      "q117" -> graft.operators.EventOps.q117AbLift(spark, d)
+        .collect().map(_.toString).toSeq,
+      "q121" -> graft.operators.Relational.q121DecayedValue(spark, d)
+        .collect().map(_.toString).toSeq)
+    val saved = Seq("spark.sql.shuffle.partitions",
+      "spark.sql.files.maxPartitionBytes")
+      .map(k => k -> spark.conf.get(k))
+    val base = runAll()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val alt = runAll()
+      base.foreach { case (q, rows) =>
+        assert(alt(q) === rows, s"$q changed under repartitioning")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

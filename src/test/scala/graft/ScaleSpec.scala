@@ -274,4 +274,52 @@ class ScaleSpec extends AnyFunSuite {
         s"cold arm did not run as a shuffle join:\n$planStr")
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
+
+  test("q123 blocked ER: candidate join never broadcasts a registry side") {
+    // both blocked sides are registry-sized; with auto-broadcast off
+    // (the 100 TB condition) the candidate join must plan as a shuffle
+    // join, and the levenshtein filter must sit BELOW the dedup
+    // aggregation (map-side verify) — not above it
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = graft.operators.Relational
+        .q123EntityResolution(spark, "/root/testdata/sf0.001")
+        .queryExecution
+      val planStr = qe.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin") ||
+        planStr.contains("ShuffledHashJoin"),
+        s"block join is not a shuffle join:\n$planStr")
+      val opt = qe.optimizedPlan.toString
+      // the dist<=1 predicate must appear under the Aggregate(distinct)
+      val aggIdx = opt.indexOf("Aggregate")
+      val levIdx = opt.indexOf("levenshtein")
+      assert(aggIdx >= 0 && levIdx > aggIdx,
+        s"levenshtein filter is not below the dedup aggregate:\n$opt")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("q111 two-phase sweep: carry-in relation joins by broadcast") {
+    val planStr = graft.operators.EventOps
+      .q111Concurrency(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"bounded carry-in relation lost its broadcast:\n$planStr")
+  }
+
+  test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
+    // the quality histogram + cutoff must come from aggregations; the
+    // selection pass joins a 1-row broadcast — no corpus self-join, no
+    // row-grain window
+    val planStr = graft.operators.TextOps
+      .q129BudgetCuration(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastNestedLoopJoin") ||
+      planStr.contains("BroadcastHashJoin"),
+      s"cutoff scalar is not broadcast:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin"),
+      s"budget curation grew a corpus-grain shuffle join:\n$planStr")
+  }
 }
