@@ -1036,6 +1036,170 @@ object EventOps {
       |ORDER BY a.day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q133: volume-spike detection (robust z over daily counts)
+  // ---------------------------------------------------------------
+
+  /** Traffic-anomaly detection: per type, flag days whose event count
+    * exceeds median + 3·MAD of THAT TYPE's daily counts — the q116
+    * robust machinery applied to the (type × day) relation, which is
+    * calendar-bounded, so every step after the first aggregation runs
+    * on metadata-sized data. Median/MAD use the exact-histogram order
+    * statistic; a spiky day cannot inflate its own threshold (the
+    * reason ops teams use MAD, not stddev, here). Emits a per-type
+    * census — day count, median, MAD, max, spike count, last spike —
+    * so a flat corpus reports zero spikes instead of an empty table. */
+  def q133SpikeDays(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("n"))
+    val byType = Window.partitionBy($"event_type")
+    def medOf(df: DataFrame, v: String, out: String): DataFrame =
+      df.groupBy($"event_type", col(v)).agg(count(lit(1)).as("c"))
+        .select($"event_type", col(v), $"c",
+          sum($"c").over(byType.orderBy(col(v))).as("cum"),
+          sum($"c").over(byType).as("nn"))
+        .groupBy($"event_type")
+        .agg(min(when($"cum" * 2 >= $"nn", col(v))).as(out))
+    val med = medOf(daily, "n", "med_n")
+    val devs = daily.join(med, "event_type")
+      .select($"event_type", $"day", $"n",
+        abs($"n" - $"med_n").as("dev"), $"med_n")
+    val mad = medOf(devs.select($"event_type", $"dev"), "dev", "mad_n")
+    // per-type census (never empty — a flat corpus reports 0 spikes
+    // rather than vanishing from the result)
+    devs.join(mad, "event_type")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        max($"med_n").as("med_n"),
+        max($"mad_n").as("mad_n"),
+        max($"n").as("max_n"),
+        sum(when($"n" > $"med_n" + lit(3L) * $"mad_n", 1L).otherwise(0L))
+          .as("n_spike_days"),
+        max(when($"n" > $"med_n" + lit(3L) * $"mad_n", $"day"))
+          .as("last_spike_day"))
+      .orderBy($"event_type")
+  }
+
+  val q133SpikeDaysSql: String =
+    """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h1 AS (SELECT event_type, n, count(*) AS c FROM daily GROUP BY 1, 2),
+      |s1 AS (SELECT event_type, n, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY n) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS nn
+      |  FROM h1),
+      |med AS (SELECT event_type,
+      |    min(CASE WHEN cum * 2 >= nn THEN n END) AS med_n
+      |  FROM s1 GROUP BY event_type),
+      |dv AS (SELECT d.event_type, d.day, d.n,
+      |    abs(d.n - m.med_n) AS dev, m.med_n
+      |  FROM daily d JOIN med m USING (event_type)),
+      |h2 AS (SELECT event_type, dev, count(*) AS c FROM dv GROUP BY 1, 2),
+      |s2 AS (SELECT event_type, dev, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS nn
+      |  FROM h2),
+      |mad AS (SELECT event_type,
+      |    min(CASE WHEN cum * 2 >= nn THEN dev END) AS mad_n
+      |  FROM s2 GROUP BY event_type)
+      |SELECT v.event_type, count(*) AS n_days,
+      |  CAST(max(v.med_n) AS BIGINT) AS med_n,
+      |  CAST(max(a.mad_n) AS BIGINT) AS mad_n,
+      |  CAST(max(v.n) AS BIGINT) AS max_n,
+      |  CAST(sum(CASE WHEN v.n > v.med_n + 3 * a.mad_n THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_spike_days,
+      |  max(CASE WHEN v.n > v.med_n + 3 * a.mad_n THEN v.day END)
+      |    AS last_spike_day
+      |FROM dv v JOIN mad a USING (event_type)
+      |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q134: data-freshness / ingest-lag audit
+  // ---------------------------------------------------------------
+
+  private val FreshSlaSec = 43200L // 12 h
+
+  /** Freshness audit — the SLA check every ingest pipeline pages on:
+    * per event type, the newest event's age relative to the corpus
+    * high-water mark, the row count in the last 24 h of data, and a
+    * stale flag against a 12 h SLA. Two bounded aggregations (per-type
+    * maxima; one global max broadcast back); whole-second integer
+    * arithmetic end to end. */
+  def q134Freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select($"event_type", sec($"ts").as("tsec"))
+    val hwm = ev.agg(max($"tsec").as("hwm"))
+    ev.crossJoin(broadcast(hwm))
+      .groupBy($"event_type")
+      .agg(
+        max($"tsec").as("latest"),
+        max($"hwm").as("hwm"),
+        sum(when($"tsec" >= $"hwm" - 86400L, 1L).otherwise(0L))
+          .as("n_last_24h"))
+      .select($"event_type",
+        ($"hwm" - $"latest").as("lag_s"),
+        $"n_last_24h",
+        ($"hwm" - $"latest" > FreshSlaSec).as("stale"))
+      .orderBy($"event_type")
+  }
+
+  val q134FreshnessSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec FROM events),
+       |h AS (SELECT max(tsec) AS hwm FROM ev)
+       |SELECT event_type,
+       |  max(h.hwm) - max(tsec) AS lag_s,
+       |  CAST(sum(CASE WHEN tsec >= h.hwm - 86400 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_last_24h,
+       |  (max(h.hwm) - max(tsec) > $FreshSlaSec) AS stale
+       |FROM ev CROSS JOIN h GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q135: day-over-day rank movers
+  // ---------------------------------------------------------------
+
+  /** "Top movers" — the day-over-day rank-change panel: per day, types
+    * rank by event count (dense integer ranks, ties broken by type —
+    * fully deterministic); each (type, day) joins its previous DAY'S
+    * rank (not previous row — missing days surface as NULL movement,
+    * never a silent carry-over) and reports the signed rank change.
+    * Every relation after the first aggregation is calendar-bounded. */
+  def q135RankMovers(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+      .groupBy($"day", $"event_type").agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy($"day")
+      .orderBy($"n".desc, $"event_type")
+    val ranked = daily.select($"day", $"event_type", $"n",
+      row_number().over(byDay).cast("long").as("rnk"))
+    val prev = ranked.select(
+      date_format(date_add(to_date($"day"), 1), "yyyy-MM-dd").as("day"),
+      $"event_type", $"rnk".as("prev_rnk"))
+    ranked.join(prev, Seq("day", "event_type"), "left")
+      .select($"day", $"event_type", $"n", $"rnk",
+        ($"prev_rnk" - $"rnk").as("rank_change"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val q135RankMoversSql: String =
+    """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |rk AS (SELECT day, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY day
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+      |  FROM daily),
+      |pv AS (SELECT strftime(CAST(day AS DATE) + INTERVAL 1 DAY,
+      |      '%Y-%m-%d') AS day,
+      |    event_type, rnk AS prev_rnk FROM rk)
+      |SELECT r.day, r.event_type, CAST(r.n AS BIGINT) AS n, r.rnk,
+      |  p.prev_rnk - r.rnk AS rank_change
+      |FROM rk r LEFT JOIN pv p USING (day, event_type)
+      |ORDER BY r.day, r.event_type""".stripMargin
+
+  // ---------------------------------------------------------------
   // q130: journey pattern matching (MATCH_RECOGNIZE by regex)
   // ---------------------------------------------------------------
 

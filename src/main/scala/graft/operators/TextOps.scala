@@ -2080,6 +2080,55 @@ object TextOps {
        |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
+  // q132: feature hashing (the hashing-trick featurizer)
+  // ---------------------------------------------------------------
+
+  private val FhBuckets = 1024L
+  private val FhTopK = 30
+
+  /** The hashing trick — fixed-width token featurization with no
+    * vocabulary to fit, ship, or broadcast (the property that makes it
+    * THE featurizer for streaming/distributed training): token →
+    * md5-derived bucket in [0, 1024) with an md5-derived ±1 sign (the
+    * signed variant that keeps collision noise zero-mean). Emitted:
+    * the top-30 buckets by document frequency with their signed weight
+    * sums and collision census (distinct tokens per bucket) — the
+    * numbers a feature-quality audit reads. Everything is exact
+    * integers; the per-bucket relation is bounded by construction. */
+  def q132FeatureHash(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val hashed = toks.select($"doc_id", $"w",
+      (conv(substring(md5(concat(lit("fh:"), $"w")), 1, 8), 16, 10)
+        .cast("long") % FhBuckets).as("bucket"),
+      when(conv(substring(md5(concat(lit("fs:"), $"w")), 1, 8), 16, 10)
+        .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L)).as("sign"))
+    hashed
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum($"sign").as("signed_weight"),
+        countDistinct($"w").as("n_distinct_tokens"))
+      .orderBy($"n_tokens".desc, $"bucket")
+      .limit(FhTopK)
+  }
+
+  val q132FeatureHashSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT w,
+       |    CAST('0x' || substring(md5('fh:' || w), 1, 8) AS BIGINT)
+       |      % $FhBuckets AS bucket,
+       |    CASE WHEN CAST('0x' || substring(md5('fs:' || w), 1, 8) AS BIGINT)
+       |      % 2 = 0 THEN 1 ELSE -1 END AS sign
+       |  FROM toks)
+       |SELECT bucket, count(*) AS n_tokens,
+       |  CAST(sum(sign) AS BIGINT) AS signed_weight,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+       |FROM h GROUP BY bucket
+       |ORDER BY n_tokens DESC, bucket LIMIT $FhTopK""".stripMargin
+
+  // ---------------------------------------------------------------
   // q129: token-budget curation (best docs under a budget)
   // ---------------------------------------------------------------
 

@@ -744,4 +744,46 @@ object VectorOps {
       |FROM st s LEFT JOIN fr f USING (label)
       |ORDER BY s.label""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q136: ANN recall evaluation (index quality as a query)
+  // ---------------------------------------------------------------
+
+  /** Recall@k of the IVF index (q48) against the exact brute-force
+    * baseline (q27) — the metric every ANN deployment monitors, run as
+    * a first-class query instead of an offline notebook: per query
+    * vector, |approx ∩ exact| over the exact top-k, in integer ppm.
+    * Both arms are the engine's own oracled operators, so the oracle
+    * reuses their SQL mirrors verbatim as subqueries — the recall
+    * computation is proven end to end through BOTH index paths. A
+    * production run would point the exact arm at a held-out sample
+    * (recall estimation), which is this same plan over q55's hash
+    * sample. */
+  def q136AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = q27KnnCosine(s, d).select($"query_id", $"neighbor_id")
+    val approx = q48IvfAnn(s, d).select($"query_id", $"neighbor_id")
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"),
+        "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", $"k",
+        coalesce($"n_hit", lit(0L)).as("n_hit"),
+        floor(coalesce($"n_hit", lit(0L)) * 1000000.0 / $"k").cast("long")
+          .as("recall_ppm"))
+      .orderBy($"query_id")
+  }
+
+  val q136AnnRecallSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($q27KnnCosineSql)),
+       |ap AS (SELECT query_id, neighbor_id FROM ($q48IvfAnnSql)),
+       |hit AS (SELECT e.query_id, count(*) AS n_hit
+       |  FROM ex e JOIN ap a USING (query_id, neighbor_id) GROUP BY 1),
+       |kk AS (SELECT query_id, count(*) AS k FROM ex GROUP BY 1)
+       |SELECT kk.query_id, CAST(kk.k AS BIGINT) AS k,
+       |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       |  CAST(floor(coalesce(h.n_hit, 0) * 1000000.0 / kk.k) AS BIGINT)
+       |    AS recall_ppm
+       |FROM kk LEFT JOIN hit h USING (query_id)
+       |ORDER BY kk.query_id""".stripMargin
+
 }

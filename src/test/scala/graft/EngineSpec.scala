@@ -2260,6 +2260,111 @@ class EngineSpec extends AnyFunSuite {
       js.count(j => "v[^p]*$".r.findFirstIn(j).isDefined).toLong)
   }
 
+  test("feature hash: bucket census matches an md5 token replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q132FeatureHash(spark, d).collect()
+    assert(rows.length === 30)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h8(sel: String): Long = java.lang.Long.parseLong(
+      md.digest(sel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16)
+    val toks = graft.sources.Tables.documents(spark, d)
+      .select($"text").filter($"text".isNotNull).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val byBucket = toks.groupBy(w => h8(s"fh:$w") % 1024)
+    val scored = byBucket.view.mapValues { ws =>
+      (ws.length.toLong,
+        ws.map(w => if (h8(s"fs:$w") % 2 == 0) 1L else -1L).sum,
+        ws.distinct.length.toLong)
+    }.toMap
+    val expectTop = scored.toSeq.sortBy { case (b, (n, _, _)) => (-n, b) }
+      .take(30)
+    assert(rows.map(_.getLong(0)).toSeq === expectTop.map(_._1))
+    rows.zip(expectTop).foreach { case (r, (_, (n, sw, nd))) =>
+      assert((r.getAs[Long]("n_tokens"), r.getAs[Long]("signed_weight"),
+        r.getAs[Long]("n_distinct_tokens")) === ((n, sw, nd)))
+    }
+    // collisions actually occur (the audit is non-vacuous)
+    assert(rows.exists(_.getAs[Long]("n_distinct_tokens") > 1))
+  }
+
+  test("spike days / freshness / rank movers: replays over daily grains") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd"),
+        $"ts".cast("long")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def medOf(xs: Seq[Long]): Long = xs.sorted.apply((xs.size + 1) / 2 - 1)
+
+    // q133
+    val srows = EventOps.q133SpikeDays(spark, d).collect()
+    srows.foreach { r =>
+      val daily = evs.filter(_._1 == r.getString(0)).groupBy(_._2)
+        .view.mapValues(_.size.toLong).toMap
+      val med = medOf(daily.values.toSeq)
+      val mad = medOf(daily.values.map(n => math.abs(n - med)).toSeq)
+      assert(r.getAs[Long]("n_days") === daily.size.toLong)
+      assert(r.getAs[Long]("med_n") === med)
+      assert(r.getAs[Long]("mad_n") === mad)
+      assert(r.getAs[Long]("n_spike_days") ===
+        daily.values.count(_ > med + 3 * mad).toLong)
+    }
+
+    // q134
+    val hwm = evs.map(_._3).max
+    EventOps.q134Freshness(spark, d).collect().foreach { r =>
+      val mine = evs.filter(_._1 == r.getString(0))
+      assert(r.getAs[Long]("lag_s") === hwm - mine.map(_._3).max)
+      assert(r.getAs[Long]("n_last_24h") ===
+        mine.count(_._3 >= hwm - 86400L).toLong)
+    }
+
+    // q135
+    val mrows = EventOps.q135RankMovers(spark, d).collect()
+    val ranks = evs.groupBy(e => (e._2, e._1)).view.mapValues(_.size.toLong)
+      .toSeq.groupBy(_._1._1).flatMap { case (day, cells) =>
+        cells.sortBy { case ((_, t), n) => (-n, t) }.zipWithIndex
+          .map { case (((_, t), n), i) => (day, t) -> (n, i + 1L) }
+      }
+    mrows.foreach { r =>
+      val (n, rnk) = ranks((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("rnk") === rnk)
+      val prevDay = java.time.LocalDate.parse(r.getString(0)).minusDays(1)
+        .toString
+      val expChange = ranks.get((prevDay, r.getString(1)))
+        .map(_._2 - rnk)
+      assert(Option(r.getAs[Any]("rank_change"))
+        .map(_.asInstanceOf[Long]) === expChange)
+    }
+  }
+
+  test("ANN recall: ppm matches the q27∩q48 set intersection") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q136AnnRecall(spark, d).collect()
+    assert(rows.nonEmpty)
+    val exact = VectorOps.q27KnnCosine(spark, d)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val approx = VectorOps.q48IvfAnn(spark, d)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val ex = exact.filter(_._1 == q)
+      val hit = ex.count(approx.contains).toLong
+      assert(r.getAs[Long]("k") === ex.length.toLong)
+      assert(r.getAs[Long]("n_hit") === hit)
+      assert(r.getAs[Long]("recall_ppm") ===
+        math.floor(hit * 1000000.0 / ex.length).toLong)
+    }
+    // the index is useful: mean recall above 50%
+    assert(rows.map(_.getAs[Long]("recall_ppm")).sum / rows.length > 500000L)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
