@@ -1292,6 +1292,86 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q137: Pareto / ABC analysis (two-phase global cumulative share)
+  // =====================================================================
+
+  /** ABC classification — "which customers are the top 80% of
+    * revenue": per-customer exact cent revenue, customers ranked by
+    * revenue descending, each classified A/B/C by the CUMULATIVE
+    * revenue share before them (<80% → A, <95% → B, else C). The
+    * cumulative sum over a global ordering is the q111 problem again —
+    * a single-partition window is a sequential scan of |customers| at
+    * scale — so it runs two-phase: coarse revenue buckets (integer
+    * div) give a bounded carry-in relation, and the within-bucket
+    * window partitions by bucket. Boundary discipline: the class
+    * tests EXCLUSIVE prefix share (the customer that crosses 80%
+    * stays A — the standard convention), on exact integer cents vs
+    * total·80/100. Output: bounded per-class census. The oracle is
+    * the SINGLE-phase global window — the decomposition is what the
+    * hash proves (q111 discipline). */
+  def q137AbcAnalysis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(s, d)
+      .select($"o_custkey",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .groupBy($"o_custkey").agg(sum($"cents").as("rev"))
+    // coarse bucket: higher bucket = higher revenue band; within-band
+    // window ordered (rev desc, custkey) — globally consistent with
+    // the bucket order by construction
+    val bucketed = rev.select($"o_custkey", $"rev",
+      expr("rev div 1000000").as("bkt"))
+    val wBkts = Window.orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy($"bkt").agg(sum($"rev").as("brev"))
+      .select($"bkt", coalesce(sum($"brev").over(wBkts), lit(0L))
+        .as("carry_in"))
+    val wIn = Window.partitionBy($"bkt")
+      .orderBy($"rev".desc, $"o_custkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = rev.agg(sum($"rev").as("total"))
+    bucketed
+      .join(broadcast(carry), "bkt")
+      .select($"o_custkey", $"rev",
+        ($"carry_in" + coalesce(sum($"rev").over(wIn), lit(0L)))
+          .as("before"))
+      .crossJoin(broadcast(total))
+      .select($"rev",
+        when($"before" * 100 < $"total" * 80, lit("A"))
+          .when($"before" * 100 < $"total" * 95, lit("B"))
+          .otherwise(lit("C")).as("abc_class"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"rev").as("rev_cents"))
+      .crossJoin(broadcast(total))
+      .select($"abc_class", $"n_customers",
+        ($"rev_cents" / 100.0).as("class_revenue"),
+        floor($"rev_cents" * 1000000.0 / $"total").cast("long")
+          .as("share_ppm"))
+      .orderBy($"abc_class")
+  }
+
+  val q137AbcAnalysisSql: String =
+    """WITH rev AS (SELECT o_custkey,
+      |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT sum(rev) AS total FROM rev),
+      |c AS (SELECT rev,
+      |    coalesce(sum(rev) OVER (ORDER BY rev DESC, o_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS before
+      |  FROM rev),
+      |cl AS (SELECT rev, CASE
+      |    WHEN before * 100 < t.total * 80 THEN 'A'
+      |    WHEN before * 100 < t.total * 95 THEN 'B'
+      |    ELSE 'C' END AS abc_class
+      |  FROM c, t)
+      |SELECT abc_class, count(*) AS n_customers,
+      |  CAST(sum(rev) AS BIGINT) / 100.0 AS class_revenue,
+      |  CAST(floor(CAST(sum(rev) AS BIGINT) * 1000000.0 /
+      |    (SELECT total FROM t)) AS BIGINT) AS share_ppm
+      |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin
+
+  // =====================================================================
   // q128: winsorized statistics (percentile clipping)
   // =====================================================================
 

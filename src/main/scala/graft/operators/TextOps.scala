@@ -2080,6 +2080,46 @@ object TextOps {
        |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
+  // q138: diversified top-k (per-source quota then global rank)
+  // ---------------------------------------------------------------
+
+  private val DivPerSource = 2
+  private val DivTopK = 10
+
+  /** Diversified ranking — search/recommendation's "best results, but
+    * not all from one site": global top-10 documents by quality
+    * subject to ≤2 per source. Two bounded stages: per-source top-2 by
+    * (quality grid desc, doc_id) through TopKPerKey (≤2 rows per
+    * source per partition cross the exchange), then a global
+    * TakeOrdered over the |sources|·2 survivors — no global sort of
+    * the corpus at any point. Quality on the 1e-4 grid makes every
+    * comparison integer, so the selected SET is cross-engine
+    * deterministic, not just the scores. */
+  def q138DiversifiedTopK(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"source",
+        floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("q4"))
+    val perSource = graft.plans.TopK.perKey(
+      docs, Seq($"source"), Seq($"q4".desc, $"doc_id"), DivPerSource)
+    perSource
+      .orderBy($"q4".desc, $"doc_id")
+      .limit(DivTopK)
+      .select($"doc_id", $"source", ($"q4" / 1e4).as("quality"))
+  }
+
+  val q138DiversifiedTopKSql: String =
+    s"""WITH dq AS (SELECT doc_id, source,
+       |    CAST(floor(($qualitySql) * 1e4 + 0.5) AS BIGINT) AS q4
+       |  FROM documents WHERE text IS NOT NULL),
+       |ps AS (SELECT doc_id, source, q4,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY q4 DESC, doc_id) AS rn
+       |  FROM dq)
+       |SELECT doc_id, source, q4 / 1e4 AS quality
+       |FROM ps WHERE rn <= $DivPerSource
+       |ORDER BY q4 DESC, doc_id LIMIT $DivTopK""".stripMargin
+
+  // ---------------------------------------------------------------
   // q132: feature hashing (the hashing-trick featurizer)
   // ---------------------------------------------------------------
 

@@ -2365,6 +2365,60 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("recall_ppm")).sum / rows.length > 500000L)
   }
 
+  test("ABC analysis: two-phase cumulative share matches a global sort replay") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q137AbcAnalysis(spark, d).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("A", "B", "C"))
+    val rev = graft.sources.Tables.orders(spark, d)
+      .select($"o_custkey", floor($"o_totalprice" * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val total = rev.map(_._2).sum
+    var before = 0L
+    val classed = rev.sortBy { case (k, r) => (-r, k) }.map { case (_, r) =>
+      val c = if (before * 100 < total * 80) "A"
+        else if (before * 100 < total * 95) "B" else "C"
+      before += r
+      (c, r)
+    }
+    val expect = classed.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.map(_._2).sum)).toMap
+    rows.foreach { r =>
+      val (n, cents) = expect(r.getString(0))
+      assert(r.getAs[Long]("n_customers") === n)
+      assert(math.round(r.getAs[Double]("class_revenue") * 100.0) === cents)
+      assert(r.getAs[Long]("share_ppm") ===
+        math.floor(cents * 1000000.0 / total).toLong)
+    }
+    // structural invariant (holds for ANY distribution): A's share is
+    // >= 80% (the first B customer's exclusive prefix already is), and
+    // A+B >= 95%
+    val shareOf = rows.map(r => r.getString(0) -> r.getAs[Long]("share_ppm"))
+      .toMap
+    assert(shareOf("A") >= 800000L)
+    assert(shareOf("A") + shareOf("B") >= 950000L)
+  }
+
+  test("diversified top-k: quota + global rank match a greedy replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q138DiversifiedTopK(spark, d).collect()
+    assert(rows.length === 10)
+    val docs = TextOps.q20TextStats(spark, d)
+      .select($"doc_id", floor($"quality" * 1e4 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val srcs = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perSource = docs.groupBy(e => srcs(e._1)).values.flatMap(g =>
+      g.sortBy(e => (-e._2, e._1)).take(2)).toSeq
+    val expect = perSource.sortBy(e => (-e._2, e._1)).take(10)
+    assert(rows.map(_.getLong(0)).toSeq === expect.map(_._1))
+    // the quota binds: no source contributes more than 2
+    assert(rows.groupBy(_.getString(1)).values.forall(_.length <= 2))
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
