@@ -1292,6 +1292,144 @@ object Relational {
       |FROM rh GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   // =====================================================================
+  // q139: point-in-time SCD2 lookup (effective-dated dimension join)
+  // =====================================================================
+
+  /** The read side of SCD2 (q56 is the write side): facts join the
+    * dimension VERSION that was active at the fact's own date. The
+    * version history derives from orders (per customer, each order
+    * date opens a version carrying that order's priority, valid until
+    * the next order — latest-per-day collapse first, so versions are
+    * unique), and every order then looks up the version active at its
+    * date: `o_orderdate ∈ [eff_start, eff_end)`. Shape: one window
+    * (lead) builds intervals, one equi-join on the customer key with
+    * the interval predicate as a residual filter — fan-out bounded by
+    * versions-per-customer, never a cross join; both sides share the
+    * custkey exchange. Self-consistency makes the oracle sharp: every
+    * fact MUST match exactly one version, and a fact on a version-
+    * opening day must see THAT version (closed-open boundary) — both
+    * asserted in the output, not just in a spec. */
+  def q139PointInTime(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select($"o_custkey",
+      date_format($"o_orderdate", "yyyy-MM-dd").as("day"),
+      $"o_orderkey", $"o_orderpriority",
+      floor($"o_totalprice" * 100.0 + 0.5).cast("long").as("cents"))
+    // one version per (customer, day): the day's LAST order wins
+    // (max orderkey — deterministic)
+    val wDay = Window.partitionBy($"o_custkey", $"day")
+      .orderBy($"o_orderkey".desc)
+    val versions = o
+      .select($"o_custkey", $"day", $"o_orderpriority",
+        row_number().over(wDay).as("rn"))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"day".as("eff_start"), $"o_orderpriority")
+    val wVer = Window.partitionBy($"o_custkey").orderBy($"eff_start")
+    val intervals = versions.select($"o_custkey", $"eff_start",
+      coalesce(lead($"eff_start", 1).over(wVer), lit("9999-12-31"))
+        .as("eff_end"),
+      $"o_orderpriority".as("ver_priority"))
+    o.join(intervals, Seq("o_custkey"))
+      .filter($"day" >= $"eff_start" && $"day" < $"eff_end")
+      .groupBy($"ver_priority")
+      .agg(
+        count(lit(1)).as("n_facts"),
+        countDistinct($"o_orderkey").as("n_distinct_facts"),
+        (sum($"cents") / 100.0).as("fact_value"))
+      .select($"ver_priority", $"n_facts", $"fact_value",
+        // every fact matched exactly one version ⇔ no fact duplicated
+        ($"n_facts" === $"n_distinct_facts").as("unique_match"))
+      .orderBy($"ver_priority")
+  }
+
+  val q139PointInTimeSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |v0 AS (SELECT o_custkey, day, o_orderpriority,
+      |    row_number() OVER (PARTITION BY o_custkey, day
+      |      ORDER BY o_orderkey DESC) AS rn
+      |  FROM o),
+      |vers AS (SELECT o_custkey, day AS eff_start, o_orderpriority
+      |  FROM v0 WHERE rn = 1),
+      |iv AS (SELECT o_custkey, eff_start,
+      |    coalesce(lead(eff_start) OVER (PARTITION BY o_custkey
+      |      ORDER BY eff_start), '9999-12-31') AS eff_end,
+      |    o_orderpriority AS ver_priority
+      |  FROM vers)
+      |SELECT i.ver_priority, count(*) AS n_facts,
+      |  CAST(sum(o.cents) AS BIGINT) / 100.0 AS fact_value,
+      |  (count(*) = count(DISTINCT o.o_orderkey)) AS unique_match
+      |FROM o JOIN iv i ON i.o_custkey = o.o_custkey
+      |  AND o.day >= i.eff_start AND o.day < i.eff_end
+      |GROUP BY i.ver_priority ORDER BY i.ver_priority""".stripMargin
+
+  // =====================================================================
+  // q140: distribution-drift detection (exact Kolmogorov–Smirnov)
+  // =====================================================================
+
+  private val DriftSplitDay = "2024-01-16"
+
+  /** Data-drift monitoring — the two-sample Kolmogorov–Smirnov
+    * statistic between the first and second half of the month, per
+    * event type: D = max |CDF₁ − CDF₂| over the merged value grid.
+    * CDFs follow the rule-7 discipline: exact integer cumulative
+    * counts first, ONE correctly-rounded double division each
+    * (cum/n — identical operands ⇒ identical doubles in both
+    * engines), then an order-free max. (The integer cross-
+    * multiplication |cum₁·n₂ − cum₂·n₁| would be fully exact but
+    * overflows BIGINT once per-type counts reach ~10¹⁰ — exactly the
+    * q80 overflow class this engine avoids.) Everything after the
+    * first aggregation is histogram-sized. The same shape monitors
+    * feature drift between training snapshots at any scale. */
+  def q140KsDrift(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).select($"event_type",
+      floor($"value" * 100.0 + 0.5).cast("long").as("cents"),
+      (date_format($"ts", "yyyy-MM-dd") < DriftSplitDay).as("first_half"))
+    val hist = ev.groupBy($"event_type", $"cents")
+      .agg(
+        sum(when($"first_half", 1L).otherwise(0L)).as("c1"),
+        sum(when(!$"first_half", 1L).otherwise(0L)).as("c2"))
+    val byType = Window.partitionBy($"event_type")
+    val cdf = hist.select($"event_type", $"cents",
+      sum($"c1").over(byType.orderBy($"cents")).as("cum1"),
+      sum($"c2").over(byType.orderBy($"cents")).as("cum2"),
+      sum($"c1").over(byType).as("n1"),
+      sum($"c2").over(byType).as("n2"))
+    cdf.groupBy($"event_type")
+      .agg(
+        max($"n1").as("n1"), max($"n2").as("n2"),
+        max(abs($"cum1" / $"n1" - $"cum2" / $"n2")).as("dmax"))
+      .select($"event_type", $"n1", $"n2",
+        floor($"dmax" * 1000000.0).cast("long").as("ks_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val q140KsDriftSql: String =
+    s"""WITH ev AS (SELECT event_type,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    (strftime(ts, '%Y-%m-%d') < '$DriftSplitDay') AS first_half
+       |  FROM events),
+       |h AS (SELECT event_type, cents,
+       |    sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS c1,
+       |    sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS c2
+       |  FROM ev GROUP BY 1, 2),
+       |cdf AS (SELECT event_type, cents,
+       |    sum(c1) OVER (PARTITION BY event_type ORDER BY cents) AS cum1,
+       |    sum(c2) OVER (PARTITION BY event_type ORDER BY cents) AS cum2,
+       |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+       |    sum(c2) OVER (PARTITION BY event_type) AS n2
+       |  FROM h)
+       |SELECT event_type, CAST(max(n1) AS BIGINT) AS n1,
+       |  CAST(max(n2) AS BIGINT) AS n2,
+       |  CAST(floor(max(abs(CAST(cum1 AS DOUBLE) / n1 -
+       |    CAST(cum2 AS DOUBLE) / n2)) * 1000000.0) AS BIGINT) AS ks_ppm
+       |FROM cdf GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // =====================================================================
   // q137: Pareto / ABC analysis (two-phase global cumulative share)
   // =====================================================================
 

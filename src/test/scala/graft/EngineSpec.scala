@@ -2419,6 +2419,66 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.groupBy(_.getString(1)).values.forall(_.length <= 2))
   }
 
+  test("point-in-time SCD2: every fact sees exactly its active version") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q139PointInTime(spark, d).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("unique_match")),
+      "a fact matched zero or multiple versions")
+    val os = graft.sources.Tables.orders(spark, d)
+      .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM-dd"),
+        $"o_orderkey", $"o_orderpriority",
+        floor($"o_totalprice" * 100.0 + 0.5).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    // versions: per (cust, day) the max-orderkey order's priority,
+    // valid [day, nextday)
+    val expect = os.groupBy(_._1).values.flatMap { cust =>
+      val vers = cust.groupBy(_._2).view.mapValues(g =>
+        g.maxBy(_._3)._4).toSeq.sortBy(_._1)
+      cust.map { case (_, day, _, _, cents) =>
+        val active = vers.takeWhile(_._1 <= day).last._2
+        (active, cents)
+      }
+    }.toSeq
+    val census = expect.groupBy(_._1).view.mapValues(g =>
+      (g.size.toLong, g.map(_._2).sum)).toMap
+    rows.foreach { r =>
+      val (n, cents) = census(r.getString(0))
+      assert(r.getAs[Long]("n_facts") === n)
+      assert(math.round(r.getAs[Double]("fact_value") * 100.0) === cents)
+    }
+    assert(rows.map(_.getAs[Long]("n_facts")).sum === os.length.toLong)
+  }
+
+  test("KS drift: statistic matches an empirical-CDF replay") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q140KsDrift(spark, d).collect()
+    assert(rows.nonEmpty)
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"event_type", floor($"value" * 100.0 + 0.5).cast("long"),
+        date_format($"ts", "yyyy-MM-dd")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2) < "2024-01-16"))
+    rows.foreach { r =>
+      val mine = evs.filter(_._1 == r.getString(0))
+      val a = mine.filter(_._3).map(_._2)
+      val b = mine.filter(!_._3).map(_._2)
+      assert(r.getAs[Long]("n1") === a.length.toLong)
+      assert(r.getAs[Long]("n2") === b.length.toLong)
+      val grid = (a ++ b).distinct.sorted
+      val d0 = grid.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.length -
+          b.count(_ <= v).toDouble / b.length)
+      }.max
+      assert(r.getAs[Long]("ks_ppm") === math.floor(d0 * 1e6).toLong)
+      // two halves of the same generator: drift should be small but
+      // the statistic must be strictly positive (non-vacuous)
+      assert(r.getAs[Long]("ks_ppm") > 0L)
+    }
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
