@@ -261,6 +261,53 @@ object CustomOps {
        |FROM bits ORDER BY media_id""".stripMargin
   }
 
+  private val PhashMaxHamming = 6
+
+  /** Near-duplicate IMAGE pairs — the multimodal dedup pipeline end to
+    * end: real `javax.imageio` decode → perceptual hash (q122) → the
+    * q44 hamming-band candidate machinery ([[TextOps.hammingBandPairs]])
+    * → exact popcount verification at ≤ 6 bits. Rescrapes and exact
+    * re-encodes land at hamming 0; the banding keeps candidate
+    * generation bucket-bounded at any corpus size (never all image
+    * pairs). Oracle: phash recomputed from payload bytes (q122's
+    * mirror) + identical HUGEINT band arithmetic + `bit_count(xor)`. */
+  def q141PhashPairs(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.perceptualHash(Multimodal.mediaAsBmp(s, d))
+      .toDF()
+      .select($"media_id".as("doc_id"), $"phash".as("sh"))
+    TextOps.hammingBandPairs(hashes, PhashMaxHamming)
+      .select($"d1".as("m1"), $"d2".as("m2"), $"hamming")
+  }
+
+  val q141PhashPairsSql: String = {
+    val u = "(CASE WHEN phash < 0 THEN CAST(phash AS HUGEINT) + " +
+      "CAST('18446744073709551616' AS HUGEINT) ELSE CAST(phash AS HUGEINT) END)"
+    val bandSelects = (0 until 4).map { b =>
+      val div = java.lang.Long.toUnsignedString(1L << (16 * b))
+      s"SELECT media_id, phash, $b AS band_id, " +
+        s"CAST(($u // CAST('$div' AS HUGEINT)) % 65536 AS BIGINT) AS band_key " +
+        s"FROM ph"
+    }.mkString(" UNION ALL ")
+    s"""WITH ph AS (SELECT media_id, phash FROM ($q122PhashSql)),
+       |bands AS ($bandSelects),
+       |buckets AS (SELECT band_id, band_key,
+       |              list_sort(list(DISTINCT media_id))[1:${TextOps.MaxBucket}]
+       |                AS ds
+       |            FROM bands GROUP BY band_id, band_key),
+       |cands AS (SELECT DISTINCT ds[i] AS m1, ds[j] AS m2
+       |          FROM (SELECT ds FROM buckets WHERE len(ds) > 1) b,
+       |          UNNEST(range(1, len(ds)+1)) AS t1(i),
+       |          UNNEST(range(1, len(ds)+1)) AS t2(j)
+       |          WHERE i < j)
+       |SELECT c.m1, c.m2,
+       |  CAST(bit_count(xor(p1.phash, p2.phash)) AS BIGINT) AS hamming
+       |FROM cands c
+       |JOIN ph p1 ON p1.media_id = c.m1
+       |JOIN ph p2 ON p2.media_id = c.m2
+       |WHERE bit_count(xor(p1.phash, p2.phash)) <= $PhashMaxHamming
+       |ORDER BY c.m1, c.m2""".stripMargin
+  }
+
   val q37MultimodalDecodeSql: String = {
     // byte-residue counts over the ASCII payload (char code == byte)
     val hists = (0 until 8).map(j =>

@@ -394,6 +394,18 @@ object TextOps {
     // (mirrored by the oracle's `simhash IS NOT NULL` band filter)
     val hashes = docs.select($"doc_id", simhash64($"text").as("sh"))
       .filter($"sh".isNotNull)
+    hammingBandPairs(hashes, maxHamming = 12)
+  }
+
+  /** 64-bit-hash near-dup pair generation by 16-bit hamming bands —
+    * shared by the SimHash (q44) and perceptual-image-hash (q141)
+    * dedup paths. Input: (doc_id, sh). Candidates are band-equal pairs
+    * (pigeonhole-complete for hamming ≤ 3; higher-distance pairs
+    * surface only when a band survives — the deterministic, oracle-
+    * mirrored banding contract), buckets capped at [[MaxBucket]]. */
+  private[graft] def hammingBandPairs(
+      hashes: DataFrame, maxHamming: Int): DataFrame = {
+    import graft.functions.SimHash._
     val banded = hashes.select($"doc_id", $"sh", explode(array(
       (0 until 4).map(b =>
         struct(lit(b).as("band_id"),
@@ -406,7 +418,7 @@ object TextOps {
       .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
         hamming64($"a.sh", $"b.sh").as("hamming"))
       .distinct()
-      .filter($"hamming" <= 12)
+      .filter($"hamming" <= maxHamming)
       .orderBy($"d1", $"d2")
   }
 

@@ -2479,6 +2479,36 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("phash pairs: popcount-verified, pigeonhole-complete at <=3 bits") {
+    import graft.operators.CustomOps
+    val d = "/root/testdata/sf0.001"
+    val rows = CustomOps.q141PhashPairs(spark, d).collect()
+    val hashes = CustomOps.q122Phash(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("phash")).toMap
+    rows.foreach { r =>
+      val (m1, m2, h) = (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming"))
+      assert(m1 < m2)
+      assert(h === java.lang.Long.bitCount(hashes(m1) ^ hashes(m2)).toLong)
+      assert(h <= 6L)
+    }
+    // pigeonhole: any pair within 3 bits shares an intact 16-bit band,
+    // so it MUST be emitted — unless a band bucket hit the 64 cap
+    val bucketSizes = hashes.values.toSeq.flatMap(sh =>
+      (0 until 4).map(b => (b, (sh >>> (b * 16)) & 0xffffL)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    if (bucketSizes.values.max <= 64) {
+      val emitted = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ids = hashes.keys.toSeq.sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        if java.lang.Long.bitCount(hashes(ids(i)) ^ hashes(ids(j))) <= 3
+      } assert(emitted.contains((ids(i), ids(j))),
+        s"missed close pair ${ids(i)},${ids(j)}")
+    }
+    // the threshold is doing work: some candidate pairs were rejected
+    assert(rows.nonEmpty)
+  }
+
   test("ln-grid boundary guard: no transcendental hazard in test corpora") {
     import graft.operators.TextOps
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
