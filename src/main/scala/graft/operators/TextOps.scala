@@ -2092,6 +2092,127 @@ object TextOps {
        |GROUP BY decision ORDER BY decision""".stripMargin
 
   // ---------------------------------------------------------------
+  // q142: vocabulary growth curve (heaps-law census)
+  // ---------------------------------------------------------------
+
+  private val VgBucket = 50L // docs per ingest bucket
+
+  /** Vocabulary growth — "how fast does new vocabulary appear as the
+    * corpus grows" (the Heaps-law curve corpus reports plot, and the
+    * signal that tells a tokenizer-training run when to stop
+    * collecting): tokens attribute to the bucket of the FIRST document
+    * (by ingest order = doc_id) that contains them — one min-
+    * aggregation on the token key, exactly q112's first-seen shape at
+    * vocabulary grain — then new-token counts and the running total
+    * accumulate over the bounded bucket axis. Token mass per bucket
+    * comes from the same scan. */
+  def q142VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+    val firstSeen = toks.groupBy($"w").agg(min($"doc_id").as("first_doc"))
+      .select(expr(s"first_doc div $VgBucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_new_tokens"))
+    val mass = toks.select(expr(s"doc_id div $VgBucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(firstSeen, Seq("bucket"), "left")
+      .select($"bucket", $"n_tokens",
+        coalesce($"n_new_tokens", lit(0L)).as("n_new_tokens"))
+      .select($"bucket", $"n_tokens", $"n_new_tokens",
+        sum($"n_new_tokens").over(wCum).as("vocab_to_date"))
+      .orderBy($"bucket")
+  }
+
+  val q142VocabGrowthSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |fs AS (SELECT first_doc // $VgBucket AS bucket,
+       |    count(*) AS cnt FROM (SELECT w, min(doc_id) AS first_doc
+       |      FROM toks GROUP BY w) GROUP BY 1),
+       |ms AS (SELECT doc_id // $VgBucket AS bucket, count(*) AS n_tokens
+       |  FROM toks GROUP BY 1)
+       |SELECT m.bucket, CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(f.cnt, 0) AS BIGINT) AS n_new_tokens,
+       |  CAST(sum(coalesce(f.cnt, 0)) OVER (ORDER BY m.bucket
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_to_date
+       |FROM ms m LEFT JOIN fs f USING (bucket)
+       |ORDER BY m.bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q143: token normalization pipeline (lower/strip/stop/stem-lite)
+  // ---------------------------------------------------------------
+
+  /** The token-normalization pass search indexes and bag-of-words
+    * models run before counting anything: lowercase, strip
+    * non-alphanumerics, drop stopwords, and a deliberately-crude
+    * suffix stem (trailing `ing`/`s` — real stemmers are lookup-table
+    * beasts; the PIPELINE SHAPE is what this operator owns). Census:
+    * raw/kept token mass, distinct vocabulary before and after (the
+    * normalization's compression ratio), and an order-free fingerprint
+    * over the surviving normalized stream — the exact output tokens
+    * are proven, not just counted. Pure narrow string work + bounded
+    * aggregations. */
+  def q143TokenNormalize(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val lowered = lower(regexp_replace($"w", "[^a-zA-Z0-9]", ""))
+    val stemmed = when(lowered.rlike("ing$") && length(lowered) > 5,
+        expr("substring(lower(regexp_replace(w, '[^a-zA-Z0-9]', '')), 1, " +
+          "length(lower(regexp_replace(w, '[^a-zA-Z0-9]', ''))) - 3)"))
+      .when(lowered.rlike("s$") && length(lowered) > 3,
+        expr("substring(lower(regexp_replace(w, '[^a-zA-Z0-9]', '')), 1, " +
+          "length(lower(regexp_replace(w, '[^a-zA-Z0-9]', ''))) - 1)"))
+      .otherwise(lowered)
+    val normed = toks.select($"doc_id", $"pos", $"w", stemmed.as("nw"))
+      .withColumn("kept",
+        length($"nw") > 0 && !$"nw".isin(graft.functions.Text.stopwords: _*))
+    normed.agg(
+      count(lit(1)).as("n_raw_tokens"),
+      sum(when($"kept", 1L).otherwise(0L)).as("n_kept_tokens"),
+      countDistinct($"w").as("vocab_raw"),
+      countDistinct(when($"kept", $"nw")).as("vocab_normed"),
+      expr("bit_xor(CASE WHEN kept THEN " +
+        "cast(conv(substring(md5(concat(cast(doc_id as string), '|', " +
+        "cast(pos as string), '|', nw)), 1, 15), 16, 10) as long) " +
+        "ELSE 0 END)").as("stream_fingerprint"))
+  }
+
+  val q143TokenNormalizeSql: String = {
+    val sw = graft.functions.Text.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, i - 1 AS pos, w[CAST(i AS INT)] AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE text IS NOT NULL),
+       |  UNNEST(range(1, len(w) + 1)) AS t(i)),
+       |lo AS (SELECT doc_id, pos, w,
+       |    lower(regexp_replace(w, '[^a-zA-Z0-9]', '', 'g')) AS lw
+       |  FROM toks),
+       |st AS (SELECT doc_id, pos, w,
+       |    CASE WHEN regexp_matches(lw, 'ing$$') AND length(lw) > 5
+       |           THEN substring(lw, 1, length(lw) - 3)
+       |         WHEN regexp_matches(lw, 's$$') AND length(lw) > 3
+       |           THEN substring(lw, 1, length(lw) - 1)
+       |         ELSE lw END AS nw
+       |  FROM lo),
+       |k AS (SELECT doc_id, pos, w, nw,
+       |    (length(nw) > 0 AND nw NOT IN ($sw)) AS kept
+       |  FROM st)
+       |SELECT count(*) AS n_raw_tokens,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_tokens,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS vocab_raw,
+       |  CAST(count(DISTINCT CASE WHEN kept THEN nw END) AS BIGINT)
+       |    AS vocab_normed,
+       |  bit_xor(CASE WHEN kept THEN
+       |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' ||
+       |      CAST(pos AS VARCHAR) || '|' || nw), 1, 15) AS BIGINT)
+       |    ELSE 0 END) AS stream_fingerprint
+       |FROM k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q138: diversified top-k (per-source quota then global rank)
   // ---------------------------------------------------------------
 

@@ -2548,6 +2548,70 @@ class EngineSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("vocab growth: buckets match a first-seen replay and cumsum is total") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q142VocabGrowth(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .filter($"text".isNotNull).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // split(..., -1) keeps trailing empties, matching Spark's split()
+    val toks = docs.flatMap { case (id, t) => t.split(" ", -1).map(id -> _) }
+    val firstSeen = toks.groupBy(_._2).view.mapValues(_.map(_._1).min)
+      .values.groupBy(_ / 50).view.mapValues(_.size.toLong).toMap
+    val mass = toks.groupBy(_._1 / 50).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(_.getLong(0)).toSeq === mass.keys.toSeq.sorted)
+    var cum = 0L
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getAs[Long]("n_tokens") === mass(b))
+      assert(r.getAs[Long]("n_new_tokens") === firstSeen.getOrElse(b, 0L))
+      cum += r.getAs[Long]("n_new_tokens")
+      assert(r.getAs[Long]("vocab_to_date") === cum)
+    }
+    // every token ever seen is new exactly once
+    assert(cum === toks.map(_._2).distinct.length.toLong)
+  }
+
+  test("token normalization: census and fingerprint match a full replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val r = TextOps.q143TokenNormalize(spark, d).collect().head
+    val docs = graft.sources.Tables.documents(spark, d)
+      .filter($"text".isNotNull).select($"doc_id", $"text").collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    val stop = graft.functions.Text.stopwords.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    var nRaw = 0L; var nKept = 0L; var xor = 0L
+    val vocabRaw = scala.collection.mutable.Set[String]()
+    val vocabNorm = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, t) =>
+      t.split(" ", -1).zipWithIndex.foreach { case (w, pos) =>
+        nRaw += 1; vocabRaw += w
+        val lw = w.toLowerCase.replaceAll("[^a-zA-Z0-9]", "")
+        val nw =
+          if (lw.endsWith("ing") && lw.length > 5) lw.dropRight(3)
+          else if (lw.endsWith("s") && lw.length > 3) lw.dropRight(1)
+          else lw
+        if (nw.nonEmpty && !stop(nw)) {
+          nKept += 1; vocabNorm += nw
+          xor ^= fp(s"$id|$pos|$nw")
+        }
+      }
+    }
+    assert(r.getAs[Long]("n_raw_tokens") === nRaw)
+    assert(r.getAs[Long]("n_kept_tokens") === nKept)
+    assert(r.getAs[Long]("vocab_raw") === vocabRaw.size.toLong)
+    assert(r.getAs[Long]("vocab_normed") === vocabNorm.size.toLong)
+    assert(r.getAs[Long]("stream_fingerprint") === xor)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
