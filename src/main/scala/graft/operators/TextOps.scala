@@ -2213,6 +2213,119 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // q144: temperature-based source mixing (n^alpha reweighting)
+  // ---------------------------------------------------------------
+
+  /** Sampling-temperature source reweighting — the multilingual /
+    * multi-source mixing rule (weight source s proportional to
+    * n_s^alpha, alpha = 0.5): flattens the natural distribution so
+    * head sources stop drowning tail ones. alpha = 1/2 makes the
+    * power a SQUARE ROOT, which IEEE 754 requires to be correctly
+    * rounded — unlike ln (rule 8), sqrt crosses engines bit-exactly,
+    * so the weights grid with no boundary hazard. All arithmetic
+    * after the grid is integer: weight_ppm by integer division, the
+    * target doc count via the ppm weight (never total*g directly —
+    * that product overflows BIGINT once per-source token mass passes
+    * ~10^13 at fleet scale). Shape: one map-side-combined aggregation
+    * to source grain (|sources| rows), a 1-row total broadcast back —
+    * the corpus is scanned exactly once. */
+  def q144TemperatureMix(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d).filter($"text".isNotNull)
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount($"text").cast("long")).as("n_tokens"))
+      .withColumn("g",
+        floor(sqrt($"n_tokens".cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = per.agg(sum($"g").as("sum_g"),
+      sum($"n_docs").as("total_docs"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs", $"n_tokens",
+        expr("g * 1000000 div sum_g").as("weight_ppm"),
+        expr("total_docs * (g * 1000000 div sum_g) div 1000000")
+          .as("target_docs"))
+      .orderBy($"source")
+  }
+
+  val q144TemperatureMixSql: String =
+    s"""WITH per AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum($tcSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |g AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6
+       |    + 0.5) AS BIGINT) AS g FROM per),
+       |t AS (SELECT CAST(sum(g) AS BIGINT) AS sum_g,
+       |    CAST(sum(n_docs) AS BIGINT) AS total_docs FROM g)
+       |SELECT source, n_docs, n_tokens,
+       |  g * 1000000 // sum_g AS weight_ppm,
+       |  total_docs * (g * 1000000 // sum_g) // 1000000 AS target_docs
+       |FROM g, t ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q145: boilerplate n-gram census (cross-document repetition)
+  // ---------------------------------------------------------------
+
+  /** Boilerplate detection — the C4-style "same line in many pages"
+    * filter re-expressed on the word stream: a 5-gram appearing in at
+    * least max(3, 1% of documents) DISTINCT documents is boilerplate
+    * (headers, footers, navigation chrome), and every document reports
+    * how much of its gram stream that set covers. Cross-document
+    * repetition — the complement of q61 (within-doc) and q93
+    * (across-time novelty). The threshold is corpus-RELATIVE: an
+    * absolute cutoff silently degrades into "everything matches" as
+    * the corpus grows past it. Scale shape: the gram census runs at
+    * vocabulary grain (map-side combined), the boilerplate set is
+    * mass-bounded (sum of doc-counts = |doc-gram pairs|, so at most
+    * 100 x avg grams/doc survive a 1%-of-docs cutoff — broadcastable
+    * by construction, AQE left to pick it), and the corpus stream is
+    * scanned once per side of the flagging join. */
+  def q145Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+    val grams = ngramRows(docs, 5)
+    val tot = docs.agg(count(lit(1)).as("total_docs"))
+    val bp = grams.distinct()
+      .groupBy($"sh").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(tot))
+      .filter($"nd" >= greatest(lit(3L), expr("total_docs div 100")))
+      .select($"sh", lit(1L).as("is_bp"))
+    val perDoc = grams.join(bp, Seq("sh"), "left")
+      .groupBy($"doc_id").agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce($"is_bp", lit(0L))).as("n_bp_grams"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_bp_grams", lit(0L)).as("n_bp_grams"),
+        when(coalesce($"n_grams", lit(0L)) === 0L, lit(0L))
+          .otherwise(expr("n_bp_grams * 1000000 div n_grams"))
+          .as("bp_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val q145BoilerplateSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |gr AS (SELECT doc_id, w[CAST(i+1 AS INT)] || ' ' ||
+       |    w[CAST(i+2 AS INT)] || ' ' || w[CAST(i+3 AS INT)] || ' ' ||
+       |    w[CAST(i+4 AS INT)] || ' ' || w[CAST(i+5 AS INT)] AS sh
+       |  FROM ws, UNNEST(range(0, len(w) - 4)) AS t(i)),
+       |tt AS (SELECT count(*) AS total_docs FROM documents
+       |  WHERE text IS NOT NULL),
+       |bp AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd
+       |    FROM gr GROUP BY sh), tt
+       |  WHERE nd >= greatest(3, total_docs // 100)),
+       |pd AS (SELECT gr.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN bp.sh IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_bp
+       |  FROM gr LEFT JOIN bp ON gr.sh = bp.sh GROUP BY gr.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(pd.n_grams, 0) AS BIGINT)
+       |    AS n_grams,
+       |  coalesce(pd.n_bp, 0) AS n_bp_grams,
+       |  CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+       |    ELSE coalesce(pd.n_bp, 0) * 1000000 // pd.n_grams END
+       |    AS bp_ppm
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |WHERE d.text IS NOT NULL ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q138: diversified top-k (per-source quota then global rank)
   // ---------------------------------------------------------------
 

@@ -2612,6 +2612,65 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("stream_fingerprint") === xor)
   }
 
+  test("temperature mix: sqrt-grid weights match a replay; shares sum sanely") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q144TemperatureMix(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.sources.Tables.documents(spark, d)
+      .filter($"text".isNotNull).select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val per = docs.groupBy(_._1).view.mapValues { g =>
+      val toks = g.map(t => if (t._2.isEmpty) 0L
+        else t._2.count(_ == ' ').toLong + 1L).sum
+      (g.length.toLong, toks)
+    }.toMap
+    val gOf = per.view.mapValues { case (_, nt) =>
+      math.floor(math.sqrt(nt.toDouble) * 1e6 + 0.5).toLong
+    }.toMap
+    val sumG = gOf.values.sum
+    val totalDocs = per.values.map(_._1).sum
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_docs") === per(src)._1)
+      assert(r.getAs[Long]("n_tokens") === per(src)._2)
+      val ppm = gOf(src) * 1000000L / sumG
+      assert(r.getAs[Long]("weight_ppm") === ppm)
+      assert(r.getAs[Long]("target_docs") === totalDocs * ppm / 1000000L)
+    }
+    // floor-division share total: within |sources| ppm of 1e6
+    val tot = rows.map(_.getAs[Long]("weight_ppm")).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length)
+  }
+
+  test("boilerplate census: per-doc counts match a cross-doc gram replay") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q145Boilerplate(spark, d).collect()
+    val docs = graft.sources.Tables.documents(spark, d)
+      .filter($"text".isNotNull).select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === docs.length)
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" "))
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val thresh = math.max(3L, docs.length.toLong / 100L)
+    val docCount = byDoc.toSeq.flatMap { case (id, gs) =>
+      gs.distinct.map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val bp = docCount.filter(_._2 >= thresh).keySet
+    rows.foreach { r =>
+      val gs = byDoc(r.getLong(0))
+      val nBp = gs.count(bp).toLong
+      assert(r.getAs[Long]("n_grams") === gs.length.toLong)
+      assert(r.getAs[Long]("n_bp_grams") === nBp)
+      assert(r.getAs[Long]("bp_ppm") ===
+        (if (gs.isEmpty) 0L else nBp * 1000000L / gs.length))
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
