@@ -2213,6 +2213,53 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // q146: cluster survivor selection (keep the best-quality member)
+  // ---------------------------------------------------------------
+
+  /** The survivor POLICY layer of dedup: q50/q52 keep each cluster's
+    * min-id member (arbitrary but deterministic); a curation pipeline
+    * keeps the BEST one. Per near-dup cluster: the argmax-quality
+    * member (q20's score on the established 1e-4 integer grid, doc_id
+    * tie-break — grid first, THEN argmax, rule 5), what the min-id
+    * policy would have kept, and the quality gained by choosing. Runs
+    * entirely at cluster grain over the STAGED q50 relation — the
+    * corpus contributes one narrow quality projection; the window
+    * partitions by cluster (bounded by the capped bucket machinery
+    * upstream), never a global axis. */
+  def q146CanonicalPick(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qg = Tables.documents(s, d).select($"doc_id",
+      floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long")
+        .as("q_grid"))
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy($"q_grid".desc, $"doc_id")
+    val best = q50DedupClusters(s, d).join(qg, "doc_id")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    best.join(qg.select($"doc_id".as("canonical_id"),
+        $"q_grid".as("canonical_q")), "canonical_id")
+      .select($"canonical_id", $"cluster_size",
+        $"doc_id".as("best_doc_id"), $"q_grid".as("best_q"),
+        $"canonical_q", ($"q_grid" - $"canonical_q").as("q_gain"))
+      .orderBy($"canonical_id")
+  }
+
+  val q146CanonicalPickSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |qg AS (SELECT doc_id, CAST(floor(($qualitySql) * 1e4 + 0.5)
+       |    AS BIGINT) AS q_grid FROM documents),
+       |m AS (SELECT c.id AS doc_id, c.canonical_id, s.cluster_size,
+       |    qg.q_grid, row_number() OVER (PARTITION BY c.canonical_id
+       |      ORDER BY qg.q_grid DESC, c.id) AS rn
+       |  FROM comp c JOIN sizes s USING (canonical_id)
+       |  JOIN qg ON qg.doc_id = c.id)
+       |SELECT b.canonical_id, b.cluster_size, b.doc_id AS best_doc_id,
+       |  b.q_grid AS best_q, mq.q_grid AS canonical_q,
+       |  b.q_grid - mq.q_grid AS q_gain
+       |FROM (SELECT * FROM m WHERE rn = 1) b
+       |JOIN qg mq ON mq.doc_id = b.canonical_id
+       |ORDER BY b.canonical_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144: temperature-based source mixing (n^alpha reweighting)
   // ---------------------------------------------------------------
 

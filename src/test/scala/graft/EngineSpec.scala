@@ -2671,6 +2671,32 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("canonical pick: per-cluster argmax quality with min-id tie-break") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val rows = TextOps.q146CanonicalPick(spark, d).collect()
+    assert(rows.nonEmpty)
+    val qual = TextOps.q20TextStats(spark, d)
+      .select($"doc_id", floor($"quality" * 1e4 + 0.5).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = TextOps.q50DedupClusters(spark, d)
+      .select($"doc_id", $"canonical_id", $"cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = members.groupBy(_._2)
+    assert(rows.length === byCluster.size)
+    rows.foreach { r =>
+      val cid = r.getLong(0)
+      val g = byCluster(cid)
+      val best = g.map(m => (qual(m._1), m._1)).sortBy(e => (-e._1, e._2)).head
+      assert(r.getAs[Long]("cluster_size") === g.head._3)
+      assert(r.getAs[Long]("best_doc_id") === best._2)
+      assert(r.getAs[Long]("best_q") === best._1)
+      assert(r.getAs[Long]("canonical_q") === qual(cid))
+      assert(r.getAs[Long]("q_gain") === best._1 - qual(cid))
+      assert(r.getAs[Long]("q_gain") >= 0L)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
