@@ -59,6 +59,68 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------
+  // q147: per-label embedding-space health (centroid alignment)
+  // ---------------------------------------------------------------
+
+  /** Embedding-space health check — "is this label's embedding cloud
+    * coherent or collapsing": each vector's cosine to its label
+    * CENTROID, censused per label (mean and worst alignment). The
+    * centroid is represented as the per-dimension GRIDDED SUM (each
+    * element floored to the 1e-6 grid, summed as integers — exact and
+    * order-free in both engines, sidestepping float-sum order entirely);
+    * cosine is scale-invariant, so aligning to the gridded sum IS
+    * aligning to the gridded mean — no division by n ever happens on
+    * the vector. Per-row cosines grid at 1e-6 before the mean (rule 5).
+    * Scale shape: the per-dim sums are one exchange at |labels|x|dims|
+    * grain, the centroid relation is tiny and broadcast back, and the
+    * corpus is scanned exactly twice — the canonical two-pass mean;
+    * the native VecDot/VecNormSq folds keep scoring in whole-stage
+    * codegen. */
+  def q147EmbedHealth(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val gs = e.select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(sum(floor($"x".cast("double") * 1e6 + 0.5).cast("long"))
+        .as("gsum"))
+    val cent = gs.groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"dim", $"gsum"))),
+        c => c("gsum").cast("double")).as("cvec"))
+    val scored = e.join(broadcast(cent), "label")
+      .select($"label",
+        floor(Vectors.cosine($"embedding", $"cvec") * 1e6 + 0.5)
+          .cast("long").as("cg"))
+    scored.groupBy($"label").agg(
+      count(lit(1)).as("n_vecs"),
+      (floor(sum($"cg") / count(lit(1)) + 0.5) / 1e6).as("mean_alignment"),
+      (min($"cg").cast("double") / 1e6).as("min_alignment"))
+      .orderBy($"label")
+  }
+
+  val q147EmbedHealthSql: String = {
+    val dotVC =
+      "list_sum(list_transform(range(1, len(embedding) + 1), " +
+        "i -> CAST(embedding[i] AS DOUBLE) * cvec[i]))"
+    val nV =
+      "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    val nC = "sqrt(list_sum(list_transform(cvec, x -> x * x)))"
+    s"""WITH gs AS (SELECT label, i AS dim,
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS gsum
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+       |  GROUP BY label, i),
+       |c AS (SELECT label, list(CAST(gsum AS DOUBLE) ORDER BY dim)
+       |    AS cvec FROM gs GROUP BY label),
+       |sc AS (SELECT e.label,
+       |    CAST(floor((CASE WHEN $nV * $nC = 0.0 THEN 0.0
+       |      ELSE $dotVC / ($nV * $nC) END) * 1e6 + 0.5) AS BIGINT) AS cg
+       |  FROM embeddings e JOIN c USING (label))
+       |SELECT label, count(*) AS n_vecs,
+       |  floor(sum(cg) / count(*) + 0.5) / 1e6 AS mean_alignment,
+       |  CAST(min(cg) AS DOUBLE) / 1e6 AS min_alignment
+       |FROM sc GROUP BY label ORDER BY label""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q27: brute-force cosine top-k (exact ANN baseline)
   // ---------------------------------------------------------------
 

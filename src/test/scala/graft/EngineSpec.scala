@@ -2697,6 +2697,43 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("embed health: gridded centroid alignment matches a fold replay") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q147EmbedHealth(spark, d).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    val byLabel = vecs.groupBy(_._1)
+    assert(rows.length === byLabel.size)
+    rows.foreach { r =>
+      val g = byLabel(r.getInt(0)).map(_._2)
+      val dim = g.head.length
+      // gridded per-dim sums = the centroid representation under test
+      val cvec = Array.tabulate(dim) { i =>
+        g.map(v => math.floor(v(i).toDouble * 1e6 + 0.5).toLong).sum.toDouble
+      }
+      val nc = math.sqrt(cvec.map(x => x * x).sum)
+      val cgs = g.map { v =>
+        // left-to-right double folds, matching VecDot/VecNormSq
+        var dot = 0.0; var n2 = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += v(i).toDouble * cvec(i); n2 += v(i).toDouble * v(i).toDouble
+          i += 1
+        }
+        val den = math.sqrt(n2) * nc
+        val cos = if (den == 0.0) 0.0 else dot / den
+        math.floor(cos * 1e6 + 0.5).toLong
+      }
+      assert(r.getAs[Long]("n_vecs") === g.length.toLong)
+      assert(r.getAs[Double]("mean_alignment") ===
+        math.floor(cgs.sum.toDouble / cgs.length + 0.5) / 1e6)
+      assert(r.getAs[Double]("min_alignment") === cgs.min.toDouble / 1e6)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
