@@ -11,7 +11,13 @@ import org.apache.spark.sql.SparkSession
   *    projections and time the wrong plan);
   *  - one warm-up action first so JVM/codegen startup isn't billed to
   *    the first query;
-  *  - queries run in sorted name order for stable run-to-run comparison.
+  *  - queries run in sorted name order for stable run-to-run comparison;
+  *  - SPARK_GRAFT_BENCH_REPS=k (default 1) runs every query k times and
+  *    reports the per-query MEDIAN — one-shot cold numbers on a loaded
+  *    host have shown ±2x noise (the r5 bench inflated uniformly ~1.9x
+  *    vs standalone re-runs) and misdirect optimization. With k>1 the
+  *    first rep absorbs any stage-materialization cost, so medians
+  *    reflect steady-state; the JSON contract is unchanged.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -53,16 +59,23 @@ object Bench {
     graft.sources.Tables.documents(spark, sfDir).count()
     graft.sources.Tables.embeddings(spark, sfDir).count()
 
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a failed query reports -1, never a plausible small duration
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      // a failed query reports -1, never a plausible small duration —
+      // ANY failed rep fails the query (a flaky query must stay loud)
+      name -> (if (times.exists(_ < 0)) -1.0
+               else times.sorted.apply((times.size - 1) / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

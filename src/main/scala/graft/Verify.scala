@@ -48,6 +48,17 @@ object Verify {
       require(haz.isEmpty,
         s"ln-grid boundary hazard in $sfDir - cross-engine flip possible: " +
           haz.map(_.toString).mkString("; "))
+      // Telemetry beyond the binary guard (VERDICT r5 #8): per-site
+      // minimum flip-point distance and headroom (multiples of the
+      // 8-ulp margin) — drift toward the hazard is visible across
+      // rounds before any SF actually trips the require above.
+      val margins = graft.operators.TextOps.lnBoundaryMargins(spark, sfDir)
+        .collect().map { r =>
+          s"""{"site":"${r.getString(0)}","n_terms":${r.getLong(1)},""" +
+            s""""min_dist":${r.getDouble(2)},"min_headroom":${r.getDouble(3)}}"""
+        }.mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/ln_boundary_margin.json"), margins)
+      System.err.println(s"[verify] ln boundary margins: $margins")
     }
     val keep = (n: String) => only.forall(_.contains(n))
     SparkEntry.queries.foreach { case (name, fn) =>

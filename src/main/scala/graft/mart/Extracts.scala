@@ -1,7 +1,10 @@
 package graft.mart
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.Relational.{stableRound, sqlRound}
 
 /** The BI mart extract queries (SURVEY.md §3 E3) — the five golden
   * extract CSVs' semantics (reference `Data Processed` directory),
@@ -68,6 +71,99 @@ object Extracts {
         sum(col("CIT_Net")).as("CIT_Net"),
         sum(col("CIT_Short")).as("CIT_Short"))
       .orderBy(col("date_actual"))
+
+  // =====================================================================
+  // Driver-oracled extract queries (VERDICT r5 stretch #7): A3 and J5
+  // were golden-proven only — these q148/q149 phrasings drive the SAME
+  // extract functions above over testdata shapes so the driver's DuckDB
+  // gate gets a direct CORRECTNESS row for the extract code path.
+  // =====================================================================
+
+  /** q148 — A3 (`cotDateTotals`) + O16 (`cotLong`) end-to-end on a wide
+    * frame derived from lineitem: eight player-position columns are
+    * integer-grid quantity sums per ship date (rule-2 discipline: floor
+    * to the unit grid BEFORE summing, exact order-independent bigints),
+    * then the REAL `cotLong` stack (shorts negated on unpivot, Net =
+    * Long + Short) and the REAL `cotDateTotals` per-date roll-up run
+    * unchanged. Date key crosses engines as a string (rule 4). */
+  def q148CotTotals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qty = floor($"l_quantity" + 0.5).cast("long")
+    def part(cond: Column): Column =
+      coalesce(sum(when(cond, qty)), lit(0L))
+    val wide = Tables.lineitem(s, d)
+      .groupBy(date_format($"l_shipdate", "yyyy-MM-dd").as("date_actual"))
+      .agg(
+        part($"l_returnflag" === "A").as("com_long"),
+        part($"l_returnflag" === "R").as("com_short"),
+        part($"l_linestatus" === "O").as("index_long"),
+        part($"l_linestatus" === "F").as("index_short"),
+        part($"l_linenumber" % 2 === 0).as("ncom_long"),
+        part($"l_linenumber" % 2 === 1).as("ncom_short"),
+        part(lit(true)).as("nrep_long"),
+        part($"l_partkey" % 2 === 0).as("nrep_short"))
+    cotDateTotals(cotLong(wide))
+  }
+
+  val q148CotTotalsSql: String =
+    """WITH wide AS (SELECT strftime(l_shipdate, '%Y-%m-%d') AS date_actual,
+      |    coalesce(sum(CASE WHEN l_returnflag = 'A' THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS com_long,
+      |    coalesce(sum(CASE WHEN l_returnflag = 'R' THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS com_short,
+      |    coalesce(sum(CASE WHEN l_linestatus = 'O' THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS index_long,
+      |    coalesce(sum(CASE WHEN l_linestatus = 'F' THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS index_short,
+      |    coalesce(sum(CASE WHEN l_linenumber % 2 = 0 THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS ncom_long,
+      |    coalesce(sum(CASE WHEN l_linenumber % 2 = 1 THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS ncom_short,
+      |    coalesce(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)), 0) AS nrep_long,
+      |    coalesce(sum(CASE WHEN l_partkey % 2 = 0 THEN CAST(floor(l_quantity + 0.5) AS BIGINT) END), 0) AS nrep_short
+      |  FROM lineitem GROUP BY 1),
+      |lng AS (
+      |  SELECT date_actual, com_long AS cit_long, com_short AS short_pos FROM wide
+      |  UNION ALL SELECT date_actual, index_long, index_short FROM wide
+      |  UNION ALL SELECT date_actual, ncom_long, ncom_short FROM wide
+      |  UNION ALL SELECT date_actual, nrep_long, nrep_short FROM wide)
+      |SELECT date_actual,
+      |  CAST(sum(cit_long) AS BIGINT) AS "CIT_Long",
+      |  CAST(sum(cit_long - short_pos) AS BIGINT) AS "CIT_Net",
+      |  CAST(sum(-short_pos) AS BIGINT) AS "CIT_Short"
+      |FROM lng GROUP BY date_actual ORDER BY date_actual""".stripMargin
+
+  /** q149 — J5 (`maExtract`) end-to-end on a fact built from lineitem:
+    * the (date, mo) grain is a per-shipdate/linenumber exact-cent price
+    * (moneySum discipline), the MA columns are q8-style ROWS-frame
+    * averages of the integer-grid price (partitioned by mo, date unique
+    * within the partition — rule 3), and then the REAL `maExtract`
+    * filter+project+rename runs unchanged for mo=2 / year 1995. The
+    * date key is stringified after the extract (rule 4). */
+  def q149MaExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grain = Tables.lineitem(s, d)
+      .groupBy($"l_shipdate".as("date_actual"), $"l_linenumber".as("mo"))
+      .agg((sum(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")) / 100.0)
+        .as("last"))
+    val w = Window.partitionBy($"mo").orderBy($"date_actual")
+    val px = floor($"last" + 0.5)
+    val fact = grain.select($"date_actual", $"mo", $"last",
+      stableRound(avg(px).over(w.rowsBetween(-50, 0)), 4).as("ma_50"),
+      stableRound(avg(px).over(w.rowsBetween(-200, 0)), 4).as("ma_200"))
+    maExtract(fact, 1995)
+      .withColumn("date_actual", date_format($"date_actual", "yyyy-MM-dd"))
+  }
+
+  val q149MaExtractSql: String = {
+    val ma50 = sqlRound("avg(floor(lastpx + 0.5)) OVER (PARTITION BY mo ORDER BY date_actual ROWS BETWEEN 50 PRECEDING AND CURRENT ROW)", 4)
+    val ma200 = sqlRound("avg(floor(lastpx + 0.5)) OVER (PARTITION BY mo ORDER BY date_actual ROWS BETWEEN 200 PRECEDING AND CURRENT ROW)", 4)
+    s"""WITH grain AS (SELECT l_shipdate AS date_actual, l_linenumber AS mo,
+       |    CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS lastpx
+       |  FROM lineitem GROUP BY 1, 2),
+       |fact AS (SELECT date_actual, mo, lastpx,
+       |    $ma50 AS ma_50, $ma200 AS ma_200
+       |  FROM grain)
+       |SELECT ma_200 AS "MA200", ma_50 AS "MA 50", lastpx AS "NY price",
+       |  strftime(date_actual, '%Y-%m-%d') AS date_actual
+       |FROM fact
+       |WHERE CAST(mo AS INT) = 2 AND year(date_actual) = 1995
+       |ORDER BY date_actual""".stripMargin
+  }
 
   /** Golden-format CSV writer (S3): header, ordered columns, the
     * reference's `YYYY-MM-DD HH:MM:SS` timestamp rendering of dates.

@@ -1214,7 +1214,32 @@ object TextOps {
     * 1e6-scale term is ~1e-9, so spurious trips are vanishingly rare.
     * Verify runs it per scale factor and FAILS LOUDLY on any row,
     * turning the silent flip into a diagnosed one. */
-  def lnBoundaryHazards(s: SparkSession, d: String): DataFrame = {
+  def lnBoundaryHazards(s: SparkSession, d: String): DataFrame =
+    lnBoundaryTerms(s, d)
+      .filter(boundaryDist($"y") <= boundaryMargin($"y"))
+      .select($"site", $"key", $"y", boundaryDist($"y").as("dist"),
+        boundaryMargin($"y").as("margin"))
+
+  /** Boundary-margin telemetry (VERDICT r5 #8): per rounding site, the
+    * MINIMUM observed distance to a floor flip point and its headroom
+    * as a multiple of the tolerated 8-ulp margin. The binary hazard
+    * guard only fires once a term is INSIDE the margin; this surfaces
+    * drift TOWARD it across rounds/scale factors (headroom shrinking
+    * toward 1 means the next SF may flip). Verify dumps it per run as
+    * `ln_boundary_margin.json` next to the query outputs. */
+  def lnBoundaryMargins(s: SparkSession, d: String): DataFrame =
+    lnBoundaryTerms(s, d)
+      .select($"site", boundaryDist($"y").as("dist"),
+        (boundaryDist($"y") / boundaryMargin($"y")).as("headroom"))
+      .groupBy($"site")
+      .agg(count(lit(1)).as("n_terms"), min($"dist").as("min_dist"),
+        min($"headroom").as("min_headroom"))
+      .orderBy($"site")
+
+  /** All gridded ln terms across the five transcendental rounding
+    * sites, pre-filter: (site, key, y) where y is the pre-floor
+    * value. */
+  private def lnBoundaryTerms(s: SparkSession, d: String): DataFrame = {
     val scoreHaz = tfidfTerms(s, d)
       .select(lit("q67_score").as("site"),
         concat($"doc_id", lit(":"), $"term").as("key"), $"score_y".as("y"))
@@ -1250,9 +1275,6 @@ object TextOps {
     }
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
-      .filter(boundaryDist($"y") <= boundaryMargin($"y"))
-      .select($"site", $"key", $"y", boundaryDist($"y").as("dist"),
-        boundaryMargin($"y").as("margin"))
   }
 
   // ---------------------------------------------------------------
@@ -2095,7 +2117,8 @@ object TextOps {
   // q142: vocabulary growth curve (heaps-law census)
   // ---------------------------------------------------------------
 
-  private val VgBucket = 50L // docs per ingest bucket
+  private val VgBucket = 50L  // docs per ingest bucket
+  private val VgSuper = 1024L // buckets per phase-1 superbucket
 
   /** Vocabulary growth — "how fast does new vocabulary appear as the
     * corpus grows" (the Heaps-law curve corpus reports plot, and the
@@ -2104,8 +2127,14 @@ object TextOps {
     * (by ingest order = doc_id) that contains them — one min-
     * aggregation on the token key, exactly q112's first-seen shape at
     * vocabulary grain — then new-token counts and the running total
-    * accumulate over the bounded bucket axis. Token mass per bucket
-    * comes from the same scan. */
+    * accumulate over the bucket axis. The bucket axis is |corpus|/50 —
+    * tens of millions of rows at scale, so the cumulative sum runs
+    * two-phase (q111/q137 discipline): superbuckets of $VgSuper
+    * buckets give a bounded carry-in relation, and the within-
+    * superbucket cumulative window partitions by superbucket. The
+    * oracle is the single-phase global window — the decomposition is
+    * what the hash proves. Token mass per bucket comes from the same
+    * scan. */
   def q142VocabGrowth(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, d).filter($"text".isNotNull)
@@ -2115,13 +2144,22 @@ object TextOps {
       .groupBy($"bucket").agg(count(lit(1)).as("n_new_tokens"))
     val mass = toks.select(expr(s"doc_id div $VgBucket").as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n_tokens"))
-    val wCum = Window.orderBy($"bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mass.join(firstSeen, Seq("bucket"), "left")
+    val buckets = mass.join(firstSeen, Seq("bucket"), "left")
       .select($"bucket", $"n_tokens",
-        coalesce($"n_new_tokens", lit(0L)).as("n_new_tokens"))
+        coalesce($"n_new_tokens", lit(0L)).as("n_new_tokens"),
+        expr(s"bucket div $VgSuper").as("sb"))
+    val wSb = Window.orderBy($"sb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = buckets.groupBy($"sb").agg(sum($"n_new_tokens").as("snew"))
+      .select($"sb",
+        coalesce(sum($"snew").over(wSb), lit(0L)).as("carry_in"))
+    val wIn = Window.partitionBy($"sb").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .join(broadcast(carry), "sb")
       .select($"bucket", $"n_tokens", $"n_new_tokens",
-        sum($"n_new_tokens").over(wCum).as("vocab_to_date"))
+        ($"carry_in" + sum($"n_new_tokens").over(wIn))
+          .as("vocab_to_date"))
       .orderBy($"bucket")
   }
 
@@ -2527,6 +2565,7 @@ object TextOps {
   // ---------------------------------------------------------------
 
   private val CompactTarget = 65536L // bytes per output group
+  private val CompactBucket = 4096L  // manifest rows per phase-1 bucket
 
   /** Compaction planning — the lakehouse maintenance job that rolls
     * thousands of small files into target-sized outputs: files (played
@@ -2534,19 +2573,31 @@ object TextOps {
     * into groups by EXCLUSIVE-running-sum div target — deterministic,
     * single-pass, and every group except possibly the last is
     * guaranteed to reach the target (a group closes only once its
-    * cumulative bytes pass it). The window runs over the FILE MANIFEST
-    * — metadata-sized by definition at any corpus scale (the 100 TB of
-    * data is behind the manifest, not in it) — so the single-axis
-    * running sum is not a scale hazard here, unlike q111's row-grain
-    * sweep which needed the two-phase split. Census: per-group file
-    * count and byte totals, proving pack boundaries exactly. */
+    * cumulative bytes pass it). A manifest is one row PER FILE — at
+    * corpus scale that is still billions of rows, so the running sum is
+    * the q111/q137 problem and runs two-phase: coarse doc_id-range
+    * buckets give a bounded carry-in relation (exclusive prefix over
+    * the bucket axis), and the per-file window partitions by bucket —
+    * no corpus-grain single-partition exchange anywhere. The oracle is
+    * the SINGLE-phase global window — the decomposition is what the
+    * hash proves (q111 discipline). Census: per-group file count and
+    * byte totals, proving pack boundaries exactly. */
   def q126CompactionPlan(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select($"doc_id", $"n_chars")
+    val files = Tables.documents(s, d)
       .select($"doc_id", $"n_chars",
-        coalesce(sum($"n_chars").over(w), lit(0L)).as("cum"))
+        expr(s"doc_id div $CompactBucket").as("bkt"))
+    val wBkts = Window.orderBy($"bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = files.groupBy($"bkt").agg(sum($"n_chars").as("bchars"))
+      .select($"bkt",
+        coalesce(sum($"bchars").over(wBkts), lit(0L)).as("carry_in"))
+    val wIn = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .join(broadcast(carry), "bkt")
+      .select($"doc_id", $"n_chars",
+        ($"carry_in" + coalesce(sum($"n_chars").over(wIn), lit(0L)))
+          .as("cum"))
       .select($"doc_id", $"n_chars",
         expr(s"cum div $CompactTarget").as("grp"))
       .groupBy($"grp")
@@ -2557,9 +2608,9 @@ object TextOps {
 
   val q126CompactionPlanSql: String =
     s"""WITH c AS (SELECT doc_id, n_chars,
-       |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+       |    CAST(coalesce(sum(n_chars) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      // $CompactTarget AS grp
+       |      // $CompactTarget AS BIGINT) AS grp
        |  FROM documents)
        |SELECT grp, count(*) AS n_files,
        |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
@@ -2581,22 +2632,27 @@ object TextOps {
     * the engine's deliberate alternative to an ln-based PMI. All counts
     * are exact integers; the score is division/multiplication of
     * < 2^53 exacts (correctly rounded, identical op order both
-    * engines), so even the RANKING is deterministic. Shape: one token
-    * explode feeds bigram (via lead over the doc_id exchange) and
-    * unigram aggregations; vocabulary-sized joins are NOT hand-
-    * broadcast (q67 df discipline — a web-corpus vocabulary isn't
-    * broadcastable); totals are 1-row broadcasts; top-k is a bounded
-    * TakeOrdered, never a global sort. */
+    * engines), so even the RANKING is deterministic. Shape: bigram
+    * pairs are built POSITIONALLY in one projection — the split array
+    * zipped with its own tail (`zip_with` over two slices) before the
+    * explode — so adjacency never needs a window: zero token-grain
+    * exchange, the pairing stays inside whole-stage codegen, and the
+    * only shuffles are the bigram/unigram aggregations themselves.
+    * Vocabulary-sized joins are NOT hand-broadcast (q67 df discipline
+    * — a web-corpus vocabulary isn't broadcastable); totals are 1-row
+    * broadcasts; top-k is a bounded TakeOrdered, never a global
+    * sort. */
   def q119BigramLift(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val toks = Tables.documents(s, d).filter($"text".isNotNull)
-      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "w")))
-    val bi = toks
-      .withColumn("wb", lead($"w", 1).over(w))
-      .filter($"wb".isNotNull)
-      .groupBy($"w".as("w1"), $"wb".as("w2"))
+    val ws = Tables.documents(s, d).filter($"text".isNotNull)
+      .select(split($"text", " ").as("w"))
+    val bi = ws
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> named_struct('w1', a, 'w2', b))")).as("p"))
+      .groupBy($"p.w1".as("w1"), $"p.w2".as("w2"))
       .agg(count(lit(1)).as("n_ab"))
-    val uni = toks.groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val uni = ws.select(explode($"w").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_w"))
     val totals = uni.agg(sum($"n_w").as("n_tok"))
       .crossJoin(bi.agg(sum($"n_ab").as("n_bi")))
     val lift = ($"n_ab" / $"n_bi") /
