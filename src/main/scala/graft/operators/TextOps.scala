@@ -2788,4 +2788,48 @@ object TextOps {
       |    AS fingerprint
       |FROM p GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q153: epoch shuffle plan (deterministic per-epoch reshuffling)
+  // ---------------------------------------------------------------
+
+  private val ShuffleEpochs = 3
+  private val ShuffleShards = 16L
+
+  /** Multi-epoch training shuffle plan — the op that gives a training
+    * run a DIFFERENT, REPRODUCIBLE document order every epoch without
+    * ever materializing a permutation: each (epoch, doc) gets an
+    * md5-derived 60-bit sort/shard key, shard = key mod S. A loader
+    * reads shard files in key order; reshuffling between epochs is free
+    * (the key changes with the epoch seed) and any shard is
+    * reconstructible from (epoch, S) alone — the property that matters
+    * when a 1000-node training job restarts mid-epoch. Census per
+    * (epoch, shard): docs, token mass (loader balance), key range, and
+    * the order-free key fingerprint proving exact membership. One
+    * narrow projection per epoch, one aggregation — no window, no
+    * join. */
+  def q153EpochShuffle(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"),
+        explode(expr(s"sequence(1, $ShuffleEpochs)")).as("epoch"))
+      .select($"epoch", $"n_tokens",
+        expr("cast(conv(substring(md5(concat('ep', cast(epoch as string), " +
+          "':', cast(doc_id as string))), 1, 15), 16, 10) as long)").as("h"))
+      .select($"epoch", $"n_tokens", $"h", ($"h" % ShuffleShards).as("shard"))
+      .groupBy($"epoch", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        min($"h").as("min_key"), max($"h").as("max_key"),
+        expr("bit_xor(h)").as("member_fp"))
+      .orderBy($"epoch", $"shard")
+
+  val q153EpochShuffleSql: String =
+    s"""WITH h AS (SELECT epoch, CAST($tcSql AS BIGINT) AS n_tokens,
+       |    CAST('0x' || substring(md5('ep' || CAST(epoch AS VARCHAR) || ':'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM documents, UNNEST(range(1, ${ShuffleEpochs + 1})) AS t(epoch)
+       |  WHERE text IS NOT NULL)
+       |SELECT CAST(epoch AS INT) AS epoch, h % $ShuffleShards AS shard,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  min(h) AS min_key, max(h) AS max_key, bit_xor(h) AS member_fp
+       |FROM h GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
+
 }

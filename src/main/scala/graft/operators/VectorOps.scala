@@ -848,4 +848,58 @@ object VectorOps {
        |FROM kk LEFT JOIN hit h USING (query_id)
        |ORDER BY kk.query_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q152: hard-negative mining (contrastive-training pair selection)
+  // ---------------------------------------------------------------
+
+  private val HnK = 5
+
+  /** Hard-negative mining — for each query vector, the top-k most
+    * similar vectors with a DIFFERENT label: the pairs that teach a
+    * contrastive/embedding model the most (easy random negatives are
+    * already far away; training signal lives near the boundary). The
+    * retrieval shape is q27's brute-force kNN with a label predicate
+    * pushed BEFORE the heap: the cross-label filter runs map-side on
+    * the scored stream, so the bounded TopKPerKey heaps only ever hold
+    * negatives — at corpus scale nothing label-matched survives to the
+    * exchange. Ties broken by vec_id (README rule 3). */
+  def q152HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < NumQueries)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"embedding".as("qvec"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter($"label" =!= $"qlabel")
+      .select($"query_id", $"qlabel", $"vec_id", $"label",
+        Vectors.cosine($"qvec", $"embedding").as("cos"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), HnK)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"qlabel".cast("long").as("query_label"),
+        $"rank", $"vec_id".as("negative_id"),
+        $"label".cast("long").as("negative_label"),
+        stableRound($"cos", 6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  val q152HardNegativesSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+       |             embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+       |             ${cosSql("q.qvec", "e.embedding")} AS cos
+       |           FROM embeddings e CROSS JOIN q
+       |           WHERE e.label <> q.qlabel),
+       |ranked AS (SELECT query_id, qlabel, vec_id, label, cos,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(qlabel AS BIGINT) AS query_label, rank,
+       |  vec_id AS negative_id, CAST(label AS BIGINT) AS negative_label,
+       |  ${sqlRound("cos", 6)} AS score
+       |FROM ranked WHERE rank <= $HnK
+       |ORDER BY query_id, rank""".stripMargin
+
 }

@@ -297,6 +297,63 @@ object EventStream {
     spark.table(name).orderBy($"user_id", $"event_id", $"purchase_id")
   }
 
+  /** Stream-STATIC enrichment join — the remaining Structured Streaming
+    * join surface beside [[rangeJoinStream]]'s stream-stream form: the
+    * event stream joined to a static batch dimension (customer segment),
+    * then aggregated per (segment, event_type) in complete mode. The
+    * static side needs no watermark and no state — Spark re-plans it as
+    * an ordinary broadcast-hash join inside every micro-batch, which is
+    * exactly the 1000-executor shape: the dim broadcasts once per batch,
+    * the stream side never shuffles before the join. This is the
+    * enrich-on-ingest pattern (fact stream + slowly-read dims) every
+    * streaming warehouse front-door runs. */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "enr_" + UUID.randomUUID().toString.replace("-", "")
+    val dim = broadcast(Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_mktsegment"))
+    val stream = rawEvents(spark, sfDir)
+      .join(dim, $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.operators.Relational.moneySum($"value").as("sum_value"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q =
+      try {
+        stream.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    spark.table(name)
+      .select($"c_mktsegment", $"event_type", $"n_events", $"sum_value")
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
+  /** Driver-oracled wrapper for [[streamStaticEnrich]] — the THIRD
+    * oracled streaming query (q33 tumbling, q131 sessionization, this).
+    * Valid as an oracle because the availableNow drain processes every
+    * event exactly once and the aggregation is over exact-grid values
+    * (moneySum cents), so the streamed result equals the batch join
+    * bit-for-bit. */
+  def q150StreamEnrich(spark: SparkSession, sfDir: String): DataFrame =
+    streamStaticEnrich(spark, sfDir)
+
+  val q150StreamEnrichSql: String =
+    """SELECT c_mktsegment, event_type, count(*) AS n_events,
+      |  sum(floor(value * 100.0 + 0.5)) / 100.0 AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** The ns-safe raw event stream (shared by the streaming operators). */
   private def rawEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2734,6 +2734,54 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q153 epoch shuffle: shards partition every epoch; epochs reshuffle") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val total = Tables.documents(spark, d).filter(col("text").isNotNull).count()
+    val out = graft.operators.TextOps.q153EpochShuffle(spark, d).collect()
+    val byEpoch = out.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet === Set(1, 2, 3))
+    byEpoch.foreach { case (_, rows) =>
+      // shards partition the corpus: doc counts sum back to the total
+      assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+      assert(rows.forall { r =>
+        val s = r.getAs[Long]("shard"); s >= 0 && s < 16
+      })
+    }
+    // different epochs assign different keys: the per-shard membership
+    // fingerprints cannot all coincide between two epochs
+    val fp = (e: Int) => byEpoch(e)
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("member_fp")).toMap
+    assert(fp(1) !== fp(2))
+    assert(fp(2) !== fp(3))
+  }
+
+  test("q152 hard negatives are cross-label and match a window replay") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val out = graft.operators.VectorOps.q152HardNegatives(spark, d)
+    assert(out.filter(col("query_label") === col("negative_label")).count() === 0)
+    // independent window formulation of the same top-k
+    val emb = Tables.embeddings(spark, d)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val replay = emb.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.Vectors.cosine(col("qvec"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id").as("negative_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.select(col("query_id"), col("negative_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === replay)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

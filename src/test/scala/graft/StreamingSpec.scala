@@ -55,6 +55,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
   }
 
+  test("stream-static enrichment join equals the batch join+agg row-for-row") {
+    val streamed = EventStream.streamStaticEnrich(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val batch = Tables.events(spark, d)
+      .join(Tables.customer(spark, d).select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.moneySum($"value").as("sum_value"))
+      .orderBy($"c_mktsegment", $"event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("mapGroupsWithState final per-user counts equal batch group counts") {
     val stateful = EventStream.statefulUserCounts(spark, d)
       .select($"user_id", $"n_events").collect()
