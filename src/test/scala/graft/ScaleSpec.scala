@@ -309,6 +309,31 @@ class ScaleSpec extends AnyFunSuite {
       s"bounded carry-in relation lost its broadcast:\n$planStr")
   }
 
+  test("q126/q142 two-phase windows: row-grain windows are partitioned, " +
+      "carry-in joins by broadcast") {
+    // the r5 verdict's scale-killer class: a cumulative window with no
+    // PARTITION BY runs the whole relation through one task. After the
+    // two-phase rewrite, the only partition-less window allowed is the
+    // bounded bucket/superbucket carry axis — the row-grain window must
+    // carry a partition spec, and the carry relation must broadcast.
+    Seq(
+      // (query, bucket key, row key): the row-grain window must sort by
+      // (bucket, row) — partitioned — not by the row key alone
+      ("q126", "bkt", "doc_id", graft.operators.TextOps
+        .q126CompactionPlan(spark, "/root/testdata/sf0.001")),
+      ("q142", "sb", "bucket", graft.operators.TextOps
+        .q142VocabGrowth(spark, "/root/testdata/sf0.001"))
+    ).foreach { case (name, bucketKey, rowKey, df) =>
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("BroadcastHashJoin"),
+        s"$name: bounded carry-in relation lost its broadcast:\n$planStr")
+      val partitionedSort =
+        (s"\\[$bucketKey#\\d+L? ASC NULLS FIRST, $rowKey#\\d+L? ASC").r
+      assert(partitionedSort.findFirstIn(planStr).isDefined,
+        s"$name: row-grain window is not partitioned by $bucketKey:\n$planStr")
+    }
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no
