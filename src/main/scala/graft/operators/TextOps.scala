@@ -2832,4 +2832,126 @@ object TextOps {
        |  min(h) AS min_key, max(h) AS max_key, bit_xor(h) AS member_fp
        |FROM h GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q154: deletion propagation (right-to-be-forgotten fan-out)
+  // ---------------------------------------------------------------
+
+  private val TombMod = 20L // md5-chosen 5% of docs play the tombstones
+
+  /** Right-to-be-forgotten propagation — given a tombstone list (an
+    * md5-chosen 5% of docs plays it), the deletion CENSUS across every
+    * derived relation a corpus pipeline maintains: the corpus itself,
+    * the q74 chunk relation, the staged near-dup pair relation (a pair
+    * dies when EITHER endpoint does), and the q99 segment-dedup groups
+    * (a multi-occurrence segment-fingerprint group "dies" when deletion
+    * leaves it single-occurrence — the canonical-election impact on the
+    * dedup index). This is the compliance pass every 100 TB corpus must
+    * run cheaply: chunk impact is arithmetic on token counts (no chunk
+    * rescan), pair impact is a pure md5 predicate on the pair endpoints
+    * (no join — tombstone membership is a function of the key), group
+    * impact one fingerprint aggregate at segment grain. Census rows:
+    * (relation, rows_before, rows_removed, rows_after). */
+  def q154DeletePropagation(s: SparkSession, d: String): DataFrame = {
+    def tombOf(c: Column): Column =
+      conv(substring(md5(concat(lit("del:"), c.cast("string"))), 1, 8),
+        16, 10).cast("long") % TombMod === 7
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"text", tombOf($"doc_id").as("tomb"))
+    def census(rel: String, before: Column, removed: Column)(df: DataFrame) =
+      df.agg(before.as("rows_before"), removed.as("rows_removed"))
+        .select(lit(rel).as("relation"), $"rows_before", $"rows_removed")
+    val dC = census("documents", count(lit(1)),
+      coalesce(sum(when($"tomb", 1L).otherwise(0L)), lit(0L)))(docs)
+    // chunk impact: q74's chunk-count arithmetic — no explode, no
+    // rescan of the chunk relation
+    val n = size(split($"text", " "))
+    val nChunks = when(n <= ChunkSize, lit(1L))
+      .otherwise(lit(1L) + ceil((n - ChunkSize) / ChunkStride.toDouble).cast("long"))
+    val cC = census("chunks", coalesce(sum($"nc"), lit(0L)),
+      coalesce(sum(when($"tomb", $"nc").otherwise(0L)), lit(0L)))(
+      docs.select($"tomb", nChunks.as("nc")))
+    // pair impact: tombstone membership is a FUNCTION of the endpoint
+    // id, so no join against the tombstone list at all
+    val pC = census("near_dup_pairs", count(lit(1)),
+      coalesce(sum(when(tombOf($"d1") || tombOf($"d2"), 1L).otherwise(0L)),
+        lit(0L)))(
+      pairsStaged(s, d).filter($"jaccard" >= ClusterJaccard)
+        .select($"d1", $"d2"))
+    // dup-group impact at q99's segment grain: a multi-occurrence
+    // segment group that deletion reduces below 2 occurrences stops
+    // being a dedup decision at all
+    val segs = docs
+      .select($"doc_id", $"tomb", split($"text", " ").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" > 0)
+      .select($"tomb", $"toks",
+        explode(sequence(lit(0L),
+          ceil($"n" / SegLen.toDouble).cast("long") - 1)).as("seg_idx"))
+      .select($"tomb",
+        md5(array_join(
+          slice($"toks", ($"seg_idx" * SegLen + 1).cast("int"), lit(SegLen)),
+          " ")).as("fp"))
+    val gC = census("dup_groups",
+      coalesce(sum(when($"n" >= 2, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when($"n" >= 2 && ($"n" - $"nt") < 2, 1L).otherwise(0L)),
+        lit(0L)))(
+      segs.groupBy($"fp")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"tomb", 1L).otherwise(0L)).as("nt")))
+    dC.unionByName(cC).unionByName(pC).unionByName(gC)
+      .select($"relation", $"rows_before", $"rows_removed",
+        ($"rows_before" - $"rows_removed").as("rows_after"))
+      .orderBy($"relation")
+  }
+
+  val q154DeletePropagationSql: String = {
+    def tombSql(c: String): String =
+      s"(CAST('0x' || substring(md5('del:' || CAST($c AS VARCHAR)), 1, 8) " +
+        s"AS BIGINT) % $TombMod = 7)"
+    s"""WITH $nearPairCtes,
+       |d AS (SELECT doc_id, text, ${tombSql("doc_id")} AS tomb
+       |  FROM documents WHERE text IS NOT NULL),
+       |doc_c AS (SELECT 'documents' AS relation, count(*) AS rows_before,
+       |    CAST(coalesce(sum(CASE WHEN tomb THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS rows_removed
+       |  FROM d),
+       |ch AS (SELECT tomb, CASE
+       |    WHEN len(string_split(text, ' ')) <= $ChunkSize THEN 1
+       |    ELSE 1 + CAST(ceil((len(string_split(text, ' ')) - $ChunkSize)
+       |      / ${ChunkStride}.0) AS BIGINT) END AS nc
+       |  FROM d),
+       |chunk_c AS (SELECT 'chunks' AS relation,
+       |    CAST(coalesce(sum(nc), 0) AS BIGINT) AS rows_before,
+       |    CAST(coalesce(sum(CASE WHEN tomb THEN nc ELSE 0 END), 0) AS BIGINT)
+       |      AS rows_removed
+       |  FROM ch),
+       |pair_c AS (SELECT 'near_dup_pairs' AS relation,
+       |    count(*) AS rows_before,
+       |    CAST(coalesce(sum(CASE WHEN ${tombSql("d1")} OR ${tombSql("d2")}
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS rows_removed
+       |  FROM near),
+       |sws AS (SELECT tomb, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM d
+       |  WHERE len(string_split(text, ' ')) > 0),
+       |sgs AS (SELECT tomb,
+       |    md5(array_to_string(w[sg * $SegLen + 1 : sg * $SegLen + $SegLen],
+       |      ' ')) AS fp
+       |  FROM sws, UNNEST(range(0, CAST(ceil(n / ${SegLen}.0) AS BIGINT)))
+       |    AS t(sg)),
+       |g AS (SELECT fp, count(*) AS n,
+       |    sum(CASE WHEN tomb THEN 1 ELSE 0 END) AS nt
+       |  FROM sgs GROUP BY 1),
+       |grp_c AS (SELECT 'dup_groups' AS relation,
+       |    CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS rows_before,
+       |    CAST(coalesce(sum(CASE WHEN n >= 2 AND n - nt < 2 THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) AS rows_removed
+       |  FROM g)
+       |SELECT relation, rows_before, rows_removed,
+       |  rows_before - rows_removed AS rows_after
+       |FROM (SELECT * FROM doc_c UNION ALL SELECT * FROM chunk_c
+       |      UNION ALL SELECT * FROM pair_c UNION ALL SELECT * FROM grp_c)
+       |ORDER BY relation""".stripMargin
+  }
+
 }

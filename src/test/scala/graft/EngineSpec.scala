@@ -2782,6 +2782,43 @@ class EngineSpec extends AnyFunSuite {
     assert(got === replay)
   }
 
+  test("q154 delete propagation: census equals a driver-side tombstone replay") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    // JVM replay of the md5 tombstone predicate + chunk arithmetic
+    def tomb(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"del:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 20 == 7
+    }
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def chunksOf(n: Int): Long =
+      if (n <= 32) 1L else 1L + math.ceil((n - 32) / 24.0).toLong
+    val expDocs = (docs.length.toLong, docs.count(t => tomb(t._1)).toLong)
+    val expChunks = (docs.map(t => chunksOf(t._2)).sum,
+      docs.filter(t => tomb(t._1)).map(t => chunksOf(t._2)).sum)
+    val out = graft.operators.TextOps.q154DeletePropagation(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("documents")._1 === expDocs._1)
+    assert(out("documents")._2 === expDocs._2)
+    assert(out("chunks")._1 === expChunks._1)
+    assert(out("chunks")._2 === expChunks._2)
+    // uniform invariants across all four relations
+    out.values.foreach { case (before, removed, after) =>
+      assert(after === before - removed)
+      assert(removed >= 0 && removed <= before)
+    }
+    assert(out.keySet === Set("documents", "chunks", "near_dup_pairs", "dup_groups"))
+    // non-vacuous at this SF: tombstones exist and pairs/groups fire
+    assert(out("documents")._2 > 0)
+    assert(out("near_dup_pairs")._2 > 0)
+    assert(out("dup_groups")._2 > 0)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
