@@ -2954,4 +2954,52 @@ object TextOps {
        |ORDER BY relation""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q155: padding-waste plan (pow2 length bucketing for batching)
+  // ---------------------------------------------------------------
+
+  /** Dynamic-batching padding plan — the batch-shaping decision every
+    * training/inference loader makes: documents grouped into
+    * power-of-two length buckets (pad-to-bucket), per bucket the doc
+    * count, real token mass, padded mass (bucket x docs) and the
+    * padding waste in ppm — the number that says whether bucketed
+    * batching is worth it vs pad-to-global-max. The bucket is computed
+    * with INTEGER BIT ARITHMETIC (binary-representation length via
+    * `bin`, exact power-of-two test via n AND n-1), never log2 — the
+    * README rule-8 transcendental hazard does not exist here, and both
+    * engines agree bit-for-bit. One narrow projection + one bounded
+    * aggregation (<= 64 bucket rows at ANY corpus scale); the waste
+    * ratio runs in double only after the exact integer sums (rule
+    * 7). */
+  def q155PaddingPlan(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select(Text.tokenCount($"text").cast("long").as("n"))
+      .filter($"n" > 0)
+      .select($"n",
+        when(($"n".bitwiseAND($"n" - 1)) === 0, $"n")
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), " +
+            "cast(length(bin(n)) as int))")).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("token_mass"))
+      .select($"bucket", $"n_docs", $"token_mass",
+        ($"bucket" * $"n_docs").as("padded_mass"),
+        floor(($"bucket" * $"n_docs" - $"token_mass") * 1000000.0 /
+          ($"bucket" * $"n_docs")).cast("long").as("waste_ppm"))
+      .orderBy($"bucket")
+
+  val q155PaddingPlanSql: String =
+    s"""WITH t AS (SELECT CAST($tcSql AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND $tcSql > 0),
+       |b AS (SELECT n, CASE WHEN (n & (n - 1)) = 0 THEN n
+       |    ELSE (CAST(1 AS BIGINT) << length(bin(n))) END AS bucket
+       |  FROM t),
+       |agg AS (SELECT bucket, count(*) AS n_docs,
+       |    CAST(sum(n) AS BIGINT) AS token_mass
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, token_mass,
+       |  bucket * n_docs AS padded_mass,
+       |  CAST(floor((bucket * n_docs - token_mass) * 1000000.0 /
+       |    (bucket * n_docs)) AS BIGINT) AS waste_ppm
+       |FROM agg ORDER BY bucket""".stripMargin
+
 }

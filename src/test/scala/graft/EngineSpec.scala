@@ -2819,6 +2819,31 @@ class EngineSpec extends AnyFunSuite {
     assert(out("dup_groups")._2 > 0)
   }
 
+  test("q155 padding plan: pow2 buckets and waste equal a JVM replay") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val ns = Tables.documents(spark, d).filter(col("text").isNotNull)
+      .select(size(split(col("text"), " ")).as("n")).filter(col("n") > 0)
+      .collect().map(_.getInt(0).toLong)
+    def pow2Bucket(n: Long): Long =
+      if ((n & (n - 1)) == 0) n else java.lang.Long.highestOneBit(n) << 1
+    val expect = ns.groupBy(pow2Bucket).map { case (b, xs) =>
+      val docs = xs.length.toLong; val mass = xs.sum
+      b -> ((docs, mass,
+        math.floor((b * docs - mass) * 1000000.0 / (b * docs)).toLong))
+    }
+    val out = graft.operators.TextOps.q155PaddingPlan(spark, d).collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSet === expect.keySet)
+    out.foreach { r =>
+      val (docs, mass, waste) = expect(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_docs") === docs)
+      assert(r.getAs[Long]("token_mass") === mass)
+      assert(r.getAs[Long]("waste_ppm") === waste)
+      // every doc fits its bucket: waste is a true padding fraction
+      assert(waste >= 0 && waste < 1000000)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
