@@ -354,6 +354,60 @@ object EventStream {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Streaming-upsert sink — the lakehouse front-door pattern:
+    * `readStream → foreachBatch(upsert by natural key) → parquet
+    * store`. Structured Streaming guarantees each micro-batch is
+    * delivered to `foreachBatch` at-least-once with a stable batchId;
+    * composing it with the IDEMPOTENT [[graft.stg.Staging
+    * .upsertByNaturalKey]] (upsert twice == once, the J4 property) is
+    * what upgrades that to effectively-once on the stored table — the
+    * same recipe every Delta/Iceberg `MERGE`-from-stream runs, with the
+    * store swap playing the commit. Per batch the target is read,
+    * anti-joined on the key, and atomically swapped (write-new → rename
+    * — the graft.Pipeline staging swap discipline). Returns the final
+    * store as a DataFrame.
+    *
+    * Scale notes: the anti-join shuffles on the natural key exactly
+    * like the batch upsert; at a 1000-executor deployment the store
+    * would be a table format with MERGE instead of a directory swap,
+    * but the operator shape (idempotent key-upsert per micro-batch) is
+    * identical. */
+  def streamUpsertSink(spark: SparkSession, sfDir: String,
+      storePath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val name = "ups_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q = rawEvents(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val target = scala.util.Try(spark.read.parquet(storePath))
+          .getOrElse(batch.limit(0))
+        graft.stg.Staging.upsertByNaturalKey(target, batch, Seq("event_id"))
+          .write.mode("overwrite").parquet(s"$storePath.new")
+        val live = new Path(storePath)
+        val fresh = new Path(s"$storePath.new")
+        val bak = new Path(s"$storePath.bak")
+        fs.delete(bak, true)
+        if (fs.exists(live) && !fs.rename(live, bak))
+          throw new java.io.IOException(s"upsert sink: cannot set aside $live")
+        if (!fs.rename(fresh, live)) {
+          fs.rename(bak, live)
+          throw new java.io.IOException(s"upsert sink: cannot publish $fresh")
+        }
+        fs.delete(bak, true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    spark.read.parquet(storePath)
+  }
+
   /** The ns-safe raw event stream (shared by the streaming operators). */
   private def rawEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -70,6 +70,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("foreachBatch upsert sink: store equals batch events; rerun is a no-op") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_upsert_store").toString + "/events"
+    val first = EventStream.streamUpsertSink(spark, d, store)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    val batchIds = Tables.events(spark, d)
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(first === batchIds)
+    // second full run re-delivers every event — the idempotent upsert
+    // must leave the store EXACTLY as it was (effectively-once)
+    val second = EventStream.streamUpsertSink(spark, d, store)
+    assert(second.count() === batchIds.size.toLong)
+    assert(second.select($"event_id").distinct().count() === batchIds.size.toLong)
+  }
+
   test("mapGroupsWithState final per-user counts equal batch group counts") {
     val stateful = EventStream.statefulUserCounts(spark, d)
       .select($"user_id", $"n_events").collect()
