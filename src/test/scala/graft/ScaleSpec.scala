@@ -22,10 +22,17 @@ class ScaleSpec extends AnyFunSuite {
 
   private def freshTable(name: String): String = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    // managed-table location is <warehouse>/<db>.db/<table>
+    // managed-table location is <warehouse>/<db>.db/<table> — resolve
+    // the warehouse from the LIVE session: if another suite created the
+    // shared session first, its (static) warehouse conf wins, and a
+    // hardcoded path here would clean the wrong directory, leaving a
+    // stale location behind to fail the CREATE with
+    // LOCATION_ALREADY_EXISTS on the next run
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
     val loc = name.split('.') match {
-      case Array(db, t) => s"/tmp/graft_warehouse/$db.db/$t"
-      case _ => s"/tmp/graft_warehouse/$name"
+      case Array(db, t) => s"$wh/$db.db/$t"
+      case _ => s"$wh/$name"
     }
     new scala.reflect.io.Directory(new java.io.File(loc)).deleteRecursively()
     name
