@@ -1502,4 +1502,64 @@ object EventOps {
       |FROM p GROUP BY route, event_type
       |ORDER BY route, event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q156: maximum drawdown (running-peak risk census per series)
+  // ---------------------------------------------------------------
+
+  /** Maximum drawdown — THE risk number a commodity-trading mart
+    * reports beside every price series (how far below its running peak
+    * the series fell, and how long it spent underwater): per series
+    * key (supplier plays the contract), the exact-cent price stream in
+    * its unique physical order carries a running `max` window, drawdown
+    * is peak − price, and the census reports the all-time peak, the
+    * worst drawdown (absolute and ppm of the peak), and the underwater
+    * day count. Everything is integer-exact until the two final
+    * divisions (rule 5/7); the running max is a per-KEY window — at any
+    * scale each series is one partition's sequential scan, exactly how
+    * a 1000-executor cluster spreads 10^6 series. */
+  def q156MaxDrawdown(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .select($"l_suppkey", $"cents",
+        max($"cents").over(w).as("peak"))
+      .select($"l_suppkey", $"cents", $"peak",
+        ($"peak" - $"cents").as("dd"))
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_points"),
+        max($"peak").as("peak_cents"),
+        max($"dd").as("dd_cents"),
+        sum(when($"dd" > 0, 1L).otherwise(0L)).as("n_underwater"))
+      .select($"l_suppkey", $"n_points",
+        ($"peak_cents" / 100.0).as("max_price"),
+        ($"dd_cents" / 100.0).as("max_drawdown"),
+        floor($"dd_cents" * 1000000.0 / $"peak_cents").cast("long")
+          .as("dd_ppm"),
+        $"n_underwater")
+      .orderBy($"l_suppkey")
+  }
+
+  val q156MaxDrawdownSql: String =
+    """WITH px AS (SELECT l_suppkey,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    max(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+      |      OVER (PARTITION BY l_suppkey
+      |            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM lineitem),
+      |dd AS (SELECT l_suppkey, cents, peak, peak - cents AS dd FROM px)
+      |SELECT l_suppkey, count(*) AS n_points,
+      |  CAST(max(peak) AS BIGINT) / 100.0 AS max_price,
+      |  CAST(max(dd) AS BIGINT) / 100.0 AS max_drawdown,
+      |  CAST(floor(CAST(max(dd) AS BIGINT) * 1000000.0 /
+      |    CAST(max(peak) AS BIGINT)) AS BIGINT) AS dd_ppm,
+      |  CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_underwater
+      |FROM dd GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
 }

@@ -2845,6 +2845,36 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q156 max drawdown equals a sequential running-peak fold") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("sd"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4)), r.getLong(5)))
+    val expect = rows.groupBy(_._1).map { case (k, xs) =>
+      var peak = Long.MinValue; var maxDd = 0L; var under = 0L
+      xs.sortBy(x => x._2).foreach { case (_, _, c) =>
+        if (c > peak) peak = c
+        val dd = peak - c
+        if (dd > maxDd) maxDd = dd
+        if (dd > 0) under += 1
+      }
+      k -> ((xs.length.toLong, peak, maxDd, under))
+    }
+    graft.operators.EventOps.q156MaxDrawdown(spark, d).collect().foreach { r =>
+      val (n, peak, dd, under) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_points") === n)
+      assert(r.getAs[Double]("max_price") === peak / 100.0)
+      assert(r.getAs[Double]("max_drawdown") === dd / 100.0)
+      assert(r.getAs[Long]("n_underwater") === under)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
