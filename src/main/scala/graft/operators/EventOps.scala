@@ -1544,6 +1544,64 @@ object EventOps {
       .orderBy($"l_suppkey")
   }
 
+  /** Return volatility — the other half of the q156 risk pair: per
+    * series key, the standard deviation of successive price CHANGES
+    * (cent grid), from exact integer sums only — n, Σd and Σd² are
+    * map-side-combinable longs, and the variance assembles as
+    * (n·Σd² − (Σd)²)/n² with the big products taken in double AFTER
+    * the exact sums (rule 7 — n·Σd² overflows BIGINT at ~10¹⁰ rows
+    * per key while the double form stays exact in rank). sqrt is
+    * IEEE-correctly-rounded, so the result crosses engines bit-for-bit
+    * (unlike ln — no grid needed). One per-key lag window + one
+    * aggregate. */
+  def q157Volatility(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
+    Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+      .select($"l_suppkey",
+        ($"cents" - lag($"cents", 1).over(w)).as("diff"))
+      .filter($"diff".isNotNull)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_moves"),
+        sum($"diff").as("sd"),
+        sum($"diff" * $"diff").as("sd2"))
+      .select($"l_suppkey", $"n_moves",
+        Relational.stableRound(
+          sqrt(($"n_moves".cast("double") * $"sd2".cast("double") -
+            $"sd".cast("double") * $"sd".cast("double")) /
+            ($"n_moves".cast("double") * $"n_moves".cast("double"))) / 100.0,
+          4).as("vol"),
+        ($"sd" / 100.0).as("net_move"))
+      .orderBy($"l_suppkey")
+  }
+
+  val q157VolatilitySql: String = {
+    val varExpr = "(CAST(n_moves AS DOUBLE) * CAST(sd2 AS DOUBLE) - " +
+      "CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) / " +
+      "(CAST(n_moves AS DOUBLE) * CAST(n_moves AS DOUBLE))"
+    s"""WITH px AS (SELECT l_suppkey,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    lag(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+       |      OVER (PARTITION BY l_suppkey
+       |            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+       |      AS prev
+       |  FROM lineitem),
+       |df AS (SELECT l_suppkey, cents - prev AS diff FROM px
+       |  WHERE prev IS NOT NULL),
+       |agg AS (SELECT l_suppkey, count(*) AS n_moves,
+       |    CAST(sum(diff) AS BIGINT) AS sd,
+       |    CAST(sum(diff * diff) AS BIGINT) AS sd2
+       |  FROM df GROUP BY l_suppkey)
+       |SELECT l_suppkey, n_moves,
+       |  ${Relational.sqlRound(s"sqrt($varExpr) / 100.0", 4)} AS vol,
+       |  sd / 100.0 AS net_move
+       |FROM agg ORDER BY l_suppkey""".stripMargin
+  }
+
   val q156MaxDrawdownSql: String =
     """WITH px AS (SELECT l_suppkey,
       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,

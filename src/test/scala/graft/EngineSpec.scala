@@ -2875,6 +2875,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 volatility equals a sequential diff-fold replay") {
+    import graft.sources.Tables
+    val d = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("sd"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+        r.getInt(3).toLong, r.getLong(4)), r.getLong(5)))
+    val expect = rows.groupBy(_._1).flatMap { case (k, xs) =>
+      val cs = xs.sortBy(_._2).map(_._3)
+      val diffs = cs.zip(cs.tail).map { case (a, b) => b - a }
+      if (diffs.isEmpty) None else {
+        val n = diffs.length.toLong
+        val sd = diffs.sum; val sd2 = diffs.map(x => x * x).sum
+        val vr = (n.toDouble * sd2.toDouble - sd.toDouble * sd.toDouble) /
+          (n.toDouble * n.toDouble)
+        Some(k -> ((n,
+          math.floor(math.sqrt(vr) / 100.0 * 1e4 + 0.5) / 1e4,
+          sd / 100.0)))
+      }
+    }
+    graft.operators.EventOps.q157Volatility(spark, d).collect().foreach { r =>
+      val (n, vol, net) = expect(r.getLong(0))
+      assert(r.getAs[Long]("n_moves") === n)
+      assert(r.getAs[Double]("vol") === vol)
+      assert(r.getAs[Double]("net_move") === net)
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
