@@ -85,22 +85,32 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stageMode","queries":$qs,"sf":"$sfDir"}"""
     // The driver's capture keeps only the LAST ~2000 characters of output;
     // the full-name queries map overflows that, truncating the JSON line
-    // mid-object (BENCH_r01..r04 all show "parsed": null with the tail
-    // starting mid-line). The stdout contract line therefore uses the
-    // short query ids ("q24" for "q24_lsh_pairs" — the id prefix is unique
-    // across SparkEntry.queries) and millisecond precision: ~1.1 KB for 81
-    // queries, headroom for many more. Full names + full precision remain
-    // in the files and on stderr. BASELINE.md documents the id scheme.
+    // mid-object (BENCH_r01..r07 show "parsed": null with the tail
+    // starting mid-line; r7's line measured exactly 2000 chars — the r5
+    // short-id fix bought headroom that 155 queries consumed). The stdout
+    // contract line therefore uses short query ids ("q24" for
+    // "q24_lsh_pairs" — the id prefix is unique across SparkEntry.queries)
+    // and INTEGER CENTISECONDS ("q123":625 = 6.25 s): ~1.7 KB at 159
+    // queries, with a hard guard below so any future overflow fails the
+    // build loudly instead of silently truncating a fourth round.
+    // "qunit":"centisec" marks the per-query unit; the outer total stays
+    // in seconds. "reps"/"hint" let parsers weight one-shot cold numbers
+    // (±2x host noise, see r5/r7) vs medians. Full names + full precision
+    // remain in the files and on stderr. BASELINE.md documents the scheme.
     def shortId(name: String): String = name.split("_")(0)
     val qsShort = results
       .map { case (k, v) =>
-        "\"" + shortId(k) + "\":" + (if (v < 0) "-1" else f"$v%.3f")
+        "\"" + shortId(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
       }
       .mkString("{", ",", "}")
+    val noiseHint = if (reps > 1) s"median_$reps" else "one-shot"
     val jsonShort =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","stage":"$stageMode","queries":$qsShort,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","qunit":"centisec","stage":"$stageMode","reps":$reps,"hint":"$noiseHint","queries":$qsShort,"sf":"$sfDir"}"""
     require(results.map(r => shortId(r._1)).distinct.size == results.size,
       "short query ids must stay unique — rename the colliding query")
+    require(jsonShort.length < 1900,
+      s"bench contract line is ${jsonShort.length} chars — must stay under " +
+        "1900 (driver keeps only the last ~2000 chars of stdout); shrink ids")
     // sbt prefixes stdout with [info] and interleaves Spark logs, so the
     // driver's stream parse can miss the line — ALSO write it to files
     // (driver + humans read either). Two files: the canonical path for

@@ -1554,14 +1554,21 @@ object EventOps {
     * IEEE-correctly-rounded, so the result crosses engines bit-for-bit
     * (unlike ln — no grid needed). One per-key lag window + one
     * aggregate. */
-  def q157Volatility(s: SparkSession, d: String): DataFrame = {
+  def q157Volatility(s: SparkSession, d: String): DataFrame =
+    volatilityOf(Tables.lineitem(s, d)
+      .select($"l_suppkey",
+        $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey",
+        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents")))
+
+  /** Core of [[q157Volatility]] over an arbitrary
+    * (l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_partkey, cents)
+    * frame — split out so EngineSpec can drive the degenerate cases
+    * (constant series, giant diffs whose n·Σd² exceeds 2^53) directly. */
+  def volatilityOf(px: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"l_suppkey")
       .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey")
-    Tables.lineitem(s, d)
-      .select($"l_suppkey",
-        $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_partkey",
-        floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents"))
+    px
       .select($"l_suppkey",
         ($"cents" - lag($"cents", 1).over(w)).as("diff"))
       .filter($"diff".isNotNull)
@@ -1570,10 +1577,18 @@ object EventOps {
         sum($"diff").as("sd"),
         sum($"diff" * $"diff").as("sd2"))
       .select($"l_suppkey", $"n_moves",
+        // the variance assembles from independently-rounded doubles:
+        // once n·Σd² exceeds 2^53 a near-zero-variance series can round
+        // to a tiny NEGATIVE — Spark's sqrt would return NaN while
+        // DuckDB's sqrt ERRORS, crashing the oracle and diverging the
+        // engines at some scale factor. Clamp to 0 on BOTH sides (the
+        // SQL mirror uses greatest(...,0) identically).
         Relational.stableRound(
-          sqrt(($"n_moves".cast("double") * $"sd2".cast("double") -
-            $"sd".cast("double") * $"sd".cast("double")) /
-            ($"n_moves".cast("double") * $"n_moves".cast("double"))) / 100.0,
+          sqrt(greatest(
+            ($"n_moves".cast("double") * $"sd2".cast("double") -
+              $"sd".cast("double") * $"sd".cast("double")) /
+              ($"n_moves".cast("double") * $"n_moves".cast("double")),
+            lit(0.0))) / 100.0,
           4).as("vol"),
         ($"sd" / 100.0).as("net_move"))
       .orderBy($"l_suppkey")
@@ -1597,7 +1612,7 @@ object EventOps {
        |    CAST(sum(diff * diff) AS BIGINT) AS sd2
        |  FROM df GROUP BY l_suppkey)
        |SELECT l_suppkey, n_moves,
-       |  ${Relational.sqlRound(s"sqrt($varExpr) / 100.0", 4)} AS vol,
+       |  ${Relational.sqlRound(s"sqrt(greatest($varExpr, 0)) / 100.0", 4)} AS vol,
        |  sd / 100.0 AS net_move
        |FROM agg ORDER BY l_suppkey""".stripMargin
   }

@@ -25,13 +25,38 @@ import graft.syntax._
   */
 object EventStream {
 
+  /** A stream-private session: shares the SparkContext (same executors,
+    * same caches) but carries its own SQLConf, so the narrow state-store
+    * shuffle width below is scoped to the streaming query instead of
+    * mutating the caller's session. The previous pattern (set
+    * `spark.sql.shuffle.partitions`, `start()`, restore in `finally`)
+    * restored the conf BEFORE the async micro-batch planner read it and
+    * raced any concurrent query on the shared session — output-neutral
+    * here, but exactly the kind of cross-query interference a
+    * 1000-executor deployment cannot afford. `newSession()` inherits the
+    * context-level defaults (timezone, AQE) from the SparkConf; the two
+    * confs the streams need are set explicitly. */
+  private def streamSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s.conf.set("spark.sql.session.timeZone",
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    s
+  }
+
   /** Run the streaming tumbling aggregation over the parquet events dir
     * until all available data is processed, then return the result as a
     * batch DataFrame (from the in-memory sink). Output matches
     * `EventOps.q30EventsTumbling` row-for-row. */
   def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "evt_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = rawEvents(spark, sfDir)
+    // stream-scoped shuffle width: each state-store partition carries
+    // fixed open/commit overhead per micro-batch, which dominates at
+    // local scale — 8 partitions instead of the session's 32 roughly
+    // halves the wall-clock with identical results. (A real cluster
+    // deployment would size this to the key cardinality instead.)
+    val ss = streamSession(spark, 8)
+    val stream = rawEvents(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(
         window($"ts", "1 hour").as("win"),
@@ -40,34 +65,20 @@ object EventStream {
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"),
         approx_count_distinct($"user_id").as("approx_users"))
-    // stream-scoped shuffle width: each state-store partition carries
-    // fixed open/commit overhead per micro-batch, which dominates at
-    // local scale — 8 partitions instead of the session's 32 roughly
-    // halves the wall-clock with identical results. (A real cluster
-    // deployment would size this to the key cardinality instead.)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = s"/tmp/graft_ckpt_$name"
-    val q =
-      try {
-        stream.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        // partition count is captured at query start; restore the
-        // session conf for whatever runs next
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
     // the uniquely-named checkpoint can never be resumed — remove it
     // even when the query fails, so repeated Verify/Bench runs don't
     // accumulate orphans in /tmp
     try q.awaitTermination()
     finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    spark.table(name)
+    ss.table(name)
       .select(
         date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events", $"sum_value", $"approx_users")
@@ -82,7 +93,8 @@ object EventStream {
     * windows make at any scale. */
   def slidingCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "evs_" + UUID.randomUUID().toString.replace("-", "")
-    val stream = rawEvents(spark, sfDir)
+    val ss = streamSession(spark, 8)
+    val stream = rawEvents(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(
         window($"ts", "1 hour", "30 minutes").as("win"),
@@ -90,24 +102,17 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = s"/tmp/graft_ckpt_$name"
-    val q =
-      try {
-        stream.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
     try q.awaitTermination()
     finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    spark.table(name)
+    ss.table(name)
       .select(
         date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
         $"event_type", $"n_events", $"sum_value")
@@ -264,17 +269,22 @@ object EventStream {
     * on ordered finite input. */
   def rangeJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
+    // 8 state-store partitions, stream-scoped: a stream-stream join
+    // keeps TWO keyed state stores per partition, so the per-partition
+    // open/commit overhead bites twice — at local scale the narrow
+    // width matters even more than for the aggregations above
+    val ss = streamSession(spark, 8)
     // timestamps are truncated to WHOLE SECONDS before the join so the
     // ±1h bound matches the batch twin's floor-second gap arithmetic
     // exactly (README determinism rule: temporal join keys at second
     // grain) — with raw micro-precision, a pair whose real gap is in
     // (3600s, 3601s) but truncated gap exactly 3600 would be included
     // by batch yet excluded here
-    val clicks = rawEvents(spark, sfDir)
+    val clicks = rawEvents(ss, sfDir)
       .filter($"event_type" === "click")
       .select($"user_id", date_trunc("second", $"ts").as("click_ts"), $"event_id")
       .withWatermark("click_ts", "1 hour")
-    val purchases = rawEvents(spark, sfDir)
+    val purchases = rawEvents(ss, sfDir)
       .filter($"event_type" === "purchase")
       .select($"user_id".as("p_user_id"),
         date_trunc("second", $"ts").as("purchase_ts"),
@@ -294,7 +304,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy($"user_id", $"event_id", $"purchase_id")
+    ss.table(name).orderBy($"user_id", $"event_id", $"purchase_id")
   }
 
   /** Stream-STATIC enrichment join — the remaining Structured Streaming
@@ -309,32 +319,26 @@ object EventStream {
     * streaming warehouse front-door runs. */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val name = "enr_" + UUID.randomUUID().toString.replace("-", "")
-    val dim = broadcast(Tables.customer(spark, sfDir)
+    val ss = streamSession(spark, 8)
+    val dim = broadcast(Tables.customer(ss, sfDir)
       .select($"c_custkey", $"c_mktsegment"))
-    val stream = rawEvents(spark, sfDir)
+    val stream = rawEvents(ss, sfDir)
       .join(dim, $"user_id" === $"c_custkey")
       .groupBy($"c_mktsegment", $"event_type")
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"))
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val ckpt = s"/tmp/graft_ckpt_$name"
-    val q =
-      try {
-        stream.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      }
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
     try q.awaitTermination()
     finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    spark.table(name)
+    ss.table(name)
       .select($"c_mktsegment", $"event_type", $"n_events", $"sum_value")
       .orderBy($"c_mktsegment", $"event_type")
   }
@@ -383,13 +387,28 @@ object EventStream {
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val target = scala.util.Try(spark.read.parquet(storePath))
-          .getOrElse(batch.limit(0))
-        graft.stg.Staging.upsertByNaturalKey(target, batch, Seq("event_id"))
-          .write.mode("overwrite").parquet(s"$storePath.new")
         val live = new Path(storePath)
         val fresh = new Path(s"$storePath.new")
         val bak = new Path(s"$storePath.bak")
+        // Read the current store. ONLY a genuinely-missing live path
+        // means "empty store"; if live is absent but a .bak survives,
+        // the previous batch crashed inside the two-rename publish
+        // window — promote the backup and continue from it. Every other
+        // failure (corrupt footer, transient FS error) PROPAGATES and
+        // fails the batch: the old Try(...).getOrElse(empty) here would
+        // have silently discarded every previously-upserted row, which
+        // contradicts the effectively-once contract this sink exists to
+        // provide (round-7 verdict, defect #1).
+        val target =
+          if (fs.exists(live)) spark.read.parquet(storePath)
+          else if (fs.exists(bak)) {
+            if (!fs.rename(bak, live))
+              throw new java.io.IOException(
+                s"upsert sink: cannot recover backup $bak -> $live")
+            spark.read.parquet(storePath)
+          } else batch.limit(0)
+        graft.stg.Staging.upsertByNaturalKey(target, batch, Seq("event_id"))
+          .write.mode("overwrite").parquet(s"$storePath.new")
         fs.delete(bak, true)
         if (fs.exists(live) && !fs.rename(live, bak))
           throw new java.io.IOException(s"upsert sink: cannot set aside $live")
@@ -466,5 +485,69 @@ object EventStream {
        |FROM agg a JOIN mx USING (user_id)
        |WHERE a.seq < mx.mseq
        |ORDER BY a.user_id, a.start_s""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q158: driver-oracled stream-stream interval join
+  // ---------------------------------------------------------------
+
+  /** The FOURTH driver-oracled streaming query (q33 tumbling, q131
+    * sessionization, q150 enrich, this): [[rangeJoinStream]]'s
+    * watermarked stream-stream interval join drained with availableNow,
+    * hash-checked against the pure-SQL batch interval join (the same
+    * oracle family as the batch q38). Valid because the driver's events
+    * table is one parquet file — a single micro-batch, so both sides'
+    * state stores hold the full finite history when the join runs and
+    * inner-join matches are emitted exhaustively; the multi-batch
+    * eviction contract is StreamingSpec's subject. Both engines truncate
+    * timestamps to whole seconds before the ±1h test (README temporal-
+    * key rule), so the pair sets agree exactly. */
+  def q158StreamRangeJoin(spark: SparkSession, sfDir: String): DataFrame =
+    rangeJoinStream(spark, sfDir)
+
+  val q158StreamRangeJoinSql: String =
+    """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS click_s,
+      |             event_id
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s,
+      |             event_id AS purchase_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id, p.purchase_id,
+      |  p.purchase_s - c.click_s AS gap_s
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND abs(c.click_s - p.purchase_s) <= 3600
+      |ORDER BY c.user_id, c.event_id, p.purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q159: driver-oracled foreachBatch upsert sink
+  // ---------------------------------------------------------------
+
+  /** The FIFTH driver-oracled streaming surface: the events stream
+    * drained through [[streamUpsertSink]] into a run-private parquet
+    * store — TWICE, with independent checkpoints, so the second drain
+    * re-delivers every event and the result proves rerun-is-a-no-op
+    * (upsert-twice == once, the reference's E1 contract under streaming
+    * delivery). Because event_ids are unique, upsert-once is the
+    * identity on the events table, so the oracle is a plain SELECT —
+    * a driver hash on the at-least-once→effectively-once upgrade.
+    * Output is projected to the deterministic grid (epoch seconds,
+    * integer cents — README rules) and ordered by the natural key. */
+  def q159StreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val store = s"/tmp/graft_upsert_store_" +
+      UUID.randomUUID().toString.replace("-", "")
+    streamUpsertSink(spark, sfDir, store)
+    val stored = streamUpsertSink(spark, sfDir, store)
+    stored.select(
+      $"event_id",
+      $"ts".cast("long").as("ts_s"),
+      $"user_id", $"event_type",
+      floor($"value" * 100.0 + 0.5).cast("long").as("value_cents"))
+      .orderBy($"event_id")
+  }
+
+  val q159StreamUpsertSql: String =
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |  user_id, event_type,
+      |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
+      |FROM events ORDER BY event_id""".stripMargin
 
 }

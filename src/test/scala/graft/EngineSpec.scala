@@ -30,6 +30,32 @@ class EngineSpec extends AnyFunSuite {
   // ODS build (W1-W5, J1-J3)
   // ------------------------------------------------------------------
 
+  test("q157 volatility core: constant series yields exact 0, giant diffs never NaN") {
+    // the variance (n·Σd² − (Σd)²)/n² assembles from independently-
+    // rounded doubles; once n·Σd² exceeds 2^53, a zero-variance series
+    // can round to a tiny NEGATIVE — DuckDB's sqrt would error and
+    // Spark would emit NaN. The clamp (greatest(var, 0) on both sides)
+    // must make every vol finite and non-negative.
+    def series(cents: Seq[Long]): DataFrame =
+      cents.zipWithIndex.map { case (c, i) =>
+        (1L, d("2021-01-04"), i.toLong, i, i.toLong, c)
+      }.toDF("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_partkey", "cents")
+    // constant prices: every diff is 0 — vol must be exactly 0.0
+    val flat = graft.operators.EventOps.volatilityOf(
+      series(Seq.fill(5)(12345L))).collect()
+    assert(flat.length === 1)
+    assert(flat.head.getAs[Double]("vol") === 0.0)
+    // equal giant diffs (~1e9 cents): mathematically zero variance, but
+    // n·Σd² ≈ 9e18 rounds in double — pre-clamp this could go sqrt(-ε)
+    val dd = 999999937L
+    val giant = graft.operators.EventOps.volatilityOf(
+      series(Seq(0L, dd, 2 * dd, 3 * dd))).collect()
+    assert(giant.length === 1)
+    val vol = giant.head.getAs[Double]("vol")
+    assert(!vol.isNaN && vol >= 0.0, s"vol must be finite non-negative, got $vol")
+  }
+
   private def stgFixture: DataFrame = Seq(
     // contract, timing, mo, change, prev_open, high, low, prev, last, volume, oi, snapshot_date
     ("KCH21", "t", "2", "+1", 100.0, 105.0, 99.0, 100.0, "104.00", 10L, 5L, d("2021-01-04")),

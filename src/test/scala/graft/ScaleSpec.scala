@@ -341,6 +341,37 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q156/q157 risk census: every window is partitioned by the series key, " +
+      "no global exchange") {
+    // the risk pair runs one running-max / one lag window per series —
+    // if anyone un-partitions those windows (or adds a SinglePartition
+    // exchange), the whole relation funnels through one task and the
+    // operator dies at scale. The only exchanges allowed are the
+    // l_suppkey hash shuffle the windows/aggregates share and the final
+    // presentation sort's range partitioning. (For the degenerate
+    // one-series corpus the running max would decompose two-phase —
+    // max is associative — but the census is per-series by contract.)
+    Seq(
+      ("q156", graft.operators.EventOps
+        .q156MaxDrawdown(spark, "/root/testdata/sf0.001")),
+      ("q157", graft.operators.EventOps
+        .q157Volatility(spark, "/root/testdata/sf0.001"))
+    ).foreach { case (name, df) =>
+      val planStr = df.queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\((\\w+)".r
+        .findAllMatchIn(planStr).map(_.group(1)).toList
+      assert(specs.nonEmpty, s"$name: expected a window in the plan:\n$planStr")
+      assert(specs.forall(_.startsWith("l_suppkey")),
+        s"$name: a window lost its l_suppkey partition spec: $specs\n$planStr")
+      assert(!planStr.contains("SinglePartition"),
+        s"$name: plan funnels through a single partition:\n$planStr")
+      val hashKeys = "hashpartitioning\\((\\w+)".r
+        .findAllMatchIn(planStr).map(_.group(1)).toList
+      assert(hashKeys.forall(_.startsWith("l_suppkey")),
+        s"$name: a shuffle is keyed off the series key: $hashKeys\n$planStr")
+    }
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no

