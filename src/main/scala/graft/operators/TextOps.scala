@@ -2298,6 +2298,127 @@ object TextOps {
        |ORDER BY b.canonical_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q160: cross-modal dedup capstone (exact ∘ text-LSH ∘ embedding)
+  // ---------------------------------------------------------------
+
+  private val EmbedDupCos = 0.9
+
+  /** The cross-modal dedup CAPSTONE: one per-document disposition
+    * census composing the three dedup modalities in precedence order —
+    * (1) EXACT: a doc that is not the min-id of its md5-fingerprint
+    * group defers to that min (q22's survivor policy); (2) TEXT
+    * NEAR-DUP: a still-standing doc in a staged q50 LSH cluster that is
+    * not the cluster's q146 argmax-quality pick defers to that pick
+    * (the pick is itself always an exact-survivor: identical text ⇒
+    * identical quality grid ⇒ the min-id tie-break lands on the
+    * fingerprint minimum); (3) EMBEDDING NEAR-DUP: a doc still standing
+    * after (1)+(2) whose vector has an exact-cosine ≥ [[EmbedDupCos]]
+    * partner with a smaller id among the standing set defers to the
+    * smallest such partner (pairwise policy — candidates from the
+    * hyperplane-LSH multiprobe, i.e. bucket hamming ≤ 1, which the
+    * oracle mirrors bit-exactly via the md5-derived planes). On the
+    * driver's isotropic synthetic embeddings arm (3) is PROVABLY empty
+    * (max pairwise cosine ≈ 0.48) — like q46's over-cap audit, the
+    * green oracle row keeps that zero AUDITED rather than assumed, and
+    * the arm goes live unchanged on a corpus with real duplicates.
+    *
+    * Scale shape: arm (1) is one md5-key aggregate; arm (2) reads the
+    * STAGED cluster/pick relations (built once per corpus); arm (3)
+    * semi-joins the standing set BEFORE bucketing, so only survivors
+    * pay the LSH; every join key (fp, canonical_id, bucket) is
+    * entropy-rich. Nothing here re-derives the shingle→signature
+    * subtree. */
+  def q160CrossModalDedup(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select($"doc_id", Text.fingerprintMd5($"text").as("fp"))
+    val fpSurv = fp.groupBy($"fp").agg(min($"doc_id").as("fp_survivor"))
+    val exact = fp.join(fpSurv, "fp").select($"doc_id", $"fp_survivor")
+
+    val clusters = q50DedupClusters(s, d).select($"doc_id", $"canonical_id")
+    val best = q146CanonicalPick(s, d).select($"canonical_id", $"best_doc_id")
+    val textArm = clusters.join(best, "canonical_id")
+      .select($"doc_id", $"best_doc_id")
+
+    val arm12 = exact.join(textArm, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"doc_id" =!= $"fp_survivor", lit("exact_dup"))
+          .when($"best_doc_id".isNotNull && $"doc_id" =!= $"best_doc_id",
+            lit("text_neardup"))
+          .otherwise(lit("kept")).as("status12"),
+        when($"doc_id" =!= $"fp_survivor", $"fp_survivor")
+          .when($"best_doc_id".isNotNull && $"doc_id" =!= $"best_doc_id",
+            $"best_doc_id")
+          .otherwise($"doc_id").as("canon12"))
+
+    val standing = arm12.filter($"status12" === "kept").select($"doc_id")
+    val embStanding = Tables.embeddings(s, d)
+      .filter($"embedding".isNotNull)
+      .join(standing, $"vec_id" === $"doc_id")
+      .select($"doc_id", $"embedding")
+    val embArm = VectorOps
+      .cosineNearDupPairs(embStanding, "doc_id", "embedding", EmbedDupCos)
+      .groupBy($"id2".as("doc_id")).agg(min($"id").as("emb_canonical"))
+
+    arm12.join(embArm, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"status12" =!= "kept", $"status12")
+          .when($"emb_canonical".isNotNull, lit("embed_neardup"))
+          .otherwise(lit("kept")).as("status"),
+        when($"status12" =!= "kept", $"canon12")
+          .when($"emb_canonical".isNotNull, $"emb_canonical")
+          .otherwise($"doc_id").as("canonical_id"))
+      .orderBy($"doc_id")
+  }
+
+  val q160CrossModalDedupSql: String = {
+    val cos = VectorOps.cosSql("a.embedding", "b.embedding")
+    s"""WITH RECURSIVE $clusterCtes,
+       |qg AS (SELECT doc_id, CAST(floor(($qualitySql) * 1e4 + 0.5)
+       |    AS BIGINT) AS q_grid FROM documents),
+       |m AS (SELECT c.id AS doc_id, c.canonical_id,
+       |    row_number() OVER (PARTITION BY c.canonical_id
+       |      ORDER BY qg.q_grid DESC, c.id) AS rn
+       |  FROM comp c JOIN qg ON qg.doc_id = c.id),
+       |bestpick AS (SELECT canonical_id, doc_id AS best_doc_id
+       |             FROM m WHERE rn = 1),
+       |fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |fps AS (SELECT fp, min(doc_id) AS fp_survivor FROM fp GROUP BY fp),
+       |arm12 AS (
+       |  SELECT f.doc_id,
+       |    CASE WHEN f.doc_id <> s.fp_survivor THEN 'exact_dup'
+       |         WHEN bp.best_doc_id IS NOT NULL
+       |           AND f.doc_id <> bp.best_doc_id THEN 'text_neardup'
+       |         ELSE 'kept' END AS status12,
+       |    CASE WHEN f.doc_id <> s.fp_survivor THEN s.fp_survivor
+       |         WHEN bp.best_doc_id IS NOT NULL
+       |           AND f.doc_id <> bp.best_doc_id THEN bp.best_doc_id
+       |         ELSE f.doc_id END AS canon12
+       |  FROM fp f JOIN fps s USING (fp)
+       |  LEFT JOIN comp c ON c.id = f.doc_id
+       |  LEFT JOIN bestpick bp ON bp.canonical_id = c.canonical_id),
+       |bkt AS (SELECT e.vec_id AS doc_id, e.embedding,
+       |    ${graft.functions.Vectors.lshBucketSql(VectorOps.NumPlanes)} AS bucket
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE embedding IS NOT NULL) e
+       |  JOIN arm12 a ON a.doc_id = e.vec_id AND a.status12 = 'kept'),
+       |epairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM bkt a JOIN bkt b ON a.doc_id < b.doc_id
+       |    AND bit_count(xor(a.bucket, b.bucket)) <= 1
+       |  WHERE $cos >= $EmbedDupCos),
+       |earm AS (SELECT d2 AS doc_id, min(d1) AS emb_canonical
+       |         FROM epairs GROUP BY d2)
+       |SELECT a.doc_id,
+       |  CASE WHEN a.status12 <> 'kept' THEN a.status12
+       |       WHEN e.emb_canonical IS NOT NULL THEN 'embed_neardup'
+       |       ELSE 'kept' END AS status,
+       |  CASE WHEN a.status12 <> 'kept' THEN a.canon12
+       |       WHEN e.emb_canonical IS NOT NULL THEN e.emb_canonical
+       |       ELSE a.doc_id END AS canonical_id
+       |FROM arm12 a LEFT JOIN earm e USING (doc_id)
+       |ORDER BY a.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q144: temperature-based source mixing (n^alpha reweighting)
   // ---------------------------------------------------------------
 

@@ -27,7 +27,7 @@ object VectorOps {
   /** DuckDB-side cosine between two FLOAT[64] list columns, mirroring
     * [[Vectors.cosine]] exactly: per-element cast to double, left-to-right
     * sum, zero-norm guard. */
-  private def cosSql(a: String, b: String): String = {
+  private[operators] def cosSql(a: String, b: String): String = {
     // range derived from the list length — a hardcoded dim would silently
     // corrupt the oracle if the embedding table were regenerated wider
     val dot = s"list_sum(list_transform(range(1, len($a) + 1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
@@ -168,7 +168,7 @@ object VectorOps {
   // q28: LSH-bucketed ANN (scale path; md5-derived planes → oracled)
   // ---------------------------------------------------------------
 
-  private val NumPlanes = 8
+  private[operators] val NumPlanes = 8
 
   /** Bucket census of the random-hyperplane LSH index: how the corpus
     * distributes over 2^8 sign-pattern buckets. Oracled: the hyperplane

@@ -372,6 +372,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q160 cross-modal dedup: the LSH is paid once, pairing stays equi-join") {
+    // the embedding arm must probe exactly ONE relation — the standing
+    // set semi-joined into embeddings — so the plan carries exactly one
+    // Generate (the multiprobe explode). A second Generate means some
+    // arm re-derived a probe/shingle pass; a nested-loop or cartesian
+    // pairing means the bucket equi-join degenerated to all-pairs and
+    // the operator dies at corpus scale.
+    val planStr = graft.operators.TextOps
+      .q160CrossModalDedup(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val generates = "Generate explode".r.findAllMatchIn(planStr).size
+    assert(generates == 1,
+      s"q160: expected exactly one multiprobe explode, found $generates:\n$planStr")
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"q160: embedding pairing degenerated to all-pairs:\n$planStr")
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no
