@@ -35,10 +35,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses
-    * by default (PARQUET_TYPE_ILLEGAL). Read nanos as a long (legacy
-    * conf), then convert to a micros TimestampType column — floor(ns/1000)
-    * — so downstream operators see a normal timestamp.
+  /** `events.ts` has shipped in two physical forms across testdata
+    * generations: INT64 TIMESTAMP(NANOS) (Spark 4 refuses it by default,
+    * PARQUET_TYPE_ILLEGAL, and the legacy conf surfaces it as a LONG) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (Spark reads it as
+    * TIMESTAMP_NTZ). Normalize both to a micros TimestampType column so
+    * every downstream operator and oracle sees one shape. The session
+    * timezone is pinned to UTC by every entrypoint, so the NTZ→LTZ cast
+    * reinterprets identical microsecond values (no wall-clock shift).
     *
     * NOTE: the legacy conf stays set for the session afterwards (it must
     * be active when the scan executes, not just at planning) — any later
@@ -48,12 +52,18 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     import org.apache.spark.sql.functions._
-    // integer division, NOT `/` (which goes through double and loses
-    // ~1.6% of microsecond values for epoch nanos > 2^53). `div`
-    // truncates toward zero — identical to floor only for POSITIVE
-    // (post-1970) timestamps, which this ns test data is; pre-epoch
-    // nanos would land 1µs high
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // epoch-nanos long → micros. Integer division, NOT `/` (which goes
+        // through double and loses ~1.6% of microsecond values for epoch
+        // nanos > 2^53). `div` truncates toward zero — identical to floor
+        // only for POSITIVE (post-1970) timestamps, which this ns test
+        // data is; pre-epoch nanos would land 1µs high
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

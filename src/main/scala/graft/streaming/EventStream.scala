@@ -427,20 +427,30 @@ object EventStream {
     spark.read.parquet(storePath)
   }
 
-  /** The ns-safe raw event stream (shared by the streaming operators). */
+  /** The ns-safe raw event stream (shared by the streaming operators).
+    *
+    * readStream needs an explicit schema, and the physical `ts` type has
+    * shipped in two forms across testdata generations (INT64 NANOS read
+    * as LONG under the legacy conf, or TIMESTAMP(MICROS) read as NTZ) —
+    * so sniff the footer of the batch reader once and declare the stream
+    * schema to match, normalizing to a micros TimestampType either way
+    * (see Tables.events for the full story). */
   private def rawEvents(spark: SparkSession, sfDir: String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream
-      .schema(rawSchema)
+    val physical = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(physical)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      // integer division — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    physical("ts").dataType match {
+      case LongType =>
+        // integer division — see Tables.events
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   // ---------------------------------------------------------------
