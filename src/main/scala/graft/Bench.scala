@@ -61,7 +61,15 @@ object Bench {
 
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY="q146,q50" (short-id prefixes) times a
+    // subset — local iteration aid; the driver never sets it, so the
+    // contract run always covers every query
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.forall(ids => ids.contains(name) || ids.contains(name.split("_")(0))) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
