@@ -459,10 +459,18 @@ object VectorOps {
     * exchange), plus one metadata-sized aggregation for the means — the
     * corpus is never self-joined, and another Lloyd round is the same
     * two-scan shape again. */
-  def q65KmeansRefine(s: SparkSession, d: String): DataFrame = {
+  /** The shared one-Lloyd-step machinery (q65's arithmetic, verbatim):
+    * seed centroids, pass-1 aggregation (count / grid cosine sum /
+    * per-dim grid sums), refined centroids, and the re-assignment of
+    * the whole corpus to them. Returned as (cents0, cents1, a1) so q65
+    * (the refinement CENSUS) and q161 (SemDeDup over the refined
+    * cells) derive from one definition — a drifted copy would silently
+    * decouple their cluster structures. */
+  private def lloydOneStep(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
     val firstDim = emb.select(size($"embedding")).take(1)
-    require(firstDim.nonEmpty, "q65KmeansRefine: empty embeddings corpus")
+    require(firstDim.nonEmpty, "lloydOneStep: empty embeddings corpus")
     val dim = firstDim.head.getInt(0)
 
     val cents0 = emb.filter($"vec_id" < NumCells)
@@ -489,8 +497,13 @@ object VectorOps {
       transform($"sgrid", x => x / ($"n0" * 1e6)).as("cvec1"))
 
     // pass 2: re-assign the corpus to the refined centroids
-    val census1 = assignTo(
-      cents1.select($"cell_id", $"cvec1"), $"cvec1")
+    val a1 = assignTo(cents1.select($"cell_id", $"cvec1"), $"cvec1")
+    (cents0, cents1, a1)
+  }
+
+  def q65KmeansRefine(s: SparkSession, d: String): DataFrame = {
+    val (cents0, cents1, a1) = lloydOneStep(s, d)
+    val census1 = a1
       .groupBy($"cell_id").agg(
         count(lit(1)).as("n1"),
         sum(floor($"ccos" * 1e6 + 0.5)).as("cos1grid"))
@@ -508,7 +521,10 @@ object VectorOps {
       .orderBy($"cell_id")
   }
 
-  val q65KmeansRefineSql: String = {
+  /** DuckDB mirror of [[lloydOneStep]]: the CTE chain `emb → cents0 →
+    * a0 → sums/dsums/slists → cents1 → a1`, shared by q65's and q161's
+    * oracle SQL (one definition — same reasoning as the Scala side). */
+  private def lloydCtes: String = {
     def argmax(centsRel: String, vecCol: String, outCos: String): String =
       s"""SELECT vec_id, embedding, cell_id, $outCos FROM (
          |  SELECT e.vec_id, e.embedding, c.cell_id,
@@ -516,7 +532,7 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.embedding", s"c.$vecCol")} DESC, c.cell_id) AS rn
          |  FROM emb e CROSS JOIN $centsRel c) WHERE rn = 1""".stripMargin
-    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+    s"""emb AS (SELECT vec_id, embedding FROM embeddings
        |            WHERE embedding IS NOT NULL),
        |cents0 AS (SELECT vec_id AS cell_id, embedding AS cvec0 FROM emb
        |           WHERE vec_id < $NumCells),
@@ -533,7 +549,11 @@ object VectorOps {
        |cents1 AS (SELECT s.cell_id, s.n0, s.cos0grid,
        |             list_transform(l.slist, x -> x / (s.n0 * 1e6)) AS cvec1
        |           FROM sums s JOIN slists l ON s.cell_id = l.cell_id),
-       |a1 AS (${argmax("cents1", "cvec1", "ccos1")}),
+       |a1 AS (${argmax("cents1", "cvec1", "ccos1")})""".stripMargin
+  }
+
+  val q65KmeansRefineSql: String = {
+    s"""WITH $lloydCtes,
        |census1 AS (SELECT cell_id AS c1, count(*) AS n1,
        |              sum(floor(ccos1 * 1e6 + 0.5)) AS cos1grid
        |            FROM a1 GROUP BY cell_id)
@@ -545,6 +565,88 @@ object VectorOps {
        |JOIN cents0 c0 ON v.cell_id = c0.cell_id
        |LEFT JOIN census1 x ON v.cell_id = x.c1
        |ORDER BY v.cell_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q161: SemDeDup — within-cluster semantic (embedding) dedup
+  // ---------------------------------------------------------------
+
+  /** Drop threshold: a doc whose cosine to an earlier cluster member
+    * reaches this defers to that member. The driver's isotropic
+    * synthetic embeddings top out near 0.48 pairwise, so 0.45 keeps the
+    * decision boundary EXERCISED (both statuses appear) rather than
+    * vacuously all-kept; a production run would use ~0.95+. */
+  private val SemDupCos = 0.45
+  /** Per-cluster candidate cap: only each cell's first [[SemDedupMaxCell]]
+    * members (by vec_id) serve as dedup candidates, bounding the
+    * within-cell comparison fan-out at cell×cap even if k is sized too
+    * small for the corpus and a cell degenerates — same loud-bound
+    * philosophy as the LSH [[graft.operators.TextOps.MaxBucket]];
+    * members past the cap still get compared TO the capped prefix, so
+    * nothing is silently exempted from dedup. */
+  private val SemDedupMaxCell = 512
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    * the embedding corpus, then deduplicate only WITHIN each cluster —
+    * the clustering turns an O(n²) semantic-dedup into k independent
+    * O((n/k)²) problems that never exchange data with each other.
+    * Clusters here are the one-Lloyd-step-refined cells shared with
+    * q65 ([[lloydOneStep]]); within a cell, members are ranked by
+    * vec_id and each doc defers to the first earlier member with
+    * cosine ≥ [[SemDupCos]] (first-wins, the q160 arm-3 policy —
+    * deterministic, no iteration). Output: one disposition row per
+    * vector — cell, within-cell rank, max cosine to any earlier
+    * candidate (−1 sentinel for each cell's first member), status.
+    *
+    * Scale shape: the cell assignment is q65's broadcast-argmax (one
+    * narrow pass, bounded TopKPerKey); the ranking window and the
+    * candidate join both key on cell_id, so the window's exchange is
+    * the ONLY shuffle and the join reuses its partitioning; the
+    * quadratic stays inside each cell and is capped by
+    * [[SemDedupMaxCell]]. k ([[NumCells]]) is the scale knob: sized so
+    * n/k vectors fit one task, the shape survives any corpus size. */
+  def q161Semdedup(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a1) = lloydOneStep(s, d)
+    val w = Window.partitionBy($"cell_id").orderBy($"vec_id")
+    val ranked = a1.select($"vec_id", $"embedding", $"cell_id")
+      .withColumn("rn", row_number().over(w))
+    // true self-join of ONE ranked definition, all candidate-side
+    // filters in the join condition — both sides are the identical
+    // Window subtree, so the second side's scan+assignment+exchange
+    // is a ReusedExchange (plan-shape-locked in ScaleSpec), not a
+    // recompute of the corpus assignment
+    val cands = ranked
+      .select($"cell_id".as("ccell"), $"rn".as("crn"), $"embedding".as("cvec"))
+    val maxPrev = ranked.join(cands,
+        $"ccell" === $"cell_id" && $"crn" < $"rn" &&
+          $"crn" <= SemDedupMaxCell)
+      .select($"vec_id",
+        Vectors.cosine($"embedding", $"cvec").as("pcos"))
+      .groupBy($"vec_id").agg(max($"pcos").as("mx"))
+    ranked.join(maxPrev, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell_id", $"rn".cast("long").as("cell_rank"),
+        stableRound(coalesce($"mx", lit(-1.0)), 6).as("max_prev_cos"),
+        when($"mx" >= SemDupCos, lit("dropped"))
+          .otherwise(lit("kept")).as("status"))
+      .orderBy($"vec_id")
+  }
+
+  val q161SemdedupSql: String = {
+    val cos = cosSql("r.embedding", "p.embedding")
+    s"""WITH $lloydCtes,
+       |ranked AS (SELECT vec_id, embedding, cell_id,
+       |    row_number() OVER (PARTITION BY cell_id ORDER BY vec_id) AS rn
+       |  FROM a1),
+       |mx AS (SELECT r.vec_id, max($cos) AS mx
+       |       FROM ranked r JOIN ranked p ON p.cell_id = r.cell_id
+       |         AND p.rn < r.rn AND p.rn <= $SemDedupMaxCell
+       |       GROUP BY r.vec_id)
+       |SELECT r.vec_id, r.cell_id, r.rn AS cell_rank,
+       |  ${sqlRound("coalesce(mx.mx, -1.0)", 6)} AS max_prev_cos,
+       |  CASE WHEN mx.mx >= $SemDupCos THEN 'dropped' ELSE 'kept' END
+       |    AS status
+       |FROM ranked r LEFT JOIN mx ON mx.vec_id = r.vec_id
+       |ORDER BY r.vec_id""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus

@@ -2933,6 +2933,84 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 semdedup: crafted identical twins defer to their originals") {
+    import graft.operators.VectorOps
+    // 16 distinct seed directions (vec_id < NumCells) + two exact
+    // copies — an identical vector scores identical cosines against
+    // every centroid, so it MUST land in its original's cell, rank
+    // after it (vec_id order), and be dropped with max_prev_cos 1.0
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_twins").toString
+    val vecs = (0 until 16).map { i =>
+      (i.toLong, Array((1.0 + i).toFloat, ((i * 7) % 5).toFloat,
+        ((i * 3) % 7).toFloat, 1.0f), i % 3)
+    } ++ Seq(
+      (16L, Array(1.0f, 0.0f, 0.0f, 1.0f), 1),   // twin of vec 0
+      (17L, Array(6.0f, 0.0f, 1.0f, 1.0f), 2),   // twin of vec 5
+      (18L, Array(0.1f, 9.0f, -3.0f, 0.2f), 0))  // its own direction
+    assert(vecs(0)._2.toSeq === vecs(16)._2.toSeq &&
+      vecs(5)._2.toSeq === vecs(17)._2.toSeq)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/embeddings.parquet")
+    val out = VectorOps.q161Semdedup(spark, base).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[String]("status"), r.getAs[Double]("max_prev_cos")))
+      .toMap
+    assert(out.size === 19)
+    assert(out(16L) === (("dropped", 1.0)), s"twin 16: ${out(16L)}")
+    assert(out(17L) === (("dropped", 1.0)), s"twin 17: ${out(17L)}")
+    assert(out(0L)._1 === "kept" && out(5L)._1 === "kept")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
+  test("q161 semdedup: dispositions equal a within-cell JVM replay") {
+    import graft.operators.VectorOps
+    val dd = "/root/testdata/sf0.001"
+    val rows = VectorOps.q161Semdedup(spark, dd).collect()
+    assert(rows.nonEmpty)
+    val vecs = graft.sources.Tables.embeddings(spark, dd)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // left-to-right double folds matching VecDot/VecNormSq
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dt = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dt += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0.0 else dt / den
+    }
+    // replay the decision per cell from the query's OWN cell/rank
+    // columns — validates the pairing+policy layer independently of
+    // the clustering layer (whose arithmetic q65's specs own)
+    rows.groupBy(_.getAs[Long]("cell_id")).foreach { case (_, members) =>
+      // the replay ignores the 512 candidate cap — valid only while no
+      // cell exceeds it; fail HERE with a diagnosis if the corpus grows
+      assert(members.length <= 512,
+        s"cell exceeds SemDedupMaxCell (${members.length}) — replay must cap")
+      val byRank = members.sortBy(_.getAs[Long]("cell_rank"))
+      byRank.zipWithIndex.foreach { case (r, idx) =>
+        assert(r.getAs[Long]("cell_rank") === (idx + 1).toLong)
+        val me = vecs(r.getAs[Long]("vec_id"))
+        val prior = byRank.take(idx)
+          .map(p => cos(me, vecs(p.getAs[Long]("vec_id"))))
+        val expected =
+          if (prior.isEmpty) -1.0
+          else math.floor(prior.max * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("max_prev_cos") === expected,
+          s"vec ${r.getLong(0)} max_prev_cos")
+        val expectStatus =
+          if (prior.nonEmpty && prior.max >= 0.45) "dropped" else "kept"
+        assert(r.getAs[String]("status") === expectStatus,
+          s"vec ${r.getLong(0)} status")
+      }
+    }
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -390,6 +390,28 @@ class ScaleSpec extends AnyFunSuite {
       s"q160: embedding pairing degenerated to all-pairs:\n$planStr")
   }
 
+  test("q161 semdedup: pairing is a capped cell equi-join, windows partitioned") {
+    // the within-cluster quadratic must stay INSIDE each cell: the
+    // member pairing has to plan as an equi-join keyed on the cell
+    // (never a cartesian), the candidate side must carry the 512 cap,
+    // and the rank window must be partitioned by cell_id — an
+    // unpartitioned window or all-pairs join dies at corpus scale
+    val qe = graft.operators.VectorOps
+      .q161Semdedup(spark, "/root/testdata/sf0.001").queryExecution
+    val planStr = qe.executedPlan.toString
+    assert(!planStr.contains("CartesianProduct"),
+      s"q161: member pairing degenerated to a cartesian:\n$planStr")
+    assert(planStr.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("ccell")),
+      s"q161: no cell-keyed equi-join for the member pairing:\n$planStr")
+    assert("\\[cell_id#\\d+L? ASC NULLS FIRST, vec_id#\\d+L? ASC".r
+      .findFirstIn(planStr).isDefined,
+      s"q161: rank window is not partitioned by cell_id:\n$planStr")
+    assert(qe.optimizedPlan.toString.contains("<= 512"),
+      s"q161: candidate cap missing from the plan:\n${qe.optimizedPlan}")
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no
