@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprint statistics as ONE native Catalyst expression.
@@ -86,6 +87,58 @@ object WinnowImpl {
     new GenericInternalRow(Array[Any](
       nGrams.toLong, seen.size.toLong, minFp, maxFp))
   }
+
+  /** The DISTINCT selected fingerprint SET, ascending — the per-document
+    * output a cross-document fingerprint index joins on (q162). Same
+    * O(len) single pass as [[compute]]; sorted so the array value is a
+    * pure function of the text (no traversal-order dependence). Texts
+    * shorter than one k-gram yield the empty array. */
+  def computeFps(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val nGrams = bytes.length - KgramLen + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](nGrams)
+    var pow = 1L
+    var p = 1
+    while (p < KgramLen) { pow = pow * RollBase % RollMod; p += 1 }
+    var h = 0L
+    var i = 0
+    while (i < KgramLen) { h = (h * RollBase + (bytes(i) & 0xffL)) % RollMod; i += 1 }
+    hs(0) = h
+    var g = 1
+    while (g < nGrams) {
+      val drop = (bytes(g - 1) & 0xffL) * pow % RollMod
+      h = ((h + RollMod - drop) * RollBase + (bytes(g + KgramLen - 1) & 0xffL)) % RollMod
+      hs(g) = h
+      g += 1
+    }
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var w = 0
+    while (w < nGrams) {
+      var m = hs(w)
+      var j = w + 1
+      val until = math.min(w + WinnowWindow, nGrams)
+      while (j < until) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `winnow_fps(text)` — the sorted distinct selected-fingerprint array. */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WinnowImpl.computeFps(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WinnowImpl.computeFps($c)")
+  override protected def withNewChildInternal(c: Expression): WinnowFps = copy(c)
+  override def prettyName: String = "winnow_fps"
 }
 
 /** `winnow_stats(text)` — struct(n_kgrams, n_fps, min_fp, max_fp). */
@@ -102,4 +155,6 @@ case class WinnowStats(child: Expression) extends UnaryExpression {
 object Winnow {
   def winnowStats(c: Column): Column =
     Bridge.column(WinnowStats(Bridge.expression(c)))
+  def winnowFps(c: Column): Column =
+    Bridge.column(WinnowFps(Bridge.expression(c)))
 }

@@ -757,23 +757,69 @@ object TextOps {
         max($"sel").as("max_fp"))
       .orderBy($"doc_id")
 
-  val q49WinnowFingerprintSql: String = {
+  /** DuckDB mirror of the winnowing selection stream (`grams → hs →
+    * sels`), shared by q49's and q162's oracle SQL — one definition of
+    * the hash/window arithmetic on the oracle side, like the Scala
+    * side's [[graft.functions.WinnowImpl]]. */
+  private def winnowCtes: String = {
     // CAST seed: DuckDB types bare literals INT32 and errors on overflow
     val hash = (1 to KgramLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
       s"(($acc * $RollBase + ascii(substring(g, $i, 1))) % $RollMod)"
     }
-    s"""WITH grams AS (
+    s"""grams AS (
        |  SELECT doc_id, i AS pos, substring(text, i, $KgramLen) AS g
        |  FROM documents, UNNEST(range(1, length(text) - ${KgramLen - 2})) AS t(i)
        |  WHERE length(text) >= $KgramLen),
        |hs AS (SELECT doc_id, pos, $hash AS h FROM grams),
        |sels AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |           ROWS BETWEEN CURRENT ROW AND ${WinnowWindow - 1} FOLLOWING) AS sel
-       |         FROM hs)
+       |         FROM hs)""".stripMargin
+  }
+
+  val q49WinnowFingerprintSql: String =
+    s"""WITH $winnowCtes
        |SELECT doc_id, count(*) AS n_kgrams, count(DISTINCT sel) AS n_fps,
        |  min(sel) AS min_fp, max(sel) AS max_fp
        |FROM sels GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
+
+  // ---------------------------------------------------------------
+  // q162: cross-document repeated-passage census (shared fingerprints)
+  // ---------------------------------------------------------------
+
+  /** The cross-document layer of winnowing — the index MOSS builds and
+    * the candidate generator for exact-substring dedup (Lee et al.
+    * 2022, arXiv:2107.06499, found license blocks / boilerplate
+    * repeated verbatim across training corpora): every fingerprint
+    * selected in ≥ 2 distinct documents, with its document count and
+    * id extrema. The winnowing guarantee makes the census sound as a
+    * candidate set: any verbatim passage of length ≥ k+w−1 shared by
+    * two docs MUST surface as at least one shared fingerprint here.
+    *
+    * Scale shape: each document's distinct fingerprint set comes out
+    * of the native single-pass [[graft.functions.WinnowFps]] expression
+    * (no char-grain explode, no window exchange — the explode is over
+    * the ~len/w selected prints only), and the census is one
+    * map-side-combinable aggregation keyed by the entropy-rich
+    * fingerprint value. Corpus-size-linear rows in, census rows out —
+    * nothing pairwise, no skew key. */
+  def q162SharedPassages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(length($"text") >= KgramLen)
+      .select($"doc_id",
+        explode(graft.functions.Winnow.winnowFps($"text")).as("fingerprint"))
+      .groupBy($"fingerprint")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc"), max($"doc_id").as("max_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"fingerprint")
+
+  val q162SharedPassagesSql: String =
+    s"""WITH $winnowCtes,
+       |dfp AS (SELECT DISTINCT doc_id, sel FROM sels)
+       |SELECT sel AS fingerprint, count(*) AS n_docs,
+       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM dfp GROUP BY sel HAVING count(*) >= 2
+       |ORDER BY fingerprint""".stripMargin
 
   // ---------------------------------------------------------------
   // q55: deterministic hash-sampled corpus mix (data weighting)

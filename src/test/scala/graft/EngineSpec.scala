@@ -546,6 +546,46 @@ class EngineSpec extends AnyFunSuite {
       s"native path still explodes/windows:\n$plan")
   }
 
+  test("native WinnowFps equals the declarative distinct selection set; " +
+      "q162 census surfaces a crafted shared passage") {
+    import graft.operators.TextOps
+    val dd = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dd)
+    // the native fp ARRAY must be exactly the declarative stream's
+    // distinct sel set, sorted ascending
+    val native = docs
+      .filter(length($"text") >= 8)
+      .select($"doc_id", graft.functions.Winnow.winnowFps($"text").as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val reference = TextOps.winnowSelections(docs)
+      .select($"doc_id", $"sel").distinct().collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    assert(native.keySet === reference.keySet)
+    native.foreach { case (id, fps) =>
+      assert(fps === reference(id), s"doc $id fingerprint set")
+      assert(fps === fps.sorted, s"doc $id array not sorted")
+    }
+    // crafted corpus: the winnowing guarantee lifts to the census —
+    // an 11-char (k+w-1) passage shared by docs 1,2 must appear as a
+    // fingerprint with BOTH ids in range; doc 3 shares nothing crafted
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_shared_passages").toString
+    Seq(
+      (1L, "left padding one zq7xw93kpv4 trailing alpha"),
+      (2L, "other start two zq7xw93kpv4 different end beta"),
+      (3L, "completely unrelated document text here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val census = TextOps.q162SharedPassages(spark, base).collect()
+    assert(census.exists(r => r.getAs[Long]("n_docs") === 2L &&
+      r.getAs[Long]("min_doc") === 1L && r.getAs[Long]("max_doc") === 2L),
+      s"crafted shared passage missing: ${census.mkString(";")}")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("CentMean aggregator: exact cent arithmetic, partitioning-independent") {
     import graft.functions.Aggregators
     val df = Seq(("a", 1.005), ("a", 2.004), ("b", 10.10)).toDF("k", "v")

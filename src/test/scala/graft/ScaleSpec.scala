@@ -412,6 +412,23 @@ class ScaleSpec extends AnyFunSuite {
       s"q161: candidate cap missing from the plan:\n${qe.optimizedPlan}")
   }
 
+  test("q162 shared passages: native fp arrays, no char-grain explode or window") {
+    // the census must ride the single-pass WinnowFps expression: one
+    // Generate (exploding the ~len/w selected prints), NO Window — a
+    // Window means the char-grain declarative path leaked in, which
+    // inflates every document to one row per character at corpus scale
+    val planStr = graft.operators.TextOps
+      .q162SharedPassages(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val generates = "Generate explode".r.findAllMatchIn(planStr).size
+    assert(generates == 1,
+      s"q162: expected exactly one fp explode, found $generates:\n$planStr")
+    assert(!planStr.contains("Window"),
+      s"q162: char-grain window path leaked into the census plan:\n$planStr")
+    assert(planStr.contains("winnow_fps"),
+      s"q162: native WinnowFps expression missing from the plan:\n$planStr")
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no
