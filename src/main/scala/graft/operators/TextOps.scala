@@ -1027,6 +1027,64 @@ object TextOps {
        |ORDER BY cnt DESC, bigram LIMIT $VocabTopK""".stripMargin
 
   // ---------------------------------------------------------------
+  // q163: character-grain BPE merge candidates over the vocabulary
+  // ---------------------------------------------------------------
+
+  private val BpeTopN = 50
+
+  /** The CHARACTER-grain BPE counting step (Sennrich et al. 2016,
+    * arXiv:1508.07909) — what one merge iteration of a real BPE
+    * trainer counts: adjacent symbol-pair frequencies, weighted by
+    * word occurrence. This is q62's complement one level down: q62
+    * counts word pairs over the token stream; this counts char pairs
+    * over the VOCABULARY — the trainer's trick, because pair counts
+    * factor as Σ_words occ(pair, word)·freq(word), so the quadratic
+    * char-grain explode runs over the Zipf-bounded unique-word
+    * relation, never the corpus. Output: top [[BpeTopN]] pairs with
+    * their corpus frequency and supporting-word count, ties broken by
+    * the pair strings.
+    *
+    * Scale shape: the word-frequency aggregation is the only
+    * corpus-grain pass (map-side combinable, entropy-rich key); the
+    * pair explode inflates ONLY unique words (vocabulary ≪ corpus, and
+    * growing sublinearly — Heaps' law); the final top-N plans as
+    * TakeOrderedAndProject (per-partition bounded heaps, no global
+    * sort). */
+  def q163BpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    words
+      .select($"w", $"cnt",
+        explode(sequence(lit(1), length($"w") - 1)).as("i"))
+      .select($"w", $"cnt",
+        $"w".substr($"i", lit(1)).as("l"),
+        $"w".substr($"i" + 1, lit(1)).as("r"))
+      .groupBy($"l", $"r", $"w", $"cnt")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy($"l", $"r")
+      .agg(sum($"occ" * $"cnt").as("total_freq"),
+        count(lit(1)).as("n_words"))
+      .orderBy($"total_freq".desc, $"l", $"r")
+      .limit(BpeTopN)
+  }
+
+  val q163BpeMergesSql: String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |po AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+       |         w, cnt, count(*) AS occ
+       |       FROM words, UNNEST(range(1, length(w))) AS t(i)
+       |       GROUP BY 1, 2, 3, 4)
+       |SELECT l, r, CAST(sum(occ * cnt) AS BIGINT) AS total_freq,
+       |  CAST(count(*) AS BIGINT) AS n_words
+       |FROM po GROUP BY l, r
+       |ORDER BY total_freq DESC, l, r LIMIT $BpeTopN""".stripMargin
+
+  // ---------------------------------------------------------------
   // q63: per-source corpus report (the "corpus card" rollup)
   // ---------------------------------------------------------------
 

@@ -3051,6 +3051,37 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 bpe merges equal a JVM vocabulary replay") {
+    import graft.operators.TextOps
+    val dd = "/root/testdata/sf0.001"
+    val got = TextOps.q163BpeMerges(spark, dd).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("total_freq"), r.getAs[Long]("n_words")))
+    // replay: word frequencies, then pair counts over the vocabulary
+    val wordFreq = graft.sources.Tables.documents(spark, dd)
+      .select($"text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .foldLeft(Map.empty[String, Long]) { (m, w) =>
+        m.updated(w, m.getOrElse(w, 0L) + 1L)
+      }
+    val pairAgg = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    wordFreq.foreach { case (w, cnt) =>
+      val occ = w.sliding(2).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      occ.foreach { case (p, o) =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        val (f, n) = pairAgg.getOrElse(k, (0L, 0L))
+        pairAgg(k) = (f + o * cnt, n + 1L)
+      }
+    }
+    val expected = pairAgg.toSeq
+      .map { case ((l, r), (f, n)) => (l, r, f, n) }
+      .sortBy { case (l, r, f, _) => (-f, l, r) }
+      .take(50)
+    assert(got.toSeq === expected)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
