@@ -30,6 +30,36 @@ object PropertySpec extends Properties("graft") {
   private val genRows: Gen[List[(String, Int)]] =
     Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(0, 100)))
 
+  property("native winnow fp set == direct per-position hashing") =
+    forAll(Gen.listOfN(3, Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.stringOfN(n, Gen.choose(32.toChar, 126.toChar))))) { texts =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df
+        .select($"doc_id", graft.functions.Winnow.winnowFps($"text").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      // independent derivation: hash every position from scratch (no
+      // rolling update — a drop-term bug in the native rolling pass
+      // cannot cancel out here), then window-min, distinct, sort
+      import graft.functions.WinnowImpl.{KgramLen, RollBase, RollMod, WinnowWindow}
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val bytes = t.getBytes("UTF-8")
+        val n = bytes.length - KgramLen + 1
+        val fps =
+          if (n <= 0) List.empty[Long]
+          else {
+            val hs = (0 until n).map { p =>
+              (0 until KgramLen).foldLeft(0L)((acc, j) =>
+                (acc * RollBase + (bytes(p + j) & 0xffL)) % RollMod)
+            }
+            (0 until n).map(p => hs.slice(p, math.min(p + WinnowWindow, n)).min)
+              .distinct.sorted.toList
+          }
+        i.toLong -> fps
+      }.toMap
+      got == want
+    }
+
   property("upsert twice == upsert once, staged rows win") =
     forAll(genRows, genRows) { (tgt, stg) =>
       spark.sparkContext.setLogLevel("ERROR")
