@@ -410,6 +410,16 @@ class ScaleSpec extends AnyFunSuite {
       s"q161: rank window is not partitioned by cell_id:\n$planStr")
     assert(qe.optimizedPlan.toString.contains("<= 512"),
       s"q161: candidate cap missing from the plan:\n${qe.optimizedPlan}")
+    // the assignment subtree appears on both sides of the self-join —
+    // the corpus must NOT be scanned/assigned twice at runtime: after
+    // execution, AQE's exchange reuse must have deduplicated the
+    // identical shuffle stages (this is the claim PLANS.md makes)
+    val df2 = graft.operators.VectorOps
+      .q161Semdedup(spark, "/root/testdata/sf0.001")
+    df2.collect()
+    val finalPlan = df2.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllMatchIn(finalPlan).nonEmpty,
+      s"q161: AQE did not reuse the self-join's exchanges:\n$finalPlan")
   }
 
   test("q162 shared passages: native fp arrays, no char-grain explode or window") {
