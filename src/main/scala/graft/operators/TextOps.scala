@@ -2570,6 +2570,104 @@ object TextOps {
        |FROM g, t ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q164: water-filling token-budget allocation across sources
+  // ---------------------------------------------------------------
+
+  /** Proportional-fair token budgeting — the CONSTRAINED complement of
+    * q144's free-form temperature weights: given a token budget (here
+    * half the corpus), find the unique water level L such that paying
+    * each source min(tokens, L) exhausts the budget exactly — small
+    * sources keep everything, large sources are capped at L. This is
+    * the classic water-filling allocation; exact in integers: sources
+    * sort ascending by (tokens, source), one cumulative-sum window
+    * gives every candidate segment's level (B − prefix)/remaining by
+    * integer division, the first feasible segment is the level, and
+    * the division remainder goes to the first r capped sources (+1
+    * token each) so Σ alloc == B with no rounding drift. Every
+    * division is guarded non-negative — Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors, so a negative intermediate would
+    * silently diverge the engines (rule-class: CLAUDE.md determinism).
+    *
+    * Scale shape: ONE corpus-grain pass (the map-side-combined
+    * per-source aggregation); everything after runs at source grain —
+    * the global window rides the bounded |sources| axis, and the
+    * chosen level is a 1-row broadcast back. */
+  def q164WaterFill(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d).filter($"text".isNotNull)
+      .groupBy($"source")
+      .agg(sum(Text.tokenCount($"text").cast("long")).as("n_tokens"))
+    val tot = per.agg(sum($"n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_src"))
+    // bounded-axis window: |sources| rows (rule: global windows only
+    // over bounded axes)
+    val w = Window.orderBy($"n_tokens", $"source")
+    val ranked = per.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("total_tokens div 2"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum($"n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("prev_t",
+        coalesce(lag($"n_tokens", 1).over(w), lit(0L)))
+    val cand = ranked
+      .withColumn("lcand",
+        expr("greatest(budget - (prefix - n_tokens), 0) div (n_src - rn + 1)"))
+      .withColumn("feasible",
+        $"lcand" < $"n_tokens" && ($"rn" === 1L || $"lcand" >= $"prev_t"))
+    val chosen = cand.filter($"feasible")
+      .agg(min($"rn").as("jstar")).select(coalesce($"jstar", lit(1L)).as("jstar"))
+    val level = cand.join(broadcast(chosen), $"rn" === $"jstar")
+      .select($"jstar", $"lcand".as("level"),
+        expr("greatest(budget - (prefix - n_tokens), 0) - lcand * (n_src - rn + 1)")
+          .as("rem"))
+    cand.crossJoin(broadcast(level))
+      .select($"source", $"n_tokens",
+        when($"rn" < $"jstar", $"n_tokens")
+          .otherwise($"level" +
+            when($"rn" - $"jstar" < $"rem", lit(1L)).otherwise(lit(0L)))
+          .as("alloc_tokens"),
+        when($"rn" < $"jstar", lit("full")).otherwise(lit("capped"))
+          .as("status"),
+        $"level".as("fill_level"))
+      .orderBy($"source")
+  }
+
+  val q164WaterFillSql: String =
+    s"""WITH per AS (SELECT source, CAST(sum($tcSql) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(count(*) AS BIGINT) AS n_src FROM per),
+       |ranked AS (SELECT per.*, t.n_src, t.total_tokens // 2 AS budget,
+       |    CAST(row_number() OVER w AS BIGINT) AS rn,
+       |    sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS prefix,
+       |    coalesce(lag(n_tokens, 1) OVER w, CAST(0 AS BIGINT)) AS prev_t
+       |  FROM per, t
+       |  WINDOW w AS (ORDER BY n_tokens, source)),
+       |cand AS (SELECT *,
+       |    greatest(budget - (prefix - n_tokens), 0) // (n_src - rn + 1)
+       |      AS lcand,
+       |    (greatest(budget - (prefix - n_tokens), 0) // (n_src - rn + 1)
+       |       < n_tokens)
+       |     AND (rn = 1 OR greatest(budget - (prefix - n_tokens), 0)
+       |       // (n_src - rn + 1) >= prev_t) AS feasible
+       |  FROM ranked),
+       |chosen AS (SELECT coalesce(min(rn) FILTER (feasible), 1) AS jstar
+       |           FROM cand),
+       |level AS (SELECT c.jstar, k.lcand AS level,
+       |    greatest(k.budget - (k.prefix - k.n_tokens), 0)
+       |      - k.lcand * (k.n_src - k.rn + 1) AS rem
+       |  FROM chosen c JOIN cand k ON k.rn = c.jstar)
+       |SELECT c.source, c.n_tokens,
+       |  CASE WHEN c.rn < l.jstar THEN c.n_tokens
+       |       ELSE l.level + CASE WHEN c.rn - l.jstar < l.rem
+       |                           THEN 1 ELSE 0 END END AS alloc_tokens,
+       |  CASE WHEN c.rn < l.jstar THEN 'full' ELSE 'capped' END AS status,
+       |  l.level AS fill_level
+       |FROM cand c, level l
+       |ORDER BY c.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q145: boilerplate n-gram census (cross-document repetition)
   // ---------------------------------------------------------------
 

@@ -3082,6 +3082,47 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq === expected)
   }
 
+  test("q164 water-fill: exact budget, both statuses, level law on skewed sources") {
+    import graft.operators.TextOps
+    // skewed corpus: tiny sources must survive uncapped, big ones cap
+    // at one shared level, and the allocation must sum to the budget
+    // EXACTLY (the remainder rule) — none of which the near-uniform
+    // driver corpus exercises
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_waterfill").toString
+    def doc(id: Long, src: String, words: Int) =
+      (id, (1 to words).map(i => s"w$i").mkString(" "), src)
+    val docs = Seq(
+      doc(1, "tiny", 3), doc(2, "small", 10),
+      doc(3, "big", 200), doc(4, "big", 150), doc(5, "huge", 600))
+    docs.toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val rows = TextOps.q164WaterFill(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("alloc_tokens"), r.getAs[String]("status"),
+        r.getAs[Long]("fill_level"))).toMap
+    val totalTokens = rows.values.map(_._1).sum
+    val budget = totalTokens / 2
+    assert(rows.values.map(_._2).sum === budget, "allocation must equal budget")
+    assert(rows("tiny")._3 === "full" && rows("tiny")._2 === rows("tiny")._1)
+    assert(rows("small")._3 === "full" && rows("small")._2 === rows("small")._1)
+    assert(rows("big")._3 === "capped" && rows("huge")._3 === "capped")
+    // the water-level law: capped sources pay level (+1 for remainder),
+    // and no capped source exceeds its own mass
+    val level = rows.values.head._4
+    rows.values.filter(_._3 == "capped").foreach { case (t, a, _, l) =>
+      assert(l === level)
+      assert(a === level || a === level + 1, s"capped alloc $a vs level $level")
+      assert(a <= t)
+    }
+    // feasibility: every 'full' source sits at or below the level
+    rows.values.filter(_._3 == "full").foreach { case (t, _, _, _) =>
+      assert(t <= level + 1)
+    }
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
