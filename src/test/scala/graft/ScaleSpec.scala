@@ -422,6 +422,37 @@ class ScaleSpec extends AnyFunSuite {
       s"q161: AQE did not reuse the self-join's exchanges:\n$finalPlan")
   }
 
+  test("every partition-less Window.orderBy site is registered with a bounded axis") {
+    // the scale-killer class: a global window with no PARTITION BY runs
+    // the whole relation through ONE task. The standing rule (audited
+    // by hand in rounds 5–7) is that such windows may ride BOUNDED
+    // axes only — histogram grids, superbuckets, day axes, tiny dims,
+    // the source list. This ratchet turns that manual audit into a
+    // gate: adding a Window.orderBy site fails here until it is
+    // consciously registered below with its bounding argument.
+    val allowed = Map(
+      "ods/OdsBuild.scala" -> (1, "contract dim: tens of rows"),
+      "operators/Relational.scala" -> (1, "histogram bucket axis (bounded grid)"),
+      "operators/EventOps.scala" -> (1, "day axis (bounded calendar)"),
+      "operators/TextOps.scala" -> (5,
+        "quality grid / superbuckets / |sources| / quartile grid / bucket grid"),
+      "stg/Normalizer.scala" -> (1,
+        "reference-shaped CSV (single-file, thousands of rows by contract)"))
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val n = "Window\\.orderBy".r
+          .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p))).size
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    assert(found.toMap === allowed.view.mapValues(_._1).toMap,
+      s"global-window sites drifted from the registered allowlist " +
+        s"(found $found): a NEW Window.orderBy must partition, or be " +
+        "registered here with the axis that bounds it")
+  }
+
   test("q162 shared passages: native fp arrays, no char-grain explode or window") {
     // the census must ride the single-pass WinnowFps expression: one
     // Generate (exploding the ~len/w selected prints), NO Window — a
