@@ -453,6 +453,44 @@ class ScaleSpec extends AnyFunSuite {
         "registered here with the axis that bounds it")
   }
 
+  test("crossJoin and driver collect() sites stay inside their registered budgets") {
+    // the other two audited scale-killer classes: a crossJoin that is
+    // not against a broadcast metadata-sized relation is an all-pairs
+    // bomb, and a .collect() in an operator is a driver-side loop.
+    // Same ratchet as the window allowlist — drift fails until the new
+    // site is argued and registered.
+    def countSites(pattern: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get("src/main/scala/graft")
+      val found = scala.collection.mutable.Map.empty[String, Int]
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (p.toString.endsWith(".scala")) {
+          val n = pattern.r
+            .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p))).size
+          if (n > 0) found(root.relativize(p).toString) = n
+        }
+      }
+      found.toMap
+    }
+    // every crossJoin is against a broadcast() 1-row aggregate or a
+    // metadata-sized constant relation (centroids, codebooks, totals)
+    val crossJoinBudget = Map(
+      "operators/EventOps.scala" -> 7,
+      "operators/Relational.scala" -> 4,
+      "operators/TextOps.scala" -> 10,
+      "operators/VectorOps.scala" -> 5)
+    assert(countSites("crossJoin") === crossJoinBudget,
+      s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
+        "argue the new site is broadcast metadata-sized, then register it")
+    // collect() only at the 1-row staging metadata lookup and Verify's
+    // human diagnostics — never in an operator's data path
+    val collectBudget = Map(
+      "Verify.scala" -> 2,
+      "stg/Staging.scala" -> 1)
+    assert(countSites("\\.collect\\(\\)") === collectBudget,
+      s"driver collect() sites drifted (found ${countSites("\\.collect\\(\\)")}): " +
+        "an operator must not loop driver-side; register only metadata lookups")
+  }
+
   test("q162 shared passages: native fp arrays, no char-grain explode or window") {
     // the census must ride the single-pass WinnowFps expression: one
     // Generate (exploding the ~len/w selected prints), NO Window — a
