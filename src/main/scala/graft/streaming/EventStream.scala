@@ -560,4 +560,49 @@ object EventStream {
       |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS value_cents
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q165: driver-oracled within-watermark streaming dedup
+  // ---------------------------------------------------------------
+
+  /** The SIXTH driver-oracled streaming surface — the last stateful
+    * operator class without a driver hash: `dropDuplicatesWithinWatermark`
+    * drained with availableNow (append mode; dedup emits rows
+    * immediately, so the drain delivers every survivor), then a batch
+    * census by event type over the sink. The driver's event_ids are
+    * UNIQUE, so dedup is the identity and the oracle is the plain
+    * batch census — making the green hash a proof the operator drops
+    * NOTHING it shouldn't while its drop-the-duplicate semantics stay
+    * owned by StreamingSpec's crafted-duplicate cases. If a future
+    * corpus gains duplicate ids this row goes red loudly (and the
+    * StreamingSpec precondition case diagnoses why). Grid rules: count
+    * + integer-cent sums only. */
+  def q165StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "dedupq_" + UUID.randomUUID().toString.replace("-", "")
+    val ss = streamSession(spark, 8)
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q = rawEvents(ss, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select($"event_id", $"event_type", $"value")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    ss.table(name)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.moneySum($"value").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val q165StreamDedupSql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${graft.operators.Relational.sqlMoneySum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
 }

@@ -45,6 +45,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming === batch)
   }
 
+  test("q165 census drops a crafted within-watermark duplicate exactly once") {
+    // the oracle-facing census is the identity on the unique-id driver
+    // corpus — this case proves the DROP arm on a corpus where it must
+    // fire: one duplicated event_id within the 1h late window counts
+    // once; distinct ids are untouched
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_dedup").toString
+    val t0 = 1700000000L
+    Seq(
+      (1L, t0, 10L, "view", 1.0, "{}"),
+      (1L, t0 + 60, 10L, "view", 1.0, "{}"),    // duplicate id, 1 min later
+      (2L, t0 + 120, 11L, "view", 2.0, "{}"),
+      (3L, t0 + 180, 12L, "click", 4.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us" * 1000000L).as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp")
+    // the stream reader's pathGlobFilter matches LEAF FILE names — the
+    // crafted table must be a single file literally named events.parquet
+    val part = new java.io.File(s"$base/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/events.parquet"))
+    val census = EventStream.q165StreamDedup(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(census("view") === ((2L, 3.0)), s"view arm: ${census.get("view")}")
+    assert(census("click") === ((1L, 4.0)))
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val streaming = EventStream.rangeJoinStream(spark, d)
       .collect().map(_.toSeq).toSet
