@@ -1377,8 +1377,24 @@ object TextOps {
         .select(lit("q105_lnu").as("site"), $"doc_id".cast("string").as("key"),
           (log(u) * 1e6 + 0.5).as("y"))
     }
+    // q166's two grid sites: the per-(doc, bucket) likelihood-ratio
+    // term and the per-doc smoothing-denominator constant
+    val dsirDb = dsirDocBuckets(s, d)
+    val dsirTermHaz = dsirDb
+      .join(broadcast(dsirBucketStats(dsirDb)), "b")
+      .select(lit("q166_term").as("site"),
+        concat($"doc_id", lit(":"), $"b").as("key"),
+        ($"c" * (log($"tn".cast("double")) - log($"rn".cast("double")))
+          * 1e6 + 0.5).as("y"))
+    val dsirConstHaz = dsirDb
+      .groupBy($"doc_id").agg(sum($"c").as("n_feat"))
+      .crossJoin(broadcast(dsirTotals(dsirDb)))
+      .select(lit("q166_const").as("site"), $"doc_id".cast("string").as("key"),
+        ($"n_feat" * (log($"rd".cast("double")) - log($"td".cast("double")))
+          * 1e6 + 0.5).as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
+      .unionAll(dsirTermHaz).unionAll(dsirConstHaz)
   }
 
   // ---------------------------------------------------------------
@@ -2821,6 +2837,97 @@ object TextOps {
        |  CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
        |FROM h GROUP BY bucket
        |ORDER BY n_tokens DESC, bucket LIMIT $FhTopK""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q166: DSIR importance weights (hashed n-gram likelihood ratios)
+  // ---------------------------------------------------------------
+
+  private val DsirBuckets = 64L
+  private val DsirTarget = "src0"
+
+  /** Per-(doc, hashed-feature-bucket) counts — the DSIR feature space:
+    * word tokens hashed to [[DsirBuckets]] buckets by md5 (the q132
+    * hashing trick, its own salt). Carries `source` for the target/raw
+    * split. */
+  private def dsirDocBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", $"source", explode(split($"text", " ")).as("w"))
+      .select($"doc_id", $"source",
+        (conv(substring(md5(concat(lit("ds:"), $"w")), 1, 8), 16, 10)
+          .cast("long") % DsirBuckets).as("b"))
+      .groupBy($"doc_id", $"source", $"b").agg(count(lit(1)).as("c"))
+
+  /** Laplace-smoothed bucket numerators (+1) for the target and raw
+    * unigram models — a ≤[[DsirBuckets]]-row relation. */
+  private def dsirBucketStats(db: DataFrame): DataFrame =
+    db.groupBy($"b").agg(
+      (sum($"c") + 1L).as("rn"),
+      (sum(when($"source" === DsirTarget, $"c").otherwise(0L)) + 1L).as("tn"))
+
+  /** The smoothing denominators (1 row): total tokens + B per model. */
+  private def dsirTotals(db: DataFrame): DataFrame =
+    db.agg(
+      (sum($"c") + DsirBuckets).as("rd"),
+      (sum(when($"source" === DsirTarget, $"c").otherwise(0L)) + DsirBuckets)
+        .as("td"))
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every document by the log likelihood
+    * ratio of a TARGET-domain hashed-n-gram model over the RAW-corpus
+    * model; high-weight docs "look like the target" and get sampled
+    * into the training mix. Target here: the `src0` source slice —
+    * deterministic, and exactly the estimator shape (two smoothed
+    * multinomials over [[DsirBuckets]] md5-hashed word buckets).
+    * lw(doc) = Σ_b c_b·(ln tn_b − ln rn_b) + n·(ln rd − ln td), with
+    * every ln term gridded to a 1e-6 integer BEFORE the sum (rule 2:
+    * order-free exact aggregation — the q68 entropy shape) and both
+    * grid sites registered in [[lnBoundaryHazards]] (rule 8: ln is the
+    * repo's only non-correctly-rounded primitive).
+    *
+    * Scale shape: one corpus-grain token pass into a map-side-combined
+    * (doc, bucket) aggregate (≤ B rows per doc); the bucket models are
+    * a broadcast ≤B-row relation and a 1-row total — nothing about the
+    * "model" is fitted state, so executors need no side channel at any
+    * cluster size. */
+  def q166DsirWeights(s: SparkSession, d: String): DataFrame = {
+    val db = dsirDocBuckets(s, d)
+    val terms = db
+      .join(broadcast(dsirBucketStats(db)), "b")
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_feat"),
+        sum(floor($"c" * (log($"tn".cast("double")) -
+          log($"rn".cast("double"))) * 1e6 + 0.5).cast("long")).as("sgrid"))
+    terms.crossJoin(broadcast(dsirTotals(db)))
+      .select($"doc_id", $"n_feat",
+        (($"sgrid" + floor($"n_feat" * (log($"rd".cast("double")) -
+          log($"td".cast("double"))) * 1e6 + 0.5).cast("long")) / 1e6)
+          .as("lw"))
+      .orderBy($"doc_id")
+  }
+
+  val q166DsirWeightsSql: String =
+    s"""WITH toks AS (SELECT doc_id, source,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |db AS (SELECT doc_id, source,
+       |    CAST('0x' || substring(md5('ds:' || w), 1, 8) AS BIGINT)
+       |      % $DsirBuckets AS b, count(*) AS c
+       |  FROM toks GROUP BY 1, 2, 3),
+       |bs AS (SELECT b, sum(c) + 1 AS rn,
+       |    sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END) + 1 AS tn
+       |  FROM db GROUP BY b),
+       |tot AS (SELECT sum(c) + $DsirBuckets AS rd,
+       |    sum(CASE WHEN source = '$DsirTarget' THEN c ELSE 0 END)
+       |      + $DsirBuckets AS td
+       |  FROM db),
+       |terms AS (SELECT d.doc_id, CAST(sum(d.c) AS BIGINT) AS n_feat,
+       |    sum(CAST(floor(d.c * (ln(CAST(bs.tn AS DOUBLE))
+       |      - ln(CAST(bs.rn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)) AS sgrid
+       |  FROM db d JOIN bs USING (b) GROUP BY d.doc_id)
+       |SELECT t.doc_id, t.n_feat,
+       |  (t.sgrid + CAST(floor(t.n_feat * (ln(CAST(tot.rd AS DOUBLE))
+       |    - ln(CAST(tot.td AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS lw
+       |FROM terms t, tot ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q129: token-budget curation (best docs under a budget)

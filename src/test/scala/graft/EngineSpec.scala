@@ -3123,6 +3123,56 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q166 DSIR weights equal a JVM replay; target docs score higher") {
+    import graft.operators.TextOps
+    val dd = "/root/testdata/sf0.001"
+    val got = TextOps.q166DsirWeights(spark, dd).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_feat"), r.getDouble(2)))
+      .toMap
+    val docs = graft.sources.Tables.documents(spark, dd)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact replay: same md5 bucketing, same Math.log (the JVM Spark
+    // runs on), same grid-then-sum arithmetic
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("ds:" + w).getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 64L
+    }
+    val perDoc = docs.map { case (id, src, text) =>
+      (id, src, text.split(" ", -1).map(bucket)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap)
+    }
+    val raw = scala.collection.mutable.Map.empty[Long, Long]
+    val tgt = scala.collection.mutable.Map.empty[Long, Long]
+    perDoc.foreach { case (_, src, bc) =>
+      bc.foreach { case (b, c) =>
+        raw(b) = raw.getOrElse(b, 0L) + c
+        if (src == "src0") tgt(b) = tgt.getOrElse(b, 0L) + c
+      }
+    }
+    val rd = raw.values.sum + 64L
+    val td = tgt.values.sum + 64L
+    val lwByDoc = perDoc.map { case (id, _, bc) =>
+      val n = bc.values.sum
+      val sgrid = bc.map { case (b, c) =>
+        math.floor(c * (math.log((tgt.getOrElse(b, 0L) + 1L).toDouble) -
+          math.log((raw(b) + 1L).toDouble)) * 1e6 + 0.5).toLong
+      }.sum
+      val cgrid = math.floor(
+        n * (math.log(rd.toDouble) - math.log(td.toDouble)) * 1e6 + 0.5).toLong
+      id -> ((n, (sgrid + cgrid) / 1e6))
+    }.toMap
+    assert(got === lwByDoc)
+    // the estimator's point: target-slice docs look like the target
+    val bySrc = docs.map { case (id, src, _) => src -> got(id)._2 }
+    val tgtMean = bySrc.filter(_._1 == "src0").map(_._2)
+    val restMean = bySrc.filter(_._1 != "src0").map(_._2)
+    assert(tgtMean.sum / tgtMean.length > restMean.sum / restMean.length,
+      "target docs do not out-score the raw corpus")
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

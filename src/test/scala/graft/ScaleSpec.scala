@@ -476,7 +476,9 @@ class ScaleSpec extends AnyFunSuite {
     val crossJoinBudget = Map(
       "operators/EventOps.scala" -> 7,
       "operators/Relational.scala" -> 4,
-      "operators/TextOps.scala" -> 10,
+      // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
+      // in the query and in its lnBoundaryTerms hazard twin
+      "operators/TextOps.scala" -> 12,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
