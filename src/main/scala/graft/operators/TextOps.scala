@@ -1487,6 +1487,59 @@ object TextOps {
        |ORDER BY source, skey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q167: exact stratified train/val/test split assignment
+  // ---------------------------------------------------------------
+
+  private val TrainPct = 80L
+  private val TrainValPct = 90L
+
+  /** Deterministic stratified holdout split — every document gets a
+    * train/val/test label with EXACT per-stratum proportions (the
+    * property hash-thresholding can't give: a threshold yields
+    * binomial-noisy counts, a RANK yields floor(0.8·n)/floor(0.9·n)
+    * cuts exactly). Within each source stratum, docs rank by an
+    * md5-derived key (its own salt — reusing q72's would correlate
+    * sample membership with split membership), so the assignment is a
+    * pure function of (doc_id, stratum census): reproducible across
+    * runs, partitionings, and engines, and any doc's split is
+    * re-derivable without the corpus. All cut arithmetic is integer
+    * (`n·80 div 100`).
+    *
+    * Scale shape: one window exchange keyed by source (the stratum
+    * axis), the stratum size via the same partition's unbounded frame
+    * — no second pass, no broadcast, nothing driver-side. */
+  def q167SplitAssign(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(
+      $"doc_id", $"source",
+      md5(concat(lit("spl:"), $"doc_id".cast("string"))).as("skey"))
+    val w = Window.partitionBy($"source").orderBy($"skey", $"doc_id")
+    val wAll = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    keyed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("nsrc", count(lit(1)).over(wAll))
+      .select($"doc_id", $"source",
+        when($"rn" <= expr(s"nsrc * $TrainPct div 100"), lit("train"))
+          .when($"rn" <= expr(s"nsrc * $TrainValPct div 100"), lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val q167SplitAssignSql: String =
+    s"""WITH keyed AS (SELECT doc_id, source,
+       |    md5('spl:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+       |rk AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY skey, doc_id)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nsrc
+       |  FROM keyed)
+       |SELECT doc_id, source,
+       |  CASE WHEN rn <= nsrc * $TrainPct // 100 THEN 'train'
+       |       WHEN rn <= nsrc * $TrainValPct // 100 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM rk ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q78: shingle containment (near-superset / quote detection)
   // ---------------------------------------------------------------
 

@@ -3173,6 +3173,27 @@ class EngineSpec extends AnyFunSuite {
       "target docs do not out-score the raw corpus")
   }
 
+  test("q167 split: exact per-stratum proportions, repartition-invariant") {
+    import graft.operators.TextOps
+    val dd = "/root/testdata/sf0.001"
+    val rows = TextOps.q167SplitAssign(spark, dd).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // exact rank-cut counts per stratum: floor(.8n) / floor(.9n)-floor(.8n) / rest
+    rows.groupBy(_._2).foreach { case (src, members) =>
+      val n = members.length.toLong
+      val bySplit = members.groupBy(_._3).view.mapValues(_.length.toLong)
+      assert(bySplit.getOrElse("train", 0L) === n * 80L / 100L, s"$src train")
+      assert(bySplit.getOrElse("val", 0L) === n * 90L / 100L - n * 80L / 100L,
+        s"$src val")
+      assert(bySplit.getOrElse("test", 0L) === n - n * 90L / 100L, s"$src test")
+    }
+    // assignment is a pure function of the data — identical under a
+    // different physical partitioning of the input
+    val again = TextOps.q167SplitAssign(spark, dd).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet === again.toSet)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
