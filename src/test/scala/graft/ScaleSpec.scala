@@ -510,6 +510,20 @@ class ScaleSpec extends AnyFunSuite {
       s"q162: native WinnowFps expression missing from the plan:\n$planStr")
   }
 
+  test("q167 split: both windows share one stratum exchange") {
+    // the rank window and the stratum-size window must ride the SAME
+    // hash(source) exchange — a second hash exchange means the count
+    // became its own pass; an unpartitioned window dies at scale
+    val planStr = graft.operators.TextOps
+      .q167SplitAssign(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllMatchIn(planStr).size
+    assert(hashEx == 1,
+      s"q167: expected one stratum hash exchange, found $hashEx:\n$planStr")
+    assert("Window \\[".r.findAllMatchIn(planStr).size == 2,
+      s"q167: expected two window nodes over the shared exchange:\n$planStr")
+  }
+
   test("q129 budget cut: exactly one corpus-grain pass after the cutoff") {
     // the quality histogram + cutoff must come from aggregations; the
     // selection pass joins a 1-row broadcast — no corpus self-join, no
