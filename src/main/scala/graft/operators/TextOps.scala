@@ -2708,8 +2708,8 @@ object TextOps {
        |    CAST(count(*) AS BIGINT) AS n_src FROM per),
        |ranked AS (SELECT per.*, t.n_src, t.total_tokens // 2 AS budget,
        |    CAST(row_number() OVER w AS BIGINT) AS rn,
-       |    sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-       |      AND CURRENT ROW) AS prefix,
+       |    CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS BIGINT) AS prefix,
        |    coalesce(lag(n_tokens, 1) OVER w, CAST(0 AS BIGINT)) AS prev_t
        |  FROM per, t
        |  WINDOW w AS (ORDER BY n_tokens, source)),
@@ -2728,11 +2728,12 @@ object TextOps {
        |      - k.lcand * (k.n_src - k.rn + 1) AS rem
        |  FROM chosen c JOIN cand k ON k.rn = c.jstar)
        |SELECT c.source, c.n_tokens,
-       |  CASE WHEN c.rn < l.jstar THEN c.n_tokens
+       |  CAST(CASE WHEN c.rn < l.jstar THEN c.n_tokens
        |       ELSE l.level + CASE WHEN c.rn - l.jstar < l.rem
-       |                           THEN 1 ELSE 0 END END AS alloc_tokens,
+       |                           THEN 1 ELSE 0 END END AS BIGINT)
+       |    AS alloc_tokens,
        |  CASE WHEN c.rn < l.jstar THEN 'full' ELSE 'capped' END AS status,
-       |  l.level AS fill_level
+       |  CAST(l.level AS BIGINT) AS fill_level
        |FROM cand c, level l
        |ORDER BY c.source""".stripMargin
 

@@ -577,6 +577,10 @@ object VectorOps {
     * decision boundary EXERCISED (both statuses appear) rather than
     * vacuously all-kept; a production run would use ~0.95+. */
   private val SemDupCos = 0.45
+  /** [[SemDupCos]] on the 1e-6 grid — the status comparison runs on
+    * gridded integers in BOTH engines so a max-cosine within 1 ulp of
+    * the threshold can't round differently across Spark and DuckDB. */
+  private val SemDupCosGrid: Long = math.round(SemDupCos * 1e6)
   /** Per-cluster candidate cap: only each cell's first [[SemDedupMaxCell]]
     * members (by vec_id) serve as dedup candidates, bounding the
     * within-cell comparison fan-out at cell×cap even if k is sized too
@@ -623,11 +627,14 @@ object VectorOps {
       .select($"vec_id",
         Vectors.cosine($"embedding", $"cvec").as("pcos"))
       .groupBy($"vec_id").agg(max($"pcos").as("mx"))
+    // threshold decided on the SAME 1e-6 grid emitted as max_prev_cos
+    // (never the raw double): a cosine 1 ulp either side of 0.45 must
+    // not flip status on one engine only (CLAUDE.md determinism rules)
     ranked.join(maxPrev, Seq("vec_id"), "left")
       .select($"vec_id", $"cell_id", $"rn".cast("long").as("cell_rank"),
         stableRound(coalesce($"mx", lit(-1.0)), 6).as("max_prev_cos"),
-        when($"mx" >= SemDupCos, lit("dropped"))
-          .otherwise(lit("kept")).as("status"))
+        when(floor($"mx" * lit(1e6) + lit(0.5)) >= lit(SemDupCosGrid),
+          lit("dropped")).otherwise(lit("kept")).as("status"))
       .orderBy($"vec_id")
   }
 
@@ -643,8 +650,8 @@ object VectorOps {
        |       GROUP BY r.vec_id)
        |SELECT r.vec_id, r.cell_id, r.rn AS cell_rank,
        |  ${sqlRound("coalesce(mx.mx, -1.0)", 6)} AS max_prev_cos,
-       |  CASE WHEN mx.mx >= $SemDupCos THEN 'dropped' ELSE 'kept' END
-       |    AS status
+       |  CASE WHEN floor(mx.mx * 1e6 + 0.5) >= $SemDupCosGrid
+       |       THEN 'dropped' ELSE 'kept' END AS status
        |FROM ranked r LEFT JOIN mx ON mx.vec_id = r.vec_id
        |ORDER BY r.vec_id""".stripMargin
   }

@@ -62,7 +62,13 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      case other =>
+        // a THIRD physical form (INT96? epoch-seconds int32?) must fail
+        // HERE with a diagnosis, not downstream as DATATYPE_MISMATCH —
+        // the exact episode this normalizer exists to prevent
+        sys.error(s"events.ts: unexpected physical type $other in $d — " +
+          "extend Tables.events normalization for this testdata generation")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")

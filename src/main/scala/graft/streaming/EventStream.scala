@@ -156,9 +156,8 @@ object EventStream {
 
   def statefulUserCounts(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val name = "state_" + UUID.randomUUID().toString.replace("-", "")
-    val q = rawEvents(spark, sfDir)
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val stream = rawEvents(spark, sfDir)
       .select(col("user_id"), col("ts").cast("long").as("sec"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -172,20 +171,46 @@ object EventStream {
           (user, n, last)
       }
       .toDF("user_id", "n_events", "last_sec")
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val stored = drainToParquet(stream, "state", mode = "update")
     // last update per user = final state
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    spark.table(name)
+    stored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
+  }
+
+  /** Drain a (possibly row-grain) stream through a foreachBatch →
+    * run-private parquet store and return the store as a batch
+    * DataFrame — the scale-safe alternative to a `memory` sink for any
+    * stream whose output is NOT a bounded-cardinality aggregate:
+    * executors append each micro-batch directly, no row ever rides the
+    * driver (round-8 advice #2). `memory` sinks remain only on the
+    * aggregated complete/1-row surfaces, ratcheted in ScaleSpec.
+    * The checkpoint is run-private and deleted; the store is left for
+    * the session to read lazily (same lifecycle as q159's upsert
+    * store). If the stream emitted zero batches the store may not
+    * exist — callers' streams here always see ≥1 micro-batch, and the
+    * batch write lays the schema down even when a batch has 0 rows. */
+  private def drainToParquet(stream: DataFrame, tag: String,
+      mode: String = "append"): DataFrame = {
+    val name = tag + "_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val store = s"/tmp/graft_stream_store_$name"
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .outputMode(mode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(store)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    spark.read.parquet(store)
   }
 
   /** Open-session state carried across micro-batches. */
@@ -209,8 +234,7 @@ object EventStream {
       gapSec: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val name = "sess_" + UUID.randomUUID().toString.replace("-", "")
-    val q = rawEvents(spark, sfDir)
+    val stream = rawEvents(spark, sfDir)
       .select(col("user_id"), col("ts").cast("long").as("sec"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -244,14 +268,8 @@ object EventStream {
           out.iterator
       }
       .toDF("user_id", "start_s", "end_s", "n_events")
-      .writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("start_s"))
+    drainToParquet(stream, "sess")
+      .orderBy(col("user_id"), col("start_s"))
   }
 
   /** Watermarked STREAM-STREAM interval join — the streaming twin of
@@ -268,7 +286,6 @@ object EventStream {
     * StreamingSpec asserts row-set equality with the batch q38 result
     * on ordered finite input. */
   def rangeJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "ssj_" + UUID.randomUUID().toString.replace("-", "")
     // 8 state-store partitions, stream-scoped: a stream-stream join
     // keeps TWO keyed state stores per partition, so the per-partition
     // open/commit overhead bites twice — at local scale the narrow
@@ -290,21 +307,15 @@ object EventStream {
         date_trunc("second", $"ts").as("purchase_ts"),
         $"event_id".as("purchase_id"))
       .withWatermark("purchase_ts", "1 hour")
-    val q = clicks
+    val joined = clicks
       .join(purchases,
         $"user_id" === $"p_user_id" &&
           $"purchase_ts" >= $"click_ts" - expr("INTERVAL 1 HOUR") &&
           $"purchase_ts" <= $"click_ts" + expr("INTERVAL 1 HOUR"))
       .select($"user_id", $"event_id", $"purchase_id",
         ($"purchase_ts".cast("long") - $"click_ts".cast("long")).as("gap_s"))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    ss.table(name).orderBy($"user_id", $"event_id", $"purchase_id")
+    drainToParquet(joined, "ssj")
+      .orderBy($"user_id", $"event_id", $"purchase_id")
   }
 
   /** Stream-STATIC enrichment join — the remaining Structured Streaming
@@ -575,25 +586,22 @@ object EventStream {
     * owned by StreamingSpec's crafted-duplicate cases. If a future
     * corpus gains duplicate ids this row goes red loudly (and the
     * StreamingSpec precondition case diagnoses why). Grid rules: count
-    * + integer-cent sums only. */
+    * + integer-cent sums only.
+    *
+    * Scale shape: the deduped stream drains via foreachBatch into a
+    * run-private parquet store (executor-side appends, like q159's
+    * sink) and the census aggregates THAT — no row of the event stream
+    * ever touches the driver. The earlier `memory`-sink draft here
+    * materialized the whole deduped corpus driver-side (round-8
+    * advice #2); ScaleSpec's sink ratchet now counts memory sinks so
+    * that shape can't silently return. */
   def q165StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = "dedupq_" + UUID.randomUUID().toString.replace("-", "")
     val ss = streamSession(spark, 8)
-    val ckpt = s"/tmp/graft_ckpt_$name"
-    val q = rawEvents(ss, sfDir)
+    val deduped = rawEvents(ss, sfDir)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .select($"event_id", $"event_type", $"value")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    ss.table(name)
+    drainToParquet(deduped, "dedupq")
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"))

@@ -491,6 +491,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(countSites("\\.collect\\(\\)") === collectBudget,
       s"driver collect() sites drifted (found ${countSites("\\.collect\\(\\)")}): " +
         "an operator must not loop driver-side; register only metadata lookups")
+    // memory sinks materialize their whole output table ON THE DRIVER —
+    // the round-8 q165 escape route around the collect() ratchet. Only
+    // streams whose output is a bounded-cardinality AGGREGATE may use
+    // one (tumbling, sliding, 1-row dedup count, segment×type enrich);
+    // any row-grain stream must drain via drainToParquet (foreachBatch
+    // → executor-side parquet appends) instead
+    val memorySinkBudget = Map(
+      "streaming/EventStream.scala" -> 4)
+    assert(countSites("format\\(\"memory\"\\)") === memorySinkBudget,
+      s"memory-sink sites drifted (found ${countSites("format\\(\"memory\"\\)")}): " +
+        "a memory sink is a driver materialization — only bounded " +
+        "aggregate outputs may use one; row-grain streams drain via " +
+        "drainToParquet")
   }
 
   test("q162 shared passages: native fp arrays, no char-grain explode or window") {

@@ -56,11 +56,17 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: columns differ spark={gcols} oracle={ecols}")
         fails += 1
         continue
-    for c in gcols:
-        gt = str(got.schema.field(c).type)
-        et = str(exp.schema.field(c).type)
-        if gt != et:
-            print(f"  WARN {name}.{c}: type spark={gt} oracle={et}")
+    # type drift is a FAIL, not a warning: the driver's hash is
+    # type-sensitive, so an uncast DuckDB HUGEINT/DECIMAL against a
+    # Spark BIGINT passes a value-only compare locally yet goes red at
+    # the driver (round-8 q164). Mirror SQL must CAST to Spark's type.
+    tbad = [(c, str(got.schema.field(c).type), str(exp.schema.field(c).type))
+            for c in gcols
+            if str(got.schema.field(c).type) != str(exp.schema.field(c).type)]
+    if tbad:
+        print(f"FAIL {name}: column type drift (spark vs oracle): {tbad}")
+        fails += 1
+        continue
     skey = lambda t: tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
     grows = sorted((tuple(norm(r[c]) for c in gcols) for r in got.to_pylist()), key=skey)
     erows = sorted((tuple(norm(r[c]) for c in ecols) for r in exp.to_pylist()), key=skey)
