@@ -2738,6 +2738,126 @@ object TextOps {
        |ORDER BY c.source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q168: exact substring-level dedup (span-grain removal census)
+  // ---------------------------------------------------------------
+
+  /** Span width for exact substring dedup, in TOKENS. Production
+    * ExactSubstr (Lee et al. 2021, arXiv:2107.06499) uses 50-token
+    * spans over a suffix array; the driver's synthetic docs repeat
+    * shorter passages, so 8 keeps the removal logic exercised (both
+    * zero-removal and partial-removal docs appear at every SF). */
+  private val SubstrW = 8
+  /** Bits reserved for the token position in the packed occurrence key
+    * `doc_id << 21 | pos` — a single BIGINT min() gives the lexical
+    * (doc_id, pos) first occurrence in BOTH engines with no struct
+    * ordering semantics to align. Bounds tokens/doc at 2^21 (~2M);
+    * the documents corpus chunks well below that at any SF. */
+  private val SubstrPosShift = 1L << 21
+
+  /** Exact substring-level dedup — the span-grain modality the doc-grain
+    * family (q22 exact, q23/q24 near-dup, q161 semantic) cannot see: a
+    * document that is 40% copied boilerplate plus 60% fresh prose is
+    * kept whole by every doc-grain policy, yet its copied SPANS still
+    * duplicate training data. ExactSubstr semantics re-expressed
+    * relationally: every [[SubstrW]]-token window that occurs more than
+    * once in the corpus is a duplicated span; the lexically-first
+    * occurrence (min packed (doc_id, pos)) survives, every later one is
+    * marked removed, and a document's removed-token count is the UNION
+    * length of its removed spans — fixed-width intervals sorted by
+    * start have monotone ends, so the union collapses to
+    * Σ min(W, pos − lag(pos)), exact integer arithmetic on both
+    * engines (no interval-merge state machine). Output: per-doc token
+    * count, duplicated-gram count, removed/kept token counts.
+    *
+    * Scale shape: the gram stream is the same lead-window formulation
+    * as [[ngramRows]] (one hash exchange by doc_id, codegen'd leads —
+    * never a per-token array slice); the census is a map-side-combined
+    * md5-key aggregation exactly like q22's fingerprint grain; the
+    * removed-span relation joins census→grams on the hash key
+    * (equi-join, hash-partitioned, n_occ>1 filter keeps the census
+    * side at duplicated-vocabulary grain — broadcastable in practice,
+    * AQE's call); the interval union runs per-doc on the SAME doc_id
+    * partitioning the gram window already laid down. No pairwise
+    * product anywhere: cost is O(token positions), the same bound the
+    * shingle pipeline already pays. A true 50-token production run
+    * changes only [[SubstrW]]. */
+  def q168SubstrDedup(s: SparkSession, d: String): DataFrame = {
+    // doc_id.isNotNull is implied by the data but stated EXPLICITLY: the
+    // census→grams join infers it on the probe branch only, and that
+    // one-sided inferred filter is what kept the two gram-stream
+    // subtrees from being identical — with it stated at the base, AQE
+    // collapses the census branch onto the probe's exchange
+    // (ReusedExchange, locked in ScaleSpec) instead of re-scanning and
+    // re-shuffling the token stream
+    val docs = Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull)
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = docs.select($"doc_id",
+      posexplode(split($"text", " ")).as(Seq("pos", "w")))
+    val withLeads = (1 until SubstrW).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"w$i", lead($"w", i).over(w))
+    }
+    val parts = $"w" +: (1 until SubstrW).map(i => col(s"w$i"))
+    val grams = withLeads
+      .filter(col(s"w${SubstrW - 1}").isNotNull)
+      .select($"doc_id", $"pos",
+        md5(concat_ws(" ", parts: _*)).as("h"),
+        ($"doc_id" * lit(SubstrPosShift) + $"pos").as("occ"))
+    val census = grams.groupBy($"h")
+      .agg(count(lit(1)).as("n_occ"), min($"occ").as("first_occ"))
+      .filter($"n_occ" > 1)
+    val removed = grams.join(census, Seq("h"))
+      .filter($"occ" > $"first_occ")
+      .select($"doc_id", $"pos")
+    // (doc_id, pos) is unique in the gram stream, so the lag order is
+    // a total order — no tie-break needed (README window rule)
+    val cov = removed
+      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .select($"doc_id",
+        least(lit(SubstrW.toLong), coalesce($"gap".cast("long"),
+          lit(SubstrW.toLong))).as("covered"))
+    val spans = cov.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum($"covered").as("n_removed_tokens"))
+    docs.select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+        coalesce($"n_removed_tokens", lit(0L)).as("n_removed_tokens"),
+        ($"n_tokens" - coalesce($"n_removed_tokens", lit(0L)))
+          .as("n_kept_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q168SubstrDedupSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h,
+       |    doc_id * $SubstrPosShift + i AS occ
+       |  FROM ws, UNNEST(range(0, greatest(len(w) - ${SubstrW - 1}, 0)))
+       |    AS t(i)),
+       |c AS (SELECT h, min(occ) AS first_occ FROM g
+       |      GROUP BY h HAVING count(*) > 1),
+       |r AS (SELECT g.doc_id, g.pos FROM g JOIN c ON c.h = g.h
+       |      WHERE g.occ > c.first_occ),
+       |r2 AS (SELECT doc_id, coalesce(least($SubstrW, pos -
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), $SubstrW)
+       |    AS covered FROM r),
+       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams,
+       |    CAST(sum(covered) AS BIGINT) AS n_removed_tokens
+       |  FROM r2 GROUP BY doc_id)
+       |SELECT d.doc_id, CAST($tcSql AS BIGINT) AS n_tokens,
+       |  coalesce(sp.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+       |  coalesce(sp.n_removed_tokens, CAST(0 AS BIGINT))
+       |    AS n_removed_tokens,
+       |  CAST($tcSql AS BIGINT) - coalesce(sp.n_removed_tokens,
+       |    CAST(0 AS BIGINT)) AS n_kept_tokens
+       |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q145: boilerplate n-gram census (cross-document repetition)
   // ---------------------------------------------------------------
 

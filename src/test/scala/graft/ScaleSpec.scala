@@ -422,6 +422,26 @@ class ScaleSpec extends AnyFunSuite {
       s"q161: AQE did not reuse the self-join's exchanges:\n$finalPlan")
   }
 
+  test("q168 substr dedup: census rides the gram exchange, windows partitioned by doc") {
+    // the gram stream feeds BOTH the duplicated-gram census and the
+    // probe side of the removal join — at runtime those must be ONE
+    // scan + ONE token-stream shuffle (AQE ReusedExchange), never a
+    // recompute of the corpus tokenization; and every window must be
+    // partitioned (doc_id), never global
+    val df = graft.operators.TextOps
+      .q168SubstrDedup(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val planStr = df.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllMatchIn(planStr).nonEmpty,
+      s"q168: census branch re-scans the token stream instead of " +
+        s"reusing the gram exchange:\n$planStr")
+    assert(!planStr.contains("CartesianProduct"),
+      s"q168: removal join degenerated to a cartesian:\n$planStr")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(planStr).isDefined &&
+      !"windowspecdefinition\\((?!doc_id)".r.findFirstIn(planStr).isDefined,
+      s"q168: a window is not partitioned by doc_id:\n$planStr")
+  }
+
   test("every partition-less Window.orderBy site is registered with a bounded axis") {
     // the scale-killer class: a global window with no PARTITION BY runs
     // the whole relation through ONE task. The standing rule (audited
