@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Hamming64, SimHash64}
+import graft.functions.{Hamming64, SimHash64, SubstrGramHashes}
 
 /** `SparkSessionExtensions` hook (SURVEY.md §7.3): injects the engine's
   * native expressions into any session at build time —
@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Hamming64(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("substr_gram_hashes"),
+      new ExpressionInfo(classOf[SubstrGramHashes].getName, "substr_gram_hashes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SubstrGramHashes(exprs.head)))
   }
 }

@@ -2741,12 +2741,13 @@ object TextOps {
   // q168: exact substring-level dedup (span-grain removal census)
   // ---------------------------------------------------------------
 
-  /** Span width for exact substring dedup, in TOKENS. Production
-    * ExactSubstr (Lee et al. 2021, arXiv:2107.06499) uses 50-token
-    * spans over a suffix array; the driver's synthetic docs repeat
-    * shorter passages, so 8 keeps the removal logic exercised (both
-    * zero-removal and partial-removal docs appear at every SF). */
-  private val SubstrW = 8
+  /** Span width for exact substring dedup, in TOKENS (canonical
+    * constant lives with the native expression). Production ExactSubstr
+    * (Lee et al. 2021, arXiv:2107.06499) uses 50-token spans over a
+    * suffix array; the driver's synthetic docs repeat shorter passages,
+    * so 8 keeps the removal logic exercised (both zero-removal and
+    * partial-removal docs appear at every SF). */
+  private val SubstrW = graft.functions.SubstrGramImpl.GramW
   /** Bits reserved for the token position in the packed occurrence key
     * `doc_id << 21 | pos` — a single BIGINT min() gives the lexical
     * (doc_id, pos) first occurrence in BOTH engines with no struct
@@ -2769,28 +2770,41 @@ object TextOps {
     * engines (no interval-merge state machine). Output: per-doc token
     * count, duplicated-gram count, removed/kept token counts.
     *
-    * Scale shape: the gram stream is the same lead-window formulation
-    * as [[ngramRows]] (one hash exchange by doc_id, codegen'd leads —
-    * never a per-token array slice); the census is a map-side-combined
-    * md5-key aggregation exactly like q22's fingerprint grain; the
-    * removed-span relation joins census→grams on the hash key
-    * (equi-join, hash-partitioned, n_occ>1 filter keeps the census
-    * side at duplicated-vocabulary grain — broadcastable in practice,
-    * AQE's call); the interval union runs per-doc on the SAME doc_id
-    * partitioning the gram window already laid down. No pairwise
-    * product anywhere: cost is O(token positions), the same bound the
-    * shingle pipeline already pays. A true 50-token production run
-    * changes only [[SubstrW]]. */
-  def q168SubstrDedup(s: SparkSession, d: String): DataFrame = {
-    // doc_id.isNotNull is implied by the data but stated EXPLICITLY: the
-    // census→grams join infers it on the probe branch only, and that
-    // one-sided inferred filter is what kept the two gram-stream
-    // subtrees from being identical — with it stated at the base, AQE
-    // collapses the census branch onto the probe's exchange
-    // (ReusedExchange, locked in ScaleSpec) instead of re-scanning and
-    // re-shuffling the token stream
-    val docs = Tables.documents(s, d)
-      .filter($"text".isNotNull && $"doc_id".isNotNull)
+    * Scale shape: the gram stream rides the native single-pass
+    * [[graft.functions.SubstrGrams.substrGramHashes]] expression — the
+    * scan stays embarrassingly parallel and the corpus is NEVER
+    * shuffled at token grain (the declarative lead-window shape pushed
+    * every token through a doc_id exchange first); the census is a
+    * map-side-combined md5-key aggregation exactly like q22's
+    * fingerprint grain (its h exchange is the query's one corpus-scale
+    * shuffle — inherent to an exact global census); the removal join
+    * keys on the hash with the n_occ>1 filter keeping the census side
+    * at duplicated-vocabulary grain (broadcastable in practice, AQE's
+    * call); the interval union windows only the REMOVED subset. No
+    * pairwise product anywhere: cost is O(token positions), the same
+    * bound the shingle pipeline already pays. A true 50-token
+    * production run changes only [[SubstrW]]. */
+  /** The [[SubstrW]]-token gram stream with positions and packed
+    * occurrence keys — the shared front of the span-grain family
+    * (q168 self-dedup, q169 decontamination). Rides the native
+    * single-pass [[graft.functions.SubstrGrams.substrGramHashes]]
+    * expression: ONE posexplode of the per-doc gram-hash array and NO
+    * window — the declarative lead-window formulation (kept below as
+    * [[substrGramRowsDeclarative]], equality asserted in EngineSpec)
+    * shuffles the whole token-grain corpus just to line tokens up with
+    * their successors, work that never crosses document boundaries. */
+  private[graft] def substrGramRows(docs: DataFrame): DataFrame =
+    docs.select($"doc_id",
+        posexplode(graft.functions.SubstrGrams.substrGramHashes($"text"))
+          .as(Seq("pos", "h")))
+      .select($"doc_id", $"pos", $"h",
+        ($"doc_id" * lit(SubstrPosShift) + $"pos").as("occ"))
+
+  /** The declarative reference formulation of [[substrGramRows]] —
+    * posexplode the tokens, W−1 `lead`s over a doc window, md5 the
+    * concat. Retained ONLY as the cross-check subject for the native
+    * expression (EngineSpec equality test), never on a query path. */
+  private[graft] def substrGramRowsDeclarative(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val toks = docs.select($"doc_id",
       posexplode(split($"text", " ")).as(Seq("pos", "w")))
@@ -2798,27 +2812,43 @@ object TextOps {
       df.withColumn(s"w$i", lead($"w", i).over(w))
     }
     val parts = $"w" +: (1 until SubstrW).map(i => col(s"w$i"))
-    val grams = withLeads
+    withLeads
       .filter(col(s"w${SubstrW - 1}").isNotNull)
       .select($"doc_id", $"pos",
         md5(concat_ws(" ", parts: _*)).as("h"),
         ($"doc_id" * lit(SubstrPosShift) + $"pos").as("occ"))
+  }
+
+  /** Per-doc interval-union length of removed [[SubstrW]]-wide spans:
+    * fixed-width intervals sorted by start have monotone ends, so the
+    * union collapses to Σ min(W, pos − lag(pos)) — exact integers.
+    * (doc_id, pos) is unique in the gram stream, so the lag order is a
+    * total order — no tie-break needed (README window rule). */
+  private def spanUnionStats(removed: DataFrame, nCol: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    removed
+      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
+      .select($"doc_id",
+        least(lit(SubstrW.toLong), coalesce($"gap".cast("long"),
+          lit(SubstrW.toLong))).as("covered"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as(nCol),
+        sum($"covered").as("n_removed_tokens"))
+  }
+
+  def q168SubstrDedup(s: SparkSession, d: String): DataFrame =
+    substrDedupStats(Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull))
+
+  private[graft] def substrDedupStats(docs: DataFrame): DataFrame = {
+    val grams = substrGramRows(docs)
     val census = grams.groupBy($"h")
       .agg(count(lit(1)).as("n_occ"), min($"occ").as("first_occ"))
       .filter($"n_occ" > 1)
     val removed = grams.join(census, Seq("h"))
       .filter($"occ" > $"first_occ")
       .select($"doc_id", $"pos")
-    // (doc_id, pos) is unique in the gram stream, so the lag order is
-    // a total order — no tie-break needed (README window rule)
-    val cov = removed
-      .withColumn("gap", $"pos" - lag($"pos", 1).over(w))
-      .select($"doc_id",
-        least(lit(SubstrW.toLong), coalesce($"gap".cast("long"),
-          lit(SubstrW.toLong))).as("covered"))
-    val spans = cov.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_dup_grams"),
-        sum($"covered").as("n_removed_tokens"))
+    val spans = spanUnionStats(removed, "n_dup_grams")
     docs.select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
@@ -2855,6 +2885,82 @@ object TextOps {
        |    CAST(0 AS BIGINT)) AS n_kept_tokens
        |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
        |WHERE d.text IS NOT NULL
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q169: span-grain benchmark decontamination (overlap removal plan)
+  // ---------------------------------------------------------------
+
+  /** Span-grain decontamination — the REMOVAL step q60's doc-grain
+    * flag cannot express: GPT-3's appendix-C hygiene (Brown et al.
+    * 2020, arXiv:2005.14165) deletes the colliding WINDOW around each
+    * benchmark n-gram hit and keeps the rest of the document, because
+    * dropping every flagged doc at corpus scale throws away orders of
+    * magnitude more tokens than actually overlap. Here: any
+    * [[SubstrW]]-token training-doc window whose md5 also occurs in
+    * the benchmark slice (q60's deterministic tenth, doc_id % 10 = 7)
+    * is a contaminated span; per training doc the removed-token count
+    * is the exact interval union of those spans ([[spanUnionStats]],
+    * the q168 Σ min(W, gap) collapse). Benchmark docs themselves are
+    * not output rows — they are the reference set, not the corpus.
+    *
+    * Scale shape: the gram stream rides the native shuffle-free
+    * [[graft.functions.SubstrGrams.substrGramHashes]] expression; the
+    * benchmark gram set dedups to distinct hashes BEFORE the join (no
+    * hot-key amplification — the q60 argument) and a real eval suite
+    * is tiny relative to the corpus, so that side broadcasts; the
+    * training stream then never shuffles AT ALL for the match
+    * (left-semi keeps it at occurrence grain, no duplication); the
+    * interval union windows only the contaminated subset. One corpus
+    * pass + one benchmark-slice pass, zero corpus-scale shuffles. */
+  def q169DecontamSpans(s: SparkSession, d: String): DataFrame =
+    decontamSpanStats(Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull),
+      $"doc_id" % 10 === 7)
+
+  private[graft] def decontamSpanStats(docs: DataFrame,
+      isBench: Column): DataFrame = {
+    val grams = substrGramRows(docs)
+    val bench = grams.filter(isBench).select($"h").distinct()
+    val contam = grams.filter(!isBench)
+      .join(broadcast(bench), Seq("h"), "leftsemi")
+      .select($"doc_id", $"pos")
+    val spans = spanUnionStats(contam, "n_contam_grams")
+    docs.filter(!isBench)
+      .select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_contam_grams", lit(0L)).as("n_contam_grams"),
+        coalesce($"n_removed_tokens", lit(0L)).as("n_removed_tokens"),
+        ($"n_tokens" - coalesce($"n_removed_tokens", lit(0L)))
+          .as("n_kept_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q169DecontamSpansSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h
+       |  FROM ws, UNNEST(range(0, greatest(len(w) - ${SubstrW - 1}, 0)))
+       |    AS t(i)),
+       |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 7),
+       |r AS (SELECT g.doc_id, g.pos FROM g JOIN bench b ON b.h = g.h
+       |      WHERE g.doc_id % 10 <> 7),
+       |r2 AS (SELECT doc_id, coalesce(least($SubstrW, pos -
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), $SubstrW)
+       |    AS covered FROM r),
+       |sp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contam_grams,
+       |    CAST(sum(covered) AS BIGINT) AS n_removed_tokens
+       |  FROM r2 GROUP BY doc_id)
+       |SELECT d.doc_id, CAST($tcSql AS BIGINT) AS n_tokens,
+       |  coalesce(sp.n_contam_grams, CAST(0 AS BIGINT)) AS n_contam_grams,
+       |  coalesce(sp.n_removed_tokens, CAST(0 AS BIGINT))
+       |    AS n_removed_tokens,
+       |  CAST($tcSql AS BIGINT) - coalesce(sp.n_removed_tokens,
+       |    CAST(0 AS BIGINT)) AS n_kept_tokens
+       |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL AND d.doc_id % 10 <> 7
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------

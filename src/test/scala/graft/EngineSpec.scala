@@ -271,6 +271,78 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2L) === ((3L, 3L, 0.0)))
   }
 
+  test("substr dedup: first occurrence survives, spans merge, short docs exempt") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  // all first
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  // exact copy
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4"),     // shares ONE 8-gram
+      (4L, "short doc"),                                // < W tokens: no grams
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8") // self-repeat
+    ).toDF("doc_id", "text")
+    val got = TextOps.substrDedupStats(docs).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((12L, 0L, 0L, 12L)))  // every gram is first
+    // doc 2: all 5 grams duplicate doc 1's; overlapping spans union to
+    // the whole doc (8 + 1+1+1+1 = 12)
+    assert(got(2L) === ((12L, 5L, 12L, 0L)))
+    assert(got(3L) === ((12L, 1L, 8L, 4L)))   // one 8-token span removed
+    assert(got(4L) === ((2L, 0L, 0L, 2L)))    // too short to form a gram
+    // doc 5: the second half's pos-8 gram duplicates its OWN pos-0 gram
+    // (within-doc repeats are removed too, first-in-doc wins)
+    assert(got(5L) === ((16L, 1L, 8L, 8L)))
+  }
+
+  test("substr grams: native expression equals the declarative lead-window md5s") {
+    import graft.operators.TextOps
+    // exercises every tokenization edge the byte-slice path must match:
+    // consecutive spaces (empty tokens), trailing space, multi-byte
+    // UTF-8, exactly-W tokens, under-W tokens, and a repeated gram
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a  b c d e f g h"),            // empty token from double space
+      (3L, "a b c d e f g h "),            // trailing space -> empty token
+      (4L, "å ß ç déf g h i j k"),         // multi-byte UTF-8 tokens
+      (5L, "one two three"),               // under W tokens: no grams
+      (6L, "x x x x x x x x x x x x")      // internal repeats
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pos", "h", "occ").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val native = rows(TextOps.substrGramRows(docs))
+    val declarative = rows(TextOps.substrGramRowsDeclarative(docs))
+    assert(native === declarative)
+    // sanity on the crafted shapes: doc 5 yields no grams, doc 1 yields
+    // exactly n - W + 1 = 3, and doc 6's positions are all present
+    assert(!native.exists(_._1 == 5L))
+    assert(native.count(_._1 == 1L) === 3)
+    assert(native.filter(_._1 == 6L).map(_._2) === Set(0, 1, 2, 3, 4))
+  }
+
+  test("decontam spans: benchmark 8-gram hits remove their exact interval union") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9"),              // benchmark: 2 grams
+      (1L, "b1 b2 b3 b4 b5 b6 b7 b8 y1 y2 y3 y4"),      // one hit at pos 0
+      (2L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),           // clean
+      (3L, "b1 b2 b3 b4 b5 b6 b7 b8 z b1 b2 b3 b4 b5 b6 b7 b8"), // 2 disjoint hits
+      (4L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 d1 d2 d3")       // 2 OVERLAPPING hits
+    ).toDF("doc_id", "text")
+    val got = TextOps.decontamSpanStats(docs, col("doc_id") >= 10)
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(!got.contains(10L))                 // benchmark docs excluded
+    assert(got(1L) === ((12L, 1L, 8L, 4L)))
+    assert(got(2L) === ((10L, 0L, 0L, 10L)))
+    // doc 3: hits at pos 0 and pos 9, gap 9 >= W — two full spans
+    assert(got(3L) === ((17L, 2L, 16L, 1L)))
+    // doc 4: hits at pos 0 and pos 1 OVERLAP — union is 8 + 1 = 9, not 16
+    assert(got(4L) === ((12L, 2L, 9L, 3L)))
+  }
+
   test("BMP codec: encodeBmp produces a real image javax.imageio decodes back to exact channel sums") {
     import graft.multimodal.Multimodal
     // payload bytes 0..99: channel sums are computable by hand —

@@ -422,24 +422,27 @@ class ScaleSpec extends AnyFunSuite {
       s"q161: AQE did not reuse the self-join's exchanges:\n$finalPlan")
   }
 
-  test("q168 substr dedup: census rides the gram exchange, windows partitioned by doc") {
-    // the gram stream feeds BOTH the duplicated-gram census and the
-    // probe side of the removal join — at runtime those must be ONE
-    // scan + ONE token-stream shuffle (AQE ReusedExchange), never a
-    // recompute of the corpus tokenization; and every window must be
-    // partitioned (doc_id), never global
+  test("q168 substr dedup: native gram expression, no token-grain shuffle or window") {
+    // the gram stream must ride the native substr_gram_hashes
+    // expression — the corpus is NEVER shuffled at token grain (no
+    // lead window, no doc_id exchange of the token stream); the only
+    // remaining window is the span-union lag over the REMOVED subset,
+    // and it must be partitioned by doc_id
     val df = graft.operators.TextOps
       .q168SubstrDedup(spark, "/root/testdata/sf0.001")
     df.collect()
     val planStr = df.queryExecution.executedPlan.toString
-    assert("ReusedExchange".r.findAllMatchIn(planStr).nonEmpty,
-      s"q168: census branch re-scans the token stream instead of " +
-        s"reusing the gram exchange:\n$planStr")
+    assert(planStr.contains("substr_gram_hashes"),
+      s"q168: native gram expression missing from the plan:\n$planStr")
+    assert(!planStr.contains("lead("),
+      s"q168: declarative lead-window gram path leaked back in:\n$planStr")
     assert(!planStr.contains("CartesianProduct"),
       s"q168: removal join degenerated to a cartesian:\n$planStr")
-    assert("windowspecdefinition\\(doc_id".r.findFirstIn(planStr).isDefined &&
-      !"windowspecdefinition\\((?!doc_id)".r.findFirstIn(planStr).isDefined,
-      s"q168: a window is not partitioned by doc_id:\n$planStr")
+    val windows = "windowspecdefinition\\(".r.findAllMatchIn(planStr).size
+    val docWindows = "windowspecdefinition\\(doc_id".r.findAllMatchIn(planStr).size
+    assert(windows == docWindows && docWindows >= 1,
+      s"q168: expected only doc_id-partitioned windows " +
+        s"(found $windows total, $docWindows doc-partitioned):\n$planStr")
   }
 
   test("every partition-less Window.orderBy site is registered with a bounded axis") {
