@@ -294,6 +294,32 @@ class EngineSpec extends AnyFunSuite {
     assert(got(5L) === ((16L, 1L, 8L, 8L)))
   }
 
+  test("bench contract line: fastest queries fold into qother when over budget") {
+    val results = (1 to 200).map(i => (f"q$i%03d_name", i / 100.0)) :+
+      ("q999_broken", -1.0)
+    // generous budget: everything fits, no merge fields
+    val full = Bench.contractLine(results, 201.0, "cold", 1, "one-shot",
+      "/sf", budget = 100000)
+    assert(!full.contains("qmerged") && full.contains("\"q999\":-1"))
+    assert("\"q\\d+\":".r.findAllMatchIn(full).size == 201)
+    // tight budget: merge fires — the line fits, the SLOWEST and the
+    // FAILED queries survive individually, qother sums the merged
+    // centiseconds exactly
+    val tight = Bench.contractLine(results, 201.0, "cold", 1, "one-shot",
+      "/sf", budget = 1000)
+    assert(tight.length < 1000)
+    assert(tight.contains("\"q200\":200") && tight.contains("\"q999\":-1"),
+      s"slowest/failed rows must survive the merge: $tight")
+    assert(!tight.contains("\"q001\":"), s"fastest row must merge: $tight")
+    val merged = "\"qmerged\":(\\d+)".r.findFirstMatchIn(tight).get.group(1).toInt
+    val other = "\"qother\":(\\d+)".r.findFirstMatchIn(tight).get.group(1).toLong
+    val kept = "\"q(\\d+)\":".r.findAllMatchIn(tight)
+      .map(_.group(1).toInt).toSet - 999
+    val expectOther = (1 to 200).filterNot(kept).map(_.toLong).sum
+    assert(merged == 200 - kept.size && other == expectOther,
+      s"qother must sum exactly the merged centiseconds: $tight")
+  }
+
   test("substr grams: native expression equals the declarative lead-window md5s") {
     import graft.operators.TextOps
     // exercises every tokenization edge the byte-slice path must match:
