@@ -527,6 +527,22 @@ class ScaleSpec extends AnyFunSuite {
         "a memory sink is a driver materialization — only bounded " +
         "aggregate outputs may use one; row-grain streams drain via " +
         "drainToParquet")
+    // collect_list/collect_set materialize a whole GROUP in one
+    // aggregation buffer — unbounded per hot key unless the input is
+    // capped first. Every registered site carries a bound: TextOps =
+    // per-doc shingle set ×2 + TopKPerKey-capped source sketch;
+    // EventOps = user-day basket + per-user journey (documented
+    // history bound); VectorOps = per-dim grid (|dims| rows);
+    // Relational = 5-value segment set + 64-bucket recency vector
+    val collectAggBudget = Map(
+      "operators/TextOps.scala" -> 3,
+      "operators/EventOps.scala" -> 2,
+      "operators/VectorOps.scala" -> 1,
+      "operators/Relational.scala" -> 2)
+    assert(countSites("collect_(list|set)\\(") === collectAggBudget,
+      s"collect_list/collect_set sites drifted " +
+        s"(found ${countSites("collect_(list|set)\\(")}): argue the new " +
+        "site's per-key bound (cap BEFORE the aggregation), then register it")
   }
 
   test("q162 shared passages: native fp arrays, no char-grain explode or window") {
