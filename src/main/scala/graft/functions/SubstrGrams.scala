@@ -87,6 +87,54 @@ object SubstrGramImpl {
   }
 }
 
+object RedactImpl {
+  import SubstrGramImpl.GramW
+
+  /** Remove every token covered by a [[GramW]]-wide span starting at
+    * any position in `starts` (ASCENDING, token indices), and rejoin
+    * the survivors with single spaces. Token boundaries are the same
+    * byte-level space split as [[SubstrGramImpl.hashes]], so a
+    * contiguous run of kept tokens is copied as ONE byte slice of the
+    * original — the result is byte-identical to
+    * `string_agg(tok, ' ' ORDER BY t)` over the kept token rows (the
+    * declarative/DuckDB formulation), empty tokens included. Two
+    * pointers over (tokens, starts): O(len + |starts|). */
+  def redact(s: UTF8String, starts: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    var nSpaces = 0
+    var i = 0
+    while (i < len) { if (bytes(i) == ' ') nSpaces += 1; i += 1 }
+    val nTok = nSpaces + 1
+    val tokStart = new Array[Int](nTok)
+    val tokEnd = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') { tokEnd(t) = i; t += 1; tokStart(t) = i + 1 }
+      i += 1
+    }
+    tokEnd(t) = len
+    val m = starts.numElements()
+    val out = new java.io.ByteArrayOutputStream(len)
+    var sp = 0            // next span index
+    var active = Long.MinValue // largest span start <= current token
+    var wroteAny = false
+    t = 0
+    while (t < nTok) {
+      while (sp < m && starts.getLong(sp) <= t) { active = starts.getLong(sp); sp += 1 }
+      val covered = active >= t.toLong - (GramW - 1)
+      if (!covered) {
+        if (wroteAny) out.write(' ')
+        out.write(bytes, tokStart(t), tokEnd(t) - tokStart(t))
+        wroteAny = true
+      }
+      t += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
 /** `substr_gram_hashes(text)` — md5 hex of every [[SubstrGramImpl.GramW]]-token
   * gram, in position order (posexplode it to recover (pos, h)). */
 case class SubstrGramHashes(child: Expression) extends UnaryExpression {
@@ -100,7 +148,25 @@ case class SubstrGramHashes(child: Expression) extends UnaryExpression {
   override def prettyName: String = "substr_gram_hashes"
 }
 
+/** `redact_spans(text, starts)` — text with every token covered by a
+  * [[SubstrGramImpl.GramW]]-wide span from `starts` (ascending token
+  * indices) removed, survivors rejoined with single spaces. */
+case class RedactSpans(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(t: Any, a: Any): Any =
+    RedactImpl.redact(t.asInstanceOf[UTF8String], a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, a) => s"graft.functions.RedactImpl.redact($t, $a)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): RedactSpans = copy(l, r)
+  override def prettyName: String = "redact_spans"
+}
+
 object SubstrGrams {
   def substrGramHashes(c: Column): Column =
     Bridge.column(SubstrGramHashes(Bridge.expression(c)))
+  def redactSpans(text: Column, starts: Column): Column =
+    Bridge.column(RedactSpans(Bridge.expression(text), Bridge.expression(starts)))
 }

@@ -2840,14 +2840,21 @@ object TextOps {
     substrDedupStats(Tables.documents(s, d)
       .filter($"text".isNotNull && $"doc_id".isNotNull))
 
-  private[graft] def substrDedupStats(docs: DataFrame): DataFrame = {
+  /** The removal relation of exact substring dedup: one (doc_id, pos)
+    * row per duplicated-gram occurrence that is NOT the corpus-first
+    * one — the shared input of the q168 census and the q170 remover. */
+  private[graft] def substrRemovedSpans(docs: DataFrame): DataFrame = {
     val grams = substrGramRows(docs)
     val census = grams.groupBy($"h")
       .agg(count(lit(1)).as("n_occ"), min($"occ").as("first_occ"))
       .filter($"n_occ" > 1)
-    val removed = grams.join(census, Seq("h"))
+    grams.join(census, Seq("h"))
       .filter($"occ" > $"first_occ")
       .select($"doc_id", $"pos")
+  }
+
+  private[graft] def substrDedupStats(docs: DataFrame): DataFrame = {
+    val removed = substrRemovedSpans(docs)
     val spans = spanUnionStats(removed, "n_dup_grams")
     docs.select($"doc_id", Text.tokenCount($"text").cast("long").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
@@ -2961,6 +2968,81 @@ object TextOps {
        |    CAST(0 AS BIGINT)) AS n_kept_tokens
        |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
        |WHERE d.text IS NOT NULL AND d.doc_id % 10 <> 7
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q170: exact substring dedup as a REMOVER (redacted corpus)
+  // ---------------------------------------------------------------
+
+  /** The remover q168's census plans for: each document's text with
+    * every duplicated span EXCISED — the lexically-first occurrence
+    * keeps its bytes, every later occurrence of a [[SubstrW]]-token
+    * window loses the covered tokens, and survivors rejoin with single
+    * spaces. This is the output a training run actually consumes
+    * (ExactSubstr's "remove the repeated sequence", Lee et al. 2021);
+    * the green hash proves the interval arithmetic END TO END on the
+    * corpus bytes, not just on the counts: n_kept_tokens here is
+    * derived from the redacted STRING (token count of kept_text) and
+    * must equal q168's count-side n_kept_tokens (EngineSpec invariant).
+    *
+    * Scale shape: the removal relation ([[substrRemovedSpans]] —
+    * shuffle-free gram stream, map-side census) aggregates to ONE row
+    * per affected doc (sorted span-start array; bounded by the doc's
+    * own gram count, the shingleArrays class), doc-grain joins back to
+    * the corpus, and the native `redact_spans` expression rebuilds the
+    * kept text in a single two-pointer byte pass inside codegen — the
+    * corpus is never exploded to token rows, never shuffled. The
+    * declarative token-grain anti-join formulation lives only in the
+    * DuckDB mirror (and EngineSpec's equality case). */
+  def q170SubstrRedact(s: SparkSession, d: String): DataFrame =
+    substrRedact(Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull))
+
+  private[graft] def substrRedact(docs: DataFrame): DataFrame = {
+    val spans = substrRemovedSpans(docs)
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("starts"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select($"doc_id",
+        Text.tokenCount($"text").cast("long").as("n_tokens"),
+        graft.functions.SubstrGrams.redactSpans($"text",
+          coalesce($"starts", array().cast("array<bigint>")))
+          .as("kept_text"))
+      .select($"doc_id", $"n_tokens",
+        Text.tokenCount($"kept_text").cast("long").as("n_kept_tokens"),
+        $"kept_text")
+      .orderBy($"doc_id")
+  }
+
+  val q170SubstrRedactSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h,
+       |    doc_id * $SubstrPosShift + i AS occ
+       |  FROM ws, UNNEST(range(0, greatest(len(w) - ${SubstrW - 1}, 0)))
+       |    AS t(i)),
+       |c AS (SELECT h, min(occ) AS first_occ FROM g
+       |      GROUP BY h HAVING count(*) > 1),
+       |r AS (SELECT g.doc_id, g.pos FROM g JOIN c ON c.h = g.h
+       |      WHERE g.occ > c.first_occ),
+       |cov AS (SELECT DISTINCT r.doc_id, r.pos + u.j AS t
+       |        FROM r, UNNEST(range(0, $SubstrW)) AS u(j)),
+       |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS t, w[i+1] AS tok
+       |         FROM ws, UNNEST(range(0, len(w))) AS tt(i)),
+       |kept AS (SELECT tk.doc_id,
+       |    string_agg(tk.tok, ' ' ORDER BY tk.t) AS kept_text
+       |  FROM toks tk LEFT JOIN cov
+       |    ON cov.doc_id = tk.doc_id AND cov.t = tk.t
+       |  WHERE cov.t IS NULL GROUP BY tk.doc_id)
+       |SELECT d.doc_id, CAST($tcSql AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN length(coalesce(k.kept_text, '')) = 0 THEN 0
+       |       ELSE length(coalesce(k.kept_text, ''))
+       |         - length(replace(coalesce(k.kept_text, ''), ' ', '')) + 1
+       |       END AS BIGINT) AS n_kept_tokens,
+       |  coalesce(k.kept_text, '') AS kept_text
+       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------

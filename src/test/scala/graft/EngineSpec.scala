@@ -347,6 +347,30 @@ class EngineSpec extends AnyFunSuite {
     assert(native.filter(_._1 == 6L).map(_._2) === Set(0, 1, 2, 3, 4))
   }
 
+  test("substr redact: excised text matches hand-computed survivors and q168's counts") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  // exact copy: fully excised
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4"),     // loses first 8 tokens
+      (4L, "short doc"),                               // untouched verbatim
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8") // self-repeat
+    ).toDF("doc_id", "text")
+    val got = TextOps.substrRedact(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) === ((12L, 12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")))
+    assert(got(2L) === ((12L, 0L, "")))
+    assert(got(3L) === ((12L, 4L, "x1 x2 x3 x4")))
+    assert(got(4L) === ((2L, 2L, "short doc")))
+    assert(got(5L) === ((16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
+    // the string-derived kept counts must equal q168's count-side ones
+    val census = TextOps.substrDedupStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(got.view.mapValues(_._2).toMap === census,
+      "q170 kept_text token counts diverge from q168's interval union")
+  }
+
   test("decontam spans: benchmark 8-gram hits remove their exact interval union") {
     import graft.operators.TextOps
     val docs = Seq(

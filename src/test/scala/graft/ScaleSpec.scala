@@ -530,12 +530,14 @@ class ScaleSpec extends AnyFunSuite {
     // collect_list/collect_set materialize a whole GROUP in one
     // aggregation buffer — unbounded per hot key unless the input is
     // capped first. Every registered site carries a bound: TextOps =
-    // per-doc shingle set ×2 + TopKPerKey-capped source sketch;
-    // EventOps = user-day basket + per-user journey (documented
-    // history bound); VectorOps = per-dim grid (|dims| rows);
-    // Relational = 5-value segment set + 64-bucket recency vector
+    // per-doc shingle set ×2 + TopKPerKey-capped source sketch +
+    // q170's per-doc removed-span starts (gram-count bound, the
+    // shingleArrays class); EventOps = user-day basket + per-user
+    // journey (documented history bound); VectorOps = per-dim grid
+    // (|dims| rows); Relational = 5-value segment set + 64-bucket
+    // recency vector
     val collectAggBudget = Map(
-      "operators/TextOps.scala" -> 3,
+      "operators/TextOps.scala" -> 4,
       "operators/EventOps.scala" -> 2,
       "operators/VectorOps.scala" -> 1,
       "operators/Relational.scala" -> 2)
