@@ -50,15 +50,20 @@ object Bench {
     if (line.length >= budget) {
       val (failed, timed) = results.partition(_._2 < 0)
       val byTime = timed.sortBy(_._2)
+      // try every keep count down TO AND INCLUDING zero (all timed
+      // queries folded into qother, only failures individual) — the
+      // caller's hard require fires only if even that cannot fit
       var keep = byTime.size
-      while (keep > 0 && {
+      var fits = false
+      while (!fits && keep >= 0) {
         val dropped = byTime.take(byTime.size - keep)
         val otherCs = dropped.map(r => math.round(r._2 * 100)).sum
         line = render(
           (failed ++ byTime.drop(byTime.size - keep)).sortBy(_._1),
           dropped.size, otherCs)
-        line.length >= budget
-      }) keep -= 1
+        fits = line.length < budget
+        if (!fits) keep -= 1
+      }
     }
     line
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Token-gram md5 stream as ONE native Catalyst expression.
@@ -154,6 +154,18 @@ case class SubstrGramHashes(child: Expression) extends UnaryExpression {
 case class RedactSpans(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = StringType
+  // the impl reads spans via ArrayData.getLong — an array<int> input
+  // would silently read 8 bytes from 4-byte slots (garbage spans, no
+  // error). Reject anything but (string, array<bigint>) at analysis.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"redact_spans expects (string, array<bigint>), got ($l, $r)")
+    }
+  }
   override def nullSafeEval(t: Any, a: Any): Any =
     RedactImpl.redact(t.asInstanceOf[UTF8String], a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -2868,7 +2868,7 @@ object TextOps {
 
   val q168SubstrDedupSql: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h,
        |    doc_id * $SubstrPosShift + i AS occ
@@ -2891,7 +2891,7 @@ object TextOps {
        |  CAST($tcSql AS BIGINT) - coalesce(sp.n_removed_tokens,
        |    CAST(0 AS BIGINT)) AS n_kept_tokens
        |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
-       |WHERE d.text IS NOT NULL
+       |WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -2914,12 +2914,15 @@ object TextOps {
     * Scale shape: the gram stream rides the native shuffle-free
     * [[graft.functions.SubstrGrams.substrGramHashes]] expression; the
     * benchmark gram set dedups to distinct hashes BEFORE the join (no
-    * hot-key amplification — the q60 argument) and a real eval suite
-    * is tiny relative to the corpus, so that side broadcasts; the
-    * training stream then never shuffles AT ALL for the match
-    * (left-semi keeps it at occurrence grain, no duplication); the
-    * interval union windows only the contaminated subset. One corpus
-    * pass + one benchmark-slice pass, zero corpus-scale shuffles. */
+    * hot-key amplification — the q60 argument). The join strategy is
+    * deliberately LEFT TO AQE: a real eval suite is tiny, qualifies
+    * for broadcast, and then the training stream never shuffles at
+    * all — but this oracle's synthetic slice is a TENTH of the corpus,
+    * so a forced broadcast() hint would ship a corpus-proportional
+    * build side and die at scale; size-based planning picks the
+    * hash-partitioned semi join there instead (left-semi keeps the
+    * stream at occurrence grain either way, no duplication). The
+    * interval union windows only the contaminated subset. */
   def q169DecontamSpans(s: SparkSession, d: String): DataFrame =
     decontamSpanStats(Tables.documents(s, d)
       .filter($"text".isNotNull && $"doc_id".isNotNull),
@@ -2929,8 +2932,13 @@ object TextOps {
       isBench: Column): DataFrame = {
     val grams = substrGramRows(docs)
     val bench = grams.filter(isBench).select($"h").distinct()
+    // no broadcast() hint: a REAL eval suite is tiny and AQE will pick
+    // the broadcast itself, but THIS slice definition (a tenth of the
+    // corpus) grows linearly with it — forcing the hint would ship a
+    // corpus-proportional build side to every executor and die at
+    // scale. Size-based planning is the correct owner of that call.
     val contam = grams.filter(!isBench)
-      .join(broadcast(bench), Seq("h"), "leftsemi")
+      .join(bench, Seq("h"), "leftsemi")
       .select($"doc_id", $"pos")
     val spans = spanUnionStats(contam, "n_contam_grams")
     docs.filter(!isBench)
@@ -2946,7 +2954,7 @@ object TextOps {
 
   val q169DecontamSpansSql: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h
        |  FROM ws, UNNEST(range(0, greatest(len(w) - ${SubstrW - 1}, 0)))
@@ -2967,7 +2975,8 @@ object TextOps {
        |  CAST($tcSql AS BIGINT) - coalesce(sp.n_removed_tokens,
        |    CAST(0 AS BIGINT)) AS n_kept_tokens
        |FROM documents d LEFT JOIN sp ON sp.doc_id = d.doc_id
-       |WHERE d.text IS NOT NULL AND d.doc_id % 10 <> 7
+       |WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
+       |  AND d.doc_id % 10 <> 7
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -3001,22 +3010,38 @@ object TextOps {
   private[graft] def substrRedact(docs: DataFrame): DataFrame = {
     val spans = substrRemovedSpans(docs)
       .groupBy($"doc_id")
-      .agg(sort_array(collect_list($"pos")).as("starts"))
+      .agg(sort_array(collect_list($"pos".cast("long"))).as("starts"))
+    // n_kept_tokens comes from the POSITION algebra (the same
+    // Σ min(W, gap) union as q168, here folded over the sorted starts
+    // array — the -W sentinel makes the first span contribute exactly
+    // W), NOT from re-tokenizing kept_text: a string round-trip cannot
+    // represent a surviving EMPTY token (trailing/double space), so a
+    // doc whose only survivor is one empty token has kept_text = ""
+    // yet n_kept_tokens = 1 — counts stay q168-consistent (EngineSpec
+    // pins both the invariant and this edge), text stays byte-exact
+    val unionLen = expr(
+      s"""aggregate(starts,
+         |  named_struct('prev', CAST(-$SubstrW AS BIGINT),
+         |               'acc', CAST(0 AS BIGINT)),
+         |  (st, x) -> named_struct('prev', x,
+         |    'acc', st.acc + least(CAST($SubstrW AS BIGINT), x - st.prev)),
+         |  st -> st.acc)""".stripMargin)
     docs.join(spans, Seq("doc_id"), "left")
       .select($"doc_id",
         Text.tokenCount($"text").cast("long").as("n_tokens"),
+        coalesce(unionLen, lit(0L)).as("n_removed"),
         graft.functions.SubstrGrams.redactSpans($"text",
           coalesce($"starts", array().cast("array<bigint>")))
           .as("kept_text"))
       .select($"doc_id", $"n_tokens",
-        Text.tokenCount($"kept_text").cast("long").as("n_kept_tokens"),
+        ($"n_tokens" - $"n_removed").as("n_kept_tokens"),
         $"kept_text")
       .orderBy($"doc_id")
   }
 
   val q170SubstrRedactSql: String =
     s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h,
        |    doc_id * $SubstrPosShift + i AS occ
@@ -3034,15 +3059,20 @@ object TextOps {
        |    string_agg(tk.tok, ' ' ORDER BY tk.t) AS kept_text
        |  FROM toks tk LEFT JOIN cov
        |    ON cov.doc_id = tk.doc_id AND cov.t = tk.t
-       |  WHERE cov.t IS NULL GROUP BY tk.doc_id)
+       |  WHERE cov.t IS NULL GROUP BY tk.doc_id),
+       |r2 AS (SELECT doc_id, coalesce(least($SubstrW, pos -
+       |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), $SubstrW)
+       |    AS covered FROM r),
+       |sp AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS n_removed
+       |       FROM r2 GROUP BY doc_id)
        |SELECT d.doc_id, CAST($tcSql AS BIGINT) AS n_tokens,
-       |  CAST(CASE WHEN length(coalesce(k.kept_text, '')) = 0 THEN 0
-       |       ELSE length(coalesce(k.kept_text, ''))
-       |         - length(replace(coalesce(k.kept_text, ''), ' ', '')) + 1
-       |       END AS BIGINT) AS n_kept_tokens,
+       |  CAST($tcSql AS BIGINT) - coalesce(sp.n_removed, CAST(0 AS BIGINT))
+       |    AS n_kept_tokens,
        |  coalesce(k.kept_text, '') AS kept_text
-       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
-       |WHERE d.text IS NOT NULL
+       |FROM documents d
+       |LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |LEFT JOIN sp ON sp.doc_id = d.doc_id
+       |WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------

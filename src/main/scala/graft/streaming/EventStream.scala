@@ -193,11 +193,32 @@ object EventStream {
     * store). If the stream emitted zero batches the store may not
     * exist — callers' streams here always see ≥1 micro-batch, and the
     * batch write lays the schema down even when a batch has 0 rows. */
+  /** Run-private stream stores created by this JVM — reclaimed by a
+    * shutdown hook so repeated Verify/Bench runs don't accumulate
+    * corpus-sized directories in /tmp (the memory sinks these drains
+    * replaced at least died with the session; the parquet stores must
+    * too). Exit-time deletion, not eager: the returned DataFrames read
+    * the stores LAZILY, so any earlier delete races the consumer. */
+  private val tmpStores = scala.collection.mutable.ArrayBuffer.empty[String]
+  private lazy val storeCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpStores.synchronized(tmpStores.toList).foreach { p =>
+        new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively()
+        ()
+      }))
+    ()
+  }
+  private[graft] def registerTmpStore(path: String): Unit = {
+    storeCleanupHook
+    tmpStores.synchronized { tmpStores += path; () }
+  }
+
   private def drainToParquet(stream: DataFrame, tag: String,
       mode: String = "append"): DataFrame = {
     val name = tag + "_" + UUID.randomUUID().toString.replace("-", "")
     val ckpt = s"/tmp/graft_ckpt_$name"
     val store = s"/tmp/graft_stream_store_$name"
+    registerTmpStore(store)
     val spark = stream.sparkSession
     val q = stream.writeStream
       .outputMode(mode)
@@ -555,6 +576,9 @@ object EventStream {
   def q159StreamUpsert(spark: SparkSession, sfDir: String): DataFrame = {
     val store = s"/tmp/graft_upsert_store_" +
       UUID.randomUUID().toString.replace("-", "")
+    // same exit-time reclamation as the drainToParquet stores (the
+    // sink's .new/.bak siblings are transient — gone by publish time)
+    registerTmpStore(store)
     streamUpsertSink(spark, sfDir, store)
     val stored = streamUpsertSink(spark, sfDir, store)
     stored.select(

@@ -354,7 +354,11 @@ class EngineSpec extends AnyFunSuite {
       (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  // exact copy: fully excised
       (3L, "w1 w2 w3 w4 w5 w6 w7 w8 x1 x2 x3 x4"),     // loses first 8 tokens
       (4L, "short doc"),                               // untouched verbatim
-      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8") // self-repeat
+      (5L, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"), // self-repeat
+      // trailing space: 9 tokens, the last EMPTY — its pos-0 gram
+      // duplicates doc 1's, so only the empty token survives: counts
+      // say 1 kept (position algebra), the string can only say ""
+      (6L, "w1 w2 w3 w4 w5 w6 w7 w8 ")
     ).toDF("doc_id", "text")
     val got = TextOps.substrRedact(docs).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
@@ -364,6 +368,8 @@ class EngineSpec extends AnyFunSuite {
     assert(got(3L) === ((12L, 4L, "x1 x2 x3 x4")))
     assert(got(4L) === ((2L, 2L, "short doc")))
     assert(got(5L) === ((16L, 8L, "r1 r2 r3 r4 r5 r6 r7 r8")))
+    assert(got(6L) === ((9L, 1L, "")),
+      "empty-token survivor: counts from positions, text from bytes")
     // the string-derived kept counts must equal q168's count-side ones
     val census = TextOps.substrDedupStats(docs).collect()
       .map(r => (r.getLong(0), r.getLong(4))).toMap
