@@ -191,6 +191,13 @@ object SparkEntry {
     "q168_substr_dedup" -> (TextOps.q168SubstrDedup(_, _)),
     "q169_decontam_spans" -> (TextOps.q169DecontamSpans(_, _)),
     "q170_substr_redact" -> (TextOps.q170SubstrRedact(_, _)),
+    "q171_audit_trail" -> (graft.stg.Staging.q171AuditTrail(_, _)),
+    "q172_stream_sliding" -> ((s, d) => EventStream.slidingCounts(s, d)),
+    "q173_ccnet_buckets" -> (TextOps.q173CcnetBuckets(_, _)),
+    "q174_stream_stateful" -> ((s, d) =>
+      EventStream.statefulUserCounts(s, d)
+        .orderBy(org.apache.spark.sql.functions.col("user_id"))),
+    "q175_gopher_rules" -> (TextOps.q175GopherRules(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -416,5 +423,22 @@ object SparkEntry {
     // proof the native two-pointer excision equals the declarative
     // token anti-join; token counts via the shared tcSql guard
     "q170_substr_redact" -> TextOps.q170SubstrRedactSql,
+    // q171: audit sink under an injected fixed clock — counts from the
+    // same tables, every literal column pure; temporal cols stringified
+    "q171_audit_trail" -> graft.stg.Staging.q171AuditTrailSql,
+    // q172: hopping windows enumerated by 30-min epoch-grid µs integer
+    // truncation (each event in exactly two windows); moneySum cents
+    "q172_stream_sliding" -> EventStream.q172StreamSlidingSql,
+    // q173: integer nano-nat surprisal grid; tertile cuts via exact
+    // interpolated percentile ≡ quantile_cont (q39 pattern); membership
+    // compares the same integer against the same double cut both sides
+    "q173_ccnet_buckets" -> TextOps.q173CcnetBucketsSql,
+    // q174: final mapGroupsWithState state per user ≡ the batch census
+    // (strictly-increasing counter ⇒ batch-count-invariant); floored
+    // epoch seconds both sides
+    "q174_stream_stateful" -> EventStream.q174StreamStatefulSql,
+    // q175: every ratio rule decided on an integer 1e-4 grid of the
+    // q20-proven metric mirrors; per-rule census needs no total join
+    "q175_gopher_rules" -> TextOps.q175GopherRulesSql,
   )
 }

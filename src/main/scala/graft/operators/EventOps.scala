@@ -303,8 +303,8 @@ object EventOps {
       .join(u2, "user_id").filter($"t" > $"t2")
       .groupBy($"user_id").agg(min($"t").as("t3"))
     u1.agg(count(lit(1)).as("n_view"))
-      .crossJoin(u2.agg(count(lit(1)).as("n_click")))
-      .crossJoin(u3.agg(count(lit(1)).as("n_purchase")))
+      .crossJoin(broadcast(u2.agg(count(lit(1)).as("n_click"))))
+      .crossJoin(broadcast(u3.agg(count(lit(1)).as("n_purchase"))))
       .select($"n_view", $"n_click", $"n_purchase",
         stableRound($"n_click" / $"n_view", 6).as("view_to_click"),
         stableRound($"n_purchase" / $"n_click", 6).as("click_to_purchase"))

@@ -2172,6 +2172,172 @@ object TextOps {
        |FROM agg, lnn ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q173: CCNet-style perplexity tertiles (head / middle / tail)
+  // ---------------------------------------------------------------
+
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020,
+    * public) on q102's unigram-LM surprisal: documents are ranked by
+    * mean token surprisal and cut into exact tertiles — head = most
+    * fluent under the LM, tail = highest-perplexity noise — with
+    * per-bucket document counts, token mass, and mean surprisal, the
+    * numbers a curation pipeline uses to pick its training mix.
+    *
+    * Determinism: the per-doc score is an exact-integer nano-nat grid
+    * (`msurp = floor((A − B) * 1000.0 / n)` with A/B the q102 integer
+    * micro-nat sums — one multiply + one divide in the same order both
+    * engines); the tertile cuts come from the exact interpolated
+    * `percentile` over those integers (the q39 cross-engine pattern:
+    * Spark `percentile` ≡ DuckDB `quantile_cont` on identical exact
+    * values), and bucket membership compares the SAME integer against
+    * the SAME double cut in both engines, so a document can never
+    * straddle buckets across engines (gridded-threshold rule).
+    *
+    * Scale: two map-side-combinable hash aggs (tf → cf → per-doc), the
+    * vocabulary join NOT hand-broadcast (q67's df discipline), ln N and
+    * the 2-value cut relation broadcast back as 1-row frames. The
+    * global exact percentile is the one sort-heavy step — the same
+    * honest price q39 pays, and at 100 TB the sketch alternative (q54's
+    * approx_percentile) swaps in without changing the bucket shape. */
+  def q173CcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    val tf = tokenCounts(s, d)
+    val cf = tf.groupBy($"term").agg(sum($"c").as("cf"))
+    val lnN = cf.agg(sum($"cf").as("nn"))
+      .select(floor(log($"nn".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_n_grid"))
+    val g = cf.select($"term",
+      floor(log($"cf".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_cf_grid"))
+    val doc = tf.join(g, "term")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        sum($"c" * $"ln_cf_grid").as("sum_lncf"))
+      .crossJoin(broadcast(lnN))
+      .select($"doc_id", $"n_tokens",
+        floor(($"n_tokens" * $"ln_n_grid" - $"sum_lncf") * lit(1000.0)
+          / $"n_tokens").cast("long").as("msurp"))
+    val cuts = doc
+      .agg(expr(
+        "percentile(msurp, array(cast(1 as double)/3, cast(2 as double)/3))")
+        .as("pc"))
+      .select($"pc".getItem(0).as("c1"), $"pc".getItem(1).as("c2"))
+    doc.crossJoin(broadcast(cuts))
+      .select($"n_tokens", $"msurp",
+        when($"msurp" <= $"c1", "head")
+          .when($"msurp" <= $"c2", "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"msurp").as("sum_msurp"))
+      .select($"bucket", $"n_docs", $"n_tokens",
+        stableRound($"sum_msurp" / $"n_docs" / lit(1e9), 6)
+          .as("mean_surprisal_nats"))
+      .orderBy($"bucket")
+  }
+
+  val q173CcnetBucketsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+       |       GROUP BY doc_id, term),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf FROM tf GROUP BY term),
+       |lnn AS (SELECT CAST(floor(ln(CAST(sum(cf) AS DOUBLE)) * 1e6 + 0.5)
+       |                    AS BIGINT) AS ln_n_grid FROM cf),
+       |g AS (SELECT term, CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5)
+       |                        AS BIGINT) AS ln_cf_grid FROM cf),
+       |doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * ln_cf_grid) AS BIGINT) AS sum_lncf
+       |  FROM tf JOIN g USING (term) GROUP BY doc_id),
+       |ms AS (SELECT doc_id, n_tokens,
+       |    CAST(floor((n_tokens * ln_n_grid - sum_lncf) * 1000.0 / n_tokens)
+       |         AS BIGINT) AS msurp
+       |  FROM doc, lnn),
+       |cuts AS (SELECT quantile_cont(msurp, CAST(1 AS DOUBLE)/3) AS c1,
+       |                quantile_cont(msurp, CAST(2 AS DOUBLE)/3) AS c2
+       |         FROM ms),
+       |b AS (SELECT CASE WHEN msurp <= c1 THEN 'head'
+       |               WHEN msurp <= c2 THEN 'middle'
+       |               ELSE 'tail' END AS bucket, n_tokens, msurp
+       |      FROM ms, cuts)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  ${sqlRound("(CAST(sum(msurp) AS BIGINT) / count(*)) / 1e9", 6)}
+       |    AS mean_surprisal_nats
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q175: Gopher-style rule-based quality audit
+  // ---------------------------------------------------------------
+
+  /** The Gopher/MassiveText rule-filter census (Rae et al. 2021,
+    * public): each document is tested against a battery of named
+    * heuristic rules — token-count band, mean-token-length band,
+    * symbol ratio, stopword floor — and the output is the per-rule
+    * flag census plus the pass-all row, the report a curation run
+    * reads before choosing which rules to enforce.
+    *
+    * Determinism: every ratio rule compares an INTEGER 1e-4 grid of
+    * the q20-proven metric mirrors against an integer threshold
+    * (gridded-threshold rule — no raw-double comparison can flip a
+    * doc across engines); the token-count rules are exact integers.
+    *
+    * Scale: one corpus scan computes all five flags, the rule axis
+    * explodes to 6 bounded rows per doc, and one map-side-combinable
+    * hash aggregate reduces on the 6-value rule key. `n_docs` arrives
+    * per group for free (every doc emits every rule), so the pct needs
+    * no 1-row total broadcast. */
+  def q175GopherRules(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d).select(
+      Text.tokenCount($"text").cast("long").as("nt"),
+      floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
+      floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
+      floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
+    val f = m.select(
+      ($"nt" < 20).as("v1"), ($"nt" > 90).as("v2"),
+      ($"atl_g" < 40000 || $"atl_g" > 50000).as("v3"),
+      ($"pr_g" > 500).as("v4"), ($"swr_g" < 150).as("v5"))
+      .withColumn("v0", !($"v1" || $"v2" || $"v3" || $"v4" || $"v5"))
+    f.select(explode(array(
+        struct(lit("gopher_pass_all").as("rule"), $"v0".as("viol")),
+        struct(lit("r1_too_short").as("rule"), $"v1".as("viol")),
+        struct(lit("r2_too_long").as("rule"), $"v2".as("viol")),
+        struct(lit("r3_token_len").as("rule"), $"v3".as("viol")),
+        struct(lit("r4_symbol_heavy").as("rule"), $"v4".as("viol")),
+        struct(lit("r5_low_stopword").as("rule"), $"v5".as("viol")))).as("x"))
+      .groupBy($"x.rule".as("rule"))
+      .agg(sum(when($"x.viol", 1L).otherwise(0L)).as("n_flagged"),
+        count(lit(1)).as("n_docs"))
+      .select($"rule", $"n_flagged",
+        stableRound($"n_flagged" / $"n_docs", 6).as("flag_pct"))
+      .orderBy($"rule")
+  }
+
+  val q175GopherRulesSql: String =
+    s"""WITH m AS (SELECT
+       |    CAST($tcSql AS BIGINT) AS nt,
+       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
+       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
+       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+       |  FROM documents),
+       |f AS (SELECT (nt < 20) AS v1, (nt > 90) AS v2,
+       |    (atl_g < 40000 OR atl_g > 50000) AS v3,
+       |    (pr_g > 500) AS v4, (swr_g < 150) AS v5
+       |  FROM m),
+       |f2 AS (SELECT *, NOT (v1 OR v2 OR v3 OR v4 OR v5) AS v0 FROM f),
+       |u AS (
+       |  SELECT 'gopher_pass_all' AS rule, v0 AS viol FROM f2 UNION ALL
+       |  SELECT 'r1_too_short', v1 FROM f2 UNION ALL
+       |  SELECT 'r2_too_long', v2 FROM f2 UNION ALL
+       |  SELECT 'r3_token_len', v3 FROM f2 UNION ALL
+       |  SELECT 'r4_symbol_heavy', v4 FROM f2 UNION ALL
+       |  SELECT 'r5_low_stopword', v5 FROM f2)
+       |SELECT rule,
+       |  CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  ${sqlRound(
+            "(CAST(sum(CASE WHEN viol THEN 1 ELSE 0 END) AS BIGINT) / count(*))",
+            6)} AS flag_pct
+       |FROM u GROUP BY rule ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------
   // q105: deterministic weighted sampling (Efraimidis–Spirakis top-k)
   // ---------------------------------------------------------------
 
@@ -3476,7 +3642,7 @@ object TextOps {
     val uni = ws.select(explode($"w").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("n_w"))
     val totals = uni.agg(sum($"n_w").as("n_tok"))
-      .crossJoin(bi.agg(sum($"n_ab").as("n_bi")))
+      .crossJoin(broadcast(bi.agg(sum($"n_ab").as("n_bi"))))
     val lift = ($"n_ab" / $"n_bi") /
       (($"n_a" / $"n_tok") * ($"n_b" / $"n_tok"))
     bi.filter($"n_ab" >= LiftMinSupport)

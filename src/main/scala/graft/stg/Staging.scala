@@ -87,9 +87,10 @@ object Staging {
       spark: SparkSession, auditPath: String,
       script: String, sourceName: String, targetName: String,
       source: DataFrame, target: DataFrame,
-      startedAtMs: Long, createdBy: String = "graft"): AuditEntry = {
+      startedAtMs: Long, createdBy: String = "graft",
+      clock: () => Long = () => System.currentTimeMillis()): AuditEntry = {
     import spark.implicits._
-    val now = System.currentTimeMillis()
+    val now = clock()
     val entry = AuditEntry(
       script, sourceName, targetName,
       source.count(), target.count(),
@@ -97,6 +98,60 @@ object Staging {
       new Date(now), new Timestamp(now), createdBy)
     Seq(entry).toDF().write.mode(SaveMode.Append).parquet(auditPath)
     entry
+  }
+
+  /** Fixed instant for the oracled audit run: 2026-01-01T12:00:00Z.
+    * Midday UTC so the derived calendar DATE is identical for any JVM
+    * default zone within ±11h (java.sql.Date externalization goes
+    * through the JVM zone, not the session zone). */
+  private val AuditFixedMs = 1767268800000L
+
+  /** S10 oracled end to end — the audit-log sink (reference
+    * `insert_checking_logs`, `ETL Process/STG.py:143-164`) driven by an
+    * INJECTED deterministic clock, closing the one reference surface
+    * that was spec-only: with `clock = () => AuditFixedMs` and
+    * `startedAtMs = AuditFixedMs` the duration is exactly "0.000 s" and
+    * both temporal columns are the fixed instant, so the full
+    * write→parquet→read-back round trip of the sink driver-hashes
+    * against a pure-literal DuckDB mirror (counts from the same
+    * tables). Temporal columns are stringified in the oracled
+    * projection (README temporal-key rule); the underlying parquet
+    * keeps real DATE/TIMESTAMP columns, which is what the round trip
+    * proves. The audit path is pid-scoped and recreated per run —
+    * appends from the five reconciliations land in one parquet dir
+    * that the returned frame lazily reads (no driver materialization;
+    * at scale the audit table is a normal append-only parquet table).
+    * Scale: each reconciliation is two map-side-combinable count jobs;
+    * the audit write itself is one row per load. */
+  def q171AuditTrail(spark: SparkSession, dir: String): DataFrame = {
+    val auditPath = s"/tmp/graft_audit_q171_${ProcessHandle.current().pid()}"
+    new scala.reflect.io.Directory(new java.io.File(auditPath)).deleteRecursively()
+    val tables = Seq("region", "nation", "customer", "supplier", "part")
+    tables.foreach { t =>
+      val df = graft.sources.Tables.read(spark, dir, t)
+      reconcileAndLog(spark, auditPath, "stg_load", s"$t.csv", s"stg_$t",
+        df, df, startedAtMs = AuditFixedMs, createdBy = "graft",
+        clock = () => AuditFixedMs)
+    }
+    spark.read.parquet(auditPath)
+      .select(col("script"), col("source_name"), col("target_name"),
+        col("source_row"), col("target_row"), col("duration"),
+        date_format(col("snapshot_date"), "yyyy-MM-dd").as("snapshot_date"),
+        date_format(col("created_date"), "yyyy-MM-dd HH:mm:ss").as("created_date"))
+      .orderBy(col("source_name"))
+  }
+
+  val q171AuditTrailSql: String = {
+    val rows = Seq("region", "nation", "customer", "supplier", "part")
+      .map { t =>
+        s"""SELECT 'stg_load' AS script, '$t.csv' AS source_name,
+           |  'stg_$t' AS target_name,
+           |  (SELECT count(*) FROM $t) AS source_row,
+           |  (SELECT count(*) FROM $t) AS target_row,
+           |  '0.000 s' AS duration, '2026-01-01' AS snapshot_date,
+           |  '2026-01-01 12:00:00' AS created_date""".stripMargin
+      }
+    rows.mkString("", "\nUNION ALL\n", "\nORDER BY source_name")
   }
 
   /** P1: metadata point lookup (`ETL Process/STG.py:68-76`) — the

@@ -119,6 +119,29 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** q172: [[slidingCounts]] driver-oracled — the FIFTH oracled
+    * streaming surface (q33 tumbling, q131 sessions, q150 enrich,
+    * q158 interval join, q159 upsert, q165 dedup, this). Valid as an
+    * oracle because complete mode over the driver's single-file corpus
+    * emits every window exhaustively; the mirror enumerates each
+    * event's exactly-two hopping windows by 30-minute epoch-grid
+    * truncation (Spark's `window(ts, 1h, 30m)` start set for
+    * epoch-aligned slides) via integer microsecond arithmetic — no
+    * timezone-carrying conversions on either side (README temporal-key
+    * rule; `make_timestamp(µs)` is naive like the session-UTC
+    * `date_format`). */
+  val q172StreamSlidingSql: String =
+    s"""WITH e AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000)
+       |             * 1800000000 AS w_us, event_type, value FROM events),
+       |w AS (SELECT w_us, event_type, value FROM e
+       |      UNION ALL
+       |      SELECT w_us - 1800000000 AS w_us, event_type, value FROM e)
+       |SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S')
+       |    AS window_start,
+       |  event_type, count(*) AS n_events,
+       |  ${graft.operators.Relational.sqlMoneySum("value")} AS sum_value
+       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Streaming dedup: `dropDuplicatesWithinWatermark` on the event id —
     * the streaming twin of the exact-dedup batch operator, with the
     * bounded-state trade every streaming dedup makes: duplicates
@@ -180,6 +203,22 @@ object EventStream {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** q174: [[statefulUserCounts]] driver-oracled — the custom-state
+    * `mapGroupsWithState` surface (SURVEY §7's stateful slot) checked
+    * against the batch census it must converge to: after the
+    * executor-side parquet drain, each user's FINAL state row (max
+    * n_events per user — the counter is strictly increasing across
+    * updates) must equal `GROUP BY user_id` over the whole corpus.
+    * Valid at any micro-batch split, not just the driver's single-file
+    * one: the final state is batch-count-invariant by construction.
+    * Second truncation both sides (README temporal-key rule): Spark
+    * `CAST(ts AS LONG)` floors to epoch seconds, the mirror floors
+    * `epoch(ts)` (the q131-proven form). */
+  val q174StreamStatefulSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Drain a (possibly row-grain) stream through a foreachBatch →
     * run-private parquet store and return the store as a batch

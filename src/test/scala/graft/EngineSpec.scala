@@ -3322,6 +3322,53 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.toSet === again.toSet)
   }
 
+  test("q171 audit trail: deterministic under the injected clock, rerun-stable") {
+    val d = "/root/testdata/sf0.001"
+    val first = Staging.q171AuditTrail(spark, d).collect()
+    assert(first.length === 5)
+    assert(first.forall(_.getAs[String]("duration") == "0.000 s"))
+    assert(first.forall(_.getAs[String]("created_date") == "2026-01-01 12:00:00"))
+    assert(first.forall(_.getAs[String]("snapshot_date") == "2026-01-01"))
+    assert(first.forall(r =>
+      r.getAs[Long]("source_row") == r.getAs[Long]("target_row")))
+    val regionRows = graft.sources.Tables.region(spark, d).count()
+    val regionEntry = first.find(_.getAs[String]("source_name") == "region.csv").get
+    assert(regionEntry.getAs[Long]("source_row") === regionRows)
+    // the delete-recreate path makes a rerun reproduce the trail exactly
+    val second = Staging.q171AuditTrail(spark, d).collect()
+    assert(second.toSeq === first.toSeq)
+  }
+
+  test("q173 ccnet buckets partition the corpus with ordered mean surprisal") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.operators.TextOps.q173CcnetBuckets(spark, d).collect()
+    assert(rows.map(_.getAs[String]("bucket")).toSeq ===
+      Seq("head", "middle", "tail"))
+    val total = graft.sources.Tables.documents(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val means = rows.map(_.getAs[Double]("mean_surprisal_nats"))
+    assert(means(0) < means(1) && means(1) < means(2),
+      s"tertile means not ordered: ${means.toSeq}")
+  }
+
+  test("q175 gopher census equals direct recounts and bounds pass-all") {
+    val d = "/root/testdata/sf0.001"
+    import graft.functions.Text
+    val m = graft.operators.TextOps.q175GopherRules(spark, d).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_flagged")).toMap
+    val docs = graft.sources.Tables.documents(spark, d)
+    val total = docs.count()
+    assert(m("r1_too_short") ===
+      docs.filter(Text.tokenCount(col("text")) < 20).count())
+    assert(m("r2_too_long") ===
+      docs.filter(Text.tokenCount(col("text")) > 90).count())
+    val ruleCounts = (m - "gopher_pass_all").values
+    // pass-all is total minus the union of violations: bracketed by the
+    // largest single rule (lower union bound) and the sum (upper bound)
+    assert(m("gopher_pass_all") <= total - ruleCounts.max)
+    assert(m("gopher_pass_all") >= total - ruleCounts.sum)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -500,8 +500,9 @@ class ScaleSpec extends AnyFunSuite {
       "operators/EventOps.scala" -> 7,
       "operators/Relational.scala" -> 4,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
-      // in the query and in its lnBoundaryTerms hazard twin
-      "operators/TextOps.scala" -> 12,
+      // in the query and in its lnBoundaryTerms hazard twin;
+      // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts
+      "operators/TextOps.scala" -> 14,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
