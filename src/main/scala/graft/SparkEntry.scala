@@ -198,6 +198,7 @@ object SparkEntry {
       EventStream.statefulUserCounts(s, d)
         .orderBy(org.apache.spark.sql.functions.col("user_id"))),
     "q175_gopher_rules" -> (TextOps.q175GopherRules(_, _)),
+    "q176_session_window" -> (EventStream.q176SessionWindow(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -440,5 +441,11 @@ object SparkEntry {
     // q175: every ratio rule decided on an integer 1e-4 grid of the
     // q20-proven metric mirrors; per-rule census needs no total join
     "q175_gopher_rules" -> TextOps.q175GopherRulesSql,
+    // q176: built-in session_window vs µs-integer gap sessionization —
+    // split iff gap STRICTLY > 30 min (exactly-gap merges; crafted
+    // spec pins it), end = last event + gap; every session covered
+    // (complete mode emits final extents; session windows reject
+    // update mode)
+    "q176_session_window" -> EventStream.q176SessionWindowSql,
   )
 }

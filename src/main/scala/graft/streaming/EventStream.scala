@@ -220,6 +220,59 @@ object EventStream {
       |  CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q176: the BUILT-IN `session_window` gap aggregation — the
+    * declarative sibling of [[sessionizeStream]]'s hand-rolled
+    * `flatMapGroupsWithState` sessionizer (q131), closing the last
+    * streaming operator class without an oracle row. Complete mode
+    * (session windows reject update; Spark 4 `STREAMING_OUTPUT_MODE`)
+    * over the driver's single-file corpus emits each merged session
+    * exactly once with its final extent, so unlike q131 the oracle
+    * covers EVERY session including each user's last. All arithmetic
+    * at the exact microsecond grain (`unix_micros` ↔ `epoch_us`; the
+    * testdata is ms-grain, so ns→µs truncation is exact): a session's
+    * end is last event + gap, and two events split iff their gap
+    * STRICTLY exceeds 30 min — Spark merges `next.start <= prev.end`,
+    * i.e. an exactly-gap follower extends the session (pinned by the
+    * crafted StreamingSpec boundary case; the first mirror draft used
+    * `>=` and agreed on the real corpus by luck — the sub-1% latent
+    * mismatch class the determinism rules exist for). Scale:
+    * complete mode is the oracle harness, not the deployment shape — a
+    * production run uses append mode, where the same per-(user, open
+    * session) state is watermark-evicted and closed sessions stream
+    * out; q131's closed-session exclusion proves that arm. The drain
+    * is executor-side parquet (row-grain output class, never a memory
+    * sink), one snapshot batch on the one-batch corpus. */
+  def q176SessionWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, 8)
+    val stream = rawEvents(ss, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"w.start").as("start_us"),
+        unix_micros($"w.end").as("end_us"), $"n_events")
+    drainToParquet(stream, "sesswin", mode = "complete")
+      .orderBy($"user_id", $"start_us")
+  }
+
+  val q176SessionWindowSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |b AS (SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+      |      AS boundary
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |sess AS (SELECT user_id, us,
+      |    sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS seq
+      |  FROM b),
+      |agg AS (SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+      |    CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM sess GROUP BY user_id, seq)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM agg ORDER BY user_id, start_us""".stripMargin
+
   /** Drain a (possibly row-grain) stream through a foreachBatch →
     * run-private parquet store and return the store as a batch
     * DataFrame — the scale-safe alternative to a `memory` sink for any

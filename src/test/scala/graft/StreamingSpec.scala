@@ -201,6 +201,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streaming.nonEmpty)
   }
 
+  test("q176 session_window: exactly-gap merges, gap+1µs splits, end = last + gap") {
+    // session_window's merge rule is `next.start <= prev.end`: an event
+    // EXACTLY 1800 s after its predecessor EXTENDS the session (unlike a
+    // half-open [t, t+gap) reading would suggest), and only a strictly
+    // larger gap splits. The crafted corpus pins both arms of the
+    // boundary — this is the rule the DuckDB mirror's `> 1800000000`
+    // integer test mirrors (the first draft used `>=` and only agreed
+    // on the real corpus because no exactly-gap pair exists there).
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sesswin").toString
+    val t0 = 1700000000L
+    Seq(
+      // user 7: exactly-gap follower -> ONE session of 3
+      (10L, t0 * 1000000L, 7L, "view", 1.0, "{}"),
+      (11L, (t0 + 1800L) * 1000000L, 7L, "view", 1.0, "{}"),
+      (12L, (t0 + 2400L) * 1000000L, 7L, "view", 1.0, "{}"),
+      // user 8: gap + 1 µs -> TWO sessions
+      (13L, t0 * 1000000L, 8L, "view", 1.0, "{}"),
+      (14L, t0 * 1000000L + 1800L * 1000000L + 1L, 8L, "view", 1.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp")
+    val part = new java.io.File(s"$base/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/events.parquet"))
+    val out = EventStream.q176SessionWindow(spark, base).collect()
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length === 1, s"user 7 expected 1 merged session: ${u7.toSeq}")
+    assert(u7.head.getAs[Long]("n_events") === 3L)
+    assert(u7.head.getAs[Long]("end_us") === (t0 + 2400L + 1800L) * 1000000L)
+    val u8 = out.filter(_.getAs[Long]("user_id") == 8L)
+      .sortBy(_.getAs[Long]("start_us"))
+    assert(u8.length === 2, s"user 8 expected a split: ${u8.toSeq}")
+    assert(u8(0).getAs[Long]("end_us") === (t0 + 1800L) * 1000000L)
+    assert(u8(1).getAs[Long]("start_us") === t0 * 1000000L + 1800000001L)
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("GraftExtensions registers the native functions without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-injection path; must not throw
