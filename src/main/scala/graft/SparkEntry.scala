@@ -199,6 +199,7 @@ object SparkEntry {
         .orderBy(org.apache.spark.sql.functions.col("user_id"))),
     "q175_gopher_rules" -> (TextOps.q175GopherRules(_, _)),
     "q176_session_window" -> (EventStream.q176SessionWindow(_, _)),
+    "q177_audio_meta" -> (CustomOps.q177AudioMeta(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -447,5 +448,9 @@ object SparkEntry {
     // (complete mode emits final extents; session windows reject
     // update mode)
     "q176_session_window" -> EventStream.q176SessionWindowSql,
+    // q177: WAV samples are the payload bytes (8-bit unsigned PCM,
+    // 128 midline) — the mirror recomputes amplitude from ASCII; the
+    // hash proves the RIFF header round trip through the JDK parser
+    "q177_audio_meta" -> CustomOps.q177AudioMetaSql,
   )
 }

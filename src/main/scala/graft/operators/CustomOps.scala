@@ -216,6 +216,46 @@ object CustomOps {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** REAL audio decode end to end — the audio arm of the multimodal
+    * surface (BMP images: q37/q58/q76/q122; byte-window frames: q53;
+    * this: clips): wrap each document's bytes as a valid 8 kHz mono
+    * 8-bit PCM WAV ([[Multimodal.encodeWav]]), parse it with the JDK's
+    * `javax.sound.sampled` reader inside the partition-streamed decode
+    * operator ([[Multimodal.decodeAudio]]), and emit the parsed format
+    * fields plus duration and mean amplitude. Oracled: the samples ARE
+    * the payload bytes (8-bit PCM is unsigned with a 128 midline), so
+    * DuckDB recomputes n_samples/duration/amplitude directly from the
+    * ASCII payload — the green hash proves the 44-byte RIFF header the
+    * encoder writes is the one the JDK parser reads back. Integer
+    * division for duration_ms on both sides; mean amplitude is an
+    * exact integer sum divided once at the end (README rule 5). */
+  def q177AudioMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAudio(Multimodal.mediaAsWav(s, d)).toDF()
+      .select($"media_id", $"sample_rate", $"channels", $"bits",
+        $"n_samples", $"duration_ms",
+        Relational.stableRound(
+          $"sum_amp" / greatest($"n_samples", lit(1L)), 4).as("mean_amp"))
+      .orderBy($"media_id")
+
+  val q177AudioMetaSql: String =
+    s"""WITH amp AS (
+       |  SELECT doc_id,
+       |    sum(abs(ascii(substring(text, CAST(i AS INT), 1)) - 128)) AS s
+       |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+       |  WHERE text IS NOT NULL GROUP BY doc_id),
+       |base AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT b.doc_id AS media_id,
+       |  CAST(${Multimodal.WavSampleRate} AS BIGINT) AS sample_rate,
+       |  CAST(1 AS BIGINT) AS channels, CAST(8 AS BIGINT) AS bits,
+       |  b.n AS n_samples,
+       |  (b.n * 1000) // ${Multimodal.WavSampleRate} AS duration_ms,
+       |  ${sqlRound(
+            "CAST(coalesce(a.s, 0) AS BIGINT) / greatest(b.n, CAST(1 AS BIGINT))",
+            4)} AS mean_amp
+       |FROM base b LEFT JOIN amp a USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+
   /** Perceptual image hash over the REAL decode path: BMP-encode the
     * payloads, decode with `javax.imageio`, fingerprint the decoded
     * pixel stream ([[Multimodal.perceptualHash]]). Near-duplicate

@@ -3369,6 +3369,23 @@ class EngineSpec extends AnyFunSuite {
     assert(m("gopher_pass_all") >= total - ruleCounts.sum)
   }
 
+  test("q177 wav codec: JDK parser reads back the synthesized header and samples") {
+    import graft.multimodal.Multimodal
+    val payload = Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)
+    val ds = Seq(
+      Multimodal.AudioRow(1L, Multimodal.encodeWav(payload)),
+      Multimodal.AudioRow(2L, Multimodal.encodeWav(Array.empty[Byte]))).toDS()
+    val out = Multimodal.decodeAudio(ds).collect().sortBy(_.media_id)
+    assert(out(0).sample_rate === 8000L)
+    assert(out(0).channels === 1L)
+    assert(out(0).bits === 8L)
+    assert(out(0).n_samples === 4L)
+    // unsigned samples around the 128 midline: 128 + 1 + 0 + 127
+    assert(out(0).sum_amp === 256L)
+    assert(out(0).duration_ms === 0L)
+    assert(out(1).n_samples === 0L && out(1).sum_amp === 0L)
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
