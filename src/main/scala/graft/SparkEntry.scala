@@ -200,6 +200,11 @@ object SparkEntry {
     "q175_gopher_rules" -> (TextOps.q175GopherRules(_, _)),
     "q176_session_window" -> (EventStream.q176SessionWindow(_, _)),
     "q177_audio_meta" -> (CustomOps.q177AudioMeta(_, _)),
+    "q178_quality_logit" -> (TextOps.q178QualityLogit(_, _)),
+    "q179_k_anonymity" -> (TextOps.q179KAnonymity(_, _)),
+    "q180_bm25" -> (TextOps.q180Bm25(_, _)),
+    "q181_vad_segments" -> (CustomOps.q181VadSegments(_, _)),
+    "q182_postings" -> (TextOps.q182Postings(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +457,22 @@ object SparkEntry {
     // 128 midline) — the mirror recomputes amplitude from ASCII; the
     // hash proves the RIFF header round trip through the JDK parser
     "q177_audio_meta" -> CustomOps.q177AudioMetaSql,
+    // q178: pure integer dot product over gridded features — no
+    // doubles, no sigmoid; the boundary decision is an integer sign
+    "q178_quality_logit" -> TextOps.q178QualityLogitSql,
+    // q179: exact-integer group sizes over bounded QI axes
+    "q179_k_anonymity" -> TextOps.q179KAnonymitySql,
+    // q180: idf is the rule-8 ln site (gridded per term, hazard-guarded
+    // as q180_idf); the saturation term clears to integers via the
+    // ×20·Σdl trick, runs in identically-associated doubles, and is
+    // gridded before the per-query integer sum
+    "q180_bm25" -> TextOps.q180Bm25Sql,
+    // q181: window energies and the activity decision are exact
+    // integers recomputed by DuckDB from the payload bytes (q177's
+    // sample identity); islands are integer rank arithmetic
+    "q181_vad_segments" -> CustomOps.q181VadSegmentsSql,
+    // q182: posting sample membership is an integer (tf, doc_id) rank;
+    // the string renders in rank order on both engines
+    "q182_postings" -> TextOps.q182PostingsSql,
   )
 }

@@ -422,4 +422,39 @@ object Multimodal {
       }
     }
   }
+
+  case class AudioWindow(media_id: Long, widx: Long, wlen: Long, energy: Long)
+
+  /** Per-window amplitude energy over the REAL decode path: parse each
+    * clip with `javax.sound.sampled` (same contract as [[decodeAudio]]
+    * — parse failures are loud), then emit one row per `winLen`-sample
+    * window with its exact integer energy Σ|sample − 128|. The final
+    * window may be short; its true length ships alongside so
+    * downstream thresholds can scale instead of biasing the tail.
+    * Partition-streamed: each clip decodes where its row lives and
+    * expands to len/winLen rows — no driver involvement, no
+    * whole-clip shuffle. */
+  def decodeAudioWindows(
+      media: Dataset[AudioRow], winLen: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.content))
+      val bytes =
+        try in.readAllBytes()
+        finally in.close()
+      val n = bytes.length
+      (0 until (n + winLen - 1) / winLen).map { w =>
+        val lo = w * winLen
+        val hi = math.min(lo + winLen, n)
+        var s = 0L
+        var i = lo
+        while (i < hi) {
+          s += math.abs((bytes(i) & 0xFF) - 128)
+          i += 1
+        }
+        AudioWindow(r.media_id, w.toLong, (hi - lo).toLong, s)
+      }
+    }
+  }
 }

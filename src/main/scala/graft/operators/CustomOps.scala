@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Aggregators, SimHash}
@@ -255,6 +256,84 @@ object CustomOps {
             4)} AS mean_amp
        |FROM base b LEFT JOIN amp a USING (doc_id)
        |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q181: energy-threshold VAD segmentation over the real audio decode
+  // ---------------------------------------------------------------
+
+  private val VadWinLen = 160      // 20 ms at the 8 kHz synthesis rate
+  private val VadThreshold = 4800L // Σ|s−128| per full window ⇔ mean amp 30
+
+  /** Voice-activity segmentation — the first pass of every speech-data
+    * pipeline (select speech, drop silence/noise before transcription
+    * or training): decode each clip with the JDK's real WAV parser,
+    * cut it into [[VadWinLen]]-sample (20 ms) windows, threshold each
+    * window's exact integer energy, and merge consecutive active
+    * windows into segments via the islands rank-difference trick. Per
+    * clip: window/active counts, segment count, and the longest
+    * segment in milliseconds — the numbers a sampler uses to keep or
+    * cut the clip.
+    *
+    * Determinism: energy and the activity decision are EXACT integers
+    * (the short tail window scales the threshold by its true length:
+    * e·winLen ≥ T·wlen — no double ever appears); segment identity is
+    * integer rank arithmetic.
+    *
+    * Scale: the decode expands clips to len/160 window rows where the
+    * rows live (partition-streamed, no driver); the islands window
+    * partitions BY CLIP (per-key, bounded by clip length); both
+    * aggregates are map-side-combinable hash aggregates on media_id.
+    * Oracle: 8-bit PCM samples ARE the payload bytes, so DuckDB
+    * recomputes every window from the text column — the green hash
+    * proves the decode → window → threshold → islands chain end to
+    * end. */
+  def q181VadSegments(s: SparkSession, d: String): DataFrame = {
+    val w = Multimodal.decodeAudioWindows(
+      Multimodal.mediaAsWav(s, d), VadWinLen).toDF()
+    val act = w.filter($"energy" * VadWinLen >= lit(VadThreshold) * $"wlen")
+    val byClip = Window.partitionBy($"media_id").orderBy($"widx")
+    val runs = act
+      .withColumn("seg", $"widx" - row_number().over(byClip))
+      .groupBy($"media_id", $"seg").agg(count(lit(1)).as("run"))
+    val ra = runs.groupBy($"media_id")
+      .agg(sum($"run").as("n_active"), count(lit(1)).as("n_segments"),
+        max($"run").as("longest_run"))
+    w.groupBy($"media_id").agg(count(lit(1)).as("n_windows"))
+      .join(ra, Seq("media_id"), "left")
+      .select($"media_id", $"n_windows",
+        coalesce($"n_active", lit(0L)).as("n_active"),
+        coalesce($"n_segments", lit(0L)).as("n_segments"),
+        (coalesce($"longest_run", lit(0L)) * 20L).as("longest_ms"))
+      .orderBy($"media_id")
+  }
+
+  val q181VadSegmentsSql: String =
+    s"""WITH par AS (SELECT doc_id, text, length(text) AS len
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |w AS (SELECT doc_id, (i - 1) // $VadWinLen AS widx,
+       |    CAST(count(*) AS BIGINT) AS wlen,
+       |    CAST(sum(abs(ascii(substring(text, CAST(i AS INT), 1)) - 128))
+       |      AS BIGINT) AS energy
+       |  FROM par, UNNEST(range(1, len + 1)) AS t(i) GROUP BY 1, 2),
+       |act AS (SELECT doc_id, widx FROM w
+       |        WHERE energy * $VadWinLen >= $VadThreshold * wlen),
+       |seg AS (SELECT doc_id,
+       |    widx - row_number() OVER (PARTITION BY doc_id ORDER BY widx)
+       |      AS seg
+       |  FROM act),
+       |runs AS (SELECT doc_id, seg, CAST(count(*) AS BIGINT) AS run
+       |         FROM seg GROUP BY 1, 2),
+       |ra AS (SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_active,
+       |    CAST(count(*) AS BIGINT) AS n_segments,
+       |    CAST(max(run) AS BIGINT) AS longest_run
+       |  FROM runs GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |        FROM w GROUP BY 1)
+       |SELECT t.doc_id AS media_id, t.n_windows,
+       |  coalesce(ra.n_active, CAST(0 AS BIGINT)) AS n_active,
+       |  coalesce(ra.n_segments, CAST(0 AS BIGINT)) AS n_segments,
+       |  coalesce(ra.longest_run, CAST(0 AS BIGINT)) * 20 AS longest_ms
+       |FROM tot t LEFT JOIN ra USING (doc_id) ORDER BY media_id""".stripMargin
 
   /** Perceptual image hash over the REAL decode path: BMP-encode the
     * payloads, decode with `javax.imageio`, fingerprint the decoded

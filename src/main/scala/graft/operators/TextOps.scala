@@ -1392,9 +1392,16 @@ object TextOps {
       .select(lit("q166_const").as("site"), $"doc_id".cast("string").as("key"),
         ($"n_feat" * (log($"rd".cast("double")) - log($"td".cast("double")))
           * 1e6 + 0.5).as("y"))
+    // q180's grid site: the per-term Okapi idf — six query terms, so
+    // the guard scan is six rows
+    val bm25Haz = bm25Terms(s, d)
+      .select($"term", $"df", $"n_docs").distinct()
+      .select(lit("q180_idf").as("site"), $"term".as("key"),
+        (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6 + 0.5)
+          .as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
-      .unionAll(dsirTermHaz).unionAll(dsirConstHaz)
+      .unionAll(dsirTermHaz).unionAll(dsirConstHaz).unionAll(bm25Haz)
   }
 
   // ---------------------------------------------------------------
@@ -3989,5 +3996,262 @@ object TextOps {
        |  CAST(floor((bucket * n_docs - token_mass) * 1000000.0 /
        |    (bucket * n_docs)) AS BIGINT) AS waste_ppm
        |FROM agg ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q178: model-based quality filter (fixed-weight linear inference)
+  // ---------------------------------------------------------------
+
+  /** Model-based quality filtering — the classifier arm of the curation
+    * stack (CCNet / GPT-3-style "trained filter" inference, vs q175's
+    * hand rules): each document is scored by a FIXED pretrained linear
+    * model over the q20 feature set and labeled keep/drop by the
+    * decision boundary. Inference only — training a model is not a
+    * query; shipping fixed weights and running the affine score at
+    * corpus scale is.
+    *
+    * Determinism: every feature is an exact-integer grid (token count;
+    * 1e-4 grids of avg-token-length, punctuation and stopword ratios —
+    * the q175 grids), the weights are integers in micro-logit units,
+    * and the score is a pure integer dot product — no doubles anywhere
+    * until display, no transcendental sigmoid (monotone in the logit,
+    * so the boundary decision needs only the integer sign).
+    *
+    * Scale: one narrow projection computes all features in a single
+    * scan; no shuffle at all until the final ORDER BY (display
+    * convention). At 100 TB this is the cheapest possible shape: a
+    * map-only scoring pass. */
+  def q178QualityLogit(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id",
+        Text.tokenCount($"text").cast("long").as("nt"),
+        floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
+        floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
+        floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
+      .select($"doc_id",
+        (lit(-30000L) + lit(600L) * $"nt" + lit(40L) * $"swr_g"
+          - lit(60L) * $"pr_g" - lit(2L) * abs($"atl_g" - 45000L))
+          .as("logit_micro"))
+      .select($"doc_id", $"logit_micro",
+        when($"logit_micro" >= 0L, "keep").otherwise("drop").as("label"))
+      .orderBy($"doc_id")
+
+  val q178QualityLogitSql: String =
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST($tcSql AS BIGINT) AS nt,
+       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
+       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
+       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT doc_id,
+       |    -30000 + 600 * nt + 40 * swr_g - 60 * pr_g
+       |      - 2 * abs(atl_g - 45000) AS logit_micro
+       |  FROM f)
+       |SELECT doc_id, CAST(logit_micro AS BIGINT) AS logit_micro,
+       |  CASE WHEN logit_micro >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q179: k-anonymity census over quasi-identifiers (governance)
+  // ---------------------------------------------------------------
+
+  private val KAnonK = 5L
+
+  /** k-anonymity audit — the release-governance check run before a
+    * corpus (or its metadata) ships: group documents by the
+    * quasi-identifier tuple (lang, source, length band) and report
+    * each equivalence class's size k plus whether it falls below the
+    * [[KAnonK]] re-identification floor (Sweeney 2002, public). A
+    * class of size < k means its members are re-identifiable from the
+    * quasi-identifiers alone and must be suppressed or generalized
+    * before release; the census IS the suppression work-list.
+    *
+    * Scale: the quasi-identifier axes are bounded (|langs| × |sources|
+    * × length bands), so this is one map-side-combinable hash
+    * aggregate to a metadata-sized result at any corpus size. */
+  def q179KAnonymity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"lang", $"source",
+        expr("CAST(n_chars AS BIGINT) div 50").as("len_band"))
+      .groupBy($"lang", $"source", $"len_band")
+      .agg(count(lit(1)).as("k"))
+      .select($"lang", $"source", $"len_band", $"k",
+        ($"k" < KAnonK).as("at_risk"))
+      .orderBy($"lang", $"source", $"len_band")
+
+  val q179KAnonymitySql: String =
+    s"""SELECT lang, source, CAST(n_chars AS BIGINT) // 50 AS len_band,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  (count(*) < $KAnonK) AS at_risk
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q180: BM25 top-k retrieval (Okapi weighting, bounded-heap top-k)
+  // ---------------------------------------------------------------
+
+  private val Bm25TopK = 10
+  // k1 = 1.2, b = 0.75 — the standard Okapi constants, carried below
+  // as EXACT integer multiples of 1/20: k1·(1−b) = 6/20, k1·b = 18/20,
+  // (k1+1) = 44/20, so the saturation denominator clears to integers.
+  private[graft] val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark", 0L -> "hash",
+    1L -> "window", 1L -> "merge",
+    2L -> "table", 2L -> "scan")
+
+  /** The (query_id, doc_id, term, tf, df, dl, n_docs, a_sum) relation
+    * behind q180 — shared by the query and the idf boundary-hazard
+    * guard. `a_sum` is the exact corpus token total, so avgdl = a/N
+    * stays a rational and the BM25 saturation denominator
+    * tf + k1·(1−b) + k1·b·dl/avgdl clears to the all-integer form
+    * (20·a·tf + 6·a + 18·dl·N) / (20·a). */
+  private def bm25Terms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+    val qt = broadcast(
+      s.createDataFrame(Bm25Queries).toDF("query_id", "term"))
+    val tf = docs
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .join(qt, "term")
+      .groupBy($"query_id", $"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val dfr = tf.select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val dl = docs.select($"doc_id", Text.tokenCount($"text").cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("a_sum"))
+    tf.join(dfr, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+  }
+
+  /** BM25 top-[[Bm25TopK]] retrieval for a fixed query batch — the
+    * lexical-retrieval operator a dedup/decontamination/RAG pipeline
+    * runs next to the embedding ANN arm (q27/q28): Okapi BM25
+    * (Robertson et al., TREC-3, public) with k1 = 1.2, b = 0.75.
+    *
+    * Determinism: idf = ln((N − df + ½)/(df + ½) + 1) is the repo's
+    * rule-8 transcendental — gridded to a 1e-6 integer per TERM (six
+    * terms, so the hazard surface is six values, registered in
+    * [[lnBoundaryHazards]] as `q180_idf`). The per-(term, doc) score
+    * then runs in doubles built from EXACT integers only, with
+    * identical association both engines, and is gridded before the
+    * per-query integer sum — order-independent across partitions.
+    *
+    * Scale: candidate generation is a broadcast semi-join of the token
+    * stream against the query-term list (never a vocabulary shuffle);
+    * df aggregates only over matched postings; the global (N, Σdl)
+    * pair is a 1-row broadcast; and the final top-k runs through the
+    * bounded-heap TopKPerKey plan — k rows per (query, partition)
+    * cross the exchange, never the full posting lists. */
+  def q180Bm25(s: SparkSession, d: String): DataFrame = {
+    val scored = bm25Terms(s, d)
+      .select($"query_id", $"doc_id",
+        floor(log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+          * 1e6 + 0.5).cast("long").as("idf_grid"),
+        $"tf", $"dl", $"n_docs", $"a_sum")
+      .select($"query_id", $"doc_id",
+        floor($"idf_grid".cast("double") * ($"tf" * 44.0 * $"a_sum")
+          / (lit(20.0) * $"a_sum" * $"tf" + lit(6.0) * $"a_sum"
+            + lit(18.0) * $"dl" * $"n_docs") + 0.5)
+          .cast("long").as("term_grid"))
+    val perDoc = scored.groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_grid").as("sg"), count(lit(1)).as("n_terms_hit"))
+    val top = graft.plans.TopK.perKey(
+      perDoc, Seq($"query_id"), Seq($"sg".desc, $"doc_id"), Bm25TopK)
+    val w = Window.partitionBy($"query_id").orderBy($"sg".desc, $"doc_id")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"rank", $"doc_id", $"n_terms_hit",
+        ($"sg" / 1e6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  private def bm25QtSql: String =
+    Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  val q180Bm25Sql: String =
+    s"""WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term
+       |            FROM (VALUES $bm25QtSql) v(q, t)),
+       |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |         FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT q.query_id, t.term, t.doc_id,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks t JOIN qt q USING (term) GROUP BY 1, 2, 3),
+       |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |        FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+       |dl AS (SELECT doc_id, CAST($tcSql AS BIGINT) AS dl
+       |       FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS a_sum FROM dl),
+       |terms AS (SELECT t.query_id, t.doc_id,
+       |    CAST(floor(CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5)
+       |          + 1.0) * 1e6 + 0.5) AS BIGINT)
+       |      * (t.tf * 44.0 * s.a_sum)
+       |      / (20.0 * s.a_sum * t.tf + 6.0 * s.a_sum
+       |         + 18.0 * l.dl * s.n_docs) + 0.5) AS BIGINT) AS term_grid
+       |  FROM tf t JOIN dfr f USING (term) JOIN dl l USING (doc_id)
+       |  CROSS JOIN st s),
+       |perdoc AS (SELECT query_id, doc_id,
+       |    CAST(sum(term_grid) AS BIGINT) AS sg,
+       |    CAST(count(*) AS BIGINT) AS n_terms_hit
+       |  FROM terms GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sg DESC, doc_id) AS rn FROM perdoc)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, n_terms_hit,
+       |  sg / 1e6 AS score
+       |FROM rk WHERE rn <= $Bm25TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q182: inverted-index build (per-term stats + capped posting sample)
+  // ---------------------------------------------------------------
+
+  private val PostingsSample = 5
+
+  /** Inverted-index construction — the artifact behind q180's
+    * retrieval and every decontamination lookup: per term, the
+    * document frequency, collection frequency, and a deterministic
+    * [[PostingsSample]]-document posting sample (highest-tf docs,
+    * doc_id tie-break) rendered as a comma-joined string.
+    *
+    * Determinism: the sample membership is an integer (tf, doc_id)
+    * rank; the rendered order inside the string is the rank itself, so
+    * both engines emit byte-identical postings (the q40 ordered
+    * string-agg discipline, but rank-ordered).
+    *
+    * Scale: tf is one (doc, term) hash aggregate; the per-term rank
+    * window partitions BY TERM (per-key, never global); the
+    * collect_list aggregates at most [[PostingsSample]] pre-capped
+    * rows per term (registered bound in the ScaleSpec ratchet); output
+    * is vocabulary-grain — exactly what an index build emits. */
+  def q182Postings(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
+    val w = Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")
+    val sample = tf
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= PostingsSample)
+      .groupBy($"term")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"rn", $"doc_id"))),
+          x => x.getField("doc_id").cast("string")), ",").as("top_docs"))
+    stats.join(sample, "term")
+      .select($"term", $"df", $"cf", $"top_docs")
+      .orderBy($"term")
+  }
+
+  val q182PostingsSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |              FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |stats AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |            CAST(sum(tf) AS BIGINT) AS cf
+       |          FROM tf GROUP BY term),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY term
+       |         ORDER BY tf DESC, doc_id) AS rn FROM tf),
+       |smp AS (SELECT term,
+       |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS top_docs
+       |  FROM rk WHERE rn <= $PostingsSample GROUP BY term)
+       |SELECT s.term, s.df, s.cf, m.top_docs
+       |FROM stats s JOIN smp m USING (term)
+       |ORDER BY s.term""".stripMargin
 
 }

@@ -501,8 +501,9 @@ class ScaleSpec extends AnyFunSuite {
       "operators/Relational.scala" -> 4,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
-      // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts
-      "operators/TextOps.scala" -> 14,
+      // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
+      // +1 round 9: q180's 1-row (N, Σdl) corpus-stats broadcast
+      "operators/TextOps.scala" -> 15,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
@@ -533,12 +534,13 @@ class ScaleSpec extends AnyFunSuite {
     // capped first. Every registered site carries a bound: TextOps =
     // per-doc shingle set ×2 + TopKPerKey-capped source sketch +
     // q170's per-doc removed-span starts (gram-count bound, the
-    // shingleArrays class); EventOps = user-day basket + per-user
-    // journey (documented history bound); VectorOps = per-dim grid
-    // (|dims| rows); Relational = 5-value segment set + 64-bucket
-    // recency vector
+    // shingleArrays class) + q182's posting sample (row_number-capped
+    // to 5 rows per term BEFORE the aggregation); EventOps = user-day
+    // basket + per-user journey (documented history bound); VectorOps
+    // = per-dim grid (|dims| rows); Relational = 5-value segment set +
+    // 64-bucket recency vector
     val collectAggBudget = Map(
-      "operators/TextOps.scala" -> 4,
+      "operators/TextOps.scala" -> 5,
       "operators/EventOps.scala" -> 2,
       "operators/VectorOps.scala" -> 1,
       "operators/Relational.scala" -> 2)
