@@ -3386,6 +3386,97 @@ class EngineSpec extends AnyFunSuite {
     assert(out(1).n_samples === 0L && out(1).sum_amp === 0L)
   }
 
+  test("q181 VAD: crafted clip segments, tail-window threshold scaling") {
+    import graft.multimodal.Multimodal
+    // amp('a'=97) = 31 → full-window energy 4960 ≥ 4800 (active);
+    // amp('x'=120) = 8 → 1280 (inactive). Pattern A x A A + short
+    // inactive tail → islands {w0} and {w2,w3}: 2 segments, longest 2.
+    val clip1 = "a" * 160 + "x" * 160 + "a" * 160 + "a" * 160 + "x" * 40
+    // an 80-sample tail-only clip of 'a': energy 2480, and the
+    // scale-free compare 2480·160 ≥ 4800·80 holds — active despite
+    // being under the full-window threshold (no tail bias)
+    val clip2 = "a" * 80
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vad").toString
+    Seq((1L, clip1), (2L, clip2)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val got = graft.operators.CustomOps.q181VadSegments(spark, base)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) === ((5L, 3L, 2L, 40L)),
+      s"clip1 (n_windows, n_active, n_segments, longest_ms): ${got(1L)}")
+    assert(got(2L) === ((1L, 1L, 1L, 20L)), s"clip2: ${got(2L)}")
+    // the decode path itself: window grain, true tail length, exact sums
+    val w = Multimodal.decodeAudioWindows(
+      Seq(Multimodal.AudioRow(9L, Multimodal.encodeWav(
+        Array[Byte](0, 127.toByte, 128.toByte, 255.toByte)))).toDS(), 3)
+      .collect().sortBy(_.widx)
+    assert(w.length === 2)
+    assert(w(0) === Multimodal.AudioWindow(9L, 0L, 3L, 128L + 1L + 0L))
+    assert(w(1) === Multimodal.AudioWindow(9L, 1L, 1L, 127L))
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
+  test("q180 BM25: exact JVM replay on a crafted corpus") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "spark hash spark"), (2L, "spark table"),
+      (3L, "window merge window"), (4L, "scan table scan scan"),
+      (5L, "the quick fox"))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25").toString
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val got = TextOps.q180Bm25(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // replay with the SAME association order as the query / mirror SQL
+    val dl = docs.map { case (id, t) => id -> t.split(" ").length.toLong }.toMap
+    val n = docs.size.toLong
+    val a = dl.values.sum
+    val tf = for ((q, term) <- TextOps.Bm25Queries;
+                  (id, t) <- docs;
+                  c = t.split(" ").count(_ == term) if c > 0)
+      yield (q, term, id, c.toLong)
+    val dfr = tf.groupBy(_._2).map { case (t, xs) =>
+      t -> xs.map(_._3).distinct.size.toLong }
+    val exp = tf.map { case (q, term, id, c) =>
+      val df = dfr(term)
+      val idf = math.floor(
+        math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5).toLong
+      val tg = math.floor(idf.toDouble * (c * 44.0 * a) /
+        (20.0 * a * c + 6.0 * a + 18.0 * dl(id) * n) + 0.5).toLong
+      ((q, id), tg)
+    }.groupBy(_._1).map { case ((q, id), xs) =>
+      (q, id, xs.map(_._2).sum, xs.size.toLong) }.toSeq
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(10).zipWithIndex.map {
+          case ((_, id, sg, hits), i) =>
+            (q, i + 1L, id, hits, sg / 1e6) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq === exp, s"got=${got.mkString(";")}")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
+  test("q182 postings: sample capped at 5, rank-ordered rendering") {
+    import graft.operators.TextOps
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_postings").toString
+    Seq((1L, "z"), (2L, "z z"), (3L, "z z z"), (4L, "z"), (5L, "z z"),
+      (6L, "z"), (7L, "z z z z"), (8L, "other"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val got = TextOps.q182Postings(spark, base).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // 7 docs hold z (cap bites: only 5 rendered), ordered tf desc then
+    // doc_id: d7(4), d3(3), d2(2), d5(2), d1(1) — d4/d6 cut
+    assert(got("z") === ((7L, 14L, "7,3,2,5,1")), s"z: ${got("z")}")
+    assert(got("other") === ((1L, 1L, "8")))
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
