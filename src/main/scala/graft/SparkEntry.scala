@@ -205,6 +205,8 @@ object SparkEntry {
     "q180_bm25" -> (TextOps.q180Bm25(_, _)),
     "q181_vad_segments" -> (CustomOps.q181VadSegments(_, _)),
     "q182_postings" -> (TextOps.q182Postings(_, _)),
+    "q183_triplets" -> (VectorOps.q183ContrastiveTriplets(_, _)),
+    "q184_bpe_apply" -> (TextOps.q184BpeApply(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -474,5 +476,13 @@ object SparkEntry {
     // q182: posting sample membership is an integer (tf, doc_id) rank;
     // the string renders in rank order on both engines
     "q182_postings" -> TextOps.q182PostingsSql,
+    // q183: similarities gridded to 1e-6 integers BEFORE each arm's
+    // argmax (rule 10), cand-id tie-breaks; margin = exact integer
+    // subtraction displayed once
+    "q183_triplets" -> VectorOps.q183ContrastiveTripletsSql,
+    // q184: winner pick is an integer-ordered LIMIT 1; merge counting
+    // is replace()'s left-to-right non-overlapping contract (identical
+    // both engines) in pure integer length arithmetic
+    "q184_bpe_apply" -> TextOps.q184BpeApplySql,
   )
 }

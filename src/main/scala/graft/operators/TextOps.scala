@@ -1085,6 +1085,77 @@ object TextOps {
        |ORDER BY total_freq DESC, l, r LIMIT $BpeTopN""".stripMargin
 
   // ---------------------------------------------------------------
+  // q184: BPE merge APPLICATION (one trainer iteration end to end)
+  // ---------------------------------------------------------------
+
+  /** One full BPE trainer iteration (Sennrich et al. 2016,
+    * arXiv:1508.07909): q163 counts the merge candidates; this picks
+    * the winner and APPLIES it to the corpus — the step that actually
+    * changes the symbol stream. The winning pair (max corpus
+    * frequency, pair-string tie-break) merges left-to-right
+    * non-overlapping — exactly `replace`'s contract in both engines —
+    * and the output is the per-source symbol accounting: documents
+    * touched, merges applied, symbol mass before/after. The vocabulary
+    * side's predicted frequency (`total_freq`, Σ occ·cnt over unique
+    * words) and the corpus side's applied count (`occ_merged`, counted
+    * independently on the raw text) are BOTH emitted — the green hash
+    * proves the trainer's factored counting equals the corpus truth.
+    *
+    * Determinism: pure integer length arithmetic (a merge removes
+    * exactly one symbol per application); the winner pick is an
+    * integer-ordered LIMIT 1.
+    *
+    * Scale: the candidate count runs at vocabulary grain (q163's
+    * shape); the winner is a 1-row broadcast onto one corpus-grain
+    * map pass (replace + length — no explode, no extra shuffle);
+    * the census is map-side combinable on the bounded source axis. */
+  def q184BpeApply(s: SparkSession, d: String): DataFrame = {
+    val top1 = q163BpeMerges(s, d)
+      .orderBy($"total_freq".desc, $"l", $"r").limit(1)
+      .select(concat($"l", $"r").as("pair"), $"total_freq")
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .crossJoin(broadcast(top1))
+      .select($"source", $"pair", $"total_freq",
+        expr("CAST(length(text) - length(replace(text, pair, '')) AS BIGINT)" +
+          " div 2").as("occ"),
+        length(regexp_replace($"text", " ", "")).cast("long").as("sb"))
+      .groupBy($"source", $"pair", $"total_freq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"occ" > 0L, 1L).otherwise(0L)).as("n_docs_touched"),
+        sum($"occ").as("occ_merged"),
+        sum($"sb").as("symbols_before"),
+        sum($"sb" - $"occ").as("symbols_after"))
+      .orderBy($"source")
+  }
+
+  val q184BpeApplySql: String =
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |po AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+       |         w, cnt, count(*) AS occ
+       |       FROM words, UNNEST(range(1, length(w))) AS t(i)
+       |       GROUP BY 1, 2, 3, 4),
+       |top1 AS (SELECT l || r AS pair,
+       |    CAST(sum(occ * cnt) AS BIGINT) AS total_freq
+       |  FROM po GROUP BY l, r
+       |  ORDER BY total_freq DESC, l, r LIMIT 1),
+       |ap AS (SELECT d.source, t.pair, t.total_freq,
+       |    CAST(length(d.text) - length(replace(d.text, t.pair, ''))
+       |      AS BIGINT) // 2 AS occ,
+       |    CAST(length(replace(d.text, ' ', '')) AS BIGINT) AS sb
+       |  FROM documents d CROSS JOIN top1 t WHERE d.text IS NOT NULL)
+       |SELECT source, pair, total_freq,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_touched,
+       |  CAST(sum(occ) AS BIGINT) AS occ_merged,
+       |  CAST(sum(sb) AS BIGINT) AS symbols_before,
+       |  CAST(sum(sb - occ) AS BIGINT) AS symbols_after
+       |FROM ap GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q63: per-source corpus report (the "corpus card" rollup)
   // ---------------------------------------------------------------
 

@@ -656,6 +656,96 @@ object VectorOps {
        |ORDER BY r.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q183: contrastive triplet mining (cell-bounded anchor/pos/neg)
+  // ---------------------------------------------------------------
+
+  /** Contrastive-training triplet mining (FaceNet's semi-hard recipe,
+    * Schroff et al. 2015, arXiv:1503.03832 — public): for every anchor
+    * vector, the hardest POSITIVE (most-similar same-label neighbor)
+    * and hardest NEGATIVE (most-similar cross-label neighbor) plus the
+    * training margin between them — the relation an embedding fine-tune
+    * consumes batch after batch.
+    *
+    * Scale shape: all pairing happens WITHIN the one-Lloyd-step k-means
+    * cells shared with q65/q161 ([[lloydOneStep]]) — the q161
+    * discipline exactly: one ranked definition self-joined on cell_id
+    * (ReusedExchange, never a second corpus assignment), candidate side
+    * capped at [[SemDedupMaxCell]] per cell, and each arm's top-1 runs
+    * through the bounded-heap TopKPerKey plan. Semi-hard mining inside
+    * a coarse quantizer cell is how production miners bound the
+    * quadratic at corpus scale; anchors whose cell lacks a same- or
+    * cross-label neighbor drop out (inner join) — honest, since no
+    * triplet exists for them locally.
+    *
+    * Determinism: similarities are gridded to 1e-6 integers BEFORE the
+    * per-anchor argmax (rule 10) with cand-id tie-breaks; the margin is
+    * exact integer subtraction displayed once. */
+  def q183ContrastiveTriplets(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a1) = lloydOneStep(s, d)
+    val lbl = Tables.embeddings(s, d).select($"vec_id", $"label")
+    val w = Window.partitionBy($"cell_id").orderBy($"vec_id")
+    val ranked = a1.select($"vec_id", $"embedding", $"cell_id")
+      .join(lbl, "vec_id")
+      .withColumn("rn", row_number().over(w))
+    val cands = ranked.select($"cell_id".as("ccell"), $"rn".as("crn"),
+      $"vec_id".as("cand_id"), $"embedding".as("cvec"),
+      $"label".as("cand_label"))
+    val pairs = ranked.join(cands,
+        $"ccell" === $"cell_id" && $"cand_id" =!= $"vec_id" &&
+          $"crn" <= SemDedupMaxCell)
+      .select($"vec_id", $"cell_id", $"label", $"cand_id", $"cand_label",
+        floor(Vectors.cosine($"embedding", $"cvec") * 1e6 + 0.5)
+          .cast("long").as("cg"))
+    val pos = graft.plans.TopK.perKey(
+        pairs.filter($"label" === $"cand_label"),
+        Seq($"vec_id"), Seq($"cg".desc, $"cand_id"), 1)
+      .select($"vec_id", $"cell_id", $"cand_id".as("positive_id"),
+        $"cg".as("pos_cg"))
+    val neg = graft.plans.TopK.perKey(
+        pairs.filter($"label" =!= $"cand_label"),
+        Seq($"vec_id"), Seq($"cg".desc, $"cand_id"), 1)
+      .select($"vec_id".as("nv"), $"cand_id".as("negative_id"),
+        $"cg".as("neg_cg"))
+    pos.join(neg, $"vec_id" === $"nv")
+      .select($"vec_id".as("anchor_id"), $"cell_id",
+        $"positive_id", ($"pos_cg" / 1e6).as("pos_cos"),
+        $"negative_id", ($"neg_cg" / 1e6).as("neg_cos"),
+        (($"pos_cg" - $"neg_cg") / 1e6).as("margin"))
+      .orderBy($"anchor_id")
+  }
+
+  val q183ContrastiveTripletsSql: String = {
+    val cos = cosSql("r.embedding", "p.embedding")
+    s"""WITH $lloydCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ranked AS (SELECT a.vec_id, a.embedding, a.cell_id, b.label,
+       |    row_number() OVER (PARTITION BY a.cell_id ORDER BY a.vec_id)
+       |      AS rn
+       |  FROM a1 a JOIN lab b USING (vec_id)),
+       |pairs AS (SELECT r.vec_id, r.cell_id, r.label,
+       |    p.vec_id AS cand_id, p.label AS cand_label,
+       |    CAST(floor($cos * 1e6 + 0.5) AS BIGINT) AS cg
+       |  FROM ranked r JOIN ranked p ON p.cell_id = r.cell_id
+       |    AND p.vec_id <> r.vec_id AND p.rn <= $SemDedupMaxCell),
+       |pos AS (SELECT vec_id, cell_id, cand_id AS positive_id,
+       |    cg AS pos_cg,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cg DESC, cand_id) AS rn
+       |  FROM pairs WHERE label = cand_label),
+       |neg AS (SELECT vec_id, cand_id AS negative_id, cg AS neg_cg,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cg DESC, cand_id) AS rn
+       |  FROM pairs WHERE label <> cand_label)
+       |SELECT p.vec_id AS anchor_id, p.cell_id,
+       |  p.positive_id, p.pos_cg / 1e6 AS pos_cos,
+       |  n.negative_id, n.neg_cg / 1e6 AS neg_cos,
+       |  (p.pos_cg - n.neg_cg) / 1e6 AS margin
+       |FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+       |  AND p.rn = 1 AND n.rn = 1
+       |ORDER BY anchor_id""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket the corpus
     * (random hyperplane signs), generate candidates inside each bucket
     * AND each 1-bit-neighbor probe pairing (multi-probe recall), verify

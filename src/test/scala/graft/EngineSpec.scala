@@ -3477,6 +3477,80 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q183 triplets: labels/cells consistent, argmax replay vs q161 assignment") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val cells = VectorOps.q161Semdedup(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.sources.Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cosGrid(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.floor(c * 1e6 + 0.5).toLong
+    }
+    val rows = VectorOps.q183ContrastiveTriplets(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, cell, p, n) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(4))
+      assert(cells(a) === cell)
+      assert(cells(p) === cell && cells(n) === cell,
+        s"triplet $a: pos/neg left the cell")
+      assert(labels(p) === labels(a), s"positive label mismatch for $a")
+      assert(labels(n) !== labels(a), s"negative label match for $a")
+      // argmax replay: no in-cell candidate of the right label beats
+      // the picked one on (gridded cos, cand_id)
+      val mates = cells.collect { case (v, c) if c == cell && v != a => v }
+      val posBest = mates.filter(v => labels(v) == labels(a))
+        .map(v => (-cosGrid(vecs(a), vecs(v)), v)).min
+      val negBest = mates.filter(v => labels(v) != labels(a))
+        .map(v => (-cosGrid(vecs(a), vecs(v)), v)).min
+      assert(posBest._2 === p && -posBest._1 === math.round(r.getDouble(3) * 1e6),
+        s"positive argmax replay failed for $a")
+      assert(negBest._2 === n && -negBest._1 === math.round(r.getDouble(5) * 1e6),
+        s"negative argmax replay failed for $a")
+      assert(math.round(r.getDouble(6) * 1e6) ===
+        math.round(r.getDouble(3) * 1e6) - math.round(r.getDouble(5) * 1e6))
+    }
+    // every vector with both a same- and cross-label cellmate appears
+    val expected = cells.keys.filter { a =>
+      val mates = cells.collect { case (v, c) if c == cells(a) && v != a => v }
+      mates.exists(v => labels(v) == labels(a)) &&
+        mates.exists(v => labels(v) != labels(a))
+    }.toSet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+  }
+
+  test("q184 BPE apply: crafted corpus — winner pick, merge math, freq identity") {
+    import graft.operators.TextOps
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bpe_apply").toString
+    // words: abc(1), ab(3), xy(1) → pair (a,b) total 1+3 = 4 wins over
+    // (b,c)=1, (x,y)=1
+    Seq((1L, "abc ab", "s1"), (2L, "ab ab", "s1"), (3L, "xy", "s1"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val rows = TextOps.q184BpeApply(spark, base).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("pair") === "ab")
+    assert(r.getAs[Long]("total_freq") === 4L)
+    assert(r.getAs[Long]("n_docs") === 3L)
+    assert(r.getAs[Long]("n_docs_touched") === 2L)
+    // the vocabulary-side prediction equals the corpus-side application
+    assert(r.getAs[Long]("occ_merged") === 4L)
+    assert(r.getAs[Long]("symbols_before") === 11L)
+    assert(r.getAs[Long]("symbols_after") === 7L)
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -502,8 +502,9 @@ class ScaleSpec extends AnyFunSuite {
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
-      // +1 round 9: q180's 1-row (N, Σdl) corpus-stats broadcast
-      "operators/TextOps.scala" -> 15,
+      // +1 round 9: q180's 1-row (N, Σdl) corpus-stats broadcast;
+      // +1 round 9: q184's 1-row winning-merge-pair broadcast
+      "operators/TextOps.scala" -> 16,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
