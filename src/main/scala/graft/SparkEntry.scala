@@ -207,6 +207,8 @@ object SparkEntry {
     "q182_postings" -> (TextOps.q182Postings(_, _)),
     "q183_triplets" -> (VectorOps.q183ContrastiveTriplets(_, _)),
     "q184_bpe_apply" -> (TextOps.q184BpeApply(_, _)),
+    "q185_calibration" -> (TextOps.q185Calibration(_, _)),
+    "q186_ohlc_bars" -> (EventOps.q186OhlcBars(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -484,5 +486,14 @@ object SparkEntry {
     // is replace()'s left-to-right non-overlapping contract (identical
     // both engines) in pure integer length arithmetic
     "q184_bpe_apply" -> TextOps.q184BpeApplySql,
+    // q185: exact-integer logit bucketed by a one-ulp-safe double
+    // floor (Spark div truncation vs DuckDB // floor disagree on
+    // negatives — both sides use the explicit floor); rule flags are
+    // q175's gridded decisions
+    "q185_calibration" -> TextOps.q185CalibrationSql,
+    // q186: open/close are PICKS of existing doubles by the unique
+    // (ts, event_id) order; volume on the cent grid; bar key crosses
+    // engines as a string (temporal-key rule)
+    "q186_ohlc_bars" -> EventOps.q186OhlcBarsSql,
   )
 }

@@ -1635,4 +1635,61 @@ object EventOps {
       |    AS n_underwater
       |FROM dd GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q186: OHLC bar resample (tick stream → hourly bars)
+  // ---------------------------------------------------------------
+
+  /** Tick-to-bar resampling — the operator that PRODUCES the OHLCV
+    * rows the reference's whole warehouse ingests (`KC=F.csv` is
+    * hourly/daily bars; reference `ETL Process/STG.py` loads them
+    * ready-made): per (instrument, hour) the first/max/min/last tick
+    * values, tick count, and exact-cent volume. Open/close are PICKS
+    * of existing doubles (no arithmetic — bit-identical cross-engine)
+    * selected by the unique (ts, event_id) order; volume is the
+    * moneySum cent grid (rule 2).
+    *
+    * Scale shape: both row_number ranks ride ONE (event_type, bar)
+    * hash exchange (same partition keys, two sort orders); the bar
+    * aggregate after is map-side combinable. Bars scale with time ×
+    * instruments, never with tick density — the output is the
+    * compacted relation a 100 TB tick archive actually stores. */
+  def q186OhlcBars(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"ts", $"event_id", $"value",
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("bar"))
+    val asc = Window.partitionBy($"event_type", $"bar")
+      .orderBy($"ts", $"event_id")
+    val dsc = Window.partitionBy($"event_type", $"bar")
+      .orderBy($"ts".desc, $"event_id".desc)
+    ev.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(dsc))
+      .groupBy($"event_type", $"bar")
+      .agg(
+        max(when($"rna" === 1, $"value")).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max(when($"rnd" === 1, $"value")).as("close"),
+        count(lit(1)).as("n_ticks"),
+        moneySum($"value").as("volume"))
+      .orderBy($"event_type", $"bar")
+  }
+
+  val q186OhlcBarsSql: String =
+    s"""WITH ev AS (SELECT event_type, ts, event_id, value,
+       |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar
+       |  FROM events),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY event_type, bar
+       |      ORDER BY ts, event_id) AS rna,
+       |    row_number() OVER (PARTITION BY event_type, bar
+       |      ORDER BY ts DESC, event_id DESC) AS rnd
+       |  FROM ev)
+       |SELECT event_type, bar,
+       |  max(CASE WHEN rna = 1 THEN value END) AS open,
+       |  max(value) AS high, min(value) AS low,
+       |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+       |  count(*) AS n_ticks,
+       |  ${sqlMoneySum("value")} AS volume
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
 }

@@ -4122,6 +4122,79 @@ object TextOps {
        |FROM sc ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q185: classifier calibration vs the rule-based reference
+  // ---------------------------------------------------------------
+
+  private val CalibBucket = 20000.0
+
+  /** Classifier EVALUATION — the calibration table a curation team
+    * reads before trusting q178's model over q175's rules: documents
+    * bucketed by model logit, and per bucket the rate at which the
+    * independent Gopher rule battery passes them. A well-calibrated
+    * filter shows the rule-pass rate rising monotonically with the
+    * logit; a flat curve means the model learned nothing the rules
+    * measure. Both classifiers run in the SAME single scan.
+    *
+    * Determinism: the bucket is floor(logit/20000) on an exact-integer
+    * logit — a one-ulp-safe floor (quotients at bucket boundaries are
+    * exact, elsewhere ≥ 5e-5 from the flip point; Spark's `div`
+    * truncation would disagree with DuckDB's `//` floor on negative
+    * logits, so both sides use the explicit double floor); the rule
+    * flags are q175's gridded-integer decisions.
+    *
+    * Scale: one corpus scan, one map-side-combinable aggregate onto
+    * the bounded logit-bucket axis. */
+  def q185Calibration(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.documents(s, d).filter($"text".isNotNull)
+      .select(
+        Text.tokenCount($"text").cast("long").as("nt"),
+        floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
+        floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
+        floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
+      .select(
+        (lit(-30000L) + lit(600L) * $"nt" + lit(40L) * $"swr_g"
+          - lit(60L) * $"pr_g" - lit(2L) * abs($"atl_g" - 45000L))
+          .as("logit_micro"),
+        (!($"nt" < 20 || $"nt" > 90 || $"atl_g" < 40000 || $"atl_g" > 50000
+          || $"pr_g" > 500 || $"swr_g" < 150)).as("rules_pass"))
+    f.select(floor($"logit_micro" / CalibBucket).cast("long").as("bucket"),
+        $"rules_pass")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rules_pass", 1L).otherwise(0L)).as("n_rules_pass"))
+      .select($"bucket",
+        when($"bucket" >= 0L, "keep").otherwise("drop").as("model_label"),
+        $"n_docs", $"n_rules_pass",
+        stableRound($"n_rules_pass" / $"n_docs", 6).as("rules_pass_rate"))
+      .orderBy($"bucket")
+  }
+
+  val q185CalibrationSql: String =
+    s"""WITH f AS (SELECT
+       |    CAST($tcSql AS BIGINT) AS nt,
+       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
+       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
+       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT
+       |    -30000 + 600 * nt + 40 * swr_g - 60 * pr_g
+       |      - 2 * abs(atl_g - 45000) AS logit_micro,
+       |    NOT (nt < 20 OR nt > 90 OR atl_g < 40000 OR atl_g > 50000
+       |      OR pr_g > 500 OR swr_g < 150) AS rules_pass
+       |  FROM f),
+       |b AS (SELECT CAST(floor(logit_micro / $CalibBucket) AS BIGINT)
+       |    AS bucket, rules_pass FROM sc)
+       |SELECT bucket,
+       |  CASE WHEN bucket >= 0 THEN 'keep' ELSE 'drop' END AS model_label,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN rules_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rules_pass,
+       |  ${sqlRound(
+          "CAST(sum(CASE WHEN rules_pass THEN 1 ELSE 0 END) AS BIGINT)" +
+            " / count(*)", 6)} AS rules_pass_rate
+       |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------
   // q179: k-anonymity census over quasi-identifiers (governance)
   // ---------------------------------------------------------------
 
