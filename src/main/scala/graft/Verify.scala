@@ -34,7 +34,8 @@ object Verify {
           length(col("text")) =!= octet_length(col("text"))).count()
       require(nonAscii == 0,
         s"documents.text in $sfDir has $nonAscii non-ASCII rows - " +
-          "byte-level oracles (q35/q37/q44/q49/q53/q58/q76) would be invalid")
+          "byte-level oracles (q35/q37/q44/q49/q53/q58/q76/q122/q141/" +
+          "q168/q170/q177/q181) would be invalid")
     }
     // Transcendental-grid precondition (ADVICE r4): q67/q68 round
     // ln-derived values onto a 1e-6 grid; Spark's Math.log and DuckDB's

@@ -1645,8 +1645,13 @@ object EventOps {
     * ready-made): per (instrument, hour) the first/max/min/last tick
     * values, tick count, and exact-cent volume. Open/close are PICKS
     * of existing doubles (no arithmetic — bit-identical cross-engine)
-    * selected by the unique (ts, event_id) order; volume is the
-    * moneySum cent grid (rule 2).
+    * selected by the (whole-second epoch, event_id) order — the
+    * q120 temporal-key grain, NOT raw ts: the physical ts has shipped
+    * as both ns- and µs-precision parquet (README rule 4), and a
+    * sub-second rank would diverge cross-engine the moment a ns
+    * generation puts two ticks in one Spark-truncated microsecond.
+    * Within a second the event_id IS the tick sequence number. Volume
+    * is the moneySum cent grid (rule 2).
     *
     * Scale shape: both row_number ranks ride ONE (event_type, bar)
     * hash exchange (same partition keys, two sort orders); the bar
@@ -1658,9 +1663,9 @@ object EventOps {
       .select($"event_type", $"ts", $"event_id", $"value",
         date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:00").as("bar"))
     val asc = Window.partitionBy($"event_type", $"bar")
-      .orderBy($"ts", $"event_id")
+      .orderBy(sec($"ts"), $"event_id")
     val dsc = Window.partitionBy($"event_type", $"bar")
-      .orderBy($"ts".desc, $"event_id".desc)
+      .orderBy(sec($"ts").desc, $"event_id".desc)
     ev.withColumn("rna", row_number().over(asc))
       .withColumn("rnd", row_number().over(dsc))
       .groupBy($"event_type", $"bar")
@@ -1680,9 +1685,9 @@ object EventOps {
        |  FROM events),
        |r AS (SELECT *,
        |    row_number() OVER (PARTITION BY event_type, bar
-       |      ORDER BY ts, event_id) AS rna,
+       |      ORDER BY floor(epoch(ts)), event_id) AS rna,
        |    row_number() OVER (PARTITION BY event_type, bar
-       |      ORDER BY ts DESC, event_id DESC) AS rnd
+       |      ORDER BY floor(epoch(ts)) DESC, event_id DESC) AS rnd
        |  FROM ev)
        |SELECT event_type, bar,
        |  max(CASE WHEN rna = 1 THEN value END) AS open,

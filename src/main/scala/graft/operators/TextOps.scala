@@ -1070,15 +1070,21 @@ object TextOps {
       .limit(BpeTopN)
   }
 
-  val q163BpeMergesSql: String =
-    s"""WITH words AS (
+  /** Shared q163/q184 vocabulary CTEs (word frequencies + adjacent
+    * symbol-pair occurrences) — one definition so q184's winner pick
+    * can never diverge from the q163 counting it applies. */
+  private val bpeWordsCtes: String =
+    s"""words AS (
        |  SELECT w, count(*) AS cnt
        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
        |po AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
        |         w, cnt, count(*) AS occ
        |       FROM words, UNNEST(range(1, length(w))) AS t(i)
-       |       GROUP BY 1, 2, 3, 4)
+       |       GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  val q163BpeMergesSql: String =
+    s"""WITH $bpeWordsCtes
        |SELECT l, r, CAST(sum(occ * cnt) AS BIGINT) AS total_freq,
        |  CAST(count(*) AS BIGINT) AS n_words
        |FROM po GROUP BY l, r
@@ -1097,9 +1103,15 @@ object TextOps {
     * and the output is the per-source symbol accounting: documents
     * touched, merges applied, symbol mass before/after. The vocabulary
     * side's predicted frequency (`total_freq`, Σ occ·cnt over unique
-    * words) and the corpus side's applied count (`occ_merged`, counted
-    * independently on the raw text) are BOTH emitted — the green hash
-    * proves the trainer's factored counting equals the corpus truth.
+    * words — the trainer's OVERLAPPING adjacent-position count, per
+    * Sennrich's reference implementation) and the corpus side's
+    * applied count (`occ_merged`, counted independently on the raw
+    * text) are BOTH emitted. When the winner has distinct symbols
+    * (l ≠ r — a 2-char pair of distinct chars cannot overlap itself)
+    * the two are provably equal and the green hash proves the
+    * factored counting against the corpus truth; a doubled-letter
+    * winner ("aa" in "aaa": counted 2, merged once) makes total_freq
+    * a documented overcount — still oracled, just not claimed equal.
     *
     * Determinism: pure integer length arithmetic (a merge removes
     * exactly one symbol per application); the winner pick is an
@@ -1129,14 +1141,7 @@ object TextOps {
   }
 
   val q184BpeApplySql: String =
-    s"""WITH words AS (
-       |  SELECT w, count(*) AS cnt
-       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE length(w) >= 2 GROUP BY w),
-       |po AS (SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
-       |         w, cnt, count(*) AS occ
-       |       FROM words, UNNEST(range(1, length(w))) AS t(i)
-       |       GROUP BY 1, 2, 3, 4),
+    s"""WITH $bpeWordsCtes,
        |top1 AS (SELECT l || r AS pair,
        |    CAST(sum(occ * cnt) AS BIGINT) AS total_freq
        |  FROM po GROUP BY l, r
@@ -2346,6 +2351,44 @@ object TextOps {
   // q175: Gopher-style rule-based quality audit
   // ---------------------------------------------------------------
 
+  // ONE definition of the gridded feature projection, the micro-logit
+  // polynomial, and the rule-violation predicates — Scala and SQL —
+  // shared by q175 (rule battery), q178 (model inference) and q185
+  // (calibration of one against the other). q185 is only a valid
+  // calibration while all three run bit-identical feature/weight
+  // arithmetic, so none of it may be re-derived per query.
+
+  /** The 1e-4 gridded q20 feature set (exact integers). */
+  private def featureGrid(docs: DataFrame, extra: Column*): DataFrame =
+    docs.select((extra ++ Seq(
+      Text.tokenCount($"text").cast("long").as("nt"),
+      floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
+      floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
+      floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long")
+        .as("swr_g"))): _*)
+
+  private def featureGridSql(extra: String): String =
+    s"""$extra
+       |    CAST($tcSql AS BIGINT) AS nt,
+       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
+       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
+       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g""".stripMargin
+
+  /** q178's fixed pretrained weights: exact micro-logit integers. */
+  private def logitCol: Column =
+    lit(-30000L) + lit(600L) * $"nt" + lit(40L) * $"swr_g" -
+      lit(60L) * $"pr_g" - lit(2L) * abs($"atl_g" - 45000L)
+  private val logitSql =
+    "-30000 + 600 * nt + 40 * swr_g - 60 * pr_g - 2 * abs(atl_g - 45000)"
+
+  /** q175's rule battery: violation predicates v1..v5 over the grid. */
+  private def ruleViolCols: Seq[Column] = Seq(
+    $"nt" < 20, $"nt" > 90, $"atl_g" < 40000 || $"atl_g" > 50000,
+    $"pr_g" > 500, $"swr_g" < 150)
+  private val ruleViolSql: Seq[String] = Seq(
+    "nt < 20", "nt > 90", "(atl_g < 40000 OR atl_g > 50000)",
+    "pr_g > 500", "swr_g < 150")
+
   /** The Gopher/MassiveText rule-filter census (Rae et al. 2021,
     * public): each document is tested against a battery of named
     * heuristic rules — token-count band, mean-token-length band,
@@ -2364,15 +2407,11 @@ object TextOps {
     * per group for free (every doc emits every rule), so the pct needs
     * no 1-row total broadcast. */
   def q175GopherRules(s: SparkSession, d: String): DataFrame = {
-    val m = Tables.documents(s, d).select(
-      Text.tokenCount($"text").cast("long").as("nt"),
-      floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
-      floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
-      floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
+    val m = featureGrid(Tables.documents(s, d))
+    val vs = ruleViolCols
     val f = m.select(
-      ($"nt" < 20).as("v1"), ($"nt" > 90).as("v2"),
-      ($"atl_g" < 40000 || $"atl_g" > 50000).as("v3"),
-      ($"pr_g" > 500).as("v4"), ($"swr_g" < 150).as("v5"))
+      vs(0).as("v1"), vs(1).as("v2"), vs(2).as("v3"),
+      vs(3).as("v4"), vs(4).as("v5"))
       .withColumn("v0", !($"v1" || $"v2" || $"v3" || $"v4" || $"v5"))
     f.select(explode(array(
         struct(lit("gopher_pass_all").as("rule"), $"v0".as("viol")),
@@ -2390,15 +2429,11 @@ object TextOps {
   }
 
   val q175GopherRulesSql: String =
-    s"""WITH m AS (SELECT
-       |    CAST($tcSql AS BIGINT) AS nt,
-       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
-       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
-       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+    s"""WITH m AS (SELECT ${featureGridSql("")}
        |  FROM documents),
-       |f AS (SELECT (nt < 20) AS v1, (nt > 90) AS v2,
-       |    (atl_g < 40000 OR atl_g > 50000) AS v3,
-       |    (pr_g > 500) AS v4, (swr_g < 150) AS v5
+       |f AS (SELECT (${ruleViolSql(0)}) AS v1, (${ruleViolSql(1)}) AS v2,
+       |    ${ruleViolSql(2)} AS v3,
+       |    (${ruleViolSql(3)}) AS v4, (${ruleViolSql(4)}) AS v5
        |  FROM m),
        |f2 AS (SELECT *, NOT (v1 OR v2 OR v3 OR v4 OR v5) AS v0 FROM f),
        |u AS (
@@ -4092,31 +4127,16 @@ object TextOps {
     * convention). At 100 TB this is the cheapest possible shape: a
     * map-only scoring pass. */
   def q178QualityLogit(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).filter($"text".isNotNull)
-      .select($"doc_id",
-        Text.tokenCount($"text").cast("long").as("nt"),
-        floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
-        floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
-        floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
-      .select($"doc_id",
-        (lit(-30000L) + lit(600L) * $"nt" + lit(40L) * $"swr_g"
-          - lit(60L) * $"pr_g" - lit(2L) * abs($"atl_g" - 45000L))
-          .as("logit_micro"))
+    featureGrid(Tables.documents(s, d).filter($"text".isNotNull), $"doc_id")
+      .select($"doc_id", logitCol.as("logit_micro"))
       .select($"doc_id", $"logit_micro",
         when($"logit_micro" >= 0L, "keep").otherwise("drop").as("label"))
       .orderBy($"doc_id")
 
   val q178QualityLogitSql: String =
-    s"""WITH f AS (SELECT doc_id,
-       |    CAST($tcSql AS BIGINT) AS nt,
-       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
-       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
-       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+    s"""WITH f AS (SELECT ${featureGridSql("doc_id,")}
        |  FROM documents WHERE text IS NOT NULL),
-       |sc AS (SELECT doc_id,
-       |    -30000 + 600 * nt + 40 * swr_g - 60 * pr_g
-       |      - 2 * abs(atl_g - 45000) AS logit_micro
-       |  FROM f)
+       |sc AS (SELECT doc_id, $logitSql AS logit_micro FROM f)
        |SELECT doc_id, CAST(logit_micro AS BIGINT) AS logit_micro,
        |  CASE WHEN logit_micro >= 0 THEN 'keep' ELSE 'drop' END AS label
        |FROM sc ORDER BY doc_id""".stripMargin
@@ -4145,18 +4165,9 @@ object TextOps {
     * Scale: one corpus scan, one map-side-combinable aggregate onto
     * the bounded logit-bucket axis. */
   def q185Calibration(s: SparkSession, d: String): DataFrame = {
-    val f = Tables.documents(s, d).filter($"text".isNotNull)
-      .select(
-        Text.tokenCount($"text").cast("long").as("nt"),
-        floor(Text.avgTokenLen($"text") * 1e4 + 0.5).cast("long").as("atl_g"),
-        floor(Text.punctRatio($"text") * 1e4 + 0.5).cast("long").as("pr_g"),
-        floor(Text.stopwordRatio($"text") * 1e4 + 0.5).cast("long").as("swr_g"))
-      .select(
-        (lit(-30000L) + lit(600L) * $"nt" + lit(40L) * $"swr_g"
-          - lit(60L) * $"pr_g" - lit(2L) * abs($"atl_g" - 45000L))
-          .as("logit_micro"),
-        (!($"nt" < 20 || $"nt" > 90 || $"atl_g" < 40000 || $"atl_g" > 50000
-          || $"pr_g" > 500 || $"swr_g" < 150)).as("rules_pass"))
+    val f = featureGrid(Tables.documents(s, d).filter($"text".isNotNull))
+      .select(logitCol.as("logit_micro"),
+        (!ruleViolCols.reduce(_ || _)).as("rules_pass"))
     f.select(floor($"logit_micro" / CalibBucket).cast("long").as("bucket"),
         $"rules_pass")
       .groupBy($"bucket")
@@ -4170,17 +4181,11 @@ object TextOps {
   }
 
   val q185CalibrationSql: String =
-    s"""WITH f AS (SELECT
-       |    CAST($tcSql AS BIGINT) AS nt,
-       |    CAST(floor(($avgTokSql) * 1e4 + 0.5) AS BIGINT) AS atl_g,
-       |    CAST(floor(($punctSql) * 1e4 + 0.5) AS BIGINT) AS pr_g,
-       |    CAST(floor(($swRatioSql) * 1e4 + 0.5) AS BIGINT) AS swr_g
+    s"""WITH f AS (SELECT ${featureGridSql("")}
        |  FROM documents WHERE text IS NOT NULL),
        |sc AS (SELECT
-       |    -30000 + 600 * nt + 40 * swr_g - 60 * pr_g
-       |      - 2 * abs(atl_g - 45000) AS logit_micro,
-       |    NOT (nt < 20 OR nt > 90 OR atl_g < 40000 OR atl_g > 50000
-       |      OR pr_g > 500 OR swr_g < 150) AS rules_pass
+       |    $logitSql AS logit_micro,
+       |    NOT (${ruleViolSql.mkString(" OR ")}) AS rules_pass
        |  FROM f),
        |b AS (SELECT CAST(floor(logit_micro / $CalibBucket) AS BIGINT)
        |    AS bucket, rules_pass FROM sc)

@@ -3494,6 +3494,12 @@ class EngineSpec extends AnyFunSuite {
         else dot / (math.sqrt(na) * math.sqrt(nb))
       math.floor(c * 1e6 + 0.5).toLong
     }
+    // the query caps the CANDIDATE side at the first 512 cell members
+    // by vec_id rank (anchors uncapped) — the replay must too, or a
+    // regenerated corpus with a >512-member cell would fail the
+    // replay against a correct result
+    val capped = cells.toSeq.groupBy(_._2).map { case (c, xs) =>
+      c -> xs.map(_._1).sorted.take(512).toSet }
     val rows = VectorOps.q183ContrastiveTriplets(spark, d).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -3504,9 +3510,9 @@ class EngineSpec extends AnyFunSuite {
         s"triplet $a: pos/neg left the cell")
       assert(labels(p) === labels(a), s"positive label mismatch for $a")
       assert(labels(n) !== labels(a), s"negative label match for $a")
-      // argmax replay: no in-cell candidate of the right label beats
-      // the picked one on (gridded cos, cand_id)
-      val mates = cells.collect { case (v, c) if c == cell && v != a => v }
+      // argmax replay: no capped in-cell candidate of the right label
+      // beats the picked one on (gridded cos, cand_id)
+      val mates = (capped(cell) - a).toSeq
       val posBest = mates.filter(v => labels(v) == labels(a))
         .map(v => (-cosGrid(vecs(a), vecs(v)), v)).min
       val negBest = mates.filter(v => labels(v) != labels(a))
@@ -3518,9 +3524,10 @@ class EngineSpec extends AnyFunSuite {
       assert(math.round(r.getDouble(6) * 1e6) ===
         math.round(r.getDouble(3) * 1e6) - math.round(r.getDouble(5) * 1e6))
     }
-    // every vector with both a same- and cross-label cellmate appears
+    // every vector with both a same- and cross-label CAPPED cellmate
+    // appears
     val expected = cells.keys.filter { a =>
-      val mates = cells.collect { case (v, c) if c == cells(a) && v != a => v }
+      val mates = capped(cells(a)) - a
       mates.exists(v => labels(v) == labels(a)) &&
         mates.exists(v => labels(v) != labels(a))
     }.toSet
