@@ -209,6 +209,7 @@ object SparkEntry {
     "q184_bpe_apply" -> (TextOps.q184BpeApply(_, _)),
     "q185_calibration" -> (TextOps.q185Calibration(_, _)),
     "q186_ohlc_bars" -> (EventOps.q186OhlcBars(_, _)),
+    "q187_stream_ohlc" -> (EventStream.q187StreamOhlc(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -495,5 +496,10 @@ object SparkEntry {
     // (ts, event_id) order; volume on the cent grid; bar key crosses
     // engines as a string (temporal-key rule)
     "q186_ohlc_bars" -> EventOps.q186OhlcBarsSql,
+    // q187: the streaming bar builder is hashed against the SAME
+    // mirror as batch q186 — stream ≡ batch parity as a driver-checked
+    // oracle row; open/close picks ride one packed (second, event_id)
+    // BIGINT key (rule 9) inside the windowed aggregate
+    "q187_stream_ohlc" -> EventOps.q186OhlcBarsSql,
   )
 }

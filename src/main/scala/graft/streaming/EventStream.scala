@@ -119,6 +119,56 @@ object EventStream {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Packed (whole-second, event_id) order key for streaming argmin /
+    * argmax picks (README rule 9: ONE integer min — never struct
+    * ordering): seconds ≤ ~2³¹ shifted left 24 bits stay under 2⁶³;
+    * event_id must stay below 2²⁴ (sf0.1 tops out ~6·10⁵; a deployment
+    * with wider ids re-splits the shift). */
+  private def packedTickKey =
+    ($"ts".cast("long") * lit(1L << 24)) + $"event_id"
+
+  /** Streaming OHLC bar builder — the STREAMING twin of the batch
+    * resampler [[graft.operators.EventOps.q186OhlcBars]], and how a
+    * live tick feed actually becomes the reference's OHLCV input:
+    * watermarked hourly windows where open/close are `min_by`/`max_by`
+    * picks on the [[packedTickKey]] — the pick runs INSIDE the
+    * windowed aggregate's merge (a running (key, value) pair per
+    * window, no sort, no per-tick state), so state is bar-grain at any
+    * tick rate. The driver hashes its output against the SAME DuckDB
+    * mirror as batch q186 — stream ≡ batch parity as a driver-checked
+    * oracle row, not just a spec. Memory sink is legal here: the
+    * output is the bounded bar-grain aggregate (hours × instruments),
+    * never row-grain. */
+  def q187StreamOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "evo_" + UUID.randomUUID().toString.replace("-", "")
+    val ss = streamSession(spark, 8)
+    val stream = rawEvents(ss, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("win"), $"event_type")
+      .agg(
+        min_by($"value", packedTickKey).as("open"),
+        max($"value").as("high"),
+        min($"value").as("low"),
+        max_by($"value", packedTickKey).as("close"),
+        count(lit(1)).as("n_ticks"),
+        graft.operators.Relational.moneySum($"value").as("volume"))
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    ss.table(name)
+      .select($"event_type",
+        date_format($"win.start", "yyyy-MM-dd HH:00").as("bar"),
+        $"open", $"high", $"low", $"close", $"n_ticks", $"volume")
+      .orderBy($"event_type", $"bar")
+  }
+
   /** q172: [[slidingCounts]] driver-oracled — the FIFTH oracled
     * streaming surface (q33 tumbling, q131 sessions, q150 enrich,
     * q158 interval join, q159 upsert, q165 dedup, this). Valid as an

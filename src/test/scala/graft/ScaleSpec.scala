@@ -520,11 +520,12 @@ class ScaleSpec extends AnyFunSuite {
     // memory sinks materialize their whole output table ON THE DRIVER —
     // the round-8 q165 escape route around the collect() ratchet. Only
     // streams whose output is a bounded-cardinality AGGREGATE may use
-    // one (tumbling, sliding, 1-row dedup count, segment×type enrich);
-    // any row-grain stream must drain via drainToParquet (foreachBatch
-    // → executor-side parquet appends) instead
+    // one (tumbling, sliding, 1-row dedup count, segment×type enrich,
+    // q187's bar-grain OHLC); any row-grain stream must drain via
+    // drainToParquet (foreachBatch → executor-side parquet appends)
+    // instead
     val memorySinkBudget = Map(
-      "streaming/EventStream.scala" -> 4)
+      "streaming/EventStream.scala" -> 5)
     assert(countSites("format\\(\"memory\"\\)") === memorySinkBudget,
       s"memory-sink sites drifted (found ${countSites("format\\(\"memory\"\\)")}): " +
         "a memory sink is a driver materialization — only bounded " +

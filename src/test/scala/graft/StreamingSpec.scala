@@ -241,6 +241,51 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q187 streaming OHLC: crafted bars — boundary split, same-second tie-break") {
+    // two instruments over a crafted hour boundary; for type 'a' two
+    // ticks share the SAME whole second, so the open pick must fall to
+    // the packed key's event_id arm (the rule-9 tie-break), and the
+    // last tick of hour 0 lands at :59:59 while the next opens hour 1
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streamohlc").toString
+    val h0 = 1700000000L - (1700000000L % 3600L) // hour-aligned
+    Seq(
+      // type a, hour 0: open tie (same second, ids 21 < 22), close at :59:59
+      (22L, (h0 + 5L) * 1000000L + 900L, 1L, "a", 3.0, "{}"),
+      (21L, (h0 + 5L) * 1000000L + 100L, 1L, "a", 7.0, "{}"),
+      (23L, (h0 + 3599L) * 1000000L, 1L, "a", 1.0, "{}"),
+      // type a, hour 1: single tick
+      (24L, (h0 + 3600L) * 1000000L, 1L, "a", 9.0, "{}"),
+      // type b, hour 0
+      (25L, (h0 + 10L) * 1000000L, 2L, "b", 4.5, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp")
+    val part = new java.io.File(s"$base/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/events.parquet"))
+    val rows = EventStream.q187StreamOhlc(spark, base).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(rows.size === 3, s"expected 3 bars: $rows")
+    val aBars = rows.filter(_._1._1 == "a").toSeq.sortBy(_._1._2)
+    // hour-0 'a': open = value of event 21 (same-second tie -> lower
+    // id), close = :59:59 tick, high/low exact
+    assert(aBars(0)._2 === ((7.0, 7.0, 1.0, 1.0, 3L)), s"a bar0: $aBars")
+    assert(aBars(1)._2 === ((9.0, 9.0, 9.0, 9.0, 1L)), s"a bar1: $aBars")
+    assert(rows.filter(_._1._1 == "b").head._2 === ((4.5, 4.5, 4.5, 4.5, 1L)))
+    // batch twin agrees row-for-row on the crafted corpus
+    val batch = graft.operators.EventOps.q186OhlcBars(spark, base).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    assert(batch === rows, s"stream/batch divergence: $batch vs $rows")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("GraftExtensions registers the native functions without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-injection path; must not throw
