@@ -210,6 +210,7 @@ object SparkEntry {
     "q185_calibration" -> (TextOps.q185Calibration(_, _)),
     "q186_ohlc_bars" -> (EventOps.q186OhlcBars(_, _)),
     "q187_stream_ohlc" -> (EventStream.q187StreamOhlc(_, _)),
+    "q188_vocab_coverage" -> (TextOps.q188VocabCoverage(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -501,5 +502,9 @@ object SparkEntry {
     // oracle row; open/close picks ride one packed (second, event_id)
     // BIGINT key (rule 9) inside the windowed aggregate
     "q187_stream_ohlc" -> EventOps.q186OhlcBarsSql,
+    // q188: vocabulary cutoff is an integer (count, word) order — a
+    // rank-256 frequency tie resolves by word string identically both
+    // engines; census is exact integers + one floor division
+    "q188_vocab_coverage" -> TextOps.q188VocabCoverageSql,
   )
 }

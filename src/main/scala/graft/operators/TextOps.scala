@@ -1161,6 +1161,65 @@ object TextOps {
        |FROM ap GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q188: tokenizer vocabulary coverage / OOV-rate census
+  // ---------------------------------------------------------------
+
+  private val CoverageVocabK = 256
+
+  /** Vocabulary-coverage report — the third leg of the tokenizer story
+    * (q163 counts merges, q184 applies one, this measures how well the
+    * resulting vocabulary covers the corpus): the top-[[CoverageVocabK]]
+    * words by corpus frequency are the "vocabulary"; every token
+    * outside it is out-of-vocabulary, and the per-source census
+    * (token mass, OOV mass, OOV ppm, distinct OOV types) is the
+    * number that decides whether the vocab ships or retrains.
+    *
+    * Determinism: the vocabulary cutoff is an integer (count, word)
+    * order — a frequency tie at rank [[CoverageVocabK]] resolves by
+    * word string identically in both engines; all census arithmetic is
+    * exact integers with one final floor division (ppm).
+    *
+    * Scale: word frequencies are one map-side-combinable aggregate;
+    * the top-K plans as TakeOrderedAndProject (bounded per-partition
+    * heaps); the vocabulary is BROADCAST — justified by construction,
+    * |vocab| = [[CoverageVocabK]] at any corpus size (unlike q67's
+    * unbounded df relation, which deliberately stays unhinted); the
+    * census is one aggregate on the bounded source axis. */
+  def q188VocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"source", explode(Text.tokens($"text")).as("w"))
+    val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"w").limit(CoverageVocabK)
+      .select($"w".as("vw"))
+    toks.join(broadcast(vocab), $"w" === $"vw", "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"vw".isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        countDistinct(when($"vw".isNull, $"w")).as("oov_types"))
+      .select($"source", $"n_tokens", $"oov_tokens", $"oov_types",
+        floor($"oov_tokens" * 1000000.0 / $"n_tokens").cast("long")
+          .as("oov_ppm"))
+      .orderBy($"source")
+  }
+
+  val q188VocabCoverageSql: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |              FROM documents WHERE text IS NOT NULL),
+       |vocab AS (SELECT w AS vw FROM (
+       |    SELECT w, count(*) AS cnt FROM toks GROUP BY w
+       |    ORDER BY cnt DESC, w LIMIT $CoverageVocabK)),
+       |j AS (SELECT t.source, t.w, v.vw
+       |      FROM toks t LEFT JOIN vocab v ON t.w = v.vw)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_tokens,
+       |  CAST(count(DISTINCT CASE WHEN vw IS NULL THEN w END) AS BIGINT)
+       |    AS oov_types,
+       |  CAST(floor(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
+       |    * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q63: per-source corpus report (the "corpus card" rollup)
   // ---------------------------------------------------------------
 
