@@ -122,10 +122,18 @@ object EventStream {
   /** Packed (whole-second, event_id) order key for streaming argmin /
     * argmax picks (README rule 9: ONE integer min — never struct
     * ordering): seconds ≤ ~2³¹ shifted left 24 bits stay under 2⁶³;
-    * event_id must stay below 2²⁴ (sf0.1 tops out ~6·10⁵; a deployment
-    * with wider ids re-splits the shift). */
-  private def packedTickKey =
-    ($"ts".cast("long") * lit(1L << 24)) + $"event_id"
+    * event_id must stay below 2²⁴ (sf0.1 tops out ~6·10⁵) and the
+    * bound is enforced LOUDLY per row (the MaxBucket loud-bound
+    * philosophy) — an id past it would silently alias a tick one
+    * second later, the exact silent-divergence class the key exists
+    * to prevent; a deployment with wider ids re-splits the shift. */
+  private def packedTickKey = {
+    val guarded = when($"event_id" >= lit(1L << 24),
+      raise_error(concat(
+        lit("packedTickKey: event_id exceeds the 24-bit pack bound: "),
+        $"event_id"))).otherwise($"event_id")
+    ($"ts".cast("long") * lit(1L << 24)) + guarded
+  }
 
   /** Streaming OHLC bar builder — the STREAMING twin of the batch
     * resampler [[graft.operators.EventOps.q186OhlcBars]], and how a

@@ -250,9 +250,12 @@ class StreamingSpec extends AnyFunSuite {
       .createTempDirectory("graft_streamohlc").toString
     val h0 = 1700000000L - (1700000000L % 3600L) // hour-aligned
     Seq(
-      // type a, hour 0: open tie (same second, ids 21 < 22), close at :59:59
-      (22L, (h0 + 5L) * 1000000L + 900L, 1L, "a", 3.0, "{}"),
-      (21L, (h0 + 5L) * 1000000L + 100L, 1L, "a", 7.0, "{}"),
+      // type a, hour 0: open tie (same second, ids 21 < 22) with the
+      // LOWER id at the LATER microsecond — raw sub-second ordering
+      // would pick id 22 (3.0), the packed second-grain key must pick
+      // id 21 (7.0), so the test discriminates the two
+      (22L, (h0 + 5L) * 1000000L + 100L, 1L, "a", 3.0, "{}"),
+      (21L, (h0 + 5L) * 1000000L + 900L, 1L, "a", 7.0, "{}"),
       (23L, (h0 + 3599L) * 1000000L, 1L, "a", 1.0, "{}"),
       // type a, hour 1: single tick
       (24L, (h0 + 3600L) * 1000000L, 1L, "a", 9.0, "{}"),
@@ -266,22 +269,24 @@ class StreamingSpec extends AnyFunSuite {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath,
       java.nio.file.Paths.get(s"$base/events.parquet"))
-    val rows = EventStream.q187StreamOhlc(spark, base).collect()
+    def asMap(rs: Array[org.apache.spark.sql.Row]) = rs
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
-          r.getLong(6))).toMap
+          r.getLong(6), r.getDouble(7))).toMap
+    val rows = asMap(EventStream.q187StreamOhlc(spark, base).collect())
     assert(rows.size === 3, s"expected 3 bars: $rows")
     val aBars = rows.filter(_._1._1 == "a").toSeq.sortBy(_._1._2)
     // hour-0 'a': open = value of event 21 (same-second tie -> lower
-    // id), close = :59:59 tick, high/low exact
-    assert(aBars(0)._2 === ((7.0, 7.0, 1.0, 1.0, 3L)), s"a bar0: $aBars")
-    assert(aBars(1)._2 === ((9.0, 9.0, 9.0, 9.0, 1L)), s"a bar1: $aBars")
-    assert(rows.filter(_._1._1 == "b").head._2 === ((4.5, 4.5, 4.5, 4.5, 1L)))
-    // batch twin agrees row-for-row on the crafted corpus
-    val batch = graft.operators.EventOps.q186OhlcBars(spark, base).collect()
-      .map(r => (r.getString(0), r.getString(1)) ->
-        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
-          r.getLong(6))).toMap
+    // id, NOT earlier microsecond), close = :59:59 tick, high/low and
+    // cent-grid volume exact
+    assert(aBars(0)._2 === ((7.0, 7.0, 1.0, 1.0, 3L, 11.0)), s"a bar0: $aBars")
+    assert(aBars(1)._2 === ((9.0, 9.0, 9.0, 9.0, 1L, 9.0)), s"a bar1: $aBars")
+    assert(rows.filter(_._1._1 == "b").head._2 ===
+      ((4.5, 4.5, 4.5, 4.5, 1L, 4.5)))
+    // batch twin agrees row-for-row (volume included) on the crafted
+    // corpus
+    val batch = asMap(graft.operators.EventOps.q186OhlcBars(spark, base)
+      .collect())
     assert(batch === rows, s"stream/batch divergence: $batch vs $rows")
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
