@@ -211,6 +211,7 @@ object SparkEntry {
     "q186_ohlc_bars" -> (EventOps.q186OhlcBars(_, _)),
     "q187_stream_ohlc" -> (EventStream.q187StreamOhlc(_, _)),
     "q188_vocab_coverage" -> (TextOps.q188VocabCoverage(_, _)),
+    "q189_triangles" -> (Relational.q189Triangles(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -506,5 +507,8 @@ object SparkEntry {
     // rank-256 frequency tie resolves by word string identically both
     // engines; census is exact integers + one floor division
     "q188_vocab_coverage" -> TextOps.q188VocabCoverageSql,
+    // q189: pure integer counts; the (degree, id) order key is one
+    // packed BIGINT (rule 9) so orientation ties are impossible
+    "q189_triangles" -> Relational.q189TrianglesSql,
   )
 }

@@ -3558,6 +3558,28 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q189 triangles: hand-counted K4, duplicate co-orders collapse") {
+    // orders 1 and 4 overlap (edge 1-2,1-3,2-3 appear twice) and order
+    // 4 completes K4: 6 distinct edges, 4 nodes, C(4,3)=4 triangles.
+    // With all degrees equal (3) the orientation falls to the id
+    // tie-break (1<2<3<4): outdegs 3/2/1/0 -> wedges 3+1+0+0 = 4, and
+    // every wedge closes — each triangle counted exactly once
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_triangles").toString
+    Seq((1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 3L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/lineitem.parquet")
+    val got = graft.operators.Relational.q189Triangles(spark, base)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("n_edges" -> 6L, "n_nodes" -> 4L,
+      "n_triangles" -> 4L, "n_wedges" -> 4L), s"census: $got")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("entry() returns rows; every declared query runs at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
     SparkEntry.queries.foreach { case (name, fn) =>
