@@ -496,12 +496,16 @@ object SparkEntry {
     "q185_calibration" -> TextOps.q185CalibrationSql,
     // q186: open/close are PICKS of existing doubles by the unique
     // (ts, event_id) order; volume on the cent grid; bar key crosses
-    // engines as a string (temporal-key rule)
+    // engines as a string (temporal-key rule). LOCKSTEP: q187 below
+    // reuses this exact val — EngineSpec's "lockstep" test asserts
+    // reference equality, so a change here is a change to BOTH rows.
     "q186_ohlc_bars" -> EventOps.q186OhlcBarsSql,
     // q187: the streaming bar builder is hashed against the SAME
     // mirror as batch q186 — stream ≡ batch parity as a driver-checked
     // oracle row; open/close picks ride one packed (second, event_id)
-    // BIGINT key (rule 9) inside the windowed aggregate
+    // BIGINT key (rule 9) inside the windowed aggregate. LOCKSTEP with
+    // q186 (same val, mechanically asserted in EngineSpec) — never
+    // fork this into its own SQL string.
     "q187_stream_ohlc" -> EventOps.q186OhlcBarsSql,
     // q188: vocabulary cutoff is an integer (count, word) order — a
     // rank-256 frequency tie resolves by word string identically both

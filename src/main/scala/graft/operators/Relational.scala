@@ -2094,7 +2094,8 @@ object Relational {
     * minimum vertex) by closing oriented wedges against oriented
     * edges — two hash equi-joins, no global sort. The order key packs
     * (degree, id) into one BIGINT (rule 9; degree < 2³¹ and part ids
-    * < 2³² by generation, documented bound).
+    * < 2³² — enforced per row by a raise_error guard, so a wider
+    * generation fails loudly instead of miscounting).
     *
     * Determinism: pure integer counts end to end; edge fan-out is
     * bounded by order basket size at the co-occurrence join. Output is
@@ -2109,7 +2110,15 @@ object Relational {
       .select($"pa", $"pb").distinct()
     val deg = edges.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
-    val dk = deg.select($"p", ($"deg" * lit(1L << 32) + $"p").as("okey"))
+    // The (degree, id) pack bound is enforced LOUDLY per row (the
+    // packedTickKey philosophy): a wider part id or degree would
+    // silently alias order keys and corrupt the orientation — fail
+    // instead; a deployment with wider ids re-splits the shift.
+    val guardedP = when($"p" >= lit(1L << 32) || $"deg" >= lit(1L << 31),
+      raise_error(concat(
+        lit("q189Triangles: (deg, id) exceeds the 31/32-bit pack bound: deg="),
+        $"deg", lit(" id="), $"p"))).otherwise($"p")
+    val dk = deg.select($"p", ($"deg" * lit(1L << 32) + guardedP).as("okey"))
     val ed = edges
       .join(dk.select($"p".as("pa"), $"okey".as("ka")), "pa")
       .join(dk.select($"p".as("pb"), $"okey".as("kb")), "pb")

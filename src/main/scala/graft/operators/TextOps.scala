@@ -1177,7 +1177,9 @@ object TextOps {
     * Determinism: the vocabulary cutoff is an integer (count, word)
     * order — a frequency tie at rank [[CoverageVocabK]] resolves by
     * word string identically in both engines; all census arithmetic is
-    * exact integers with one final floor division (ppm).
+    * exact integers end to end — the ppm is an integer floor division
+    * (`oov·10⁶ div n`, both operands non-negative so Spark's
+    * truncation and DuckDB's `//` floor agree; rule 13).
     *
     * Scale: word frequencies are one map-side-combinable aggregate;
     * the top-K plans as TakeOrderedAndProject (bounded per-partition
@@ -1197,8 +1199,7 @@ object TextOps {
         sum(when($"vw".isNull, 1L).otherwise(0L)).as("oov_tokens"),
         countDistinct(when($"vw".isNull, $"w")).as("oov_types"))
       .select($"source", $"n_tokens", $"oov_tokens", $"oov_types",
-        floor($"oov_tokens" * 1000000.0 / $"n_tokens").cast("long")
-          .as("oov_ppm"))
+        expr("(oov_tokens * 1000000) div n_tokens").as("oov_ppm"))
       .orderBy($"source")
   }
 
@@ -1215,8 +1216,8 @@ object TextOps {
        |    AS oov_tokens,
        |  CAST(count(DISTINCT CASE WHEN vw IS NULL THEN w END) AS BIGINT)
        |    AS oov_types,
-       |  CAST(floor(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END)
-       |    * 1000000.0 / count(*)) AS BIGINT) AS oov_ppm
+       |  (CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000) // count(*) AS oov_ppm
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------

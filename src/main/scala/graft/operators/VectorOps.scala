@@ -588,7 +588,7 @@ object VectorOps {
     * philosophy as the LSH [[graft.operators.TextOps.MaxBucket]];
     * members past the cap still get compared TO the capped prefix, so
     * nothing is silently exempted from dedup. */
-  private val SemDedupMaxCell = 512
+  private[graft] val SemDedupMaxCell = 512
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
     * the embedding corpus, then deduplicate only WITHIN each cluster —

@@ -3494,12 +3494,12 @@ class EngineSpec extends AnyFunSuite {
         else dot / (math.sqrt(na) * math.sqrt(nb))
       math.floor(c * 1e6 + 0.5).toLong
     }
-    // the query caps the CANDIDATE side at the first 512 cell members
-    // by vec_id rank (anchors uncapped) — the replay must too, or a
-    // regenerated corpus with a >512-member cell would fail the
-    // replay against a correct result
+    // the query caps the CANDIDATE side at the first SemDedupMaxCell
+    // cell members by vec_id rank (anchors uncapped) — the replay must
+    // use the SAME constant, or a cap change would silently validate
+    // against the wrong candidate set
     val capped = cells.toSeq.groupBy(_._2).map { case (c, xs) =>
-      c -> xs.map(_._1).sorted.take(512).toSet }
+      c -> xs.map(_._1).sorted.take(VectorOps.SemDedupMaxCell).toSet }
     val rows = VectorOps.q183ContrastiveTriplets(spark, d).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -3586,5 +3586,17 @@ class EngineSpec extends AnyFunSuite {
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(n > 0, s"$name returned no rows")
     }
+  }
+
+  test("q186/q187 stream-batch parity pair shares ONE mirror (lockstep)") {
+    // q187's oracle deliberately IS q186's (stream ≡ batch parity as a
+    // driver row). Reference equality, not string equality: a future
+    // edit that forks the SQL text must fail here even if the fork
+    // starts out byte-identical.
+    assert(SparkEntry.oracleSql("q187_stream_ohlc") eq
+      SparkEntry.oracleSql("q186_ohlc_bars"),
+      "q186/q187 mirrors diverged — they must stay the same val " +
+        "(EventOps.q186OhlcBarsSql); see the comments at both " +
+        "definitions in SparkEntry.oracleSql")
   }
 }
