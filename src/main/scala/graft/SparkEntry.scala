@@ -212,6 +212,7 @@ object SparkEntry {
     "q187_stream_ohlc" -> (EventStream.q187StreamOhlc(_, _)),
     "q188_vocab_coverage" -> (TextOps.q188VocabCoverage(_, _)),
     "q189_triangles" -> (Relational.q189Triangles(_, _)),
+    "q190_rrf_fusion" -> (TextOps.q190RrfFusion(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -514,5 +515,9 @@ object SparkEntry {
     // q189: pure integer counts; the (degree, id) order key is one
     // packed BIGINT (rule 9) so orientation ties are impossible
     "q189_triangles" -> Relational.q189TrianglesSql,
+    // q190: the mirror nests the q180/q48 oracle texts verbatim as
+    // subqueries; reciprocals are integer 10⁶ div (60+rank) (rule 13,
+    // non-negative), the fused score an exact integer sum
+    "q190_rrf_fusion" -> TextOps.q190RrfFusionSql,
   )
 }

@@ -4463,4 +4463,86 @@ object TextOps {
        |FROM stats s JOIN smp m USING (term)
        |ORDER BY s.term""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q190: hybrid retrieval fusion (reciprocal-rank fusion of the
+  // lexical BM25 arm and the semantic IVF-ANN arm)
+  // ---------------------------------------------------------------
+
+  private val RrfC = 60L       // the standard RRF damping constant
+  private val RrfNumQueries = 3L // query ids shared by BOTH arms (0..2)
+  private val RrfTopK = 10
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009,
+    * public) of the engine's two retrieval arms — how production
+    * retrieval for data curation actually consumes them: per query,
+    * q180's BM25 lexical top-k and q48's IVF-ANN semantic top-k are
+    * interleaved by `score = Σ_arms 1/(C + rank)`, so a document
+    * ranked by both arms beats a document ranked high by one. The
+    * query identity is shared across arms by the corpus convention
+    * doc_id ≡ vec_id (the same alignment q160's cross-modal capstone
+    * rides); both arms are restricted to the [[RrfNumQueries]] ids
+    * they have in common.
+    *
+    * Determinism: each reciprocal is the INTEGER 10⁶ div (C + rank)
+    * (rank ≤ 10, so the 11 possible values are distinct and exact;
+    * both operands non-negative, so Spark's `div` truncation and
+    * DuckDB's `//` floor agree — rule 13) and the fused score is an
+    * exact integer sum of ≤ 2 terms; the fused rank carries a doc_id
+    * tie-break (rule 3).
+    *
+    * Scale: both arms end in bounded TopKPerKey plans (k rows per
+    * query cross their exchanges, never posting lists or inverted
+    * lists), so fusion aggregates ≤ 2·k·|Q| rows — metadata-sized at
+    * any corpus size; the expensive work is the arms, already proven
+    * scale-safe, and fusion adds no corpus-grain pass at all. */
+  def q190RrfFusion(s: SparkSession, d: String): DataFrame = {
+    val rrf = expr(s"1000000 div ($RrfC + rank)")
+    val lex = q180Bm25(s, d)
+      .filter($"query_id" < RrfNumQueries)
+      .select($"query_id", $"doc_id", rrf.as("c"),
+        $"rank".as("lex_rank"), lit(null).cast("long").as("sem_rank"))
+    val sem = graft.operators.VectorOps.q48IvfAnn(s, d)
+      .filter($"query_id" < RrfNumQueries)
+      .select($"query_id", $"neighbor_id".as("doc_id"), rrf.as("c"),
+        lit(null).cast("long").as("lex_rank"), $"rank".as("sem_rank"))
+    val fused = lex.unionByName(sem)
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"c").as("rrf_micro"), count(lit(1)).as("n_arms"),
+        max($"lex_rank").as("lex_rank"), max($"sem_rank").as("sem_rank"))
+    val top = graft.plans.TopK.perKey(
+      fused, Seq($"query_id"), Seq($"rrf_micro".desc, $"doc_id"), RrfTopK)
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"rrf_micro".desc, $"doc_id")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"rank", $"doc_id", $"rrf_micro", $"n_arms",
+        $"lex_rank", $"sem_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The mirror COMPOSES the two arms' existing full oracle texts as
+    * parenthesized subqueries (nested WITH is legal in DuckDB), so the
+    * fused oracle can never drift from the arm oracles it consumes. */
+  val q190RrfFusionSql: String =
+    s"""WITH lex AS (${q180Bm25Sql}),
+       |sem AS (${graft.operators.VectorOps.q48IvfAnnSql}),
+       |contrib AS (
+       |  SELECT query_id, doc_id, 1000000 // ($RrfC + rank) AS c,
+       |    rank AS lex_rank, CAST(NULL AS BIGINT) AS sem_rank
+       |  FROM lex WHERE query_id < $RrfNumQueries
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id AS doc_id, 1000000 // ($RrfC + rank),
+       |    CAST(NULL AS BIGINT), rank
+       |  FROM sem WHERE query_id < $RrfNumQueries),
+       |fused AS (SELECT query_id, doc_id,
+       |    CAST(sum(c) AS BIGINT) AS rrf_micro,
+       |    CAST(count(*) AS BIGINT) AS n_arms,
+       |    max(lex_rank) AS lex_rank, max(sem_rank) AS sem_rank
+       |  FROM contrib GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY rrf_micro DESC, doc_id) AS rn FROM fused)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf_micro,
+       |  n_arms, lex_rank, sem_rank
+       |FROM rk WHERE rn <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+
 }

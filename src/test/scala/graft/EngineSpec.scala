@@ -3588,6 +3588,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 RRF fusion: replay from the two arms' own outputs") {
+    import graft.operators.{TextOps, VectorOps}
+    val d = "/root/testdata/sf0.001"
+    def arm(df: org.apache.spark.sql.DataFrame, docCol: String) =
+      df.collect().map(r => (r.getLong(0), r.getAs[Long](docCol)) ->
+        r.getAs[Long]("rank")).toMap.filter(_._1._1 < 3)
+    val lex = arm(TextOps.q180Bm25(spark, d), "doc_id")
+    val sem = arm(VectorOps.q48IvfAnn(spark, d), "neighbor_id")
+    assert(lex.nonEmpty && sem.nonEmpty)
+    // expected fusion: integer reciprocals, summed per (query, doc),
+    // top-10 by (score desc, doc_id)
+    val expected = (lex.keySet ++ sem.keySet).groupBy(_._1).flatMap {
+      case (q, keys) =>
+        keys.toSeq.map { k =>
+          val score = lex.get(k).map(r => 1000000L / (60L + r)).getOrElse(0L) +
+            sem.get(k).map(r => 1000000L / (60L + r)).getOrElse(0L)
+          (q, k._2, score,
+            (if (lex.contains(k)) 1 else 0) + (if (sem.contains(k)) 1 else 0))
+        }.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex.map {
+          case ((qq, doc, sc, arms), i) => (qq, i + 1L) -> (doc, sc, arms.toLong)
+        }
+    }
+    val got = TextOps.q190RrfFusion(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(got === expected, "fused ranking diverged from the arm replay")
+    // a doc hit by both arms must carry both source ranks
+    TextOps.q190RrfFusion(spark, d).collect().foreach { r =>
+      val both = r.getLong(4) == 2L
+      assert((!r.isNullAt(5) && !r.isNullAt(6)) == both,
+        s"arm-rank nullability inconsistent at ${r.getLong(0)}/${r.getLong(2)}")
+    }
+  }
+
   test("q186/q187 stream-batch parity pair shares ONE mirror (lockstep)") {
     // q187's oracle deliberately IS q186's (stream ≡ batch parity as a
     // driver row). Reference equality, not string equality: a future
