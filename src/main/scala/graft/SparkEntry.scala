@@ -213,6 +213,7 @@ object SparkEntry {
     "q188_vocab_coverage" -> (TextOps.q188VocabCoverage(_, _)),
     "q189_triangles" -> (Relational.q189Triangles(_, _)),
     "q190_rrf_fusion" -> (TextOps.q190RrfFusion(_, _)),
+    "q191_bpe_train" -> (TextOps.q191BpeTrain(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -519,5 +520,10 @@ object SparkEntry {
     // subqueries; reciprocals are integer 10⁶ div (60+rank) (rule 13,
     // non-negative), the fused score an exact integer sum
     "q190_rrf_fusion" -> TextOps.q190RrfFusionSql,
+    // q191: 3 unrolled trainer iterations at symbol-row grain — exact
+    // integer counts, integer-ordered LIMIT 1 winners, run-parity
+    // greedy merges on the unique (word, pos) window key; the 3 CTE
+    // blocks are generated from one template so they cannot drift
+    "q191_bpe_train" -> TextOps.q191BpeTrainSql,
   )
 }

@@ -1161,6 +1161,145 @@ object TextOps {
        |FROM ap GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q191: multi-iteration BPE trainer (3 unrolled merge iterations)
+  // ---------------------------------------------------------------
+
+  private val BpeTrainIters = 3
+
+  /** The BPE trainer LOOP (Sennrich et al. 2016, arXiv:1508.07909) —
+    * q163 counts one iteration's candidates and q184 applies one
+    * merge; this composes the full step sequence: [[BpeTrainIters]]
+    * unrolled iterations of count → pick winner → apply → recount,
+    * where iteration i+1's counts run over the symbol stream iteration
+    * i produced (so a pair involving a MERGED symbol can win — the
+    * semantics single steps cannot exhibit; the q110 fixed-iteration
+    * unroll pattern).
+    *
+    * Representation: the vocabulary as (word, pos, symbol) rows —
+    * multi-char symbols stay atomic, unlike q184's raw-text `replace`
+    * which can only merge character pairs. A merge rewrites the
+    * symbol rows relationally: adjacent (l, r) matches found by lead,
+    * greedy left-to-right semantics via run parity (for l = r a run of
+    * consecutive matches keeps every second one — [a,a,a,a] merges to
+    * [aa,aa], [a,a,a] to [aa,a], the reference implementation's
+    * behavior; for l ≠ r matches are provably never adjacent so the
+    * parity rule is the identity), matched rows concatenated, their
+    * successors dropped, positions renumbered.
+    *
+    * Determinism: all counts are exact integers at vocabulary grain;
+    * each winner is an integer-ordered LIMIT 1 with (l, r) string
+    * tie-breaks; window orders ride the unique (word, pos) key
+    * (rule 3); run parity is integer arithmetic on non-negative
+    * offsets.
+    *
+    * Scale: the corpus is touched ONCE (the word-frequency aggregate —
+    * map-side combinable, entropy-rich key); every iteration runs at
+    * symbol-row grain over the Zipf-bounded unique-word relation
+    * (Heaps' law: vocabulary ≪ corpus, and symbol rows only SHRINK as
+    * merges apply); each winner is a 1-row broadcast; all windows
+    * partition by word. At 100 TB the per-iteration cost is the
+    * vocabulary shuffle, not a corpus pass — exactly how production
+    * BPE trainers bound the loop. */
+  def q191BpeTrain(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy($"w").orderBy($"pos")
+    var syms = words
+      .select($"w", $"cnt", posexplode(split($"w", "")))
+      .select($"w", $"cnt", ($"pos" + 1).as("pos"), $"col".as("sym"))
+    val rows = (1 to BpeTrainIters).map { it =>
+      val pairs = syms
+        .withColumn("nsym", lead($"sym", 1).over(wOrd))
+        .filter($"nsym".isNotNull)
+        .groupBy($"sym", $"nsym")
+        .agg(sum($"cnt").as("total_freq"), countDistinct($"w").as("n_words"))
+      val winner = pairs
+        .orderBy($"total_freq".desc, $"sym", $"nsym").limit(1)
+        .select($"sym".as("wl"), $"nsym".as("wr"),
+          $"total_freq", $"n_words")
+      val applied = syms
+        .crossJoin(broadcast(winner.select($"wl", $"wr")))
+        .withColumn("nsym", lead($"sym", 1).over(wOrd))
+        .withColumn("mraw",
+          $"nsym".isNotNull && $"sym" === $"wl" && $"nsym" === $"wr")
+        .withColumn("grp",
+          sum(when($"mraw", 0L).otherwise(1L)).over(wOrd))
+        .withColumn("fm",
+          min(when($"mraw", $"pos")).over(Window.partitionBy($"w", $"grp")))
+        .withColumn("keep", $"mraw" && (($"pos" - $"fm") % 2 === 0))
+        .withColumn("pk", coalesce(lag($"keep", 1).over(wOrd), lit(false)))
+        .filter(!$"pk")
+        .select($"w", $"cnt",
+          row_number().over(wOrd).as("pos"),
+          when($"keep", concat($"sym", $"nsym")).otherwise($"sym").as("sym"))
+      syms = applied
+      val after = applied.agg(sum($"cnt").as("corpus_syms_after"))
+      winner
+        .select(lit(it.toLong).as("it"), concat($"wl", $"wr").as("pair"),
+          $"total_freq", $"n_words")
+        .crossJoin(broadcast(after))
+    }
+    rows.reduce(_.unionByName(_)).orderBy($"it")
+  }
+
+  /** One unrolled trainer iteration's CTE block for the mirror —
+    * generated per iteration index so the 3 blocks cannot drift from
+    * each other or from the Spark loop body. */
+  private def bpeTrainIterSql(i: Int, prev: String): String =
+    s"""pairs$i AS (
+       |  SELECT sym AS l, nsym AS r, CAST(sum(cnt) AS BIGINT) AS total_freq,
+       |    CAST(count(DISTINCT w) AS BIGINT) AS n_words
+       |  FROM (SELECT w, cnt, sym,
+       |          lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym
+       |        FROM $prev)
+       |  WHERE nsym IS NOT NULL GROUP BY 1, 2),
+       |win$i AS (SELECT l, r, total_freq, n_words FROM pairs$i
+       |          ORDER BY total_freq DESC, l, r LIMIT 1),
+       |m$i AS (SELECT s.w, s.cnt, s.pos, s.sym, t.l, t.r,
+       |    lead(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nsym
+       |  FROM $prev s CROSS JOIN win$i t),
+       |mm$i AS (SELECT *,
+       |    (nsym IS NOT NULL AND sym = l AND nsym = r) AS mraw FROM m$i),
+       |mg$i AS (SELECT *,
+       |    sum(CASE WHEN mraw THEN 0 ELSE 1 END)
+       |      OVER (PARTITION BY w ORDER BY pos) AS grp FROM mm$i),
+       |mf$i AS (SELECT *,
+       |    min(CASE WHEN mraw THEN pos END)
+       |      OVER (PARTITION BY w, grp) AS fm FROM mg$i),
+       |mk$i AS (SELECT *,
+       |    (mraw AND (pos - fm) % 2 = 0) AS keep FROM mf$i),
+       |mp$i AS (SELECT *,
+       |    coalesce(lag(keep) OVER (PARTITION BY w ORDER BY pos), false)
+       |      AS pk FROM mk$i),
+       |syms$i AS (SELECT w, cnt,
+       |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,
+       |    CASE WHEN keep THEN sym || nsym ELSE sym END AS sym
+       |  FROM mp$i WHERE NOT pk)""".stripMargin
+
+  val q191BpeTrainSql: String = {
+    val iters = (1 to BpeTrainIters)
+      .map(i => bpeTrainIterSql(i, if (i == 1) "syms0" else s"syms${i - 1}"))
+      .mkString(",\n")
+    val out = (1 to BpeTrainIters).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS it, l || r AS pair, total_freq,
+         |  n_words, (SELECT CAST(sum(cnt) AS BIGINT) FROM syms$i)
+         |    AS corpus_syms_after
+         |FROM win$i""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |syms0 AS (SELECT w, cnt, i AS pos, substring(w, i, 1) AS sym
+       |  FROM words, UNNEST(range(1, length(w) + 1)) AS t(i)),
+       |$iters
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY it""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q188: tokenizer vocabulary coverage / OOV-rate census
   // ---------------------------------------------------------------
 

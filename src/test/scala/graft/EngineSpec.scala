@@ -3588,6 +3588,28 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q191 BPE trainer: iteration-2 winner exists only via iteration 1; " +
+      "doubled-letter run merges greedily") {
+    val base = "/tmp/engine_spec_q191"
+    // crafted corpus: "abc"×4, "abd"×1, "aaaa"×1
+    //  iter1: (a,b)=5 wins (n_words 2)       → abc→[ab,c], abd→[ab,d]
+    //  iter2: (ab,c)=4 beats (a,a)=3 — a pair whose LEFT symbol only
+    //         exists because of iteration 1's merge
+    //  iter3: (a,a)=3 wins (the OVERLAPPING 3-count in the 4-run) and
+    //         applies greedily: [a,a,a,a] → [aa,aa], not [aa,a,a]
+    Seq("abc abc abc abc abd aaaa").toDF("text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val got = graft.operators.TextOps.q191BpeTrain(spark, base)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (1L, "ab", 5L, 2L, 14L),
+      (2L, "abc", 4L, 1L, 10L),
+      (3L, "aa", 3L, 1L, 8L)), s"trainer trace: ${got.toSeq}")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("q190 RRF fusion: replay from the two arms' own outputs") {
     import graft.operators.{TextOps, VectorOps}
     val d = "/root/testdata/sf0.001"

@@ -503,8 +503,10 @@ class ScaleSpec extends AnyFunSuite {
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
       // +1 round 9: q180's 1-row (N, Σdl) corpus-stats broadcast;
-      // +1 round 9: q184's 1-row winning-merge-pair broadcast
-      "operators/TextOps.scala" -> 16,
+      // +1 round 9: q184's 1-row winning-merge-pair broadcast;
+      // +2 round 10: q191's per-iteration 1-row winner broadcast and
+      // 1-row symbol-mass broadcast (both LIMIT-1/global-agg relations)
+      "operators/TextOps.scala" -> 18,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
