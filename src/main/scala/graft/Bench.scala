@@ -68,6 +68,26 @@ object Bench {
     line
   }
 
+  /** Infrastructure-cost breakout for the FULL-PRECISION file output:
+    * with ~190 queries the one-shot cold total is dominated by
+    * streaming-checkpoint I/O and stage-store builds, not query cost.
+    * These lists classify the queries billing each infrastructure
+    * class so a reader can subtract that cost without re-running
+    * anything; the stdout contract line is unchanged. Membership is by
+    * construction (EventStream-backed / stage-store-reading call
+    * sites) and drift-gated by an EngineSpec test against
+    * SparkEntry.queries. */
+  private[graft] val streamQueries: Set[String] = Set(
+    "q33_stream_tumbling", "q131_stream_sessions", "q150_stream_enrich",
+    "q158_stream_interval_join", "q159_stream_upsert", "q165_stream_dedup",
+    "q172_stream_sliding", "q174_stream_stateful", "q176_session_window",
+    "q187_stream_ohlc")
+  private[graft] val stagedQueries: Set[String] = Set(
+    "q23_minhash", "q24_lsh_pairs", "q46_lsh_audit", "q50_dedup_clusters",
+    "q52_select_corpus", "q78_containment", "q86_edit_distance",
+    "q124_incremental_dedup", "q146_canonical_pick",
+    "q154_delete_propagation", "q160_crossmodal_dedup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -137,8 +157,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val stageMode = if (keepStage) "warm" else "cold"
+    // infrastructure breakout (file output only): how much of the
+    // total is billed by streaming-checkpoint queries and by
+    // stage-store-reading queries — a reader subtracts these to get
+    // the plain-query cost without re-running (BASELINE.md documents
+    // the scheme)
+    def sumFor(names: Set[String]): Double =
+      results.filter(r => names(r._1) && r._2 >= 0).map(_._2).sum
+    val streamS = sumFor(streamQueries)
+    val stagedS = sumFor(stagedQueries)
+    def nameArr(names: Set[String]): String =
+      names.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val breakdown =
+      s""""breakdown":{"stream_s":$streamS,"staged_s":$stagedS,""" +
+        s""""plain_s":${total - streamS - stagedS},""" +
+        s""""stream_queries":${nameArr(streamQueries)},""" +
+        s""""staged_queries":${nameArr(stagedQueries)}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stageMode","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","stage":"$stageMode",$breakdown,"queries":$qs,"sf":"$sfDir"}"""
     // The driver's capture keeps only the LAST ~2000 characters of output;
     // the full-name queries map overflows that, truncating the JSON line
     // mid-object (BENCH_r01..r07 show "parsed": null with the tail

@@ -320,6 +320,19 @@ class EngineSpec extends AnyFunSuite {
       s"qother must sum exactly the merged centiseconds: $tight")
   }
 
+  test("bench breakdown lists name real queries and stay disjoint") {
+    // drift gate for the infrastructure breakout in the bench file
+    // output: a renamed/removed query must fail here, not silently
+    // misclassify cost
+    val known = SparkEntry.queries.keySet
+    assert(Bench.streamQueries.subsetOf(known),
+      s"stream breakout names unknown queries: ${Bench.streamQueries -- known}")
+    assert(Bench.stagedQueries.subsetOf(known),
+      s"staged breakout names unknown queries: ${Bench.stagedQueries -- known}")
+    assert((Bench.streamQueries & Bench.stagedQueries).isEmpty,
+      "a query cannot bill both infrastructure classes")
+  }
+
   test("substr grams: native expression equals the declarative lead-window md5s") {
     import graft.operators.TextOps
     // exercises every tokenization edge the byte-slice path must match:
