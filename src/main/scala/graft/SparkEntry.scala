@@ -214,6 +214,7 @@ object SparkEntry {
     "q189_triangles" -> (Relational.q189Triangles(_, _)),
     "q190_rrf_fusion" -> (TextOps.q190RrfFusion(_, _)),
     "q191_bpe_train" -> (TextOps.q191BpeTrain(_, _)),
+    "q192_max_repeats" -> (TextOps.q192MaxRepeats(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -525,5 +526,9 @@ object SparkEntry {
     // greedy merges on the unique (word, pos) window key; the 3 CTE
     // blocks are generated from one template so they cannot drift
     "q191_bpe_train" -> TextOps.q191BpeTrainSql,
+    // q192: maximal repeated regions by sorted-gram run extension —
+    // pure integer position arithmetic; islands keyed by
+    // pos − row_number on the unique (doc, pos) order
+    "q192_max_repeats" -> TextOps.q192MaxRepeatsSql,
   )
 }

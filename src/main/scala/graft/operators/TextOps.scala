@@ -3373,6 +3373,84 @@ object TextOps {
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q192: arbitrary-length repeated-region detection (maximal runs)
+  // ---------------------------------------------------------------
+
+  /** Minimum reported region length in tokens — the "any length ≥ L"
+    * knob of the maximal-repeat census (strictly above [[SubstrW]], so
+    * single isolated duplicated grams never report and the filter is
+    * exercised at every SF). */
+  private val MinRepeatTokens = 12L
+
+  /** Arbitrary-length repeated-region detection — the maximal-repeat
+    * census the fixed-W family (q168/q169/q170) cannot express: Lee et
+    * al.'s suffix-array formulation (arXiv:2107.06499 §4.1) finds
+    * duplicated substrings of ANY length ≥ L, not just W-token
+    * windows. Re-expressed relationally by sorted-gram run extension:
+    * a repeated region of t ≥ W tokens makes all t−W+1 of its
+    * [[SubstrW]]-gram windows corpus-duplicated, so maximal runs of
+    * CONSECUTIVE duplicated gram positions (gaps-and-islands on the
+    * unique (doc, pos) order) recover the region boundaries — each
+    * island of c grams is a candidate region of c+W−1 tokens, reported
+    * when ≥ [[MinRepeatTokens]]. Unlike q168 this looks at ALL
+    * occurrences (first included): detection is symmetric; removal
+    * policy is q168/q170's job. One documented approximation vs a true
+    * suffix array: a run whose consecutive grams are duplicated
+    * AGAINST DIFFERENT partners reports as one region (an
+    * upper-bound-length "chimera") — for contiguous copy-paste
+    * duplication, the overwhelmingly dominant real-world case, run
+    * extension is exact.
+    *
+    * Determinism: pure integer position arithmetic end to end; the
+    * island key pos − row_number rides the unique (doc_id, pos) order
+    * (rule 3).
+    *
+    * Scale shape: the gram stream is the native shuffle-free
+    * single-pass expression (q168's front); the duplicated-hash census
+    * is one map-side-combined md5-grain aggregate; the semi join keeps
+    * the stream at occurrence grain; the island window partitions by
+    * doc_id over only the DUPLICATED subset. No pairwise product, no
+    * suffix sort — O(token positions) like the rest of the span
+    * family, and the output is region-grain (bounded by real
+    * duplication, the artifact a curation team reads). */
+  def q192MaxRepeats(s: SparkSession, d: String): DataFrame = {
+    val grams = substrGramRows(Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull))
+    val dupHashes = grams.groupBy($"h")
+      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" > 1).select($"h")
+    val dup = grams.join(dupHashes, Seq("h"), "leftsemi")
+      .select($"doc_id", $"pos")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    dup.withColumn("grp", $"pos" - row_number().over(w))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"pos").cast("long").as("start_pos"),
+        count(lit(1)).as("n_grams"))
+      .select($"doc_id", $"start_pos", $"n_grams",
+        ($"n_grams" + lit(SubstrW - 1L)).as("region_tokens"))
+      .filter($"region_tokens" >= MinRepeatTokens)
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  val q192MaxRepeatsSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(list_aggregate(w[i+1:i+$SubstrW], 'string_agg', ' ')) AS h
+       |  FROM ws, UNNEST(range(0, greatest(len(w) - ${SubstrW - 1}, 0)))
+       |    AS t(i)),
+       |c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |dup AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (h)),
+       |r AS (SELECT doc_id, pos, pos - row_number()
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM dup),
+       |runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+       |    CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM r GROUP BY doc_id, grp)
+       |SELECT doc_id, start_pos, n_grams,
+       |  n_grams + ${SubstrW - 1} AS region_tokens
+       |FROM runs WHERE n_grams + ${SubstrW - 1} >= $MinRepeatTokens
+       |ORDER BY doc_id, start_pos""".stripMargin
+
+  // ---------------------------------------------------------------
   // q169: span-grain benchmark decontamination (overlap removal plan)
   // ---------------------------------------------------------------
 

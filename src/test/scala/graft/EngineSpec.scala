@@ -3623,6 +3623,33 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q192 maximal repeats: crafted regions recover exact boundaries, " +
+      "sub-threshold and isolated repeats filtered") {
+    val base = "/tmp/engine_spec_q192"
+    def toks(p: String, n: Int) = (1 to n).map(p + _)
+    val A = toks("A", 15)   // 15-token shared passage → 8-gram run → 15
+    val B = toks("B", 12)   // 12-token shared passage → 5-gram run → 12
+    val C = toks("C", 11)   // 11 tokens → 4-gram run → 11 < 12: filtered
+    val d1 = (A ++ toks("u", 5) ++ B ++ toks("v", 5) ++ C).mkString(" ")
+    val d2 = (toks("w", 4) ++ A ++ toks("x", 5) ++ B ++ toks("y", 4) ++ C)
+      .mkString(" ")
+    // doc 3: A's first window then B's first window back to back — two
+    // SEPARATE 1-gram islands (8 tokens each, filtered), which must not
+    // merge across the unique boundary gram
+    val d3 = (A.take(8) ++ B.take(8)).mkString(" ")
+    spark.createDataFrame(Seq((1L, d1), (2L, d2), (3L, d3)))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/documents.parquet")
+    val got = graft.operators.TextOps.q192MaxRepeats(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 0L, 8L, 15L), (1L, 20L, 5L, 12L),
+      (2L, 4L, 8L, 15L), (2L, 24L, 5L, 12L)), s"regions: $got")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("q190 RRF fusion: replay from the two arms' own outputs") {
     import graft.operators.{TextOps, VectorOps}
     val d = "/root/testdata/sf0.001"
