@@ -215,6 +215,7 @@ object SparkEntry {
     "q190_rrf_fusion" -> (TextOps.q190RrfFusion(_, _)),
     "q191_bpe_train" -> (TextOps.q191BpeTrain(_, _)),
     "q192_max_repeats" -> (TextOps.q192MaxRepeats(_, _)),
+    "q193_partitioned_read" -> (graft.operators.Scale.q193PartitionedRead(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -530,5 +531,11 @@ object SparkEntry {
     // pure integer position arithmetic; islands keyed by
     // pos − row_number on the unique (doc, pos) order
     "q192_max_repeats" -> TextOps.q192MaxRepeatsSql,
+    // q193: partitioned-layout round trip — the Spark side aggregates
+    // a partition-pruned read-back of a run-private month-partitioned
+    // write; the mirror aggregates the ORIGINAL table, so the hash
+    // proves the layout loses nothing (month as string, rule 4;
+    // money on the cent grid, rule 2)
+    "q193_partitioned_read" -> graft.operators.Scale.q193PartitionedReadSql,
   )
 }

@@ -67,4 +67,62 @@ object Scale {
   /** Create the partitioned target for [[overwritePartitions]]. */
   def writePartitioned(df: DataFrame, table: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).saveAsTable(table)
+
+  /** Path-based hive-layout partitioned write (`col=value/` dirs).
+    * The input is repartitioned BY THE PARTITION COLUMN first — the
+    * standard production pattern: without it every write task emits a
+    * file into every partition directory (tasks × partitions small
+    * files); with it each directory receives ~one file. */
+  def writePartitionedPath(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** q193: driver-oracled partitioned-layout ROUND TRIP — the layout
+    * layer (hive-style partition dirs, partition-pruned scans) was
+    * ScaleSpec-proven only through round 9 because it is a write op;
+    * this puts it behind a driver hash: orders are written
+    * month-partitioned to a run-private path via
+    * [[writePartitionedPath]], read BACK through a partition filter
+    * (the scan's PartitionFilters prune to 6 of ~80 directories —
+    * listing-time pruning, no data files of other months touched),
+    * and the per-month census is hash-checked against the oracle
+    * computing the same aggregate from the ORIGINAL table — a green
+    * row proves the layout round trip loses/duplicates/corrupts
+    * nothing in the surviving partitions.
+    *
+    * Determinism: the month key crosses engines as a string
+    * (temporal rule 4; partition values are strings on disk and
+    * "1995-01" defeats partition-type inference), counts are exact,
+    * the money sum rides the cent grid (rule 2) — parquet round-trips
+    * doubles bit-exactly, so re-read values grid identically.
+    *
+    * Scale: one shuffle by the partition key sizes the write at ~one
+    * file per directory; the read is partition-pruned at file-listing
+    * time. */
+  def q193PartitionedRead(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val path = s"/tmp/graft_part_q193_${ProcessHandle.current().pid()}"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    writePartitionedPath(orders, path, "month")
+    spark.read.parquet(path)
+      .filter(col("month") >= "1995-01" && col("month") <= "1995-06")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("month"))
+  }
+
+  val q193PartitionedReadSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+      |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m') >= '1995-01'
+      |  AND strftime(o_orderdate, '%Y-%m') <= '1995-06'
+      |GROUP BY 1 ORDER BY month""".stripMargin
 }

@@ -189,6 +189,21 @@ class ScaleSpec extends AnyFunSuite {
       s"month filter did not reach PartitionFilters:\n$scan")
   }
 
+  test("q193 partitioned read: scan prunes partitions AND columns") {
+    // the driver oracle proves the VALUES round-trip; this gates the
+    // plan shape the scaladoc claims — the month range reaches the
+    // scan's PartitionFilters (listing-time pruning) and the
+    // ReadSchema carries only the two aggregated data columns
+    val df = Scale.q193PartitionedRead(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("1995-01") &&
+      scan.contains("1995-06"),
+      s"month range did not reach PartitionFilters:\n$scan")
+    assert(scan.contains("ReadSchema: struct<o_custkey:bigint,o_totalprice:double>"),
+      s"read schema not pruned to the aggregated columns:\n$scan")
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes fact partitions " +
     "at runtime") {
     val t = freshTable("stg.dpp_orders")
