@@ -216,6 +216,8 @@ object SparkEntry {
     "q191_bpe_train" -> (TextOps.q191BpeTrain(_, _)),
     "q192_max_repeats" -> (TextOps.q192MaxRepeats(_, _)),
     "q193_partitioned_read" -> (graft.operators.Scale.q193PartitionedRead(_, _)),
+    "q194_triangle_sample" -> (Relational.q194TriangleSample(_, _)),
+    "q195_l_diversity" -> (TextOps.q195LDiversity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -537,5 +539,11 @@ object SparkEntry {
     // proves the layout loses nothing (month as string, rule 4;
     // money on the cent grid, rule 2)
     "q193_partitioned_read" -> graft.operators.Scale.q193PartitionedReadSql,
+    // q194: deterministic md5-coin edge sampling (exact p = 1/8 by hex
+    // prefix, both engines), integer census + integer 512× estimate;
+    // the census CTEs are the SAME template as q189's mirror
+    "q194_triangle_sample" -> Relational.q194TriangleSampleSql,
+    // q195: exact integer class sizes / distinct counts on bounded axes
+    "q195_l_diversity" -> TextOps.q195LDiversitySql,
   )
 }

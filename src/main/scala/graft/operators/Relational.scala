@@ -2101,13 +2101,22 @@ object Relational {
     * bounded by order basket size at the co-occurrence join. Output is
     * the 4-row (metric, value) census assembled by UNION ALL — no
     * 1-row cross-join needed. */
-  def q189Triangles(s: SparkSession, d: String): DataFrame = {
+  /** The distinct part co-purchase edge list (pa < pb) — shared by the
+    * exact census (q189) and the sampling estimator (q194). */
+  private def coEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_partkey").distinct()
-    val edges = li.select($"l_orderkey", $"l_partkey".as("pa"))
+    li.select($"l_orderkey", $"l_partkey".as("pa"))
       .join(li.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
       .filter($"pa" < $"pb")
       .select($"pa", $"pb").distinct()
+  }
+
+  /** Degree-ordered orientation + wedge closing over an edge list —
+    * the shared engine of q189 (exact) and q194 (sampled graph).
+    * Returns (deg, wedges, tri). */
+  private def triangleParts(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val deg = edges.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
     // The (degree, id) pack bound is enforced LOUDLY per row (the
@@ -2116,7 +2125,7 @@ object Relational {
     // instead; a deployment with wider ids re-splits the shift.
     val guardedP = when($"p" >= lit(1L << 32) || $"deg" >= lit(1L << 31),
       raise_error(concat(
-        lit("q189Triangles: (deg, id) exceeds the 31/32-bit pack bound: deg="),
+        lit("triangleParts: (deg, id) exceeds the 31/32-bit pack bound: deg="),
         $"deg", lit(" id="), $"p"))).otherwise($"p")
     val dk = deg.select($"p", ($"deg" * lit(1L << 32) + guardedP).as("okey"))
     val ed = edges
@@ -2133,22 +2142,29 @@ object Relational {
     val tri = wedges
       .join(ed.select($"u".as("cv"), $"v".as("cw")),
         $"v" === $"cv" && $"w" === $"cw")
-    def row(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("value"))
-        .select(lit(name).as("metric"), $"value")
-    row("n_edges", edges)
-      .unionByName(row("n_nodes", deg))
-      .unionByName(row("n_triangles", tri))
-      .unionByName(row("n_wedges", wedges))
+    (deg, wedges, tri)
+  }
+
+  private def censusRow(name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("value"))
+      .select(lit(name).as("metric"), $"value")
+
+  def q189Triangles(s: SparkSession, d: String): DataFrame = {
+    val edges = coEdges(s, d)
+    val (deg, wedges, tri) = triangleParts(edges)
+    censusRow("n_edges", edges)
+      .unionByName(censusRow("n_nodes", deg))
+      .unionByName(censusRow("n_triangles", tri))
+      .unionByName(censusRow("n_wedges", wedges))
       .orderBy($"metric")
   }
 
-  val q189TrianglesSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |edges AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-      |  FROM li a JOIN li b USING (l_orderkey)
-      |  WHERE a.l_partkey < b.l_partkey),
-      |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+  /** The orientation/wedge/closing CTE chain over an `edges` CTE the
+    * caller defines — ONE template generates both the q189 and q194
+    * mirrors so the estimator's machinery cannot drift from the exact
+    * census it estimates. */
+  private def triangleCtesSql: String =
+    """deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
       |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
       |  GROUP BY p),
       |dk AS (SELECT p, deg * 4294967296 + p AS okey FROM deg),
@@ -2162,12 +2178,90 @@ object Relational {
       |wedges AS (SELECT a.v, b.v AS w
       |  FROM ed a JOIN ed b USING (u) WHERE a.kv < b.kv),
       |tri AS (SELECT 1 AS one FROM wedges x
-      |  JOIN ed c ON c.u = x.v AND c.v = x.w)
-      |SELECT metric, CAST(value AS BIGINT) AS value FROM (
-      |  SELECT 'n_edges' AS metric, count(*) AS value FROM edges
-      |  UNION ALL SELECT 'n_nodes', count(*) FROM deg
-      |  UNION ALL SELECT 'n_triangles', count(*) FROM tri
-      |  UNION ALL SELECT 'n_wedges', count(*) FROM wedges)
-      |ORDER BY metric""".stripMargin
+      |  JOIN ed c ON c.u = x.v AND c.v = x.w)""".stripMargin
+
+  private val coEdgesSql: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges0 AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM li a JOIN li b USING (l_orderkey)
+      |  WHERE a.l_partkey < b.l_partkey)""".stripMargin
+
+  val q189TrianglesSql: String =
+    s"""WITH $coEdgesSql,
+       |edges AS (SELECT pa, pb FROM edges0),
+       |$triangleCtesSql
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_edges' AS metric, count(*) AS value FROM edges
+       |  UNION ALL SELECT 'n_nodes', count(*) FROM deg
+       |  UNION ALL SELECT 'n_triangles', count(*) FROM tri
+       |  UNION ALL SELECT 'n_wedges', count(*) FROM wedges)
+       |ORDER BY metric""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q194: sampled triangle estimation (DOULION edge sparsification)
+  // ---------------------------------------------------------------
+
+  /** Edge-sampling keep predicate: an edge survives iff the md5 of its
+    * "pa_pb" key starts below '2' — first hex digit ∈ {0, 1}, an exact
+    * deterministic p = 1/8 both engines (string compare on identical
+    * lowercase hex). */
+  private val TriSampleHexCut = "2"
+  private val TriSampleInvP = 8L
+
+  /** DOULION sampled triangle estimation (Tsourakakis et al., KDD
+    * 2009, public) — the CHEAP answer to the triangle question q189
+    * answers exactly: sparsify the edge list by a deterministic
+    * hash-coin with keep probability p = 1/[[TriSampleInvP]], run the
+    * SAME degree-ordered census on the surviving graph, and scale the
+    * sampled triangle count by 1/p³ (each triangle survives iff its
+    * three edges all do). The wedge join — the exact census's
+    * dominant cost — shrinks by ~p², which is precisely the trade a
+    * monitoring pipeline wants when the clustering signal needs a
+    * refresh every hour but the exact count only monthly.
+    *
+    * Determinism: the coin is md5 of the edge key (identical
+    * lowercase hex both engines, README q79/q167 idiom) compared to a
+    * hex-prefix cut — an exact 1/8, no RNG; every census value is an
+    * exact integer and the estimate an exact integer multiple.
+    *
+    * Scale: the sample filter is a scan-level predicate on the edge
+    * relation (no new shuffle); everything downstream inherits q189's
+    * bounds on a graph ~p as large (out-lists O(√(pE)), wedges
+    * Σ outdeg² ≈ p² of exact). The estimator's relative error decays
+    * as 1/√(p³·T) — at 100 TB graph scale T is astronomically large,
+    * exactly where the variance argument is strongest. */
+  def q194TriangleSample(s: SparkSession, d: String): DataFrame = {
+    val edges = coEdges(s, d)
+    val sampled = edges.filter(
+      md5(concat($"pa".cast("string"), lit("_"), $"pb".cast("string")))
+        < TriSampleHexCut)
+    val (_, wedgesS, triS) = triangleParts(sampled)
+    val est = triS.agg(count(lit(1)).as("n"))
+      .select(lit("est_triangles").as("metric"),
+        ($"n" * lit(TriSampleInvP * TriSampleInvP * TriSampleInvP))
+          .as("value"))
+    censusRow("n_edges_total", edges)
+      .unionByName(censusRow("n_edges_sampled", sampled))
+      .unionByName(censusRow("n_wedges_sampled", wedgesS))
+      .unionByName(censusRow("n_triangles_sampled", triS))
+      .unionByName(est)
+      .orderBy($"metric")
+  }
+
+  val q194TriangleSampleSql: String =
+    s"""WITH $coEdgesSql,
+       |edges AS (SELECT pa, pb FROM edges0
+       |  WHERE md5(CAST(pa AS VARCHAR) || '_' || CAST(pb AS VARCHAR))
+       |    < '$TriSampleHexCut'),
+       |$triangleCtesSql
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_edges_total' AS metric, count(*) AS value FROM edges0
+       |  UNION ALL SELECT 'n_edges_sampled', count(*) FROM edges
+       |  UNION ALL SELECT 'n_wedges_sampled', count(*) FROM wedges
+       |  UNION ALL SELECT 'n_triangles_sampled', count(*) FROM tri
+       |  UNION ALL SELECT 'est_triangles',
+       |    count(*) * ${TriSampleInvP * TriSampleInvP * TriSampleInvP}
+       |    FROM tri)
+       |ORDER BY metric""".stripMargin
 
 }

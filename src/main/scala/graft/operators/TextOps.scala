@@ -4512,6 +4512,44 @@ object TextOps {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------
+  // q195: l-diversity census (governance, next to q179's k-anonymity)
+  // ---------------------------------------------------------------
+
+  private val LDivL = 3L
+
+  /** l-diversity audit (Machanavajjhala et al., TKDD 2007, public) —
+    * the governance check k-anonymity alone cannot make: a
+    * quasi-identifier class can be large (k-anonymous) yet carry only
+    * ONE sensitive value, so membership still discloses it (the
+    * homogeneity attack). Quasi-identifiers here are (source, length
+    * band) — q179's axes MINUS the sensitive attribute — and `lang`
+    * plays the sensitive role: per class, size k and the count of
+    * distinct sensitive values l, flagged when l < [[LDivL]].
+    * Together with q179 this is the release work-list pair: suppress
+    * small classes (k) AND homogeneous ones (l).
+    *
+    * Scale: same bounded-axes shape as q179 — one map-side-combinable
+    * aggregate (count-distinct over the bounded lang set) to
+    * metadata-sized output at any corpus size. */
+  def q195LDiversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"source",
+        expr("CAST(n_chars AS BIGINT) div 50").as("len_band"), $"lang")
+      .groupBy($"source", $"len_band")
+      .agg(count(lit(1)).as("k"), countDistinct($"lang").as("l_distinct"))
+      .select($"source", $"len_band", $"k", $"l_distinct",
+        ($"l_distinct" < LDivL).as("at_risk"))
+      .orderBy($"source", $"len_band")
+
+  val q195LDiversitySql: String =
+    s"""SELECT source, CAST(n_chars AS BIGINT) // 50 AS len_band,
+       |  CAST(count(*) AS BIGINT) AS k,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+       |  (count(DISTINCT lang) < $LDivL) AS at_risk
+       |FROM documents WHERE text IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q180: BM25 top-k retrieval (Okapi weighting, bounded-heap top-k)
   // ---------------------------------------------------------------
 

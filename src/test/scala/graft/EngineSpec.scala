@@ -3650,6 +3650,53 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q194 triangle sample: independent md5-coin + brute-force replay") {
+    val d = "/root/testdata/sf0.001"
+    // independent replay: co-edges and the sample coin recomputed from
+    // raw lineitem rows, triangles counted by adjacency-set brute force
+    val li = graft.sources.Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    val edges = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(e: (Long, Long)): Boolean = {
+      md.reset()
+      val dig = md.digest(s"${e._1}_${e._2}".getBytes("UTF-8"))
+      ((dig(0) >> 4) & 0xf) < 2   // md5 hex < "2" ⇔ first nibble ∈ {0,1}
+    }
+    val sampled = edges.filter(keep)
+    val adj = sampled.toSeq.flatMap(e => Seq(e, (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tri = sampled.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b)   // count each triangle once
+    }.sum
+    val got = graft.operators.Relational.q194TriangleSample(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_edges_total") === edges.size.toLong)
+    assert(got("n_edges_sampled") === sampled.size.toLong)
+    assert(got("n_triangles_sampled") === tri.toLong)
+    assert(got("est_triangles") === tri.toLong * 512L)
+  }
+
+  test("q195 l-diversity classes are exact rollups of q179's") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    // q179 groups by (lang, source, band); q195 drops lang into the
+    // sensitive role — per (source, band) its k must equal the sum of
+    // q179's k over langs and l_distinct the number of q179 rows
+    val fine = TextOps.q179KAnonymity(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+    val rolled = fine.groupBy { case ((lang, src, band), _) => (src, band) }
+      .map { case (k, xs) => k -> (xs.map(_._2).sum, xs.size.toLong) }
+    val got = TextOps.q195LDiversity(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got === rolled, "l-diversity classes diverge from the q179 rollup")
+  }
+
   test("q190 RRF fusion: replay from the two arms' own outputs") {
     import graft.operators.{TextOps, VectorOps}
     val d = "/root/testdata/sf0.001"
