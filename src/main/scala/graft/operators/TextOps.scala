@@ -1200,11 +1200,16 @@ object TextOps {
     * partition by word. At 100 TB the per-iteration cost is the
     * vocabulary shuffle, not a corpus pass — exactly how production
     * BPE trainers bound the loop. */
-  def q191BpeTrain(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+  def q191BpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainFromWords(Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("w"))
       .filter(length($"w") >= 2)
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt")))
+
+  /** The trainer loop over an arbitrary (w, cnt) vocabulary — split
+    * from [[q191BpeTrain]] so the property suite can drive it with
+    * random corpora against a list-based reference implementation. */
+  private[graft] def bpeTrainFromWords(words: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy($"w").orderBy($"pos")
     var syms = words
       .select($"w", $"cnt", posexplode(split($"w", "")))
@@ -3413,9 +3418,15 @@ object TextOps {
     * suffix sort — O(token positions) like the rest of the span
     * family, and the output is region-grain (bounded by real
     * duplication, the artifact a curation team reads). */
-  def q192MaxRepeats(s: SparkSession, d: String): DataFrame = {
-    val grams = substrGramRows(Tables.documents(s, d)
+  def q192MaxRepeats(s: SparkSession, d: String): DataFrame =
+    maxRepeatsFrom(Tables.documents(s, d)
       .filter($"text".isNotNull && $"doc_id".isNotNull))
+
+  /** The region census over an arbitrary (doc_id, text) relation —
+    * split from [[q192MaxRepeats]] for the property suite's random
+    * corpora. */
+  private[graft] def maxRepeatsFrom(docs: DataFrame): DataFrame = {
+    val grams = substrGramRows(docs)
     val dupHashes = grams.groupBy($"h")
       .agg(count(lit(1)).as("n_occ")).filter($"n_occ" > 1).select($"h")
     val dup = grams.join(dupHashes, Seq("h"), "leftsemi")

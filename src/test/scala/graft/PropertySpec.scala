@@ -297,4 +297,93 @@ object PropertySpec extends Properties("graft") {
         }
       got == want
     }
+
+  property("BPE trainer == list-based reference on random vocabularies") =
+    forAll(Gen.listOfN(6, Gen.zip(
+      Gen.chooseNum(2, 6).flatMap(n =>
+        Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))),
+      Gen.chooseNum(1L, 5L)))) { raw =>
+      val vocab = raw.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val words = vocab.toSeq.toDF("w", "cnt")
+      val got = graft.operators.TextOps.bpeTrainFromWords(words)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toList
+      // reference: symbol vectors per word, overlapping pair counts,
+      // (freq desc, (l,r) asc) winner, sequential greedy left-to-right
+      // merge — stops at the first iteration with no pairs
+      var st = vocab.toList.map { case (w, c) =>
+        (w, c, w.map(_.toString).toVector) }
+      val want = scala.collection.mutable.ListBuffer
+        .empty[(Long, String, Long, Long, Long)]
+      var it = 1
+      var done = false
+      while (it <= 3 && !done) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long].withDefaultValue(0L)
+        val inWords = scala.collection.mutable.Map
+          .empty[(String, String), Set[String]].withDefaultValue(Set.empty)
+        st.foreach { case (w, c, syms) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) += c
+            inWords((p(0), p(1))) += w
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), freq) = counts.toSeq
+            .minBy { case ((a, b), c) => (-c, a, b) }
+          st = st.map { case (w, c, syms) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (w, c, out.result())
+          }
+          want += ((it.toLong, l + r, freq, inWords((l, r)).size.toLong,
+            st.map { case (_, c, syms) => c * syms.size }.sum))
+          it += 1
+        }
+      }
+      got == want.toList
+    }
+
+  property("maximal repeated regions == brute-force gram replay") =
+    // TWO-token vocabulary: ~90 grams over 2^8 = 256 possibilities, so
+    // duplicated grams (and multi-gram islands) appear in most cases —
+    // a wider vocab would make the property vacuously empty-vs-empty
+    forAll(Gen.listOfN(3, Gen.chooseNum(20, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("t0", "t1"))))) { tokLists =>
+      val docs = tokLists.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.TextOps.maxRepeatsFrom(docs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toList
+      // reference: gram STRINGS (md5 is injective here), global
+      // occurrence counts, per-doc islands of consecutive duplicated
+      // positions, length filter, (doc, start) order
+      val grams = tokLists.zipWithIndex.flatMap { case (ts, i) =>
+        ts.sliding(8).filter(_.size == 8).zipWithIndex
+          .map { case (g, p) => (i.toLong, p.toLong, g.mkString(" ")) }
+      }
+      val dupSet = grams.groupBy(_._3).filter(_._2.size > 1).keySet
+      val want = grams.filter(g => dupSet(g._3))
+        .groupBy(_._1).toList.flatMap { case (doc, gs) =>
+          val ps = gs.map(_._2).sorted
+          // islands: split where the position gap exceeds 1
+          val islands = ps.foldLeft(List.empty[List[Long]]) {
+            case (acc, p) => acc match {
+              case (h :: t) :: rest if p == h + 1 => (p :: h :: t) :: rest
+              case _ => List(p) :: acc
+            }
+          }
+          islands.map(is => (doc, is.min, is.size.toLong, is.size + 7L))
+        }
+        .filter(_._4 >= 12L)
+        .sortBy(t => (t._1, t._2))
+      got == want
+    }
 }
