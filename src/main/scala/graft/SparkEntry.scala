@@ -218,6 +218,7 @@ object SparkEntry {
     "q193_partitioned_read" -> (graft.operators.Scale.q193PartitionedRead(_, _)),
     "q194_triangle_sample" -> (Relational.q194TriangleSample(_, _)),
     "q195_l_diversity" -> (TextOps.q195LDiversity(_, _)),
+    "q196_binary_ann" -> (VectorOps.q196BinaryAnn(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -545,5 +546,9 @@ object SparkEntry {
     "q194_triangle_sample" -> Relational.q194TriangleSampleSql,
     // q195: exact integer class sizes / distinct counts on bounded axes
     "q195_l_diversity" -> TextOps.q195LDiversitySql,
+    // q196: the Spark side ranks by packed-word popcount Hamming; the
+    // mirror counts per-dimension sign disagreements — the hash proves
+    // the bit-packing; rerank reuses q48's raw-cosine discipline
+    "q196_binary_ann" -> VectorOps.q196BinaryAnnSql,
   )
 }

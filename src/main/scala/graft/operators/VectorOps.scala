@@ -1101,4 +1101,97 @@ object VectorOps {
        |FROM ranked WHERE rank <= $HnK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q196: binary sign quantization + Hamming ANN with cosine rerank
+  // ---------------------------------------------------------------
+
+  private val HamCand = 32
+
+  /** Binary (1-bit) embedding quantization with Hamming-distance
+    * candidate generation — the third leg of the quantization family
+    * (q51 int8 scalar, q77 product codes, this 1-bit signs): each
+    * vector's per-dimension SIGN BITS pack into ⌈dim/32⌉ BIGINT words
+    * (64× memory reduction — the representation a 100 TB ANN index
+    * actually keeps hot), candidates rank by popcount Hamming distance
+    * (`bit_count(xor)` — codegen'd integer ops, no FP work per
+    * candidate), and only the [[HamCand]] nearest-by-Hamming survivors
+    * pay the exact cosine rerank (the standard binary-retrieval
+    * recipe; sign-random-projection LSH theory per Charikar 2002,
+    * public). The driver hash proves the packed-popcount arithmetic
+    * EQUALS per-dimension sign-disagreement counting — the mirror
+    * recomputes Hamming directly from the float signs without ever
+    * packing a bit.
+    *
+    * Determinism: sign bits are exact float comparisons (≥ 0) on
+    * identical parquet floats; Hamming is pure integer; the candidate
+    * cut ties by vec_id (rule 3); the rerank reuses q48's raw-cosine
+    * ordering discipline (identical association both engines).
+    *
+    * Scale: the pack is a one-pass projection; queries broadcast; the
+    * scan stays map-only integer work per (query, vector); both the
+    * candidate cut and the final top-k run through bounded-heap
+    * TopKPerKey — [[HamCand]] rows per query per partition cross the
+    * exchange, never the corpus. */
+  def q196BinaryAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+    val dimProbe = emb.select(size($"embedding")).take(1)
+    require(dimProbe.nonEmpty, "q196BinaryAnn: empty embedding corpus")
+    val dim = dimProbe.head.getInt(0)
+    val nWords = (dim + 31) / 32
+    def packW(w: Int): Column =
+      (0 until math.min(32, dim - w * 32)).map { b =>
+        when(element_at($"embedding", w * 32 + b + 1) >= 0f,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = emb.select(
+      $"vec_id" +: $"embedding" +:
+        (0 until nWords).map(w => packW(w).as(s"w$w")): _*)
+    val queries = packed.filter($"vec_id" < NumQueries)
+      .select(
+        $"vec_id".as("query_id") +: $"embedding".as("qvec") +:
+          (0 until nWords).map(w => col(s"w$w").as(s"qw$w")): _*)
+    val hamming = (0 until nWords)
+      .map(w => bit_count(col(s"w$w").bitwiseXOR(col(s"qw$w"))))
+      .reduce(_ + _).cast("long")
+    val scored = packed.join(broadcast(queries),
+        $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", hamming.as("hamming"),
+        Vectors.cosine($"qvec", $"embedding").as("cos"))
+    val cand = graft.plans.TopK.perKey(
+      scored, Seq($"query_id"), Seq($"hamming", $"vec_id"), HamCand)
+    val top = graft.plans.TopK.perKey(
+      cand, Seq($"query_id"), Seq($"cos".desc, $"vec_id"), TopK)
+    val w = Window.partitionBy($"query_id").orderBy($"cos".desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        $"hamming", stableRound($"cos", 6).as("score"))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Hamming as per-dimension sign disagreement — the mirror never
+    * packs a bit, so the green hash proves the packed popcount. */
+  private def hammingSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CASE WHEN ($a[i] >= 0) <> ($b[i] >= 0) THEN 1 ELSE 0 END)) " +
+      "AS BIGINT)"
+
+  val q196BinaryAnnSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+       |           FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (SELECT q.query_id, e.vec_id,
+       |             ${hammingSql("e.embedding", "q.qvec")} AS hamming,
+       |             ${cosSql("q.qvec", "e.embedding")} AS cos
+       |           FROM embeddings e CROSS JOIN q
+       |           WHERE e.vec_id <> q.query_id),
+       |cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |           ORDER BY hamming, vec_id) AS crn FROM scored),
+       |rk AS (SELECT query_id, vec_id, hamming, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cos DESC, vec_id) AS rank
+       |       FROM cand WHERE crn <= $HamCand)
+       |SELECT query_id, rank, vec_id AS neighbor_id, hamming,
+       |  ${sqlRound("cos", 6)} AS score
+       |FROM rk WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
 }

@@ -3650,6 +3650,33 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q196 binary ANN: packed popcount == sign disagreement; candidates " +
+      "respect the Hamming cut") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.sources.Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def ham(a: Array[Float], b: Array[Float]): Long =
+      a.indices.count(i => (a(i) >= 0) != (b(i) >= 0)).toLong
+    val rows = VectorOps.q196BinaryAnn(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rs) =>
+      // independent 32-candidate set by (hamming, vec_id)
+      val cand = (vecs.keySet - q).toSeq
+        .map(v => (ham(vecs(q), vecs(v)), v)).sorted.take(32).toSet
+      var prevScore = Double.MaxValue
+      rs.sortBy(_.getLong(1)).foreach { r =>
+        val (n, h, score) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+        assert(h === ham(vecs(q), vecs(n)),
+          s"packed Hamming diverged from sign disagreement at $q/$n")
+        assert(cand((h, n)), s"neighbor $n of query $q outside the Hamming cut")
+        assert(score <= prevScore, s"rerank scores not descending for $q")
+        prevScore = score
+      }
+    }
+  }
+
   test("q194 triangle sample: independent md5-coin + brute-force replay") {
     val d = "/root/testdata/sf0.001"
     // independent replay: co-edges and the sample coin recomputed from
