@@ -219,6 +219,7 @@ object SparkEntry {
     "q194_triangle_sample" -> (Relational.q194TriangleSample(_, _)),
     "q195_l_diversity" -> (TextOps.q195LDiversity(_, _)),
     "q196_binary_ann" -> (VectorOps.q196BinaryAnn(_, _)),
+    "q197_kcore" -> (Relational.q197KCore(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -550,5 +551,8 @@ object SparkEntry {
     // mirror counts per-dimension sign disagreements — the hash proves
     // the bit-packing; rerank reuses q48's raw-cosine discipline
     "q196_binary_ann" -> VectorOps.q196BinaryAnnSql,
+    // q197: pure integer degree counts + semi joins, 3 unrolled peel
+    // rounds generated from one template on both sides
+    "q197_kcore" -> Relational.q197KCoreSql,
   )
 }

@@ -2163,26 +2163,30 @@ object Relational {
     * caller defines — ONE template generates both the q189 and q194
     * mirrors so the estimator's machinery cannot drift from the exact
     * census it estimates. */
+  // AS MATERIALIZED throughout the graph mirrors: DuckDB inlines CTE
+  // references by default, and deg/ed/wedges/edges0 are each
+  // referenced several times — inlining re-evaluates the whole edge
+  // build per reference (identical values, multiplied cost)
   private def triangleCtesSql: String =
-    """deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+    """deg AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
       |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
       |  GROUP BY p),
-      |dk AS (SELECT p, deg * 4294967296 + p AS okey FROM deg),
-      |ed AS (SELECT
+      |dk AS MATERIALIZED (SELECT p, deg * 4294967296 + p AS okey FROM deg),
+      |ed AS MATERIALIZED (SELECT
       |    CASE WHEN ka.okey < kb.okey THEN e.pa ELSE e.pb END AS u,
       |    CASE WHEN ka.okey < kb.okey THEN e.pb ELSE e.pa END AS v,
       |    CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END AS kv
       |  FROM edges e
       |  JOIN dk ka ON ka.p = e.pa
       |  JOIN dk kb ON kb.p = e.pb),
-      |wedges AS (SELECT a.v, b.v AS w
+      |wedges AS MATERIALIZED (SELECT a.v, b.v AS w
       |  FROM ed a JOIN ed b USING (u) WHERE a.kv < b.kv),
-      |tri AS (SELECT 1 AS one FROM wedges x
+      |tri AS MATERIALIZED (SELECT 1 AS one FROM wedges x
       |  JOIN ed c ON c.u = x.v AND c.v = x.w)""".stripMargin
 
   private val coEdgesSql: String =
-    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |edges0 AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |edges0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
       |  FROM li a JOIN li b USING (l_orderkey)
       |  WHERE a.l_partkey < b.l_partkey)""".stripMargin
 
@@ -2246,6 +2250,102 @@ object Relational {
       .unionByName(censusRow("n_triangles_sampled", triS))
       .unionByName(est)
       .orderBy($"metric")
+  }
+
+  // ---------------------------------------------------------------
+  // q197: k-core peeling (3 unrolled rounds, the q110/q191 pattern)
+  // ---------------------------------------------------------------
+
+  // k sits above the co-order graph's median degree (~90–120 across
+  // SFs), so the peel CASCADES at every scale factor — round traces
+  // like 1.196M → 863k → 443k → 7.5k edges at sf0.1; a small k would
+  // leave the dense graph untouched and the oracle row would never
+  // exercise a removal
+  private val KCoreK = 100L
+  private val KCoreRounds = 3
+
+  /** k-core decomposition by iterative peeling (Seidman 1983;
+    * Batagelj–Zaveršnik, public) — the community-density operator
+    * beside the census (q189), the estimator (q194), and pagerank
+    * (q110): repeatedly delete every node of degree < [[KCoreK]] and
+    * every edge touching one, until the surviving subgraph (the
+    * k-core) is stable. [[KCoreRounds]] unrolled rounds (the fixed-
+    * iteration q110/q191 pattern), reporting the surviving node/edge
+    * counts after each — the shrinkage trace a recommender or
+    * community detector reads to pick k.
+    *
+    * Determinism: pure integer degree counts and semi joins.
+    *
+    * Scale: each round is one map-side-combinable degree aggregate
+    * plus two semi joins on the entropy-rich part-id key, and the
+    * graph only SHRINKS round over round — no transitive closure, no
+    * frontier state; at 100 TB each round costs at most one pass over
+    * the current edge set, the standard distributed-peel shape. Each
+    * round's edge set is PERSISTED (the GraphX iteration discipline):
+    * round r's relation is referenced by its own census rows AND round
+    * r+1's degree/semi-join subtrees, and without the cache the
+    * re-evaluation doubles per round (2^r edge-build replays — the
+    * measured 80 s cliff at sf0.1); the blocks are metadata beside the
+    * corpus and the ContextCleaner reclaims them when the plan is
+    * garbage-collected. The mirror pins the same shape with
+    * AS MATERIALIZED. */
+  def q197KCore(s: SparkSession, d: String): DataFrame =
+    kCoreTrace(coEdges(s, d), KCoreK)
+
+  /** The peel loop over an arbitrary (pa, pb) edge list — split from
+    * [[q197KCore]] so the crafted spec can drive a small graph with a
+    * small k. */
+  private[graft] def kCoreTrace(edges0: DataFrame, k: Long): DataFrame = {
+    def nodes(edges: DataFrame): DataFrame =
+      edges.select(explode(array($"pa", $"pb")).as("p")).distinct()
+    def peel(edges: DataFrame): DataFrame = {
+      val alive = edges.select(explode(array($"pa", $"pb")).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k).select($"p")
+      edges
+        .join(alive.withColumnRenamed("p", "pa"), Seq("pa"), "leftsemi")
+        .join(alive.withColumnRenamed("p", "pb"), Seq("pb"), "leftsemi")
+        .select($"pa", $"pb")
+    }
+    def roundRow(r: Int, edges: DataFrame): DataFrame =
+      censusRow(s"r${r}_edges", edges)
+        .unionByName(censusRow(s"r${r}_nodes", nodes(edges)))
+    var e = edges0.persist()
+    var out = roundRow(0, e)
+    for (r <- 1 to KCoreRounds) {
+      e = peel(e).persist()
+      out = out.unionByName(roundRow(r, e))
+    }
+    out.orderBy($"metric")
+  }
+
+  val q197KCoreSql: String = {
+    // AS MATERIALIZED: without it DuckDB inlines every CTE reference
+    // and the per-round double-reference re-evaluates the whole edge
+    // build 2^rounds times (same cliff the Spark side persists away)
+    val rounds = (1 to KCoreRounds).map { i =>
+      val prev = if (i == 1) "edges0" else s"e${i - 1}"
+      s"""alive$i AS MATERIALIZED (SELECT p FROM (
+         |    SELECT p, count(*) AS deg FROM (
+         |      SELECT pa AS p FROM $prev UNION ALL SELECT pb FROM $prev)
+         |    GROUP BY p) WHERE deg >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT pa, pb FROM $prev
+         |  WHERE pa IN (SELECT p FROM alive$i)
+         |    AND pb IN (SELECT p FROM alive$i))""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to KCoreRounds).map { r =>
+      val rel = if (r == 0) "edges0" else s"e$r"
+      s"""SELECT 'r${r}_edges' AS metric, count(*) AS value FROM $rel
+         |  UNION ALL SELECT 'r${r}_nodes', count(*) FROM (
+         |    SELECT DISTINCT p FROM (
+         |      SELECT pa AS p FROM $rel UNION ALL SELECT pb FROM $rel))"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $coEdgesSql,
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  $rows)
+       |ORDER BY metric""".stripMargin
   }
 
   val q194TriangleSampleSql: String =

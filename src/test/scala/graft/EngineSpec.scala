@@ -3650,6 +3650,21 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q197 k-core peel: crafted cascade stabilizes on the 2-core") {
+    // triangle 1-2-3 with tail node 4, plus a disjoint path 11-12-13-14
+    // at k = 2: round 1 peels the tail and path ends, round 2 dissolves
+    // the path remnant, round 3 is stable on the triangle (the 2-core)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (11L, 12L), (12L, 13L), (13L, 14L)).toDF("pa", "pb")
+    val got = graft.operators.Relational.kCoreTrace(edges, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "r0_edges" -> 7L, "r0_nodes" -> 8L,
+      "r1_edges" -> 4L, "r1_nodes" -> 5L,
+      "r2_edges" -> 3L, "r2_nodes" -> 3L,
+      "r3_edges" -> 3L, "r3_nodes" -> 3L), s"trace: $got")
+  }
+
   test("q196 binary ANN: packed popcount == sign disagreement; candidates " +
       "respect the Hamming cut") {
     import graft.operators.VectorOps
