@@ -220,6 +220,7 @@ object SparkEntry {
     "q195_l_diversity" -> (TextOps.q195LDiversity(_, _)),
     "q196_binary_ann" -> (VectorOps.q196BinaryAnn(_, _)),
     "q197_kcore" -> (Relational.q197KCore(_, _)),
+    "q198_bucketed_join" -> (graft.operators.Scale.q198BucketedJoin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -554,5 +555,10 @@ object SparkEntry {
     // q197: pure integer degree counts + semi joins, 3 unrolled peel
     // rounds generated from one template on both sides
     "q197_kcore" -> Relational.q197KCoreSql,
+    // q198: the Spark side aggregates a bucket-local join of two
+    // run-private bucketed tables; the mirror joins the ORIGINAL
+    // tables — the hash proves the bucket layout round trip (band =
+    // non-negative modulo; integral-double qty sums; cent-grid money)
+    "q198_bucketed_join" -> graft.operators.Scale.q198BucketedJoinSql,
   )
 }

@@ -116,6 +116,63 @@ object Scale {
       .orderBy(col("month"))
   }
 
+  /** q198: driver-oracled bucketed co-located join ROUND TRIP — the
+    * other layout layer (bucket files + catalog metadata) behind
+    * repeated fact-fact joins, spec-proven exchange-free since round
+    * 3 and now behind a driver hash: orders and lineitem are written
+    * bucketed by the join key to run-private external tables (8
+    * buckets, bucket-local sort), joined back WITHOUT an exchange on
+    * the join key (the ScaleSpec plan gate), and the per-band census
+    * is hashed against the oracle joining the ORIGINAL tables — a
+    * green row proves the bucket layout loses/duplicates nothing
+    * across the write→catalog→bucket-local-join round trip.
+    *
+    * Determinism: the band key is integer modulo on non-negative
+    * keys; quantities are integral doubles (exact order-independent
+    * sums, the q64 rule); revenue rides the cent grid (rule 2).
+    *
+    * Scale: this is THE repeated-join layout — both sides cluster by
+    * the join key at write time, so every subsequent join on it is
+    * bucket-local (no exchange, no sort at 8×); the post-join census
+    * aggregates onto a bounded 10-band axis. */
+  def q198BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val base = s"/tmp/graft_bq198_${ProcessHandle.current().pid()}"
+    val db = "graft_q198"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base/db'")
+    def writeB(df: DataFrame, tname: String, key: String): String = {
+      val full = s"$db.$tname"
+      spark.sql(s"DROP TABLE IF EXISTS $full")
+      new scala.reflect.io.Directory(
+        new java.io.File(s"$base/$tname")).deleteRecursively()
+      df.write.mode("overwrite").option("path", s"$base/$tname")
+        .bucketBy(8, key).sortBy(key).saveAsTable(full)
+      full
+    }
+    val o = writeB(graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey")), "b_orders", "o_orderkey")
+    val l = writeB(graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+      "b_lineitem", "l_orderkey")
+    spark.table(l)
+      .join(spark.table(o), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_orderkey") % 10).as("band"))
+      .agg(count(lit(1)).as("n_li"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("band"))
+  }
+
+  val q198BucketedJoinSql: String =
+    """SELECT o.o_orderkey % 10 AS band,
+      |  CAST(count(*) AS BIGINT) AS n_li,
+      |  CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+      |  sum(l.l_quantity) AS sum_qty,
+      |  sum(floor(l.l_extendedprice * 100.0 + 0.5)) / 100.0 AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY band""".stripMargin
+
   val q193PartitionedReadSql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
       |  CAST(count(*) AS BIGINT) AS n_orders,

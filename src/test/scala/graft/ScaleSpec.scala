@@ -189,6 +189,18 @@ class ScaleSpec extends AnyFunSuite {
       s"month filter did not reach PartitionFilters:\n$scan")
   }
 
+  test("q198 bucketed join: no exchange on the join key") {
+    // the driver oracle proves the VALUES; this gates the layout
+    // claim — the bucketed round trip must join WITHOUT shuffling
+    // either side on the join key (the post-aggregate band exchange
+    // is expected and allowed)
+    val df = Scale.q198BucketedJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join shuffled a join side:\n$plan")
+  }
+
   test("q193 partitioned read: scan prunes partitions AND columns") {
     // the driver oracle proves the VALUES round-trip; this gates the
     // plan shape the scaladoc claims — the month range reaches the
