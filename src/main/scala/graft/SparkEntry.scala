@@ -221,6 +221,7 @@ object SparkEntry {
     "q196_binary_ann" -> (VectorOps.q196BinaryAnn(_, _)),
     "q197_kcore" -> (Relational.q197KCore(_, _)),
     "q198_bucketed_join" -> (graft.operators.Scale.q198BucketedJoin(_, _)),
+    "q199_cdc_chunks" -> (TextOps.q199CdcChunks(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,5 +561,9 @@ object SparkEntry {
     // tables — the hash proves the bucket layout round trip (band =
     // non-negative modulo; integral-double qty sums; cent-grid money)
     "q198_bucketed_join" -> graft.operators.Scale.q198BucketedJoinSql,
+    // q199: boundary decisions are md5-prefix compares; chunk
+    // fingerprints md5 over the pos-ordered token join; first
+    // occurrence one packed BIGINT min (rule 9)
+    "q199_cdc_chunks" -> TextOps.q199CdcChunksSql,
   )
 }

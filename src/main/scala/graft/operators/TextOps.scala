@@ -4523,6 +4523,113 @@ object TextOps {
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------
+  // q199: content-defined chunking + chunk-grain dedup census
+  // ---------------------------------------------------------------
+
+  /** Boundary keep-prefix: md5(bigram) < "08" ⇔ first byte < 0x08 —
+    * an exact p = 1/32, mean chunk ≈ 32 tokens. */
+  private val CdcHexCut = "08"
+
+  /** Content-defined chunking (the LBFS/FastCDC recipe, public —
+    * Muthitacharoen et al. SOSP 2001) + chunk-grain dedup census —
+    * the INSERTION-RESISTANT dedup grain the fixed-boundary family
+    * cannot reach: q99's fixed 8-token segments all shift after a
+    * one-token insertion (zero segments still match), while CDC cuts
+    * where the CONTENT says to (boundary after position i iff the
+    * md5 of the (tokᵢ, tokᵢ₊₁) bigram falls under [[CdcHexCut]]), so
+    * boundaries re-synchronize immediately after an edit and every
+    * untouched chunk still dedups. Census: per doc the chunk count,
+    * token mass, and how many chunks (and tokens) duplicate a
+    * corpus-earlier chunk (first occurrence by the q99 packed
+    * (doc, chunk) integer key).
+    *
+    * Determinism: boundary decisions are md5-prefix string compares
+    * (identical lowercase hex both engines); chunk fingerprints are
+    * md5 over the pos-ordered token join (the q182 ordered-string
+    * discipline); first-occurrence picks ride one packed BIGINT min
+    * (rule 9, [[SegIdxSpan]] bound documented at the constant).
+    *
+    * Scale: one Generate per doc; boundary flags are a single lead
+    * over the doc-partitioned token window; the chunk aggregate's
+    * collect_list is bounded by the chunk size (geometric, mean 1/p =
+    * 32 — content-keyed, the ratchet-registered argument); the dedup
+    * census is one map-side-combined fingerprint aggregate (q22's
+    * grain). No pairwise work. */
+  def q199CdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunkStats(Tables.documents(s, d)
+      .filter($"text".isNotNull && $"doc_id".isNotNull))
+
+  private[graft] def cdcChunkStats(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val toks = docs.select($"doc_id",
+      posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+    val flagged = toks.withColumn("bf",
+      coalesce(md5(concat($"tok", lit(" "), lead($"tok", 1).over(w),
+        lit(":cdc"))) < CdcHexCut, lit(false)))
+    val chunks = flagged
+      .withColumn("chunk_id", coalesce(
+        sum(when($"bf", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(md5(array_join(transform(
+          array_sort(collect_list(struct($"pos", $"tok"))),
+          x => x.getField("tok")), " ")).as("fp"),
+        count(lit(1)).as("clen"))
+    val census = chunks.groupBy($"fp")
+      .agg(count(lit(1)).as("n_occ"),
+        min($"doc_id" * SegIdxSpan + $"chunk_id").as("first_occ"))
+      .filter($"n_occ" > 1)
+    val dups = chunks.join(census, Seq("fp"))
+      .filter($"doc_id" * SegIdxSpan + $"chunk_id" > $"first_occ")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_dup_chunks"), sum($"clen").as("dup_tokens"))
+    chunks.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"clen").as("n_tokens"))
+      .join(dups, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_chunks", $"n_tokens",
+        coalesce($"n_dup_chunks", lit(0L)).as("n_dup_chunks"),
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val q199CdcChunksSql: String =
+    s"""WITH toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE text IS NOT NULL AND doc_id IS NOT NULL),
+       |    UNNEST(range(1, len(w) + 1)) AS t(i)),
+       |b AS (SELECT doc_id, pos, tok,
+       |    coalesce(md5(tok || ' ' ||
+       |      lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      || ':cdc') < '$CdcHexCut', false) AS bf
+       |  FROM toks),
+       |c AS (SELECT doc_id, pos, tok,
+       |    coalesce(sum(CASE WHEN bf THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS chunk_id
+       |  FROM b),
+       |ch AS (SELECT doc_id, chunk_id,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+       |    CAST(count(*) AS BIGINT) AS clen
+       |  FROM c GROUP BY 1, 2),
+       |cen AS (SELECT fp, min(doc_id * $SegIdxSpan + chunk_id) AS first_occ
+       |  FROM ch GROUP BY fp HAVING count(*) > 1),
+       |dups AS (SELECT ch.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_dup_chunks,
+       |    CAST(sum(ch.clen) AS BIGINT) AS dup_tokens
+       |  FROM ch JOIN cen ON cen.fp = ch.fp
+       |  WHERE ch.doc_id * $SegIdxSpan + ch.chunk_id > cen.first_occ
+       |  GROUP BY 1),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       |    CAST(sum(clen) AS BIGINT) AS n_tokens
+       |  FROM ch GROUP BY doc_id)
+       |SELECT p.doc_id, p.n_chunks, p.n_tokens,
+       |  coalesce(d.n_dup_chunks, CAST(0 AS BIGINT)) AS n_dup_chunks,
+       |  coalesce(d.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens
+       |FROM perdoc p LEFT JOIN dups d ON d.doc_id = p.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q195: l-diversity census (governance, next to q179's k-anonymity)
   // ---------------------------------------------------------------
 

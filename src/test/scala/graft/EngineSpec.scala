@@ -3650,6 +3650,67 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q199 CDC chunks: boundaries re-sync after an insertion (the " +
+      "fixed-segmentation failure case)") {
+    import graft.operators.TextOps
+    // doc 1: 200 distinct tokens; doc 2: the same stream with ONE token
+    // prepended. CDC boundaries depend only on local bigrams, so doc 2's
+    // cuts are doc 1's shifted by one — every chunk except the edited
+    // first one still dedups. Fixed 8-token segmentation (q99's grain)
+    // finds ZERO matching segments on the same pair: all boundaries
+    // shifted.
+    val toksA = (0 until 200).map(i => s"w$i")
+    val docs = Seq(
+      (1L, toksA.mkString(" ")),
+      (2L, ("INS" +: toksA).mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.cdcChunkStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // full Scala replay of the boundary rule + dedup census
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def chunksOf(ts: Seq[String]): List[List[String]] = {
+      val out = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = scala.collection.mutable.ListBuffer.empty[String]
+      ts.indices.foreach { i =>
+        cur += ts(i)
+        val cut = i + 1 < ts.size &&
+          md5hex(ts(i) + " " + ts(i + 1) + ":cdc") < "08"
+        if (cut) { out += cur.toList; cur = scala.collection.mutable.ListBuffer.empty }
+      }
+      if (cur.nonEmpty) out += cur.toList
+      out.toList
+    }
+    val byDoc = Map(1L -> chunksOf(toksA), 2L -> chunksOf("INS" +: toksA))
+    val firstSeen = scala.collection.mutable.Set.empty[String]
+    val want = Seq(1L, 2L).map { doc =>
+      val cs = byDoc(doc)
+      var dupC = 0L; var dupT = 0L
+      // a fingerprint seen earlier in THIS doc also counts (corpus order
+      // is (doc, chunk))
+      cs.foreach { c =>
+        val fp = c.mkString(" ")
+        if (firstSeen(fp)) { dupC += 1; dupT += c.size }
+        else firstSeen += fp
+      }
+      doc -> (cs.size.toLong, cs.map(_.size).sum.toLong, dupC, dupT)
+    }.toMap
+    assert(got === want, s"census: $got vs replay: $want")
+    val (nA, _, dupA, _) = got(1L)
+    val (nB, _, dupB, _) = got(2L)
+    assert(nA > 2L, s"p=1/32 over 200 tokens should cut several chunks ($nA)")
+    assert(dupA === 0L, "doc 1 is corpus-first everywhere")
+    assert(dupB === nB - 1, s"all but the edited first chunk must dedup " +
+      s"(chunks $nB, dups $dupB)")
+    // the fixed-segmentation contrast: zero 8-token aligned segments of
+    // doc 2 appear among doc 1's — the failure mode CDC exists to avoid
+    val segA = toksA.grouped(8).map(_.mkString(" ")).toSet
+    val segB = ("INS" +: toksA).grouped(8).map(_.mkString(" ")).toSet
+    assert((segB & segA).isEmpty,
+      "fixed segmentation should lose every match after the shift")
+  }
+
   test("q197 k-core peel: crafted cascade stabilizes on the 2-core") {
     // triangle 1-2-3 with tail node 4, plus a disjoint path 11-12-13-14
     // at k = 2: round 1 peels the tail and path ends, round 2 dissolves

@@ -570,8 +570,10 @@ class ScaleSpec extends AnyFunSuite {
     // basket + per-user journey (documented history bound); VectorOps
     // = per-dim grid (|dims| rows); Relational = 5-value segment set +
     // 64-bucket recency vector
+    // (+1 round 10: q199's per-chunk token list — bounded by the CDC
+    // chunk size, geometric with mean 1/p = 32 tokens, content-keyed)
     val collectAggBudget = Map(
-      "operators/TextOps.scala" -> 5,
+      "operators/TextOps.scala" -> 6,
       "operators/EventOps.scala" -> 2,
       "operators/VectorOps.scala" -> 1,
       "operators/Relational.scala" -> 2)
