@@ -222,6 +222,7 @@ object SparkEntry {
     "q197_kcore" -> (Relational.q197KCore(_, _)),
     "q198_bucketed_join" -> (graft.operators.Scale.q198BucketedJoin(_, _)),
     "q199_cdc_chunks" -> (TextOps.q199CdcChunks(_, _)),
+    "q200_ann_leaderboard" -> (VectorOps.q200AnnLeaderboard(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -565,5 +566,8 @@ object SparkEntry {
     // fingerprints md5 over the pos-ordered token join; first
     // occurrence one packed BIGINT min (rule 9)
     "q199_cdc_chunks" -> TextOps.q199CdcChunksSql,
+    // q200: the mirror nests the q27/q48/q196 oracle texts verbatim
+    // (the q190 discipline); recall is exact integer hit counting
+    "q200_ann_leaderboard" -> VectorOps.q200AnnLeaderboardSql,
   )
 }

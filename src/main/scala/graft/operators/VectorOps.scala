@@ -1175,6 +1175,63 @@ object VectorOps {
       s"i -> CASE WHEN ($a[i] >= 0) <> ($b[i] >= 0) THEN 1 ELSE 0 END)) " +
       "AS BIGINT)"
 
+  // ---------------------------------------------------------------
+  // q200: multi-arm ANN evaluation leaderboard (recall@10 vs exact)
+  // ---------------------------------------------------------------
+
+  /** The retrieval-evaluation artifact a deployment reads before
+    * picking its ANN arm: per (arm, query), recall@[[TopK]] of the
+    * IVF arm (q48) and the binary-sign arm (q196) against the exact
+    * brute-force top-k (q27) — q136 evaluates the IVF arm alone; this
+    * puts every approximate arm on ONE integer-exact leaderboard so
+    * the speed/recall trade is a single artifact. Composition like
+    * q190: the arms are the oracled queries themselves, and the
+    * mirror nests their oracle texts verbatim, so the evaluation can
+    * never drift from what it evaluates.
+    *
+    * Determinism: recall is exact integer arithmetic — hits counted
+    * by equi-join against the exact set, recall_micro = hits·10⁶/k
+    * with k = [[TopK]] a constant (exact integer division by 10).
+    *
+    * Scale: all three arms end in bounded TopKPerKey plans; the
+    * leaderboard joins and aggregates ≤ 3·k·|Q| metadata-sized rows —
+    * like q190, no corpus-grain pass beyond the arms themselves. */
+  def q200AnnLeaderboard(s: SparkSession, d: String): DataFrame = {
+    def arm(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("arm"), $"query_id", $"neighbor_id")
+    val exact = q27KnnCosine(s, d)
+      .select($"query_id".as("e_query"), $"neighbor_id".as("e_id"))
+    arm("ivf", q48IvfAnn(s, d))
+      .unionByName(arm("binary", q196BinaryAnn(s, d)
+        .select($"query_id", $"neighbor_id")))
+      .join(exact,
+        $"query_id" === $"e_query" && $"neighbor_id" === $"e_id", "left")
+      .groupBy($"arm", $"query_id")
+      .agg(sum(when($"e_id".isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select($"arm", $"query_id", $"n_hits",
+        ($"n_hits" * lit(1000000L / TopK)).as("recall_micro"))
+      .orderBy($"arm", $"query_id")
+  }
+
+  // lazy: q196BinaryAnnSql is declared BELOW (object vals initialize
+  // in declaration order — a strict val here would interpolate null)
+  lazy val q200AnnLeaderboardSql: String =
+    s"""WITH exact AS ($q27KnnCosineSql),
+       |ivf AS ($q48IvfAnnSql),
+       |bin AS ($q196BinaryAnnSql),
+       |arms AS (
+       |  SELECT 'ivf' AS arm, query_id, neighbor_id FROM ivf
+       |  UNION ALL
+       |  SELECT 'binary', query_id, neighbor_id FROM bin)
+       |SELECT a.arm, a.query_id,
+       |  CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) * ${1000000L / TopK} AS recall_micro
+       |FROM arms a LEFT JOIN exact e
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY 1, 2 ORDER BY a.arm, a.query_id""".stripMargin
+
   val q196BinaryAnnSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
        |           FROM embeddings WHERE vec_id < $NumQueries),

@@ -3650,6 +3650,25 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q200 leaderboard: recall replays from the three arms' outputs") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ids(VectorOps.q27KnnCosine(spark, d))
+    val arms = Map("ivf" -> ids(VectorOps.q48IvfAnn(spark, d)),
+      "binary" -> ids(VectorOps.q196BinaryAnn(spark, d)))
+    val got = VectorOps.q200AnnLeaderboard(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = arms.flatMap { case (a, qs) => qs.map { case (q, ns) =>
+      val hits = (ns & exact(q)).size.toLong
+      (a, q) -> (hits, hits * 100000L)
+    } }
+    assert(got === want, s"leaderboard diverged: $got vs $want")
+  }
+
   test("q199 CDC chunks: boundaries re-sync after an insertion (the " +
       "fixed-segmentation failure case)") {
     import graft.operators.TextOps
