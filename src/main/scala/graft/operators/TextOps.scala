@@ -1214,6 +1214,7 @@ object TextOps {
     var syms = words
       .select($"w", $"cnt", posexplode(split($"w", "")))
       .select($"w", $"cnt", ($"pos" + 1).as("pos"), $"col".as("sym"))
+    syms = syms.persist()
     val rows = (1 to BpeTrainIters).map { it =>
       val pairs = syms
         .withColumn("nsym", lead($"sym", 1).over(wOrd))
@@ -1239,8 +1240,12 @@ object TextOps {
         .select($"w", $"cnt",
           row_number().over(wOrd).as("pos"),
           when($"keep", concat($"sym", $"nsym")).otherwise($"sym").as("sym"))
-      syms = applied
-      val after = applied.agg(sum($"cnt").as("corpus_syms_after"))
+      // persist each iteration's symbol stream (the q197 discipline):
+      // it feeds the next iteration's pair counts AND winner AND apply
+      // pass AND its own mass row — without the cache those subtrees
+      // re-evaluate the whole chain per reference
+      syms = applied.persist()
+      val after = syms.agg(sum($"cnt").as("corpus_syms_after"))
       winner
         .select(lit(it.toLong).as("it"), concat($"wl", $"wr").as("pair"),
           $"total_freq", $"n_words")
