@@ -350,6 +350,31 @@ object PropertySpec extends Properties("graft") {
       got == want.toList
     }
 
+  property("k-core peel trace == brute-force peel on random graphs") =
+    forAll(
+      Gen.listOfN(18, Gen.zip(Gen.chooseNum(1L, 8L), Gen.chooseNum(1L, 8L))),
+      Gen.chooseNum(2L, 3L)) { (raw, k) =>
+      val edges = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val got = graft.operators.Relational
+        .kCoreTrace(edges.toDF("pa", "pb"), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      var es = edges
+      var want = Map.empty[String, Long]
+      (0 to 3).foreach { r =>
+        want += s"r${r}_edges" -> es.size.toLong
+        want += s"r${r}_nodes" ->
+          es.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        if (r < 3) {
+          val deg = es.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val alive = deg.filter(_._2 >= k).keySet
+          es = es.filter(e => alive(e._1) && alive(e._2))
+        }
+      }
+      got == want
+    }
+
   property("maximal repeated regions == brute-force gram replay") =
     // TWO-token vocabulary: ~90 grams over 2^8 = 256 possibilities, so
     // duplicated grams (and multi-gram islands) appear in most cases —
