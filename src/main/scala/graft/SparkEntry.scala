@@ -223,6 +223,7 @@ object SparkEntry {
     "q198_bucketed_join" -> (graft.operators.Scale.q198BucketedJoin(_, _)),
     "q199_cdc_chunks" -> (TextOps.q199CdcChunks(_, _)),
     "q200_ann_leaderboard" -> (VectorOps.q200AnnLeaderboard(_, _)),
+    "q201_audio_decimate" -> (CustomOps.q201AudioDecimate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -569,5 +570,9 @@ object SparkEntry {
     // q200: the mirror nests the q27/q48/q196 oracle texts verbatim
     // (the q190 discipline); recall is exact integer hit counting
     "q200_ann_leaderboard" -> VectorOps.q200AnnLeaderboardSql,
+    // q201: real WAV decode + stride-2 decimation; the mirror
+    // recomputes from the odd-position payload chars (q177's
+    // sample identity) — integer stats, stableRound mean
+    "q201_audio_decimate" -> CustomOps.q201AudioDecimateSql,
   )
 }

@@ -423,6 +423,40 @@ object Multimodal {
     }
   }
 
+  case class DecimatedAudio(media_id: Long, sample_rate_out: Long,
+    n_samples_out: Long, duration_ms_out: Long, sum_amp_out: Long)
+
+  /** Naive integer decimation (keep every `factor`-th sample) over the
+    * REAL decode path — the sample-rate reduction step a speech
+    * pipeline runs before feature extraction (16→8 kHz etc.; the
+    * production version low-pass-filters first, the decimation
+    * index arithmetic is identical). Same loud-parse contract and
+    * partition streaming as [[decodeAudio]]; all stats exact
+    * integers. */
+  def decimateAudio(
+      media: Dataset[AudioRow], factor: Int): Dataset[DecimatedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val bytes =
+          try in.readAllBytes()
+          finally in.close()
+        var s = 0L
+        var n = 0L
+        var i = 0
+        while (i < bytes.length) {
+          s += math.abs((bytes(i) & 0xFF) - 128)
+          n += 1
+          i += factor
+        }
+        DecimatedAudio(r.media_id, WavSampleRate.toLong / factor, n,
+          n * 1000L * factor / WavSampleRate, s)
+      }
+    }
+  }
+
   case class AudioWindow(media_id: Long, widx: Long, wlen: Long, energy: Long)
 
   /** Per-window amplitude energy over the REAL decode path: parse each

@@ -437,4 +437,57 @@ object CustomOps {
        |FROM documents WHERE text IS NOT NULL ORDER BY media_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q201: audio decimation over the real decode path
+  // ---------------------------------------------------------------
+
+  private val DecimFactor = 2
+
+  /** Sample-rate reduction — the audio twin of q76's image downscale,
+    * completing the audio family (q177 meta, q181 VAD, this
+    * resample): each clip decodes through the JDK's real WAV parser
+    * and keeps every [[DecimFactor]]-th sample (8 → 4 kHz; a
+    * production resampler low-pass-filters first — the decimation
+    * index arithmetic this proves is identical), emitting the
+    * decimated stream's exact-integer sample count, duration, and
+    * mean amplitude. The oracle recomputes everything from the
+    * odd-position payload characters (8-bit PCM samples ARE the
+    * payload bytes — the q177 sample identity), so the green hash
+    * proves the decode → stride → census chain.
+    *
+    * Scale: partition-streamed decode (mapPartitions is correct here —
+    * the JDK parser is per-clip imperative), one map pass, one
+    * presentation sort; no shuffle at clip grain. */
+  def q201AudioDecimate(s: SparkSession, d: String): DataFrame =
+    Multimodal.decimateAudio(Multimodal.mediaAsWav(s, d), DecimFactor).toDF()
+      .select($"media_id", $"sample_rate_out", $"n_samples_out",
+        $"duration_ms_out",
+        Relational.stableRound(
+          $"sum_amp_out" / greatest($"n_samples_out", lit(1L)), 4)
+          .as("mean_amp_out"))
+      .orderBy($"media_id")
+
+  val q201AudioDecimateSql: String =
+    s"""WITH amp AS (
+       |  SELECT doc_id,
+       |    CAST(sum(abs(ascii(substring(text, CAST(i AS INT), 1)) - 128))
+       |      AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n_out
+       |  FROM documents, UNNEST(range(1, length(text) + 1, $DecimFactor))
+       |    AS t(i)
+       |  WHERE text IS NOT NULL GROUP BY doc_id),
+       |base AS (SELECT doc_id FROM documents WHERE text IS NOT NULL)
+       |SELECT b.doc_id AS media_id,
+       |  CAST(${Multimodal.WavSampleRate / DecimFactor} AS BIGINT)
+       |    AS sample_rate_out,
+       |  coalesce(a.n_out, CAST(0 AS BIGINT)) AS n_samples_out,
+       |  (coalesce(a.n_out, CAST(0 AS BIGINT)) * 1000 * $DecimFactor)
+       |    // ${Multimodal.WavSampleRate} AS duration_ms_out,
+       |  ${sqlRound(
+          "CAST(coalesce(a.s, 0) AS BIGINT) / " +
+            "greatest(coalesce(a.n_out, CAST(0 AS BIGINT)), CAST(1 AS BIGINT))",
+          4)} AS mean_amp_out
+       |FROM base b LEFT JOIN amp a USING (doc_id)
+       |ORDER BY media_id""".stripMargin
+
 }

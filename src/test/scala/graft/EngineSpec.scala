@@ -3650,6 +3650,23 @@ class EngineSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q201 audio decimation: crafted clips keep exactly the stride-2 samples") {
+    import graft.multimodal.Multimodal
+    // 'abcdef' → samples 97..102; stride 2 keeps a,c,e → Σ|s−128| =
+    // 31+29+27 = 87 over 3 samples; odd length 'abcde' keeps a,c,e too
+    val clips = Seq(
+      Multimodal.AudioRow(7L, Multimodal.encodeWav("abcdef".getBytes("US-ASCII"))),
+      Multimodal.AudioRow(8L, Multimodal.encodeWav("abcde".getBytes("US-ASCII"))),
+      Multimodal.AudioRow(9L, Multimodal.encodeWav(Array.emptyByteArray)))
+    val got = Multimodal.decimateAudio(spark.createDataset(clips), 2)
+      .collect().map(r => r.media_id ->
+        (r.sample_rate_out, r.n_samples_out, r.duration_ms_out,
+          r.sum_amp_out)).toMap
+    assert(got(7L) === ((4000L, 3L, 0L, 87L)))
+    assert(got(8L) === ((4000L, 3L, 0L, 87L)))
+    assert(got(9L) === ((4000L, 0L, 0L, 0L)))
+  }
+
   test("q200 leaderboard: recall replays from the three arms' outputs") {
     import graft.operators.VectorOps
     val d = "/root/testdata/sf0.001"
