@@ -224,6 +224,14 @@ object SparkEntry {
     "q199_cdc_chunks" -> (TextOps.q199CdcChunks(_, _)),
     "q200_ann_leaderboard" -> (VectorOps.q200AnnLeaderboard(_, _)),
     "q201_audio_decimate" -> (CustomOps.q201AudioDecimate(_, _)),
+    "q202_ols_trend" -> (EventOps.q202OlsTrend(_, _)),
+    "q203_cusum_shift" -> (EventOps.q203CusumShift(_, _)),
+    "q204_benford" -> (Relational.q204BenfordAudit(_, _)),
+    "q205_prefix_simjoin" -> (TextOps.q205PrefixSimJoin(_, _)),
+    "q206_theil_sen" -> (EventOps.q206TheilSen(_, _)),
+    "q207_naive_backtest" -> (EventOps.q207NaiveBacktest(_, _)),
+    "q208_skyline" -> (TextOps.q208SkylineFrontier(_, _)),
+    "q209_rolling_actives" -> (EventOps.q209RollingActives(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -574,5 +582,36 @@ object SparkEntry {
     // recomputes from the odd-position payload chars (q177's
     // sample identity) — integer stats, stableRound mean
     "q201_audio_decimate" -> CustomOps.q201AudioDecimateSql,
+    // q202: six exact BIGINT moments per type; slope/intercept/R² as
+    // rule-7 doubles from the exact sums, intercept from the GRIDDED
+    // slope; degenerate-series guards are CASE on the same doubles
+    "q202_ols_trend" -> EventOps.q202OlsTrendSql,
+    // q203: n-scaled integer cusum (no mean division), change point =
+    // max-|C| then min-day; date via pure epoch-day calendar
+    // arithmetic (no timezone path)
+    "q203_cusum_shift" -> EventOps.q203CusumShiftSql,
+    // q204: exact integer counts + floor-division ppm against nine
+    // precomputed Benford ppm literals (shared constant table —
+    // no query-time transcendental)
+    "q204_benford" -> Relational.q204BenfordAuditSql,
+    // q205: exact prefix-filtered similarity join over the q24 shingle
+    // sets — candidates from rarest-first prefixes, keep decision by
+    // the pure-integer cross-multiplied τ test, similarity as ppm
+    // floor division; no doubles anywhere
+    "q205_prefix_simjoin" -> TextOps.q205PrefixSimJoinSql,
+    // q206: pairwise slopes gridded to integer ppm at birth (one
+    // correctly-rounded division, rule 10), exact histogram-order-stat
+    // median — never a row sort; windowed sums CAST BIGINT (rule 11)
+    "q206_theil_sen" -> EventOps.q206TheilSenSql,
+    // q207: persistence + seasonal-naive WAPE from exact BIGINT error
+    // sums, one floor division per (type, horizon); calendar joins,
+    // not observed-row lags
+    "q207_naive_backtest" -> EventOps.q207NaiveBacktestSql,
+    // q208: frontier from the bounded quality-grid histogram (bucket
+    // max + strictly-higher running max), dominance never at doc grain
+    "q208_skyline" -> TextOps.q208SkylineFrontierSql,
+    // q209: coverage-expansion exact rolling distinct; counts exact
+    // BIGINTs, stickiness an integer floor division
+    "q209_rolling_actives" -> EventOps.q209RollingActivesSql,
   )
 }

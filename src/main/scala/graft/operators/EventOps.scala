@@ -1697,4 +1697,335 @@ object EventOps {
        |  ${sqlMoneySum("value")} AS volume
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q202: per-series OLS trend (slope / intercept / R²)
+  // ---------------------------------------------------------------
+
+  /** Ordinary-least-squares trend of each type's daily event-count
+    * series — the "is traffic growing and how fast" signal behind
+    * capacity planning, and the parametric companion of q91's
+    * autocorrelation (same daily relation, same exact-moment
+    * discipline). The day index is re-based to each type's first
+    * observed day (t = day − min day), which conditions the normal
+    * equations without changing the slope; slope / intercept / R² all
+    * derive from six exact BIGINT moments with the q80/q90
+    * double-before-product rule (the sums stay exact under 2^53 while
+    * their products would overflow BIGINT at corpus scale), and the
+    * intercept reuses the GRIDDED slope so both engines feed identical
+    * doubles into identical IEEE ops. Degenerate series (one day, or a
+    * constant-count series for R²) report NULL via the same gridded
+    * guard in both engines rather than dividing by zero. Scale shape:
+    * one map-side-combinable count aggregation over the raw stream;
+    * the rebase window and the moment aggregation run on the
+    * calendar-bounded |types|×|days| daily relation. */
+  def q202OlsTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val byType = Window.partitionBy($"event_type")
+    val pts = daily.select($"event_type",
+      ($"day" - min($"day").over(byType)).as("t"), $"x")
+    def dbl(c: Column): Column = c.cast("double")
+    val mom = pts.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum($"t").as("st"), sum($"x").as("sx"),
+        sum($"t" * $"x").as("stx"),
+        sum($"t" * $"t").as("stt"),
+        sum($"x" * $"x").as("sxx"))
+    val covTX = dbl($"n_days") * $"stx" - dbl($"st") * $"sx"
+    val varT  = dbl($"n_days") * $"stt" - dbl($"st") * $"st"
+    val varX  = dbl($"n_days") * $"sxx" - dbl($"sx") * $"sx"
+    mom
+      .select($"event_type", $"n_days", $"st", $"sx",
+        when(varT > 0.0, stableRound(covTX / varT, 6)).as("slope"),
+        when(varT > 0.0 && varX > 0.0,
+          stableRound((covTX * covTX) / (varT * varX), 6)).as("r2"))
+      .select($"event_type", $"n_days", $"slope",
+        when($"slope".isNotNull,
+          stableRound(($"sx" - $"slope" * $"st") / $"n_days", 6))
+          .as("intercept"),
+        $"r2")
+      .orderBy($"event_type")
+  }
+
+  val q202OlsTrendSql: String = {
+    val cov  = "(CAST(n_days AS DOUBLE) * stx - CAST(st AS DOUBLE) * sx)"
+    val varT = "(CAST(n_days AS DOUBLE) * stt - CAST(st AS DOUBLE) * st)"
+    val varX = "(CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |pts AS (SELECT event_type,
+       |    day - min(day) OVER (PARTITION BY event_type) AS t, x
+       |  FROM daily),
+       |mom AS (SELECT event_type, count(*) AS n_days,
+       |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(t * x) AS BIGINT) AS stx,
+       |    CAST(sum(t * t) AS BIGINT) AS stt,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY event_type),
+       |sl AS (SELECT event_type, n_days, st, sx,
+       |    CASE WHEN $varT > 0.0
+       |         THEN ${sqlRound(s"$cov / $varT", 6)} END AS slope,
+       |    CASE WHEN $varT > 0.0 AND $varX > 0.0
+       |         THEN ${sqlRound(s"($cov * $cov) / ($varT * $varX)", 6)}
+       |         END AS r2
+       |  FROM mom)
+       |SELECT event_type, n_days, slope,
+       |  CASE WHEN slope IS NOT NULL
+       |       THEN ${sqlRound("(sx - slope * st) / n_days", 6)}
+       |       END AS intercept,
+       |  r2
+       |FROM sl ORDER BY event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q203: CUSUM change-point on the daily series
+  // ---------------------------------------------------------------
+
+  /** CUSUM change-point detection over each type's daily event-count
+    * series (Page 1954): the cumulative sum of deviations from the
+    * series mean peaks exactly where a level shift happens. The whole
+    * statistic stays in exact integers by working with the n-SCALED
+    * cusum C_i = n·(Σ_{j≤i} x_j) − i·(Σ x_j) (= n × the classic
+    * mean-centered cusum — no mean division ever happens before the
+    * final report); the change point is the earliest day attaining
+    * max |C_i| (a max then a min-day — two bounded aggregates, never
+    * a multi-column argmin, rule 9's spirit), and the before/after
+    * level means are one correctly-rounded division each from the
+    * exact partial sums. A shift-free series still reports its row
+    * (max excursion ≈ 0) instead of vanishing. Scale shape: one
+    * map-side-combinable count aggregation over the raw stream; every
+    * window, join and aggregate after that runs on the
+    * calendar-bounded |types|×|days| daily relation. */
+  def q203CusumShift(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val cum = daily.join(tot, "event_type")
+      .select($"event_type", $"day", $"n", $"sx",
+        sum($"x").over(w).as("cx"), row_number().over(w).as("i"))
+      .select($"event_type", $"day", $"n", $"sx", $"cx", $"i",
+        abs($"n" * $"cx" - $"i" * $"sx").as("absc"))
+    val mx = cum.groupBy($"event_type").agg(max($"absc").as("max_dev"))
+    val cp = cum.join(mx, "event_type")
+      .filter($"absc" === $"max_dev")
+      .groupBy($"event_type").agg(min($"day").as("cp"))
+    cum.join(cp, "event_type").filter($"day" === $"cp")
+      .select($"event_type", $"n".as("n_days"),
+        // pure calendar arithmetic (epoch day + date_add), no timezone
+        // path — to_timestamp/strftime would render in the engine's
+        // session zone
+        date_format(date_add(to_date(lit("1970-01-01")),
+          $"day".cast("int")), "yyyy-MM-dd").as("cp_day"),
+        $"absc".as("max_dev_scaled"),
+        stableRound($"cx".cast("double") / $"i", 6).as("mean_before"),
+        when($"n" > $"i",
+          stableRound(($"sx" - $"cx").cast("double") / ($"n" - $"i"), 6))
+          .as("mean_after"))
+      .orderBy($"event_type")
+  }
+
+  val q203CusumShiftSql: String =
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |tot AS (SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx
+       |  FROM daily GROUP BY event_type),
+       |cum AS (SELECT d.event_type, d.day, t.n, t.sx,
+       |    CAST(sum(d.x) OVER (PARTITION BY d.event_type
+       |      ORDER BY d.day) AS BIGINT) AS cx,
+       |    row_number() OVER (PARTITION BY d.event_type
+       |      ORDER BY d.day) AS i
+       |  FROM daily d JOIN tot t USING (event_type)),
+       |ab AS (SELECT *, abs(n * cx - i * sx) AS absc FROM cum),
+       |mx AS (SELECT event_type, max(absc) AS max_dev
+       |  FROM ab GROUP BY event_type),
+       |cp AS (SELECT a.event_type, min(a.day) AS cp
+       |  FROM ab a JOIN mx m USING (event_type)
+       |  WHERE a.absc = m.max_dev GROUP BY a.event_type)
+       |SELECT a.event_type, a.n AS n_days,
+       |  strftime(DATE '1970-01-01' + CAST(a.day AS INTEGER), '%Y-%m-%d')
+       |    AS cp_day,
+       |  a.absc AS max_dev_scaled,
+       |  ${sqlRound("CAST(a.cx AS DOUBLE) / a.i", 6)} AS mean_before,
+       |  CASE WHEN a.n > a.i
+       |       THEN ${sqlRound("CAST(a.sx - a.cx AS DOUBLE) / (a.n - a.i)", 6)}
+       |       END AS mean_after
+       |FROM ab a JOIN cp c ON a.event_type = c.event_type AND a.day = c.cp
+       |ORDER BY a.event_type""".stripMargin
+
+
+  // ---------------------------------------------------------------
+  // q206: Theil–Sen robust trend (median of pairwise slopes)
+  // ---------------------------------------------------------------
+
+  /** Theil–Sen estimator over each type's daily event-count series
+    * (Theil 1950; Sen 1968) — the robust companion of q202's OLS: the
+    * median of ALL pairwise slopes (xⱼ−xᵢ)/(tⱼ−tᵢ) has a 29.3%
+    * breakdown point, so a burst of outlier days cannot drag the
+    * trend the way it drags least squares. Slopes are gridded to
+    * integer ppm the moment they are born (one double division each
+    * — identical correctly-rounded IEEE op in both engines, rule 10),
+    * and the median is the exact histogram order statistic over the
+    * gridded values (q85/q133 machinery — never a global row sort).
+    * Scale shape: the pair relation is the calendar-bounded daily
+    * relation self-joined per type (O(days²) per type — metadata at
+    * any corpus scale: ten years of days is 6.6M pairs), and the
+    * median runs on the ≤|distinct slopes| histogram. */
+  def q206TheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val a = daily.select($"event_type", $"day".as("ti"), $"x".as("xi"))
+    val b = daily.select($"event_type", $"day".as("tj"), $"x".as("xj"))
+    val pairs = a.join(b, "event_type").filter($"ti" < $"tj")
+      .select($"event_type",
+        floor((($"xj" - $"xi") / ($"tj" - $"ti")) * 1000000.0 + 0.5)
+          .cast("long").as("sp"))
+    val h = pairs.groupBy($"event_type", $"sp").agg(count(lit(1)).as("c"))
+    val wT = Window.partitionBy($"event_type")
+    h.select($"event_type", $"sp", $"c",
+        sum($"c").over(wT.orderBy($"sp")).as("cum"),
+        sum($"c").over(wT).as("nn"))
+      .groupBy($"event_type")
+      .agg(max($"nn").as("n_pairs"),
+        min(when($"cum" * 2 >= $"nn", $"sp")).as("ts_slope_ppm"),
+        min($"sp").as("min_slope_ppm"),
+        max($"sp").as("max_slope_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val q206TheilSenSql: String =
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |pr AS (SELECT a.event_type,
+       |    CAST(floor((b.x - a.x) / (b.day - a.day) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS sp
+       |  FROM daily a JOIN daily b
+       |    ON a.event_type = b.event_type AND a.day < b.day),
+       |h AS (SELECT event_type, sp, count(*) AS c FROM pr GROUP BY 1, 2),
+       |cu AS (SELECT event_type, sp, c,
+       |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY sp)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+       |  FROM h)
+       |SELECT event_type, max(nn) AS n_pairs,
+       |  min(CASE WHEN cum * 2 >= nn THEN sp END) AS ts_slope_ppm,
+       |  min(sp) AS min_slope_ppm, max(sp) AS max_slope_ppm
+       |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q207: naive-forecast backtest (WAPE at 1-day / 7-day horizons)
+  // ---------------------------------------------------------------
+
+  /** Forecast-accuracy backtest of the two standard naive baselines
+    * over each type's daily series: persistence (x̂ₜ = xₜ₋₁) and
+    * seasonal-naive (x̂ₜ = xₜ₋₇) — the error floors every real
+    * forecasting system is judged against (Hyndman's MASE uses
+    * exactly these as denominators). Accuracy is WAPE in integer ppm
+    * (Σ|x−x̂|·10⁶ ÷ Σx, one floor division from exact BIGINT sums) —
+    * deliberately not MAPE, whose per-row division is undefined on
+    * zero-count days and floating-order-dependent. Each horizon only
+    * scores days whose lagged day EXISTS (calendar join, not an
+    * observed-row lag — a gap day must not silently shift the
+    * horizon). Scale shape: one count aggregation over the raw
+    * stream; both horizon joins and aggregates run on the
+    * calendar-bounded daily relation. */
+  def q207NaiveBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type",
+        floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("x"))
+    def bt(k: Int): DataFrame = daily
+      .join(daily.select($"event_type", ($"day" + lit(k.toLong)).as("day"),
+        $"x".as("f")), Seq("event_type", "day"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs($"x" - $"f")).as("sum_abs_err"),
+        sum($"x").as("sum_actual"))
+      .select($"event_type", lit(k).as("horizon_days"), $"n_days",
+        $"sum_abs_err", $"sum_actual",
+        expr("(sum_abs_err * 1000000) div sum_actual").as("wape_ppm"))
+    bt(1).unionAll(bt(7)).orderBy($"event_type", $"horizon_days")
+  }
+
+  val q207NaiveBacktestSql: String = {
+    def btSql(k: Int): String =
+      s"""SELECT d.event_type, $k AS horizon_days, count(*) AS n_days,
+         |    CAST(sum(abs(d.x - f.x)) AS BIGINT) AS sum_abs_err,
+         |    CAST(sum(d.x) AS BIGINT) AS sum_actual
+         |  FROM daily d JOIN daily f
+         |    ON d.event_type = f.event_type AND d.day = f.day + $k
+         |  GROUP BY d.event_type""".stripMargin
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |bt AS (${btSql(1)}
+       |UNION ALL
+       |${btSql(7)})
+       |SELECT event_type, horizon_days, n_days, sum_abs_err, sum_actual,
+       |  (sum_abs_err * 1000000) // sum_actual AS wape_ppm
+       |FROM bt ORDER BY event_type, horizon_days""".stripMargin
+  }
+
+
+  // ---------------------------------------------------------------
+  // q209: exact rolling distinct actives (DAU / WAU / stickiness)
+  // ---------------------------------------------------------------
+
+  /** Daily / 7-day-rolling distinct active users and the DAU/WAU
+    * stickiness ratio — the engagement surface every product
+    * dashboard pages on, computed EXACTLY at scale. A windowed
+    * count-distinct cannot be expressed as a window aggregate (state
+    * is a set, not a monoid), so the scale-correct exact algorithm is
+    * the coverage expansion: each (user, active-day) row covers the 7
+    * calendar days it keeps the user active for, distinct on the
+    * covered grain, then a plain count per day — a bounded 7× fanout
+    * of the user-day relation, all map-side-combinable aggregations,
+    * no per-day set state anywhere. Stickiness is an integer floor
+    * division of exact counts. Only days with actual activity report
+    * (the DAU join prunes pure-coverage tail days). */
+  def q209RollingActives(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select($"user_id", floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .distinct()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val cov = ud
+      .select($"user_id", $"day",
+        explode(sequence(lit(0L), lit(6L))).as("k"))
+      .select($"user_id", ($"day" + $"k").as("day"))
+      .distinct()
+    val wau = cov.groupBy($"day").agg(count(lit(1)).as("wau7"))
+    dau.join(wau, "day")
+      .select($"day", $"dau", $"wau7",
+        expr("(dau * 1000000) div wau7").as("stickiness_ppm"))
+      .orderBy($"day")
+  }
+
+  val q209RollingActivesSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+       |  FROM events),
+       |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+       |cov AS (SELECT DISTINCT ud.user_id, ud.day + t.k AS day
+       |  FROM ud, UNNEST(range(0, 7)) AS t(k)),
+       |wau AS (SELECT day, count(*) AS wau7 FROM cov GROUP BY day)
+       |SELECT d.day, d.dau, w.wau7,
+       |  (d.dau * 1000000) // w.wau7 AS stickiness_ppm
+       |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin
+
 }

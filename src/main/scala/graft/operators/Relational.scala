@@ -2364,4 +2364,74 @@ object Relational {
        |    FROM tri)
        |ORDER BY metric""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q204: Benford first-digit audit
+  // ---------------------------------------------------------------
+
+  /** First-significant-digit distribution of `l_extendedprice` against
+    * Benford's law — the classic forensic-accounting screen for
+    * fabricated or truncated numeric feeds (Benford 1938; Nigrini's
+    * audit practice). Real multiplicative data follows
+    * P(d) = log10(1 + 1/d); synthetic/uniform feeds (like this test
+    * corpus) deviate loudly, and the audit's whole job is to REPORT
+    * that deviation per digit. The expected shares ship as nine
+    * pre-computed ppm literals (one shared constant table in both
+    * engines — no transcendental evaluated at query time, rule 8 by
+    * construction); observed shares are exact integer floor-divisions
+    * of exact counts. The digit is taken from the string form of the
+    * integer cent value — identical semantics in both engines for
+    * positive integers, no double formatting involved. A digit that
+    * never occurs still reports its row (n = 0) via the 9-row spine.
+    * Scale shape: one scan aggregated map-side to the 9-digit axis;
+    * everything after is metadata-sized (9-row spine left-joined, 1-row
+    * total broadcast). */
+  def q204BenfordAudit(s: SparkSession, d: String): DataFrame = {
+    val cents = Tables.lineitem(s, d)
+      .select(floor($"l_extendedprice" * 100.0 + 0.5).cast("long")
+        .as("cents"))
+      .filter($"cents" > 0L)
+    val digs = cents
+      .select(substring($"cents".cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = digs.agg(sum($"n").as("total"))
+    val spine = s.range(1, 10).select($"id".cast("int").as("digit"))
+    spine.join(digs, Seq("digit"), "left")
+      .select($"digit", coalesce($"n", lit(0L)).as("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("obs_ppm", expr("(n * 1000000) div total"))
+      .select($"digit", $"n", $"obs_ppm",
+        element_at(array(BenfordPpm.map(lit): _*), $"digit").as("exp_ppm"))
+      .withColumn("dev_ppm", abs($"obs_ppm" - $"exp_ppm"))
+      .orderBy($"digit")
+  }
+
+  /** floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — Benford's
+    * expected first-digit shares in ppm, precomputed so neither engine
+    * evaluates a transcendental at query time. */
+  private val BenfordPpm: Seq[Long] =
+    Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L, 57992L,
+      51153L, 45757L)
+
+  val q204BenfordAuditSql: String = {
+    val expList = BenfordPpm.mkString("[", ", ", "]")
+    s"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100.0 + 0.5)
+       |    AS BIGINT) AS cents FROM lineitem),
+       |dg AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1)
+       |      AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM c WHERE cents > 0 GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM dg),
+       |sp AS (SELECT CAST(range AS INTEGER) AS digit FROM range(1, 10)),
+       |j AS (SELECT sp.digit, coalesce(dg.n, 0) AS n
+       |  FROM sp LEFT JOIN dg ON sp.digit = dg.digit)
+       |SELECT j.digit, j.n,
+       |  (j.n * 1000000) // t.total AS obs_ppm,
+       |  CAST(list_extract($expList, j.digit) AS BIGINT) AS exp_ppm,
+       |  abs((j.n * 1000000) // t.total
+       |    - CAST(list_extract($expList, j.digit) AS BIGINT)) AS dev_ppm
+       |FROM j CROSS JOIN t ORDER BY j.digit""".stripMargin
+  }
+
 }

@@ -4923,4 +4923,159 @@ object TextOps {
        |FROM rk WHERE rn <= $RrfTopK
        |ORDER BY query_id, rank""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q205: exact set-similarity join via prefix filtering (AllPairs)
+  // ---------------------------------------------------------------
+
+  /** Jaccard threshold for the exact similarity join, as an exact
+    * rational TauNum/TauDen (shared by the prefix length and the keep
+    * test, so no double ever decides membership). 0.8 matches q50's
+    * near-dup cut — the exact join and the MinHash pipeline answer
+    * the same question at the same threshold, over the SAME 3-word
+    * shingle sets. */
+  private val TauNum = 4L
+  private val TauDen = 5L
+
+  /** EXACT set-similarity self-join over the dedup family's 3-shingle
+    * sets via prefix filtering (Chaudhuri et al. ICDE 2006; Bayardo
+    * et al. WWW 2007 "AllPairs"; Xiao et al. WWW 2008 PPJoin) — the
+    * deterministic complement of the MinHash pipeline (q23/q24): zero
+    * false negatives BY CONSTRUCTION, no bands, no signatures, no
+    * bucket caps. Each doc's distinct shingles are ordered by
+    * ascending document frequency (rarest first, ties on the shingle
+    * — a strict global total order); a pair with Jaccard ≥ τ MUST
+    * share a shingle within each side's first m − ⌈τ·m⌉ + 1 shingles
+    * of that order, so only prefix shingles generate candidates —
+    * and prefix shingles are each doc's RAREST, which is what bounds
+    * the candidate buckets at corpus scale (a shingle shared by many
+    * docs is frequent, hence pushed out of prefixes). Verification
+    * counts the exact intersection and keeps pairs by the
+    * pure-integer cross-multiplied test
+    * (TauNum+TauDen)·|A∩B| ≥ TauNum·(|A|+|B|) — no doubles anywhere;
+    * the reported similarity is an integer-ppm floor division.
+    * Scale shape: one shingle-grain distinct + one
+    * shingle-vocabulary-grain df join (not hand-broadcast — q67
+    * discipline); the self-join runs on the ~20%-of-shingles prefix
+    * relation keyed by rare shingles; verification joins carry only
+    * candidate docs' shingle sets. */
+  private[graft] def prefixSimPairs(docs: DataFrame): DataFrame = {
+    val tok = shingleRows(docs).distinct()
+    val dfr = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val rk = tok.join(dfr, "sh")
+      .select($"doc_id", $"sh",
+        row_number().over(Window.partitionBy($"doc_id")
+          .orderBy($"df", $"sh")).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"doc_id")).as("m"))
+    val pfx = rk
+      // integer `div`, not Column./ (which is double division): the
+      // prefix length must be the exact ceil via floor-division
+      .filter($"rn" <=
+        expr(s"m - (m * $TauNum + $TauDen - 1) div $TauDen + 1"))
+      .select($"doc_id", $"sh")
+    val cand = pfx.select($"sh", $"doc_id".as("da"))
+      .join(pfx.select($"sh", $"doc_id".as("db")), "sh")
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    val msz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+    val inter = cand
+      .join(tok.select($"doc_id".as("da"), $"sh"), "da")
+      .join(tok.select($"doc_id".as("db"), $"sh"), Seq("db", "sh"))
+      .groupBy($"da", $"db").agg(count(lit(1)).as("inter"))
+    inter
+      .join(msz.select($"doc_id".as("da"), $"m".as("ma")), "da")
+      .join(msz.select($"doc_id".as("db"), $"m".as("mb")), "db")
+      .filter(lit(TauNum + TauDen) * $"inter" >=
+        lit(TauNum) * ($"ma" + $"mb"))
+      .select($"da", $"db", $"ma", $"mb", $"inter",
+        expr("(inter * 1000000) div (ma + mb - inter)").as("jacc_ppm"))
+      .orderBy($"da", $"db")
+  }
+
+  def q205PrefixSimJoin(s: SparkSession, d: String): DataFrame =
+    prefixSimPairs(Tables.documents(s, d))
+
+  val q205PrefixSimJoinSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |tok AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+       |       FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+       |dfr AS (SELECT sh, count(*) AS df FROM tok GROUP BY sh),
+       |rk AS (SELECT t.doc_id, t.sh,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df, t.sh) AS rn,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS m
+       |  FROM tok t JOIN dfr d USING (sh)),
+       |pfx AS (SELECT doc_id, sh FROM rk
+       |  WHERE rn <= m - (m * $TauNum + $TauDen - 1) // $TauDen + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |  FROM pfx a JOIN pfx b
+       |    ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |msz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+       |iv AS (SELECT c.da, c.db, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tok t1 ON t1.doc_id = c.da
+       |  JOIN tok t2 ON t2.doc_id = c.db AND t2.sh = t1.sh
+       |  GROUP BY c.da, c.db)
+       |SELECT i.da, i.db, m1.m AS ma, m2.m AS mb, i.inter,
+       |  (i.inter * 1000000) // (m1.m + m2.m - i.inter) AS jacc_ppm
+       |FROM iv i
+       |JOIN msz m1 ON m1.doc_id = i.da
+       |JOIN msz m2 ON m2.doc_id = i.db
+       |WHERE ${TauNum + TauDen} * i.inter >= $TauNum * (m1.m + m2.m)
+       |ORDER BY i.da, i.db""".stripMargin
+
+
+
+  // ---------------------------------------------------------------
+  // q208: 2-D skyline (Pareto frontier) over quality × length
+  // ---------------------------------------------------------------
+
+  /** Skyline query (Börzsönyi et al. ICDE 2001) over the corpus's two
+    * curation axes: gridded quality (the 1e-4 integer grid every
+    * quality operator shares) and token count. A document is on the
+    * frontier iff NO other document is ≥ in both dimensions and > in
+    * one — the "longest high-quality documents" set a curation run
+    * actually inspects. Computed scale-correctly on the BOUNDED
+    * quality-grid histogram, never by pairwise dominance: per-bucket
+    * max length, a strictly-higher-quality running max over the ≤10⁴
+    * bucket axis (the q69 bounded-grid window class), then one
+    * broadcast join back; a doc survives iff it attains its bucket
+    * max AND beats every higher bucket's max (ties inside a bucket
+    * all survive — equal points do not dominate each other).
+    * Scale shape: one corpus scan to the grid, O(grid) window work,
+    * one broadcast join — dominance never touches doc pairs. */
+  def q208SkylineFrontier(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      $"doc_id",
+      floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("qg"),
+      Text.tokenCount($"text").cast("long").as("n_tokens"))
+    val buckets = docs.groupBy($"qg").agg(max($"n_tokens").as("bmax"))
+    val wDesc = Window.orderBy($"qg".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = buckets
+      .select($"qg", $"bmax", max($"bmax").over(wDesc).as("mhi"))
+      .filter($"mhi".isNull || $"bmax" > $"mhi")
+      .select($"qg", $"bmax")
+    docs.join(broadcast(front), "qg")
+      .filter($"n_tokens" === $"bmax")
+      .select($"doc_id", $"qg", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val q208SkylineFrontierSql: String =
+    s"""WITH docs AS (SELECT doc_id,
+       |    CAST(floor(($qualitySql) * 1e4 + 0.5) AS BIGINT) AS qg,
+       |    CAST($tcSql AS BIGINT) AS n_tokens FROM documents),
+       |b AS (SELECT qg, max(n_tokens) AS bmax FROM docs GROUP BY qg),
+       |f AS (SELECT qg, bmax,
+       |    max(bmax) OVER (ORDER BY qg DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mhi
+       |  FROM b)
+       |SELECT d.doc_id, d.qg, d.n_tokens
+       |FROM docs d JOIN (SELECT qg, bmax FROM f
+       |    WHERE mhi IS NULL OR bmax > mhi) ff
+       |  ON d.qg = ff.qg AND d.n_tokens = ff.bmax
+       |ORDER BY d.doc_id""".stripMargin
+
 }

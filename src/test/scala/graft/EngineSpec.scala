@@ -3882,4 +3882,238 @@ class EngineSpec extends AnyFunSuite {
         "(EventOps.q186OhlcBarsSql); see the comments at both " +
         "definitions in SparkEntry.oracleSql")
   }
+
+  test("q202 ols trend: equals brute-force least squares on the daily series") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q202OlsTrend(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((typ, day), n) => (typ, day, n) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val d0 = rs.map(_._2).min
+      val pts = rs.map(t => ((t._2 - d0).toDouble, t._3.toDouble))
+      val n = pts.length.toDouble
+      val st = pts.map(_._1).sum; val sx = pts.map(_._2).sum
+      val stx = pts.map(t => t._1 * t._2).sum
+      val stt = pts.map(t => t._1 * t._1).sum
+      val sxx = pts.map(t => t._2 * t._2).sum
+      val slope = (n * stx - st * sx) / (n * stt - st * st)
+      val intercept = (sx - slope * st) / n
+      val r2 = math.pow(n * stx - st * sx, 2) /
+        ((n * stt - st * st) * (n * sxx - sx * sx))
+      val row = got(typ)
+      assert(math.abs(row.getAs[Double]("slope") - slope) < 2e-6)
+      assert(math.abs(row.getAs[Double]("intercept") - intercept) < 2e-5)
+      val gr2 = row.getAs[Double]("r2")
+      assert(math.abs(gr2 - r2) < 2e-6)
+      assert(gr2 >= 0.0 && gr2 <= 1.0 + 1e-9)
+      // the fitted line must reproduce the series mean at t = mean(t)
+      // (tolerance: the emitted intercept derives from the GRIDDED
+      // slope, whose ±5e-7 grid error is amplified by mean(t))
+      assert(math.abs(
+        row.getAs[Double]("intercept") + slope * (st / n) - sx / n) < 1e-4)
+    }
+  }
+
+  test("q203 cusum: equals brute-force max-excursion change point") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q203CusumShift(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((typ, day), n) => (typ, day, n) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val series = rs.sortBy(_._2)
+      val n = series.length.toLong
+      val sx = series.map(_._3).sum
+      var cx = 0L
+      // (|C_i|, day, cx, i) per index; earliest day wins the argmax tie
+      val cs = series.zipWithIndex.map { case ((_, day, x), idx) =>
+        cx += x
+        (math.abs(n * cx - (idx + 1).toLong * sx), day, cx, idx + 1L)
+      }
+      val maxDev = cs.map(_._1).max
+      val (_, cpDay, cpCx, cpI) = cs.filter(_._1 == maxDev).minBy(_._2)
+      val row = got(typ)
+      assert(row.getAs[Long]("max_dev_scaled") === maxDev)
+      val expDay = java.time.LocalDate.ofEpochDay(cpDay).toString
+      assert(row.getAs[String]("cp_day") === expDay)
+      assert(math.abs(
+        row.getAs[Double]("mean_before") - cpCx.toDouble / cpI) < 2e-6)
+      if (n > cpI)
+        assert(math.abs(row.getAs[Double]("mean_after") -
+          (sx - cpCx).toDouble / (n - cpI)) < 2e-6)
+      else assert(row.isNullAt(row.fieldIndex("mean_after")))
+    }
+  }
+
+  test("q204 benford: digit census matches brute force, spine complete") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q204BenfordAudit(spark, d).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq === (1 to 9))
+    val cents = graft.sources.Tables.lineitem(spark, d)
+      .select($"l_extendedprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100.0 + 0.5).toLong)
+      .filter(_ > 0L)
+    val counts = cents.groupBy(_.toString.head.asDigit).view
+      .mapValues(_.length.toLong).toMap
+    val total = cents.length.toLong
+    rows.foreach { r =>
+      val dg = r.getAs[Int]("digit")
+      val n = r.getAs[Long]("n")
+      assert(n === counts.getOrElse(dg, 0L))
+      assert(r.getAs[Long]("obs_ppm") === n * 1000000L / total)
+      assert(r.getAs[Long]("dev_ppm") ===
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+    }
+    // observed shares are a distribution (floor division undercounts
+    // by at most 9 ppm total); expected shares sum to ~1e6 by Benford
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L)
+    assert(math.abs(rows.map(_.getAs[Long]("exp_ppm")).sum - 1000000L) <= 5L)
+  }
+
+  test("q205 prefix join: zero false negatives vs brute force (crafted + corpus)") {
+    import graft.operators.TextOps
+    // crafted shingle-set geometry: identical pair, boundary pair
+    // (J exactly 0.8 must be KEPT), near-miss pair (J just under),
+    // and a disjoint doc. Shingles are 3-grams, so texts are built to
+    // control the shingle sets directly.
+    val docs = Seq(
+      (1L, "a b c d e f"),       // shingles: abc bcd cde def (m=4)
+      (2L, "a b c d e f"),       // identical to 1 → J=1.0, kept
+      (3L, "a b c d e f g"),     // m=5, inter(1,3)=4 → J=4/5 boundary, kept
+      (4L, "a b c d x y z w"),   // m=6, inter(1,4)=2 → J=0.25, dropped
+      (5L, "p q r s t u")        // disjoint
+    ).toDF("doc_id", "text")
+    val got = TextOps.prefixSimPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    assert(got === Set((1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // corpus completeness: brute-force all-pairs shingle Jaccard at
+    // sf0.001 must find EXACTLY the emitted pairs (the zero-false-
+    // negative guarantee LSH cannot make)
+    val d = "/root/testdata/sf0.001"
+    val corpus = TextOps.q205PrefixSimJoin(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices.iterator; j <- (i + 1) until sets.length
+      (da, sa) = sets(i); (db, sb) = sets(j)
+      inter = (sa & sb).size.toLong
+      if 9L * inter >= 4L * (sa.size + sb.size)
+    } yield (da, db)).toSet
+    assert(corpus === expected)
+    assert(corpus.nonEmpty)
+  }
+
+  test("q206 theil-sen: equals brute-force median of pairwise gridded slopes") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q206TheilSen(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val daily = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((typ, day), n) => (typ, day, n) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val pts = rs.sortBy(_._2)
+      val slopes = (for {
+        i <- pts.indices.iterator; j <- (i + 1) until pts.length
+      } yield math.floor((pts(j)._3 - pts(i)._3).toDouble /
+          (pts(j)._2 - pts(i)._2) * 1000000.0 + 0.5).toLong).toSeq.sorted
+      val n = slopes.length
+      // lower median: first value whose cumulative count doubles past n
+      val med = slopes((n - 1) / 2)
+      val row = got(typ)
+      assert(row.getAs[Long]("n_pairs") === n.toLong)
+      assert(row.getAs[Long]("ts_slope_ppm") === med,
+        s"$typ: ${row.getAs[Long]("ts_slope_ppm")} vs $med")
+      assert(row.getAs[Long]("min_slope_ppm") === slopes.head)
+      assert(row.getAs[Long]("max_slope_ppm") === slopes.last)
+    }
+  }
+
+  test("q207 backtest: WAPE equals brute-force calendar-lag errors") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q207NaiveBacktest(spark, d).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("horizon_days")) -> r).toMap
+    val daily = graft.sources.Tables.events(spark, d)
+      .select($"event_type", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case ((typ, day), n) => (typ, day, n) }
+    daily.groupBy(_._1).foreach { case (typ, rs) =>
+      val byDay = rs.map(t => t._2 -> t._3).toMap
+      for (h <- Seq(1, 7)) {
+        val scored = byDay.toSeq.filter { case (day, _) =>
+          byDay.contains(day - h) }
+        val sumErr = scored.map { case (day, x) =>
+          math.abs(x - byDay(day - h)) }.sum
+        val sumAct = scored.map(_._2).sum
+        val row = got((typ, h))
+        assert(row.getAs[Long]("n_days") === scored.length.toLong)
+        assert(row.getAs[Long]("sum_abs_err") === sumErr)
+        assert(row.getAs[Long]("sum_actual") === sumAct)
+        assert(row.getAs[Long]("wape_ppm") === sumErr * 1000000L / sumAct)
+        // seasonal-naive scores fewer-or-equal days than persistence
+      }
+    }
+  }
+
+  test("q208 skyline: equals brute-force pairwise dominance") {
+    import graft.operators.TextOps
+    import graft.functions.Text
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q208SkylineFrontier(spark, d).collect()
+      .map(_.getLong(0)).toSet
+    val pts = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id",
+        floor(Text.qualityScore($"text") * 1e4 + 0.5).cast("long").as("qg"),
+        Text.tokenCount($"text").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pts.filter { case (_, q, n) =>
+      !pts.exists { case (_, q2, n2) =>
+        q2 >= q && n2 >= n && (q2 > q || n2 > n) }
+    }.map(_._1).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q209 rolling actives: WAU equals brute-force 7-day distinct") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q209RollingActives(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val ud = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L)).distinct
+    val activeDays = ud.map(_._2).distinct.sorted
+    assert(got.keySet === activeDays.toSet)
+    activeDays.foreach { day =>
+      val dau = ud.count(_._2 == day).toLong
+      val wau = ud.filter(t => t._2 <= day && t._2 >= day - 6L)
+        .map(_._1).distinct.length.toLong
+      val row = got(day)
+      assert(row.getAs[Long]("dau") === dau)
+      assert(row.getAs[Long]("wau7") === wau, s"day $day")
+      assert(row.getAs[Long]("stickiness_ppm") === dau * 1000000L / wau)
+      assert(dau <= wau)
+    }
+  }
 }

@@ -484,8 +484,10 @@ class ScaleSpec extends AnyFunSuite {
       "ods/OdsBuild.scala" -> (1, "contract dim: tens of rows"),
       "operators/Relational.scala" -> (1, "histogram bucket axis (bounded grid)"),
       "operators/EventOps.scala" -> (1, "day axis (bounded calendar)"),
-      "operators/TextOps.scala" -> (5,
-        "quality grid / superbuckets / |sources| / quartile grid / bucket grid"),
+      "operators/TextOps.scala" -> (6,
+        "quality grid / superbuckets / |sources| / quartile grid / " +
+          "bucket grid / q208 skyline running-max over the ≤1e4 " +
+          "quality-grid axis"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -525,7 +527,8 @@ class ScaleSpec extends AnyFunSuite {
     // metadata-sized constant relation (centroids, codebooks, totals)
     val crossJoinBudget = Map(
       "operators/EventOps.scala" -> 7,
-      "operators/Relational.scala" -> 4,
+      // +1 round 10: q204's 1-row digit-total broadcast
+      "operators/Relational.scala" -> 5,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
