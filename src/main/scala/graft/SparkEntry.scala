@@ -232,6 +232,10 @@ object SparkEntry {
     "q207_naive_backtest" -> (EventOps.q207NaiveBacktest(_, _)),
     "q208_skyline" -> (TextOps.q208SkylineFrontier(_, _)),
     "q209_rolling_actives" -> (EventOps.q209RollingActives(_, _)),
+    "q210_t_closeness" -> (TextOps.q210TCloseness(_, _)),
+    "q211_join_card_est" -> (Relational.q211JoinCardEst(_, _)),
+    "q212_twap" -> (EventOps.q212Twap(_, _)),
+    "q213_gram_matrix" -> (VectorOps.q213GramMatrix(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -613,5 +617,19 @@ object SparkEntry {
     // q209: coverage-expansion exact rolling distinct; counts exact
     // BIGINTs, stickiness an integer floor division
     "q209_rolling_actives" -> EventOps.q209RollingActivesSql,
+    // q210: exact integer TVD numerator Σ|kl·g − gl·k| on the bounded
+    // class × lang spine; ONE rule-7 double scale to ppm; the at-risk
+    // decision compares the gridded integer (rule 10)
+    "q210_t_closeness" -> TextOps.q210TClosenessSql,
+    // q211: System-R containment estimate from bounded 1024-bucket
+    // histograms, audited against the exact join count; pure integer
+    "q211_join_card_est" -> Relational.q211JoinCardEstSql,
+    // q212: interval weights from a (tsec, event_id)-tie-broken lead;
+    // exact cents×seconds sums, one stableRound division
+    "q212_twap" -> EventOps.q212TwapSql,
+    // q213: per-row products gridded to integer micros at birth
+    // (identical float→double cast + IEEE multiply), exact order-free
+    // BIGINT sums onto the bounded 136-cell axis
+    "q213_gram_matrix" -> VectorOps.q213GramMatrixSql,
   )
 }

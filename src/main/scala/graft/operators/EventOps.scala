@@ -2028,4 +2028,57 @@ object EventOps {
        |  (d.dau * 1000000) // w.wau7 AS stickiness_ppm
        |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q212: time-weighted average price (TWAP) per instrument-day
+  // ---------------------------------------------------------------
+
+  /** Daily TWAP over the tick stream — the execution benchmark
+    * algorithmic trading desks settle against (each price weighted by
+    * how LONG it stood, not how often it printed — a burst of
+    * same-price ticks must not drag the average the way the plain
+    * mean lets it). Interval weights come from one lead over the
+    * (tsec, event_id)-tie-broken per-(type, day) order; the weighted
+    * sum is exact BIGINT cents×seconds, with one stableRound division
+    * at the end. The last tick of each day carries no interval (open
+    * intervals are not invented), and a day whose ticks all share one
+    * second reports no TWAP row in either engine. Scale shape: one
+    * window and one aggregation, both partitioned by (type, day) —
+    * tick-grain but key-parallel; output is calendar-bounded. */
+  def q212Twap(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select($"event_type",
+      date_format($"ts", "yyyy-MM-dd").as("day"),
+      sec($"ts").as("tsec"), $"event_id",
+      floor($"value" * 100.0 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy($"event_type", $"day")
+      .orderBy($"tsec", $"event_id")
+    ev.select($"event_type", $"day", $"cents",
+        (lead($"tsec", 1).over(w) - $"tsec").as("dt"))
+      .filter($"dt".isNotNull)
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"cents" * $"dt").as("num"), sum($"dt").as("den"))
+      .filter($"den" > 0L)
+      .select($"event_type", $"day", $"n_intervals",
+        stableRound($"num".cast("double") / $"den" / 100.0, 6).as("twap"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val q212TwapSql: String =
+    s"""WITH ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |iv AS (SELECT event_type, day, cents,
+       |    lead(tsec) OVER (PARTITION BY event_type, day
+       |      ORDER BY tsec, event_id) - tsec AS dt
+       |  FROM ev),
+       |ag AS (SELECT event_type, day, count(*) AS n_intervals,
+       |    CAST(sum(cents * dt) AS BIGINT) AS num,
+       |    CAST(sum(dt) AS BIGINT) AS den
+       |  FROM iv WHERE dt IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, day, n_intervals,
+       |  ${sqlRound("CAST(num AS DOUBLE) / den / 100.0", 6)} AS twap
+       |FROM ag WHERE den > 0 ORDER BY event_type, day""".stripMargin
+
 }

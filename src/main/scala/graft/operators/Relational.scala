@@ -2434,4 +2434,82 @@ object Relational {
        |FROM j CROSS JOIN t ORDER BY j.digit""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------
+  // q211: histogram join-cardinality estimation (optimizer stats)
+  // ---------------------------------------------------------------
+
+  private val CardBuckets = 1024L
+
+  /** The cost-based-optimizer statistics surface: estimate two join
+    * cardinalities from per-side bucket histograms (key mod 1024:
+    * per-bucket row count + exact NDV), using the System-R
+    * containment/uniformity estimate Σ n_a·n_b ÷ max(ndv_a, ndv_b)
+    * per bucket, and audit the estimate against the EXACT join count
+    * with an integer-ppm error. On FK joins (both probed here) the
+    * uniformity assumption is tight, which is the point of the audit
+    * row — the artifact a plan advisor would read before choosing a
+    * join strategy. All integer arithmetic; bucket relations are
+    * bounded at 1024 rows per side regardless of table size, so the
+    * estimator costs two map-side-combinable aggregations per side
+    * at any scale (the exact count is the expensive truth being
+    * audited, not part of the estimator). */
+  def q211JoinCardEst(s: SparkSession, d: String): DataFrame = {
+    def sideStats(df: DataFrame, key: String): DataFrame =
+      df.select((col(key) % CardBuckets).as("b"), col(key).as("k"))
+        .groupBy($"b")
+        .agg(count(lit(1)).as("n"), countDistinct($"k").as("ndv"))
+    def est(a: DataFrame, b: DataFrame): DataFrame =
+      a.select($"b", $"n".as("na"), $"ndv".as("nda"))
+        .join(b.select($"b", $"n".as("nb"), $"ndv".as("ndb")), "b")
+        .agg(sum(expr("(na * nb) div greatest(nda, ndb)")).as("est_rows"))
+    val li = Tables.lineitem(s, d)
+    val lo = est(sideStats(li, "l_orderkey"),
+      sideStats(Tables.orders(s, d), "o_orderkey"))
+    val lp = est(sideStats(li, "l_partkey"),
+      sideStats(Tables.part(s, d), "p_partkey"))
+    val exactLo = li.join(Tables.orders(s, d),
+      $"l_orderkey" === $"o_orderkey").agg(count(lit(1)).as("exact_rows"))
+    val exactLp = li.join(Tables.part(s, d),
+      $"l_partkey" === $"p_partkey").agg(count(lit(1)).as("exact_rows"))
+    def rowOf(name: String, e: DataFrame, x: DataFrame): DataFrame =
+      e.crossJoin(broadcast(x))
+        .select(lit(name).as("join_name"), $"est_rows", $"exact_rows",
+          expr("(abs(est_rows - exact_rows) * 1000000) div exact_rows")
+            .as("err_ppm"))
+    rowOf("lineitem_orders", lo, exactLo)
+      .unionAll(rowOf("lineitem_part", lp, exactLp))
+      .orderBy($"join_name")
+  }
+
+  val q211JoinCardEstSql: String = {
+    def sideSql(name: String, tbl: String, key: String): String =
+      s"""$name AS (SELECT $key % $CardBuckets AS b, count(*) AS n,
+         |    count(DISTINCT $key) AS ndv FROM $tbl GROUP BY 1)""".stripMargin
+    def estSql(name: String, a: String, b: String): String =
+      s"""$name AS (SELECT CAST(sum((a.n * b.n) //
+         |    greatest(a.ndv, b.ndv)) AS BIGINT) AS est_rows
+         |  FROM $a a JOIN $b b USING (b))""".stripMargin
+    s"""WITH ${sideSql("la", "lineitem", "l_orderkey")},
+       |${sideSql("oa", "orders", "o_orderkey")},
+       |${sideSql("lb", "lineitem", "l_partkey")},
+       |${sideSql("pa", "part", "p_partkey")},
+       |${estSql("eo", "la", "oa")},
+       |${estSql("ep", "lb", "pa")},
+       |xo AS (SELECT count(*) AS exact_rows FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |xp AS (SELECT count(*) AS exact_rows FROM lineitem l
+       |  JOIN part p ON l.l_partkey = p.p_partkey)
+       |SELECT 'lineitem_orders' AS join_name, eo.est_rows,
+       |  xo.exact_rows,
+       |  (abs(eo.est_rows - xo.exact_rows) * 1000000) // xo.exact_rows
+       |    AS err_ppm
+       |FROM eo CROSS JOIN xo
+       |UNION ALL
+       |SELECT 'lineitem_part', ep.est_rows, xp.exact_rows,
+       |  (abs(ep.est_rows - xp.exact_rows) * 1000000) // xp.exact_rows
+       |FROM ep CROSS JOIN xp
+       |ORDER BY join_name""".stripMargin
+  }
+
 }

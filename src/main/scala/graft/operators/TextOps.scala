@@ -5078,4 +5078,84 @@ object TextOps {
        |  ON d.qg = ff.qg AND d.n_tokens = ff.bmax
        |ORDER BY d.doc_id""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q210: t-closeness (variational distance to the global prior)
+  // ---------------------------------------------------------------
+
+  /** t-closeness threshold in ppm of total-variation distance (0.3 —
+    * the value the original paper uses in its running examples). */
+  private val TCloseT = 300000L
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007) — the
+    * third leg of the privacy-release trilogy (q179 k-anonymity: class
+    * SIZE; q195 l-diversity: distinct sensitive VALUES; this: the
+    * sensitive-value DISTRIBUTION must stay close to the global
+    * prior, closing the skewness attack l-diversity misses). Same
+    * quasi-identifier classes as q195 (source × 50-char length band),
+    * sensitive attribute `lang`; distance is total-variation
+    * ½·Σ|p−q| — the standard t-closeness metric for an unordered
+    * attribute — computed as the EXACT integer numerator
+    * Σ|kl·g − gl·k| (kl, k class counts; gl, g global counts), then
+    * ONE rule-7 double scale to ppm (the cross products overflow
+    * BIGINT when multiplied again by 10⁶ at corpus scale); the
+    * at-risk decision compares the gridded integer (rule 10). A lang
+    * absent from a class still contributes its full prior mass via
+    * the class × lang spine. Scale shape: one corpus scan to the
+    * class-lang grain; the spine is bounded (classes × |langs|), the
+    * global relations are 1-row / |langs|-row broadcasts. */
+  def q210TCloseness(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"source",
+        expr("CAST(n_chars AS BIGINT) div 50").as("len_band"), $"lang")
+    val cls = base.groupBy($"source", $"len_band", $"lang")
+      .agg(count(lit(1)).as("kl"))
+    val classes = base.groupBy($"source", $"len_band")
+      .agg(count(lit(1)).as("k"))
+    val glang = base.groupBy($"lang").agg(count(lit(1)).as("gl"))
+    val gtot = base.agg(count(lit(1)).as("g"))
+    classes.crossJoin(broadcast(glang))
+      .join(cls, Seq("source", "len_band", "lang"), "left")
+      .select($"source", $"len_band", $"k", $"gl",
+        coalesce($"kl", lit(0L)).as("kl"))
+      .crossJoin(broadcast(gtot))
+      .groupBy($"source", $"len_band")
+      .agg(max($"k").as("k"),
+        sum(abs($"kl" * $"g" - $"gl" * $"k")).as("num"),
+        max($"g").as("g"))
+      .select($"source", $"len_band", $"k",
+        floor($"num".cast("double") * 500000.0 /
+          ($"k".cast("double") * $"g") + 0.5).cast("long").as("tvd_ppm"))
+      .select($"source", $"len_band", $"k", $"tvd_ppm",
+        ($"tvd_ppm" > TCloseT).as("at_risk"))
+      .orderBy($"source", $"len_band")
+  }
+
+  val q210TClosenessSql: String =
+    s"""WITH base AS (SELECT source, CAST(n_chars AS BIGINT) // 50
+       |      AS len_band, lang
+       |  FROM documents WHERE text IS NOT NULL),
+       |cls AS (SELECT source, len_band, lang, count(*) AS kl
+       |  FROM base GROUP BY 1, 2, 3),
+       |classes AS (SELECT source, len_band, count(*) AS k
+       |  FROM base GROUP BY 1, 2),
+       |glang AS (SELECT lang, count(*) AS gl FROM base GROUP BY 1),
+       |gtot AS (SELECT count(*) AS g FROM base),
+       |sp AS (SELECT c.source, c.len_band, c.k, l.gl,
+       |    coalesce(x.kl, 0) AS kl
+       |  FROM classes c CROSS JOIN glang l
+       |  LEFT JOIN cls x ON x.source = c.source
+       |    AND x.len_band = c.len_band AND x.lang = l.lang),
+       |ag AS (SELECT source, len_band, max(k) AS k,
+       |    CAST(sum(abs(kl * t.g - gl * k)) AS BIGINT) AS num,
+       |    max(t.g) AS g
+       |  FROM sp CROSS JOIN gtot t GROUP BY 1, 2)
+       |SELECT source, len_band, k,
+       |  CAST(floor(CAST(num AS DOUBLE) * 500000.0 /
+       |    (CAST(k AS DOUBLE) * g) + 0.5) AS BIGINT) AS tvd_ppm,
+       |  (CAST(floor(CAST(num AS DOUBLE) * 500000.0 /
+       |    (CAST(k AS DOUBLE) * g) + 0.5) AS BIGINT) > $TCloseT)
+       |    AS at_risk
+       |FROM ag ORDER BY source, len_band""".stripMargin
+
 }

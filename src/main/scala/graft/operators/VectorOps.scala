@@ -1251,4 +1251,56 @@ object VectorOps {
        |FROM rk WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q213: embedding gram matrix (PCA / whitening preparation)
+  // ---------------------------------------------------------------
+
+  private val GramDims = 16
+
+  /** Upper-triangular gram matrix G[i,j] = Σ xᵢ·xⱼ over the first
+    * [[GramDims]] embedding dimensions — the aggregation a PCA /
+    * whitening / ZCA preprocessing step runs over the corpus before
+    * eigendecomposition (the decomposition itself is a
+    * metadata-sized dense solve on the driver of whatever consumes
+    * this; producing G at corpus scale is the distributed part).
+    * Each per-row product is gridded to an integer micro the moment
+    * it is born (identical float→double cast and IEEE multiply in
+    * both engines, rule 10), so the aggregation is an exact
+    * order-free BIGINT sum — no FP summation-order hazard at any
+    * parallelism. Scale shape: one corpus scan exploding each vector
+    * to its 136 bounded cells (map-side-combinable straight onto the
+    * 136-cell axis); no joins, no windows. */
+  def q213GramMatrix(s: SparkSession, d: String): DataFrame = {
+    val cells = for { i <- 0 until GramDims; j <- i until GramDims }
+      yield (i, j)
+    val cellCol = explode(array(cells.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"),
+        floor(element_at($"embedding", i + 1).cast("double") *
+          element_at($"embedding", j + 1).cast("double") *
+          1000000.0 + 0.5).cast("long").as("xy"))
+    }: _*)).as("c")
+    Tables.embeddings(s, d).filter($"embedding".isNotNull)
+      .select(cellCol)
+      .select($"c.i".as("i"), $"c.j".as("j"), $"c.xy".as("xy"))
+      .groupBy($"i", $"j")
+      .agg(count(lit(1)).as("n"), sum($"xy").as("gram_micro"))
+      .orderBy($"i", $"j")
+  }
+
+  val q213GramMatrixSql: String = {
+    val vals = (for { i <- 0 until GramDims; j <- i until GramDims }
+      yield s"($i,$j)").mkString(", ")
+    s"""WITH dims AS (SELECT i, j FROM (VALUES $vals) AS t(i, j)),
+       |cells AS (SELECT d.i, d.j,
+       |    CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) *
+       |      CAST(e.embedding[d.j + 1] AS DOUBLE) *
+       |      1000000.0 + 0.5) AS BIGINT) AS xy
+       |  FROM embeddings e CROSS JOIN dims d
+       |  WHERE e.embedding IS NOT NULL)
+       |SELECT i, j, count(*) AS n,
+       |  CAST(sum(xy) AS BIGINT) AS gram_micro
+       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
 }

@@ -4116,4 +4116,107 @@ class EngineSpec extends AnyFunSuite {
       assert(dau <= wau)
     }
   }
+
+  test("q210 t-closeness: TVD equals brute-force distribution distance") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val got = TextOps.q210TCloseness(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val base = graft.sources.Tables.documents(spark, d)
+      .filter($"text".isNotNull)
+      .select($"source", $"n_chars".cast("long"), $"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 50L, r.getString(2)))
+    val g = base.length.toLong
+    val glang = base.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    base.groupBy(t => (t._1, t._2)).foreach { case (cls, rows) =>
+      val k = rows.length.toLong
+      val klang = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = glang.map { case (lang, gl) =>
+        math.abs(klang.getOrElse(lang, 0L) * g - gl * k) }.sum
+      val tvd = math.floor(num.toDouble * 500000.0 / (k.toDouble * g) + 0.5).toLong
+      val row = got(cls)
+      assert(row.getAs[Long]("k") === k)
+      assert(row.getAs[Long]("tvd_ppm") === tvd)
+      assert(tvd >= 0L && tvd <= 1000000L)
+      assert(row.getAs[Boolean]("at_risk") === (tvd > 300000L))
+    }
+  }
+
+  test("q211 join cardinality: estimator replay + FK exact count") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q211JoinCardEst(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // the lineitem->orders FK join's exact count is |lineitem|
+    val nLi = graft.sources.Tables.lineitem(spark, d).count()
+    assert(rows("lineitem_orders").getAs[Long]("exact_rows") === nLi)
+    assert(rows("lineitem_part").getAs[Long]("exact_rows") === nLi)
+    // estimator replay from raw keys for the orders join
+    val lks = graft.sources.Tables.lineitem(spark, d)
+      .select($"l_orderkey").collect().map(_.getLong(0))
+    val oks = graft.sources.Tables.orders(spark, d)
+      .select($"o_orderkey").collect().map(_.getLong(0))
+    def stats(ks: Array[Long]) = ks.groupBy(_ % 1024L).view
+      .mapValues(v => (v.length.toLong, v.distinct.length.toLong)).toMap
+    val (sa, sb) = (stats(lks), stats(oks))
+    val est = sa.keysIterator.filter(sb.contains).map { b =>
+      val (na, nda) = sa(b); val (nb, ndb) = sb(b)
+      na * nb / math.max(nda, ndb)
+    }.sum
+    val row = rows("lineitem_orders")
+    assert(row.getAs[Long]("est_rows") === est)
+    assert(row.getAs[Long]("err_ppm") ===
+      math.abs(est - nLi) * 1000000L / nLi)
+  }
+
+  test("q212 twap: equals brute-force interval weighting") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q212Twap(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ticks = graft.sources.Tables.events(spark, d)
+      .select($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"),
+        $"ts".cast("long").as("tsec"), $"event_id", $"value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), math.floor(r.getDouble(4) * 100.0 + 0.5).toLong))
+    ticks.groupBy(t => (t._1, t._2)).foreach { case (key, rs) =>
+      val srt = rs.sortBy(t => (t._3, t._4))
+      val ivs = srt.zip(srt.tail).map { case (a, b) => (a._5, b._3 - a._3) }
+      val den = ivs.map(_._2).sum
+      if (ivs.nonEmpty && den > 0L) {
+        val num = ivs.map(t => t._1 * t._2).sum
+        val row = got(key)
+        assert(row.getAs[Long]("n_intervals") === ivs.length.toLong)
+        assert(math.abs(row.getAs[Double]("twap") -
+          num.toDouble / den / 100.0) < 2e-6)
+        // TWAP stays inside the day's price range
+        val (lo, hi) = (srt.map(_._5).min / 100.0, srt.map(_._5).max / 100.0)
+        assert(row.getAs[Double]("twap") >= lo - 1e-6)
+        assert(row.getAs[Double]("twap") <= hi + 1e-6)
+      } else assert(!got.contains(key))
+    }
+  }
+
+  test("q213 gram matrix: equals brute-force gridded sums, full triangle") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q213GramMatrix(spark, d).collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      (for { i <- 0 until 16; j <- i until 16 } yield (i, j)))
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .filter($"embedding".isNotNull)
+      .select($"embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val exp = vecs.map { v =>
+        math.floor(v(i).toDouble * v(j).toDouble * 1000000.0 + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("gram_micro") === exp, s"cell ($i,$j)")
+      assert(r.getAs[Long]("n") === vecs.length.toLong)
+    }
+    // diagonal cells are sums of squares: non-negative
+    rows.filter(r => r.getInt(0) == r.getInt(1))
+      .foreach(r => assert(r.getAs[Long]("gram_micro") >= 0L))
+  }
 }

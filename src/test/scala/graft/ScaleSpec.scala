@@ -528,7 +528,9 @@ class ScaleSpec extends AnyFunSuite {
     val crossJoinBudget = Map(
       "operators/EventOps.scala" -> 7,
       // +1 round 10: q204's 1-row digit-total broadcast
-      "operators/Relational.scala" -> 5,
+      // +1 round 10: q211's 1-row exact-count broadcast beside the
+      // 1-row estimate
+      "operators/Relational.scala" -> 6,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
@@ -536,7 +538,9 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 9: q184's 1-row winning-merge-pair broadcast;
       // +2 round 10: q191's per-iteration 1-row winner broadcast and
       // 1-row symbol-mass broadcast (both LIMIT-1/global-agg relations)
-      "operators/TextOps.scala" -> 18,
+      // +2 round 10: q210's |langs|-row prior broadcast (class spine)
+      // and 1-row global-total broadcast
+      "operators/TextOps.scala" -> 20,
       "operators/VectorOps.scala" -> 5)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
