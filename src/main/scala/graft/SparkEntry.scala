@@ -236,6 +236,9 @@ object SparkEntry {
     "q211_join_card_est" -> (Relational.q211JoinCardEst(_, _)),
     "q212_twap" -> (EventOps.q212Twap(_, _)),
     "q213_gram_matrix" -> (VectorOps.q213GramMatrix(_, _)),
+    "q214_isotonic" -> (TextOps.q214IsotonicCalibration(_, _)),
+    "q215_fisher_scatter" -> (VectorOps.q215FisherScatter(_, _)),
+    "q216_path_trigrams" -> (EventOps.q216PathTrigrams(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -631,5 +634,16 @@ object SparkEntry {
     // (identical float→double cast + IEEE multiply), exact order-free
     // BIGINT sums onto the bounded 136-cell axis
     "q213_gram_matrix" -> VectorOps.q213GramMatrixSql,
+    // q214: PAVA by its minimax identity — every interval average one
+    // exact integer floor division of prefix-sum differences; the fit
+    // is pure integer min/max, no FP anywhere
+    "q214_isotonic" -> TextOps.q214IsotonicCalibrationSql,
+    // q215: per-label sx·sy/n terms gridded to integer micros BEFORE
+    // the label sum (rule 2), products in double per rule 7; gram arm
+    // nests q213's mirror verbatim (q190 discipline)
+    "q215_fisher_scatter" -> VectorOps.q215FisherScatterSql,
+    // q216: two stacked leads on the (ts, event_id) tie-broken user
+    // window; complete |types|³-bounded census, integer-ppm shares
+    "q216_path_trigrams" -> EventOps.q216PathTrigramsSql,
   )
 }

@@ -2081,4 +2081,51 @@ object EventOps {
        |  ${sqlRound("CAST(num AS DOUBLE) / den / 100.0", 6)} AS twap
        |FROM ag WHERE den > 0 ORDER BY event_type, day""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q216: event-sequence trigram mining (behavioral path census)
+  // ---------------------------------------------------------------
+
+  /** Third-order sequential pattern census — the behavioral-path
+    * surface beyond q100's first-order transition matrix: every
+    * consecutive (t₁→t₂→t₃) triple in each user's event stream,
+    * counted corpus-wide with an integer-ppm share of all triples.
+    * Two stacked leads over the same (ts, event_id)-tie-broken
+    * per-user window (one exchange, one sort — Spark collapses both
+    * lead columns into a single Window node); output bounded by
+    * |types|³ at any corpus size, so the census ships complete
+    * instead of top-k'd (no rank ties to adjudicate). */
+  def q216PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    val tri = Tables.events(s, d)
+      .select($"user_id", $"event_type".as("t1"),
+        sec($"ts").as("tsec"), $"event_id")
+      .select($"t1",
+        lead($"t1", 1).over(w).as("t2"), lead($"t1", 2).over(w).as("t3"))
+      .filter($"t3".isNotNull)
+    val tot = tri.agg(count(lit(1)).as("total"))
+    tri.groupBy($"t1", $"t2", $"t3").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select($"t1", $"t2", $"t3", $"n",
+        expr("(n * 1000000) div total").as("share_ppm"))
+      .orderBy($"t1", $"t2", $"t3")
+  }
+
+  val q216PathTrigramsSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type AS t1,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id
+       |  FROM events),
+       |tr AS (SELECT t1,
+       |    lead(t1, 1) OVER (PARTITION BY user_id
+       |      ORDER BY tsec, event_id) AS t2,
+       |    lead(t1, 2) OVER (PARTITION BY user_id
+       |      ORDER BY tsec, event_id) AS t3
+       |  FROM ev),
+       |tri AS (SELECT t1, t2, t3 FROM tr WHERE t3 IS NOT NULL),
+       |tot AS (SELECT count(*) AS total FROM tri)
+       |SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n,
+       |  (count(*) * 1000000) // max(t0.total) AS share_ppm
+       |FROM tri CROSS JOIN tot t0
+       |GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""".stripMargin
+
 }

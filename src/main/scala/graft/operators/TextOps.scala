@@ -5158,4 +5158,101 @@ object TextOps {
        |    AS at_risk
        |FROM ag ORDER BY source, len_band""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q214: isotonic calibration of the classifier (PAVA via minimax)
+  // ---------------------------------------------------------------
+
+  /** Isotonic (monotone) calibration of q185's classifier reliability
+    * curve — the standard post-hoc calibrator (Zadrozny & Elkan KDD
+    * 2002; sklearn's `IsotonicRegression`): the empirical
+    * rules-pass rate per logit bucket, replaced by the closest
+    * NON-DECREASING curve in weighted least squares. Computed not by
+    * the sequential pool-adjacent-violators sweep (order-dependent,
+    * hostile to both engines) but by its closed-form minimax identity
+    * ĝ(i) = max_{j≤i} min_{k≥i} avg(y[j..k]) — every interval average
+    * is ONE exact integer floor-division of prefix-sum differences
+    * (ppm grain), so the whole fit is integer min/max arithmetic,
+    * bit-identical across engines with no FP anywhere. Scale shape:
+    * the corpus is touched once (q185's feature grid aggregation);
+    * the fit runs entirely on the bounded logit-bucket axis — the
+    * interval relation is B² rows (B = |buckets|, tens), the
+    * suffix-min windows are per-j partitions, the final argmax a
+    * bounded aggregation. */
+  def q214IsotonicCalibration(s: SparkSession, d: String): DataFrame = {
+    val f = featureGrid(Tables.documents(s, d).filter($"text".isNotNull))
+      .select(logitCol.as("logit_micro"),
+        (!ruleViolCols.reduce(_ || _)).as("rules_pass"))
+    val b = f
+      .select(floor($"logit_micro" / CalibBucket).cast("long").as("bucket"),
+        $"rules_pass")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("w"),
+        sum(when($"rules_pass", 1L).otherwise(0L)).as("y"))
+    // exclusive/inclusive prefix sums over the bounded bucket axis
+    val wAxis = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = b.select($"bucket", $"w", $"y",
+      sum($"w").over(wAxis).as("cw"), sum($"y").over(wAxis).as("cy"))
+      .select($"bucket", $"w", $"y", $"cw", $"cy",
+        ($"cw" - $"w").as("pw"), ($"cy" - $"y").as("py"))
+    // all intervals [j..k]: r = floor(1e6 · Σy / Σw) — exact integers
+    val iv = pre.select($"bucket".as("j"), $"pw", $"py")
+      .join(pre.select($"bucket".as("k"), $"cw", $"cy"), $"j" <= $"k")
+      .select($"j", $"k",
+        expr("((cy - py) * 1000000) div (cw - pw)").as("r"))
+    // suffix min over k per j, then max over j ≤ i
+    val sm = iv.select($"j", $"k".as("i"),
+      min($"r").over(Window.partitionBy($"j").orderBy($"k".desc)
+        .rowsBetween(Window.unboundedPreceding, 0)).as("m"))
+    val fit = sm.filter($"j" <= $"i")
+      .groupBy($"i").agg(max($"m").as("iso_rate_ppm"))
+    b.join(fit, $"bucket" === $"i")
+      .select($"bucket",
+        when($"bucket" >= 0L, "keep").otherwise("drop").as("model_label"),
+        $"w".as("n_docs"),
+        expr("(y * 1000000) div w").as("raw_rate_ppm"),
+        $"iso_rate_ppm")
+      .orderBy($"bucket")
+  }
+
+  val q214IsotonicCalibrationSql: String =
+    s"""WITH f AS (SELECT ${featureGridSql("")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT
+       |    $logitSql AS logit_micro,
+       |    NOT (${ruleViolSql.mkString(" OR ")}) AS rules_pass
+       |  FROM f),
+       |b AS (SELECT CAST(floor(logit_micro / $CalibBucket) AS BIGINT)
+       |      AS bucket,
+       |    count(*) AS w,
+       |    CAST(sum(CASE WHEN rules_pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM sc GROUP BY 1),
+       |pre AS (SELECT bucket, w, y,
+       |    CAST(sum(w) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+       |    CAST(sum(y) OVER (ORDER BY bucket
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cy
+       |  FROM b),
+       |pre2 AS (SELECT bucket, w, y, cw, cy,
+       |    cw - w AS pw, cy - y AS py FROM pre),
+       |iv AS (SELECT a.bucket AS j, c.bucket AS k,
+       |    ((c.cy - a.py) * 1000000) // (c.cw - a.pw) AS r
+       |  FROM pre2 a JOIN pre2 c ON a.bucket <= c.bucket),
+       |sm AS (SELECT j, k AS i,
+       |    min(r) OVER (PARTITION BY j ORDER BY k DESC
+       |      ROWS UNBOUNDED PRECEDING) AS m
+       |  FROM iv),
+       |fit AS (SELECT i, max(m) AS iso_rate_ppm
+       |  FROM sm WHERE j <= i GROUP BY i)
+       |SELECT b.bucket,
+       |  CASE WHEN b.bucket >= 0 THEN 'keep' ELSE 'drop' END
+       |    AS model_label,
+       |  b.w AS n_docs,
+       |  (b.y * 1000000) // b.w AS raw_rate_ppm,
+       |  f2.iso_rate_ppm
+       |FROM b JOIN fit f2 ON b.bucket = f2.i
+       |ORDER BY b.bucket""".stripMargin
+
 }

@@ -1303,4 +1303,77 @@ object VectorOps {
        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------
+  // q215: Fisher/LDA scatter decomposition (between-class structure)
+  // ---------------------------------------------------------------
+
+  /** Between-class scatter matrix over the first [[GramDims]]
+    * embedding dimensions — the other half of the discriminant-
+    * analysis preparation q213 starts (Fisher LDA: S_total =
+    * S_within + S_between; eigenvectors of S_within⁻¹·S_between are
+    * the class-separating directions, solved driver-side by whatever
+    * consumes these 136-row matrices). Per-label element sums are
+    * gridded to integer millis at birth (so their cross products are
+    * exactly micro-scaled), summed exactly, and the per-label
+    * product/count terms combine through ONE rule-7 double pass
+    * (sx·sy overflows BIGINT at corpus scale); within = total gram
+    * minus between, in integer micros. Scale shape: one corpus scan
+    * to (label × dim) sums — a bounded |labels|×16 relation — then
+    * all matrix assembly is metadata-sized; the gram arm reuses
+    * q213's one-scan shape. */
+  def q215FisherScatter(s: SparkSession, d: String): DataFrame = {
+    val dimCol = explode(array((0 until GramDims).map { i =>
+      struct(lit(i).as("dim"),
+        floor(element_at($"embedding", i + 1).cast("double") *
+          1000.0 + 0.5).cast("long").as("xm"))
+    }: _*)).as("c")
+    val sums = Tables.embeddings(s, d).filter($"embedding".isNotNull)
+      .select($"label", dimCol)
+      .select($"label", $"c.dim".as("dim"), $"c.xm".as("xm"))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"), sum($"xm").as("sx"))
+    val between = sums.select($"label", $"dim".as("i"),
+        $"sx".as("sxi"), $"n")
+      .join(sums.select($"label", $"dim".as("j"), $"sx".as("sxj")),
+        "label")
+      .filter($"i" <= $"j")
+      .groupBy($"i", $"j")
+      // each label's sx·sy/n term is gridded to an integer micro
+      // BEFORE the sum — a double sum over labels would be
+      // summation-order-dependent (rule 2); the products run in
+      // double per rule 7
+      .agg(sum(floor($"sxi".cast("double") * $"sxj" / $"n" + 0.5)
+        .cast("long")).as("between_micro"))
+    q213GramMatrix(s, d)
+      .join(between, Seq("i", "j"))
+      .select($"i", $"j", $"n", $"gram_micro", $"between_micro",
+        ($"gram_micro" - $"between_micro").as("within_micro"))
+      .orderBy($"i", $"j")
+  }
+
+  val q215FisherScatterSql: String = {
+    val dvals = (0 until GramDims).map(i => s"($i)").mkString(", ")
+    s"""WITH dims1 AS (SELECT d FROM (VALUES $dvals) AS t(d)),
+       |el AS (SELECT e.label, d.d AS dim,
+       |    CAST(floor(CAST(e.embedding[d.d + 1] AS DOUBLE) *
+       |      1000.0 + 0.5) AS BIGINT) AS xm
+       |  FROM embeddings e CROSS JOIN dims1 d
+       |  WHERE e.embedding IS NOT NULL),
+       |sums AS (SELECT label, dim, count(*) AS n,
+       |    CAST(sum(xm) AS BIGINT) AS sx
+       |  FROM el GROUP BY 1, 2),
+       |bw AS (SELECT a.dim AS i, c.dim AS j,
+       |    CAST(sum(CAST(floor(CAST(a.sx AS DOUBLE) * c.sx / a.n + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS between_micro
+       |  FROM sums a JOIN sums c
+       |    ON a.label = c.label AND a.dim <= c.dim
+       |  GROUP BY 1, 2),
+       |gram AS (${q213GramMatrixSql.replace("ORDER BY 1, 2", "")})
+       |SELECT g.i, g.j, g.n, g.gram_micro, b.between_micro,
+       |  g.gram_micro - b.between_micro AS within_micro
+       |FROM gram g JOIN bw b ON g.i = b.i AND g.j = b.j
+       |ORDER BY g.i, g.j""".stripMargin
+  }
+
 }

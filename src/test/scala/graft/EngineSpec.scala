@@ -4219,4 +4219,83 @@ class EngineSpec extends AnyFunSuite {
     rows.filter(r => r.getInt(0) == r.getInt(1))
       .foreach(r => assert(r.getAs[Long]("gram_micro") >= 0L))
   }
+
+  test("q214 isotonic: equals JVM minimax-PAVA replay, monotone") {
+    import graft.operators.TextOps
+    val d = "/root/testdata/sf0.001"
+    val base = TextOps.q185Calibration(spark, d).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_rules_pass"))).sortBy(_._1)
+    val got = TextOps.q214IsotonicCalibration(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("raw_rate_ppm"), r.getAs[Long]("iso_rate_ppm")))
+      .toMap
+    assert(got.keySet === base.map(_._1).toSet)
+    val w = base.map(_._2); val y = base.map(_._3); val nB = base.length
+    val cw = w.scanLeft(0L)(_ + _); val cy = y.scanLeft(0L)(_ + _)
+    def r(j: Int, k: Int): Long =
+      (cy(k + 1) - cy(j)) * 1000000L / (cw(k + 1) - cw(j))
+    val fit = (0 until nB).map { i =>
+      (0 to i).map { j => (i until nB).map(k => r(j, k)).min }.max
+    }
+    base.zipWithIndex.foreach { case ((b, wb, yb), i) =>
+      val (raw, iso) = got(b)
+      assert(raw === yb * 1000000L / wb)
+      assert(iso === fit(i), s"bucket $b")
+    }
+    // the fitted curve is non-decreasing in the bucket order
+    val isoSeq = base.map(t => got(t._1)._2)
+    assert(isoSeq.zip(isoSeq.tail).forall { case (a, b) => a <= b })
+    // and stays inside the raw-rate envelope
+    val raws = base.map(t => got(t._1)._1)
+    isoSeq.foreach(v => assert(v >= raws.min && v <= raws.max))
+  }
+
+  test("q215 fisher scatter: equals brute-force label decomposition") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val rows = VectorOps.q215FisherScatter(spark, d).collect()
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .filter($"embedding".isNotNull)
+      .select($"label", $"embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val byLabel = vecs.groupBy(_._1)
+      val between = byLabel.values.map { vs =>
+        val sxi = vs.map(v => math.floor(v._2(i) * 1000.0 + 0.5).toLong).sum
+        val sxj = vs.map(v => math.floor(v._2(j) * 1000.0 + 0.5).toLong).sum
+        math.floor(sxi.toDouble * sxj / vs.length + 0.5).toLong
+      }.sum
+      assert(r.getAs[Long]("between_micro") === between, s"cell ($i,$j)")
+      assert(r.getAs[Long]("within_micro") ===
+        r.getAs[Long]("gram_micro") - between)
+    }
+    // diagonal within-scatter is a (gridded) sum of squared deviations:
+    // non-negative up to the two grids' rounding slack
+    rows.filter(r => r.getInt(0) == r.getInt(1))
+      .foreach(r => assert(r.getAs[Long]("within_micro") >= -r.getAs[Long]("n")))
+  }
+
+  test("q216 trigrams: equals brute-force sequential triples") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val rows = EventOps.q216PathTrigrams(spark, d).collect()
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts".cast("long"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).values.flatMap { us =>
+      val srt = us.sortBy(t => (t._3, t._4)).map(_._2)
+      srt.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = expected.values.sum
+    assert(rows.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet === expected.keySet)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getString(2))
+      assert(r.getAs[Long]("n") === expected(key))
+      assert(r.getAs[Long]("share_ppm") === expected(key) * 1000000L / total)
+    }
+  }
 }

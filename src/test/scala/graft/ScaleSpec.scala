@@ -484,10 +484,11 @@ class ScaleSpec extends AnyFunSuite {
       "ods/OdsBuild.scala" -> (1, "contract dim: tens of rows"),
       "operators/Relational.scala" -> (1, "histogram bucket axis (bounded grid)"),
       "operators/EventOps.scala" -> (1, "day axis (bounded calendar)"),
-      "operators/TextOps.scala" -> (6,
+      "operators/TextOps.scala" -> (7,
         "quality grid / superbuckets / |sources| / quartile grid / " +
           "bucket grid / q208 skyline running-max over the ≤1e4 " +
-          "quality-grid axis"),
+          "quality-grid axis / q214 prefix sums over the bounded " +
+          "logit-bucket axis"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -526,7 +527,8 @@ class ScaleSpec extends AnyFunSuite {
     // every crossJoin is against a broadcast() 1-row aggregate or a
     // metadata-sized constant relation (centroids, codebooks, totals)
     val crossJoinBudget = Map(
-      "operators/EventOps.scala" -> 7,
+      // +1 round 10: q216's 1-row trigram-total broadcast
+      "operators/EventOps.scala" -> 8,
       // +1 round 10: q204's 1-row digit-total broadcast
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
