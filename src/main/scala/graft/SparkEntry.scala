@@ -239,6 +239,9 @@ object SparkEntry {
     "q214_isotonic" -> (TextOps.q214IsotonicCalibration(_, _)),
     "q215_fisher_scatter" -> (VectorOps.q215FisherScatter(_, _)),
     "q216_path_trigrams" -> (EventOps.q216PathTrigrams(_, _)),
+    "q217_contract_checks" -> (Relational.q217ContractChecks(_, _)),
+    "q218_streak_dist" -> (EventOps.q218StreakDist(_, _)),
+    "q219_ab_test" -> (EventOps.q219AbTest(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -645,5 +648,15 @@ object SparkEntry {
     // q216: two stacked leads on the (ts, event_id) tie-broken user
     // window; complete |types|³-bounded census, integer-ppm shares
     "q216_path_trigrams" -> EventOps.q216PathTrigramsSql,
+    // q217: eight constraint rows, each an exact integer violation
+    // count from anti-joins / key counts / scan filters; a green zero
+    // IS the audited fact (q46 pattern)
+    "q217_contract_checks" -> Relational.q217ContractChecksSql,
+    // q218: gaps-and-islands day − row_number key; bounded histogram
+    "q218_streak_dist" -> EventOps.q218StreakDistSql,
+    // q219: md5-coin arms, exact integer counts, z² once in rule-7
+    // doubles, significance on the 1e-6 grid vs the gridded 1.96²
+    // literal (rule 10)
+    "q219_ab_test" -> EventOps.q219AbTestSql,
   )
 }

@@ -2128,4 +2128,152 @@ object EventOps {
        |FROM tri CROSS JOIN tot t0
        |GROUP BY t1, t2, t3 ORDER BY t1, t2, t3""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q218: longest-activity-streak distribution (gaps and islands)
+  // ---------------------------------------------------------------
+
+  /** Distribution of each user's longest consecutive-active-day
+    * streak — the retention-depth metric behind "7-day streak" product
+    * mechanics, computed with the classic gaps-and-islands technique:
+    * within a user, consecutive days share the constant
+    * day − row_number() island key, so streak lengths are a plain
+    * count per (user, island) with no iteration. Output is the
+    * bounded histogram streak length → user count (≤ |days| rows).
+    * Scale shape: one user-day distinct, one user-partitioned window
+    * (tie-break unnecessary — day is unique per user after the
+    * distinct, and the island key depends only on day order), then
+    * three map-side-combinable aggregations down the grains. */
+  def q218StreakDist(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select($"user_id", floor(sec($"ts") / 86400L).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val streaks = ud
+      .select($"user_id", ($"day" - row_number().over(w)).as("isl"))
+      .groupBy($"user_id", $"isl").agg(count(lit(1)).as("len"))
+      .groupBy($"user_id").agg(max($"len").as("best"))
+    streaks.groupBy($"best".as("streak_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"streak_days")
+  }
+
+  val q218StreakDistSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id,
+       |    CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day
+       |  FROM events),
+       |isl AS (SELECT user_id,
+       |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+       |      AS isl
+       |  FROM ud),
+       |st AS (SELECT user_id, isl, count(*) AS len
+       |  FROM isl GROUP BY 1, 2),
+       |best AS (SELECT user_id, max(len) AS best FROM st GROUP BY 1)
+       |SELECT best AS streak_days, count(*) AS n_users
+       |FROM best GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q219: A/B experiment readout (two-proportion z-test)
+  // ---------------------------------------------------------------
+
+  /** The experimentation readout every product A/B test ends in: users
+    * deterministically split into two arms by an md5 coin (the q72
+    * hash discipline — reproducible, uncorrelated with behavior),
+    * per-arm conversion to each funnel event measured, and the
+    * two-proportion pooled z-test computed per metric. Counts are
+    * exact integers; rates are integer-ppm floor divisions; z² runs
+    * once in rule-7 doubles from the exact counts and the
+    * significance call compares the 1e-6-gridded z² to the gridded
+    * 1.96² literal (rule 10 — a value one ulp either side of the
+    * critical value cannot flip the flag in one engine only). On this
+    * null split the expected readout is NOT significant — the row
+    * proves the machinery, not a discovery. Scale shape: one
+    * user-grain aggregation per metric arm, then 1-row-per-metric
+    * arithmetic. */
+  def q219AbTest(s: SparkSession, d: String): DataFrame = {
+    val metrics = Seq("click", "purchase", "error")
+    val convCols = metrics.map(m =>
+      max(when($"event_type" === m, 1L).otherwise(0L)).as(s"c_$m"))
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(convCols.head, convCols.tail: _*)
+      .select($"user_id" +: (
+        substring(md5($"user_id".cast("string")), 1, 1) < "8")
+          .as("arm_a") +: metrics.map(m => col(s"c_$m")): _*)
+    val armCols = count(lit(1)).as("n") +:
+      metrics.map(m => sum(col(s"c_$m")).as(s"s_$m"))
+    val perArm = users.groupBy($"arm_a")
+      .agg(armCols.head, armCols.tail: _*)
+    val a = perArm.filter($"arm_a").select(
+      $"n".as("n_a") +: metrics.map(m => col(s"s_$m").as(s"a_$m")): _*)
+    val b = perArm.filter(!$"arm_a").select(
+      $"n".as("n_b") +: metrics.map(m => col(s"s_$m").as(s"b_$m")): _*)
+    val joined = a.crossJoin(broadcast(b))
+    val rows = metrics.map { m =>
+      joined.select(lit(m).as("metric"), $"n_a", $"n_b",
+        col(s"a_$m").as("conv_a"), col(s"b_$m").as("conv_b"))
+    }
+    val base = rows.reduce(_ unionAll _)
+    def dbl(c: Column): Column = c.cast("double")
+    val p1 = dbl($"conv_a") / $"n_a"
+    val p2 = dbl($"conv_b") / $"n_b"
+    val pp = (dbl($"conv_a") + $"conv_b") / (dbl($"n_a") + $"n_b")
+    val zsq = ((p1 - p2) * (p1 - p2)) /
+      (pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    // a metric every user (or no user) converts on has zero pooled
+    // variance — the z-test is undefined there, and ANSI division
+    // would throw; report NULL z / not-significant in both engines
+    val defined = ($"conv_a" + $"conv_b" > 0L) &&
+      ($"conv_a" + $"conv_b" < $"n_a" + $"n_b")
+    base.select($"metric", $"n_a", $"n_b", $"conv_a", $"conv_b",
+        expr("(conv_a * 1000000) div n_a").as("rate_a_ppm"),
+        expr("(conv_b * 1000000) div n_b").as("rate_b_ppm"),
+        when(defined, floor(zsq * 1000000.0 + 0.5).cast("long"))
+          .as("z_sq_micro"))
+      .select($"metric", $"n_a", $"n_b", $"conv_a", $"conv_b",
+        $"rate_a_ppm", $"rate_b_ppm", $"z_sq_micro",
+        coalesce($"z_sq_micro" >= 3841600L, lit(false)).as("significant"))
+      .orderBy($"metric")
+  }
+
+  val q219AbTestSql: String = {
+    val metrics = Seq("click", "purchase", "error")
+    val convCols = metrics.map(m =>
+      s"max(CASE WHEN event_type = '$m' THEN 1 ELSE 0 END) AS c_$m")
+      .mkString(", ")
+    val sumCols = metrics.map(m =>
+      s"CAST(sum(c_$m) AS BIGINT) AS s_$m").mkString(", ")
+    val p1 = "(CAST(conv_a AS DOUBLE) / n_a)"
+    val p2 = "(CAST(conv_b AS DOUBLE) / n_b)"
+    val pp = "((CAST(conv_a AS DOUBLE) + conv_b) / (CAST(n_a AS DOUBLE) + n_b))"
+    val zsq = s"((($p1 - $p2) * ($p1 - $p2)) / " +
+      s"($pp * (1.0 - $pp) * (1.0 / n_a + 1.0 / n_b)))"
+    val metricRows = metrics.map(m =>
+      s"""SELECT '$m' AS metric, a.n_a, b.n_b,
+         |    a.s_$m AS conv_a, b.s_$m AS conv_b
+         |  FROM a CROSS JOIN b""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH u AS (SELECT user_id,
+       |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS arm_a,
+       |    $convCols
+       |  FROM events GROUP BY user_id),
+       |pa AS (SELECT arm_a, count(*) AS n, $sumCols
+       |  FROM u GROUP BY arm_a),
+       |a AS (SELECT n AS n_a, ${metrics.map(m => s"s_$m").mkString(", ")}
+       |  FROM pa WHERE arm_a),
+       |b AS (SELECT n AS n_b, ${metrics.map(m => s"s_$m").mkString(", ")}
+       |  FROM pa WHERE NOT arm_a),
+       |base AS ($metricRows)
+       |SELECT metric, n_a, n_b, conv_a, conv_b,
+       |  (conv_a * 1000000) // n_a AS rate_a_ppm,
+       |  (conv_b * 1000000) // n_b AS rate_b_ppm,
+       |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+       |       THEN CAST(floor($zsq * 1000000.0 + 0.5) AS BIGINT)
+       |       END AS z_sq_micro,
+       |  coalesce(CASE WHEN conv_a + conv_b > 0
+       |      AND conv_a + conv_b < n_a + n_b
+       |      THEN CAST(floor($zsq * 1000000.0 + 0.5) AS BIGINT)
+       |      END >= 3841600, FALSE) AS significant
+       |FROM base ORDER BY metric""".stripMargin
+  }
+
 }

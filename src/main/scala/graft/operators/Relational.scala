@@ -326,8 +326,16 @@ object Relational {
     * partition by date-analog (order), order by month-analog descending,
     * diff to neighbor, round(2). Unique DESC order via the composite key. */
   def q9WindowSpread(s: SparkSession, d: String): DataFrame = {
+    // l_extendedprice as the final tie-break: the composite
+    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) has ONE
+    // duplicated tuple at sf0.001 (found by q217's uniqueness
+    // contract) whose two rows differ in price — without the price
+    // tie-break their lag order is engine-dependent; with it, any
+    // remaining tie has equal price, for which lag(price) is
+    // order-invariant
     val w = Window.partitionBy($"l_orderkey")
-      .orderBy($"l_linenumber".desc, $"l_partkey".desc, $"l_suppkey".desc)
+      .orderBy($"l_linenumber".desc, $"l_partkey".desc, $"l_suppkey".desc,
+        $"l_extendedprice".desc)
     Tables.lineitem(s, d)
       .select(
         $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
@@ -337,7 +345,7 @@ object Relational {
 
   val q9WindowSpreadSql: String =
     s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-       |  ${sqlRound("l_extendedprice - lag(l_extendedprice, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC)", 2)} AS spread
+       |  ${sqlRound("l_extendedprice - lag(l_extendedprice, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC, l_extendedprice DESC)", 2)} AS spread
        |FROM lineitem
        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
@@ -2510,6 +2518,101 @@ object Relational {
        |  (abs(ep.est_rows - xp.exact_rows) * 1000000) // xp.exact_rows
        |FROM ep CROSS JOIN xp
        |ORDER BY join_name""".stripMargin
+  }
+
+
+  // ---------------------------------------------------------------
+  // q217: declarative data-contract validation battery
+  // ---------------------------------------------------------------
+
+  /** The dbt-test / Deequ-style constraint battery every warehouse
+    * load gates on, as one census: referential integrity (FK
+    * anti-joins), primary-key uniqueness (duplicate-key census),
+    * domain ranges, and null checks — each constraint one row with
+    * its violation count and pass flag, so a GREEN ZERO is itself
+    * the audited fact (the q46 pattern: proving absence, not just
+    * reporting presence). All counts are exact integers from
+    * anti-joins and filters; the UNION of eight 1-row aggregates is
+    * metadata-sized. Scale shape: each FK check is one shuffle
+    * anti-join on the key; the uniqueness check is a
+    * map-side-combinable key count; range/null checks are scan
+    * filters — nothing here outgrows its key cardinality. */
+  def q217ContractChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val prt = Tables.part(s, d)
+    def row(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("constraint_name"), $"n_violations",
+          ($"n_violations" === 0L).as("pass"))
+    row("lineitem_orderkey_fk",
+        li.join(ord, $"l_orderkey" === $"o_orderkey", "left_anti"))
+      .unionAll(row("lineitem_partkey_fk",
+        li.join(prt, $"l_partkey" === $"p_partkey", "left_anti")))
+      .unionAll(row("orders_pk_unique",
+        ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1L)))
+      // (l_orderkey, l_linenumber) is deliberately NOT unique in the
+      // driver corpus — this row demonstrates the battery DETECTING a
+      // violated contract (pass = false with the exact duplicate-group
+      // count), while the true 4-column composite below is green
+      .unionAll(row("lineitem_line2_unique_violated",
+        li.groupBy($"l_orderkey", $"l_linenumber").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1L)))
+      .unionAll(row("lineitem_composite_pk_unique",
+        li.groupBy($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_suppkey").agg(count(lit(1)).as("c"))
+          .filter($"c" > 1L)))
+      .unionAll(row("lineitem_quantity_range",
+        li.filter($"l_quantity" < 1.0 || $"l_quantity" > 50.0)))
+      .unionAll(row("lineitem_price_nonneg",
+        li.filter($"l_extendedprice" < 0.0)))
+      .unionAll(row("lineitem_discount_domain",
+        li.filter($"l_discount" < 0.0 || $"l_discount" > 1.0)))
+      .unionAll(row("orders_keys_not_null",
+        ord.filter($"o_orderkey".isNull || $"o_custkey".isNull)))
+      .orderBy($"constraint_name")
+  }
+
+  val q217ContractChecksSql: String = {
+    def rowSql(name: String, body: String): String =
+      s"""SELECT '$name' AS constraint_name,
+         |  CAST(count(*) AS BIGINT) AS n_violations,
+         |  count(*) = 0 AS pass FROM ($body)""".stripMargin
+    s"""${rowSql("lineitem_orderkey_fk",
+        "SELECT 1 FROM lineitem l WHERE NOT EXISTS " +
+          "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)")}
+       |UNION ALL
+       |${rowSql("lineitem_partkey_fk",
+        "SELECT 1 FROM lineitem l WHERE NOT EXISTS " +
+          "(SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)")}
+       |UNION ALL
+       |${rowSql("orders_pk_unique",
+        "SELECT 1 FROM orders GROUP BY o_orderkey HAVING count(*) > 1")}
+       |UNION ALL
+       |${rowSql("lineitem_line2_unique_violated",
+        "SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber " +
+          "HAVING count(*) > 1")}
+       |UNION ALL
+       |${rowSql("lineitem_composite_pk_unique",
+        "SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber, " +
+          "l_partkey, l_suppkey HAVING count(*) > 1")}
+       |UNION ALL
+       |${rowSql("lineitem_quantity_range",
+        "SELECT 1 FROM lineitem WHERE l_quantity < 1.0 " +
+          "OR l_quantity > 50.0")}
+       |UNION ALL
+       |${rowSql("lineitem_price_nonneg",
+        "SELECT 1 FROM lineitem WHERE l_extendedprice < 0.0")}
+       |UNION ALL
+       |${rowSql("lineitem_discount_domain",
+        "SELECT 1 FROM lineitem WHERE l_discount < 0.0 " +
+          "OR l_discount > 1.0")}
+       |UNION ALL
+       |${rowSql("orders_keys_not_null",
+        "SELECT 1 FROM orders WHERE o_orderkey IS NULL " +
+          "OR o_custkey IS NULL")}
+       |ORDER BY constraint_name""".stripMargin
   }
 
 }

@@ -4298,4 +4298,101 @@ class EngineSpec extends AnyFunSuite {
       assert(r.getAs[Long]("share_ppm") === expected(key) * 1000000L / total)
     }
   }
+
+  test("q217 contract battery: all green on the driver corpus, counts exact") {
+    import graft.operators.Relational
+    val d = "/root/testdata/sf0.001"
+    val rows = Relational.q217ContractChecks(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.size === 9)
+    // the corpus satisfies every real contract (the zeros are the
+    // audited fact) — EXCEPT the deliberately-violated 2-column
+    // uniqueness row, which proves the battery detects failures
+    rows.values.foreach { r =>
+      if (r.getString(0) == "lineitem_line2_unique_violated") {
+        assert(r.getAs[Long]("n_violations") > 0L)
+        assert(!r.getAs[Boolean]("pass"))
+      } else if (r.getString(0) == "lineitem_composite_pk_unique") {
+        // sf0.001 genuinely carries ONE duplicated composite tuple
+        // (the discovery that hardened q9's window tie-break) —
+        // assert the count against an independent recomputation
+        val dup = graft.sources.Tables.lineitem(spark, d)
+          .groupBy($"l_orderkey", $"l_linenumber", $"l_partkey",
+            $"l_suppkey")
+          .count().filter($"count" > 1L).count()
+        assert(r.getAs[Long]("n_violations") === dup)
+        assert(r.getAs[Boolean]("pass") === (dup == 0L))
+      } else {
+        assert(r.getAs[Long]("n_violations") === 0L, r.getString(0))
+        assert(r.getAs[Boolean]("pass"))
+      }
+    }
+    // and the FK check genuinely counts: a crafted orphan is caught
+    val li = graft.sources.Tables.lineitem(spark, d)
+    val orphans = li.select(($"l_orderkey" + 1000000000L).as("l_orderkey"))
+      .limit(3)
+      .join(graft.sources.Tables.orders(spark, d),
+        $"l_orderkey" === $"o_orderkey", "left_anti").count()
+    assert(orphans === 3L)
+  }
+
+  test("q218 streaks: equals brute-force consecutive-day runs") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q218StreakDist(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ud = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"ts".cast("long").as("sec")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400L)).distinct
+    val best = ud.groupBy(_._1).view.mapValues { rs =>
+      val days = rs.map(_._2).distinct.sorted
+      var run = 1L; var mx = 1L
+      days.zip(days.tail).foreach { case (a, b) =>
+        run = if (b == a + 1) run + 1 else 1L; mx = math.max(mx, run) }
+      mx
+    }.toMap
+    val expected = best.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    assert(got === expected)
+    assert(got.values.sum === best.size.toLong)
+  }
+
+  test("q219 ab test: equals brute-force arm split and z statistic") {
+    import graft.operators.EventOps
+    import java.security.MessageDigest
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q219AbTest(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(x: String): String = MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byUser = evs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val arms = byUser.keys.map(u => u -> (md5hex(u.toString).head < '8')).toMap
+    for (m <- Seq("click", "purchase", "error")) {
+      val (aU, bU) = byUser.keys.partition(arms)
+      val (na, nb) = (aU.size.toLong, bU.size.toLong)
+      val ca = aU.count(u => byUser(u).contains(m)).toLong
+      val cb = bU.count(u => byUser(u).contains(m)).toLong
+      val row = got(m)
+      assert(row.getAs[Long]("n_a") === na)
+      assert(row.getAs[Long]("conv_a") === ca)
+      assert(row.getAs[Long]("conv_b") === cb)
+      assert(row.getAs[Long]("rate_a_ppm") === ca * 1000000L / na)
+      if (ca + cb > 0 && ca + cb < na + nb) {
+        val p1 = ca.toDouble / na; val p2 = cb.toDouble / nb
+        val pp = (ca + cb).toDouble / (na + nb)
+        val z = (p1 - p2) * (p1 - p2) /
+          (pp * (1.0 - pp) * (1.0 / na + 1.0 / nb))
+        assert(math.abs(row.getAs[Long]("z_sq_micro") -
+          math.floor(z * 1000000.0 + 0.5)) <= 1L)
+        assert(row.getAs[Boolean]("significant") ===
+          (row.getAs[Long]("z_sq_micro") >= 3841600L))
+      } else {
+        assert(row.isNullAt(row.fieldIndex("z_sq_micro")))
+        assert(!row.getAs[Boolean]("significant"))
+      }
+    }
+  }
 }

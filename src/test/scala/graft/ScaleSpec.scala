@@ -528,7 +528,8 @@ class ScaleSpec extends AnyFunSuite {
     // metadata-sized constant relation (centroids, codebooks, totals)
     val crossJoinBudget = Map(
       // +1 round 10: q216's 1-row trigram-total broadcast
-      "operators/EventOps.scala" -> 8,
+      // +1 round 10: q219's 1-row arm-B aggregate broadcast
+      "operators/EventOps.scala" -> 9,
       // +1 round 10: q204's 1-row digit-total broadcast
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
