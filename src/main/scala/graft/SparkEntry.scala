@@ -242,6 +242,8 @@ object SparkEntry {
     "q217_contract_checks" -> (Relational.q217ContractChecks(_, _)),
     "q218_streak_dist" -> (EventOps.q218StreakDist(_, _)),
     "q219_ab_test" -> (EventOps.q219AbTest(_, _)),
+    "q220_silhouette" -> (VectorOps.q220Silhouette(_, _)),
+    "q221_density_clusters" -> (VectorOps.q221DensityClusters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -658,5 +660,13 @@ object SparkEntry {
     // doubles, significance on the 1e-6 grid vs the gridded 1.96²
     // literal (rule 10)
     "q219_ab_test" -> EventOps.q219AbTestSql,
+    // q220: distances gridded at birth, per-vector score one identical
+    // floor expression, per-cell mean a floor of exact integer sums;
+    // assignment subtree = the shared lloydOneStep definition
+    "q220_silhouette" -> VectorOps.q220SilhouetteSql,
+    // q221: DBSCAN composed from oracled parts — q161 cell-bounded
+    // ε-pairs at the same gridded 0.45, q50 min-label components
+    // (recursive-CTE closure in the mirror); 7-row integer census
+    "q221_density_clusters" -> VectorOps.q221DensityClustersSql,
   )
 }

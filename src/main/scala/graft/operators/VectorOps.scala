@@ -1376,4 +1376,207 @@ object VectorOps {
        |ORDER BY g.i, g.j""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------
+  // q220: simplified silhouette (clustering-quality evaluation)
+  // ---------------------------------------------------------------
+
+  /** Simplified silhouette (Hruschka et al.'s centroid variant of
+    * Rousseeuw 1987) over the q65 Lloyd-refined cells — the
+    * clustering-quality score an embedding-curation pipeline checks
+    * before trusting cell-scoped dedup (q161) or cell-scoped mining
+    * (q183): per vector, a = cosine distance to its OWN refined
+    * centroid, b = distance to the closest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1]. Both distances are gridded to
+    * integer micros the moment they are born (rule 10), the per-vector
+    * score is one identical-IEEE floor expression, and the per-cell
+    * mean is a floor of exact integer sums — order-free end to end.
+    * Scale shape: one corpus pass against the broadcast
+    * [[NumCells]]-row centroid relation (the q27 discipline), one
+    * map-side-combinable per-cell aggregation; the assignment subtree
+    * is shared with q65/q161 (one lloydOneStep definition). */
+  def q220Silhouette(s: SparkSession, d: String): DataFrame = {
+    val (_, cents1, a1) = lloydOneStep(s, d)
+    val others = a1.select($"vec_id", $"cell_id".as("own"), $"embedding")
+      .crossJoin(broadcast(cents1.select($"cell_id", $"cvec1")))
+      .filter($"cell_id" =!= $"own")
+      .groupBy($"vec_id")
+      .agg(max(Vectors.cosine($"embedding", $"cvec1")).as("bcos"))
+    a1.select($"vec_id", $"cell_id", $"ccos")
+      .join(others, "vec_id")
+      .select($"vec_id", $"cell_id",
+        floor((lit(1.0) - $"ccos") * 1e6 + 0.5).cast("long").as("ga"),
+        floor((lit(1.0) - $"bcos") * 1e6 + 0.5).cast("long").as("gb"))
+      .select($"cell_id",
+        when(greatest($"ga", $"gb") > 0L,
+          floor(($"gb" - $"ga").cast("double") * 1000000.0 /
+            greatest($"ga", $"gb") + 0.5).cast("long"))
+          .otherwise(0L).as("sil_micro"))
+      .groupBy($"cell_id")
+      .agg(count(lit(1)).as("n"), sum($"sil_micro").as("ssum"),
+        min($"sil_micro").as("min_sil_micro"),
+        max($"sil_micro").as("max_sil_micro"))
+      .select($"cell_id", $"n",
+        floor($"ssum".cast("double") / $"n" + 0.5).cast("long")
+          .as("mean_sil_micro"),
+        $"min_sil_micro", $"max_sil_micro")
+      .orderBy($"cell_id")
+  }
+
+  val q220SilhouetteSql: String =
+    s"""WITH $lloydCtes,
+       |oth AS (SELECT a.vec_id,
+       |    max(${cosSql("a.embedding", "c.cvec1")}) AS bcos
+       |  FROM a1 a CROSS JOIN cents1 c
+       |  WHERE c.cell_id <> a.cell_id GROUP BY a.vec_id),
+       |g AS (SELECT a.vec_id, a.cell_id,
+       |    CAST(floor((1.0 - a.ccos1) * 1e6 + 0.5) AS BIGINT) AS ga,
+       |    CAST(floor((1.0 - o.bcos) * 1e6 + 0.5) AS BIGINT) AS gb
+       |  FROM a1 a JOIN oth o ON o.vec_id = a.vec_id),
+       |si AS (SELECT cell_id,
+       |    CASE WHEN greatest(ga, gb) > 0
+       |         THEN CAST(floor(CAST(gb - ga AS DOUBLE) * 1000000.0 /
+       |           greatest(ga, gb) + 0.5) AS BIGINT)
+       |         ELSE 0 END AS sil_micro
+       |  FROM g),
+       |ag AS (SELECT cell_id, count(*) AS n,
+       |    CAST(sum(sil_micro) AS BIGINT) AS ssum,
+       |    min(sil_micro) AS min_sil_micro,
+       |    max(sil_micro) AS max_sil_micro
+       |  FROM si GROUP BY cell_id)
+       |SELECT cell_id, n,
+       |  CAST(floor(CAST(ssum AS DOUBLE) / n + 0.5) AS BIGINT)
+       |    AS mean_sil_micro,
+       |  min_sil_micro, max_sil_micro
+       |FROM ag ORDER BY cell_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q221: density clustering census (DBSCAN from existing parts)
+  // ---------------------------------------------------------------
+
+  private val DbMinPts = 2L
+  /** Density radius as a gridded cosine — deliberately LOOSER than
+    * the 0.45 dedup cut ([[SemDupCos]]): dedup wants near-identity,
+    * density clustering wants neighborhoods. 0.40 is calibrated so
+    * the driver corpus genuinely produces cores, borders, components
+    * and isolated cores at every scale factor (an all-zero census
+    * would leave the component machinery driver-unexercised). */
+  private val DbEpsGrid = 400000L
+
+  /** DBSCAN (Ester et al. KDD 1996) composed entirely from already-
+    * oracled machinery — the density-clustering decision a curation
+    * pipeline runs where k-means' spherical cells mislead: ε-neighbor
+    * pairs are the q161 cell-bounded cosine pairs at a looser
+    * [[DbEpsGrid]] radius decided on the same 1e-6 grid; core
+    * points have ≥ [[DbMinPts]] neighbors; clusters are connected
+    * components of the core-core graph via the q50 min-label
+    * propagation (one `dedupClusters` definition, recursive-CTE
+    * closure in the oracle); border points are non-cores adjacent to
+    * a core; everything else is noise. Output is a 7-row integer
+    * census (never empty — a density-free corpus audits its zeros,
+    * the q46 pattern). The cell discipline bounds the quadratic
+    * exactly as q161 documents: pairing never leaves a ≤512-member
+    * cell. */
+  def q221DensityClusters(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a1) = lloydOneStep(s, d)
+    val w = Window.partitionBy($"cell_id").orderBy($"vec_id")
+    val rk = a1.select($"vec_id", $"embedding", $"cell_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= SemDedupMaxCell)
+    val cand = rk.select($"cell_id".as("ccell"), $"vec_id".as("v2"),
+      $"embedding".as("e2"), $"rn".as("rn2"))
+    val pairs = rk.join(cand, $"ccell" === $"cell_id" && $"rn" < $"rn2")
+      .filter(floor(Vectors.cosine($"embedding", $"e2") * lit(1e6) +
+        lit(0.5)) >= lit(DbEpsGrid))
+      .select($"vec_id".as("a"), $"v2".as("b"))
+    val deg = pairs.select($"a".as("v")).unionAll(pairs.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val cores = deg.filter($"deg" >= DbMinPts).select($"v")
+    val pc = pairs
+      .join(cores.select($"v".as("a"), lit(true).as("ca")), Seq("a"), "left")
+      .join(cores.select($"v".as("b"), lit(true).as("cb")), Seq("b"), "left")
+      .select($"a", $"b",
+        coalesce($"ca", lit(false)).as("ca"),
+        coalesce($"cb", lit(false)).as("cb"))
+    val coreEdges = pc.filter($"ca" && $"cb").select($"a", $"b")
+    val borderV = pc.filter($"ca" =!= $"cb")
+      .select(when($"ca", $"b").otherwise($"a").as("v")).distinct()
+    val comps = TextOps.dedupClusters(
+      coreEdges.select($"a".as("d1"), $"b".as("d2")))
+    val edgeVerts = coreEdges.select($"a".as("v"))
+      .unionAll(coreEdges.select($"b".as("v"))).distinct()
+    val isoCores = cores.join(edgeVerts, Seq("v"), "left_anti")
+    def row(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), $"value")
+    row("n_points", rk.agg(count(lit(1)).as("value")))
+      .unionAll(row("n_eps_pairs", pairs.agg(count(lit(1)).as("value"))))
+      .unionAll(row("n_core", cores.agg(count(lit(1)).as("value"))))
+      .unionAll(row("n_border", borderV.agg(count(lit(1)).as("value"))))
+      .unionAll(row("n_noise",
+        rk.join(cores.select($"v".as("vec_id")), Seq("vec_id"), "left_anti")
+          .join(borderV.select($"v".as("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("value"))))
+      .unionAll(row("n_clusters",
+        comps.select($"canonical_id".as("v")).distinct()
+          .unionAll(isoCores).agg(count(lit(1)).as("value"))))
+      .unionAll(row("max_cluster_size",
+        comps.select($"cluster_size".as("sz"))
+          .unionAll(isoCores.select(lit(1L).as("sz")))
+          .agg(coalesce(max($"sz"), lit(0L)).as("value"))))
+      .orderBy($"metric")
+  }
+
+  val q221DensityClustersSql: String = {
+    val cos = cosSql("r.embedding", "p.embedding")
+    s"""WITH RECURSIVE $lloydCtes,
+       |rk AS (SELECT vec_id, embedding, cell_id,
+       |    row_number() OVER (PARTITION BY cell_id ORDER BY vec_id)
+       |      AS rn
+       |  FROM a1),
+       |rkc AS (SELECT * FROM rk WHERE rn <= $SemDedupMaxCell),
+       |prs AS (SELECT r.vec_id AS a, p.vec_id AS b
+       |  FROM rkc r JOIN rkc p
+       |    ON p.cell_id = r.cell_id AND r.rn < p.rn
+       |  WHERE CAST(floor($cos * 1e6 + 0.5) AS BIGINT)
+       |    >= $DbEpsGrid),
+       |deg AS (SELECT v, count(*) AS deg FROM
+       |    (SELECT a AS v FROM prs UNION ALL SELECT b FROM prs)
+       |  GROUP BY v),
+       |cores AS (SELECT v FROM deg WHERE deg >= $DbMinPts),
+       |ce AS (SELECT a, b FROM prs
+       |  WHERE a IN (SELECT v FROM cores)
+       |    AND b IN (SELECT v FROM cores)),
+       |bord AS (SELECT DISTINCT
+       |    CASE WHEN a IN (SELECT v FROM cores) THEN b ELSE a END AS v
+       |  FROM prs
+       |  WHERE (a IN (SELECT v FROM cores))
+       |    <> (b IN (SELECT v FROM cores))),
+       |sym AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+       |reach AS (SELECT a AS id, a AS r FROM sym
+       |  UNION SELECT s2.id, e.b FROM reach s2 JOIN sym e
+       |    ON e.a = s2.r),
+       |comp AS (SELECT id, min(r) AS canonical_id FROM reach
+       |  GROUP BY id),
+       |sizes AS (SELECT canonical_id, count(*) AS csize FROM comp
+       |  GROUP BY canonical_id),
+       |ev AS (SELECT a AS v FROM ce UNION SELECT b FROM ce),
+       |iso AS (SELECT count(*) AS n FROM cores
+       |  WHERE v NOT IN (SELECT v FROM ev))
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_points' AS metric, count(*) AS value FROM rkc
+       |  UNION ALL SELECT 'n_eps_pairs', count(*) FROM prs
+       |  UNION ALL SELECT 'n_core', count(*) FROM cores
+       |  UNION ALL SELECT 'n_border', count(*) FROM bord
+       |  UNION ALL SELECT 'n_noise',
+       |    (SELECT count(*) FROM rkc) - (SELECT count(*) FROM cores)
+       |      - (SELECT count(*) FROM bord)
+       |  UNION ALL SELECT 'n_clusters',
+       |    (SELECT count(DISTINCT canonical_id) FROM comp)
+       |      + (SELECT n FROM iso)
+       |  UNION ALL SELECT 'max_cluster_size',
+       |    greatest(coalesce((SELECT max(csize) FROM sizes), 0),
+       |      CASE WHEN (SELECT n FROM iso) > 0 THEN 1 ELSE 0 END))
+       |ORDER BY metric""".stripMargin
+  }
+
 }

@@ -4395,4 +4395,125 @@ class EngineSpec extends AnyFunSuite {
       }
     }
   }
+
+  // Full JVM replay of VectorOps.lloydOneStep's refined assignment:
+  // seed cells = vec_id < 16, argmax-cosine assign (ties -> min cell),
+  // gridded per-dim means, re-assign. Shared by the q220/q221 replays.
+  private def lloydReplay(d: String): (Map[Long, Int], Map[Int, Array[Double]], Map[Long, Array[Float]]) = {
+    val vecs = graft.sources.Tables.embeddings(spark, d)
+      .filter($"embedding".isNotNull)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dbl = vecs.view.mapValues(_.map(_.toDouble)).toMap
+    val seeds = vecs.keys.filter(_ < 16L).toSeq.sorted
+      .map(id => id.toInt -> dbl(id)).toMap
+    def assign(cents: Map[Int, Array[Double]]): Map[Long, Int] =
+      dbl.map { case (id, v) =>
+        id -> cents.toSeq.map { case (c, cv) => (cos(v, cv), c) }
+          .sortBy(t => (-t._1, t._2)).head._2
+      }
+    val a0 = assign(seeds)
+    val dim = dbl.head._2.length
+    val cents1 = a0.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keys.toSeq
+      val n = ids.size
+      c -> Array.tabulate(dim) { i =>
+        ids.map(id => math.floor(vecs(id)(i).toDouble * 1e6 + 0.5)).sum /
+          (n * 1e6)
+      }
+    }
+    (assign(cents1), cents1, vecs)
+  }
+
+  test("q220 silhouette: equals full JVM lloyd + silhouette replay") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val got = VectorOps.q220Silhouette(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (a1, cents1, vecs) = lloydReplay(d)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sil = a1.toSeq.map { case (id, own) =>
+      val v = vecs(id).map(_.toDouble)
+      val ga = math.floor((1.0 - cos(v, cents1(own))) * 1e6 + 0.5).toLong
+      val bcos = cents1.filter(_._1 != own).values.map(cos(v, _)).max
+      val gb = math.floor((1.0 - bcos) * 1e6 + 0.5).toLong
+      val s0 = if (math.max(ga, gb) > 0L)
+        math.floor((gb - ga).toDouble * 1000000.0 / math.max(ga, gb) + 0.5).toLong
+      else 0L
+      (own, s0)
+    }
+    sil.groupBy(_._1).foreach { case (cell, ss) =>
+      val row = got(cell.toLong)
+      assert(row.getAs[Long]("n") === ss.size.toLong)
+      assert(row.getAs[Long]("mean_sil_micro") ===
+        math.floor(ss.map(_._2).sum.toDouble / ss.size + 0.5).toLong, s"cell $cell")
+      assert(row.getAs[Long]("min_sil_micro") === ss.map(_._2).min)
+      assert(row.getAs[Long]("max_sil_micro") === ss.map(_._2).max)
+    }
+    assert(got.values.map(_.getAs[Long]("n")).sum === a1.size.toLong)
+  }
+
+  test("q221 density clusters: equals full JVM DBSCAN replay") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val got = VectorOps.q221DensityClusters(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (a1, _, vecs) = lloydReplay(d)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // within-cell pairs among the first 512 per cell (all, at this SF)
+    val byCell = a1.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted.take(512)).toMap
+    val pairs = byCell.values.flatMap { ids =>
+      for { i <- ids.indices; j <- (i + 1) until ids.length
+            if math.floor(cos(vecs(ids(i)), vecs(ids(j))) * 1e6 + 0.5) >= 400000.0 }
+        yield (ids(i), ids(j))
+    }.toSeq
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val cores = deg.filter(_._2 >= 2).keySet
+    val coreEdges = pairs.filter(p => cores(p._1) && cores(p._2))
+    val border = pairs.flatMap { case (a, b) =>
+      if (cores(a) && !cores(b)) Some(b)
+      else if (!cores(a) && cores(b)) Some(a) else None
+    }.toSet
+    // union-find over core-core edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      if (parent.getOrElse(x, x) == x) x
+      else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    coreEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val edgeVerts = coreEdges.flatMap(p => Seq(p._1, p._2)).toSet
+    val comps = edgeVerts.groupBy(find)
+    val isoCores = cores -- edgeVerts
+    assert(got("n_points") === a1.size.toLong)
+    assert(got("n_eps_pairs") === pairs.size.toLong)
+    assert(got("n_core") === cores.size.toLong)
+    assert(got("n_border") === border.size.toLong)
+    assert(got("n_noise") ===
+      (a1.size - cores.size - border.size).toLong)
+    assert(got("n_clusters") === (comps.size + isoCores.size).toLong)
+    val maxSz = (comps.values.map(_.size) ++
+      (if (isoCores.nonEmpty) Seq(1) else Nil)).maxOption.getOrElse(0)
+    assert(got("max_cluster_size") === maxSz.toLong)
+  }
 }

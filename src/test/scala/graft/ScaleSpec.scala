@@ -544,7 +544,8 @@ class ScaleSpec extends AnyFunSuite {
       // +2 round 10: q210's |langs|-row prior broadcast (class spine)
       // and 1-row global-total broadcast
       "operators/TextOps.scala" -> 20,
-      "operators/VectorOps.scala" -> 5)
+      // +1 round 10: q220's NumCells-row centroid broadcast
+      "operators/VectorOps.scala" -> 6)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
         "argue the new site is broadcast metadata-sized, then register it")
