@@ -244,6 +244,9 @@ object SparkEntry {
     "q219_ab_test" -> (EventOps.q219AbTest(_, _)),
     "q220_silhouette" -> (VectorOps.q220Silhouette(_, _)),
     "q221_density_clusters" -> (VectorOps.q221DensityClusters(_, _)),
+    "q222_containment_join" -> (TextOps.q222ContainmentJoin(_, _)),
+    "q223_conversion_hazard" -> (EventOps.q223ConversionHazard(_, _)),
+    "q224_attribution" -> (EventOps.q224Attribution(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -668,5 +671,15 @@ object SparkEntry {
     // ε-pairs at the same gridded 0.45, q50 min-label components
     // (recursive-CTE closure in the mirror); 7-row integer census
     "q221_density_clusters" -> VectorOps.q221DensityClustersSql,
+    // q222: asymmetric prefix filter (contained side only) probed
+    // against the full shingle relation; pure-integer containment
+    // test; both directions of mutual containment are real rows
+    "q222_containment_join" -> TextOps.q222ContainmentJoinSql,
+    // q223: life-table hazard without the FP cumulative product —
+    // pure integer counts, reverse cumsum on the bounded week axis
+    "q223_conversion_hazard" -> EventOps.q223ConversionHazardSql,
+    // q224: one union-then-window pass; (tsec, kind, event_id) order
+    // puts same-second touches before the purchase deterministically
+    "q224_attribution" -> EventOps.q224AttributionSql,
   )
 }

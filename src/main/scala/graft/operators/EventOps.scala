@@ -2276,4 +2276,164 @@ object EventOps {
        |FROM base ORDER BY metric""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------
+  // q223: discrete-time conversion hazard table (survival analysis)
+  // ---------------------------------------------------------------
+
+  /** Discrete-time survival table for time-to-first-BIG-TICKET-purchase
+    * (value ≥ [[BigTicketCents]] cents on the 1e-2 grid) — the
+    * life-table form of survival analysis (the Kaplan–Meier
+    * discretization growth teams actually read), built WITHOUT the
+    * floating cumulative product that makes the continuous estimator
+    * cross-engine-hostile, and handling the censoring that q95's
+    * converter-only lag histogram cannot: per week w since each
+    * user's first activity, n_at_risk (users still unconverted and
+    * under observation at w), n_converted (first purchase fell in
+    * week w), n_censored (observation window ended at w with no
+    * purchase — the corpus horizon, not a conversion), and the
+    * discrete hazard d⁄n as integer ppm. Pure integer counts end to
+    * end; the at-risk curve is a reverse cumulative sum over the
+    * BOUNDED week axis. Scale shape: one user-grain conditional
+    * min/max aggregation over the raw stream, a 1-row horizon
+    * broadcast, then everything runs on the ≤|weeks| histogram. */
+  /** Big-ticket cent threshold (gridded, rule 10) — calibrated so the
+    * driver corpus has BOTH converters and censored users at every
+    * scale factor (plain first-purchase converts ~100% of users and
+    * leaves the censoring branch driver-unexercised). */
+  private val BigTicketCents = 9000L
+
+  def q223ConversionHazard(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(min(floor(sec($"ts") / 86400L)).cast("long").as("f"),
+        min(when($"event_type" === "purchase" &&
+            floor($"value" * 100.0 + 0.5) >= BigTicketCents,
+          floor(sec($"ts") / 86400L))).cast("long").as("p"))
+    // horizon = the latest observed day in the raw stream — the true
+    // end of the observation window for censoring
+    val hz = Tables.events(s, d)
+      .agg(max(floor(sec($"ts") / 86400L)).cast("long").as("hh"))
+    val obs = ud.crossJoin(broadcast(hz))
+      .select($"user_id",
+        $"p".isNotNull.as("converted"),
+        when($"p".isNotNull, expr("(p - f) div 7"))
+          .otherwise(expr("(hh - f) div 7")).as("week"))
+    val histo = obs.groupBy($"week")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when($"converted", 1L).otherwise(0L)).as("n_converted"),
+        sum(when(!$"converted", 1L).otherwise(0L)).as("n_censored"))
+    // n_at_risk(w) = users whose observation ends at week >= w: a
+    // reverse cumulative sum over the bounded week axis
+    val wk = Window.orderBy($"week".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    histo
+      .select($"week", $"n_converted", $"n_censored",
+        sum($"n_ending").over(wk).as("n_at_risk"))
+      .select($"week", $"n_at_risk", $"n_converted", $"n_censored",
+        expr("(n_converted * 1000000) div n_at_risk").as("hazard_ppm"))
+      .orderBy($"week")
+  }
+
+  val q223ConversionHazardSql: String =
+    s"""WITH ud AS (SELECT user_id,
+       |    CAST(min(floor(floor(epoch(ts)) / 86400)) AS BIGINT) AS f,
+       |    CAST(min(CASE WHEN event_type = 'purchase'
+       |        AND floor(value * 100.0 + 0.5) >= $BigTicketCents
+       |      THEN floor(floor(epoch(ts)) / 86400) END) AS BIGINT) AS p
+       |  FROM events GROUP BY user_id),
+       |hz AS (SELECT CAST(max(floor(floor(epoch(ts)) / 86400))
+       |    AS BIGINT) AS hh FROM events),
+       |obs AS (SELECT user_id, (p IS NOT NULL) AS converted,
+       |    CASE WHEN p IS NOT NULL THEN (p - f) // 7
+       |         ELSE (hh - f) // 7 END AS week
+       |  FROM ud CROSS JOIN hz),
+       |histo AS (SELECT week, count(*) AS n_ending,
+       |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_converted,
+       |    CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_censored
+       |  FROM obs GROUP BY week),
+       |ar AS (SELECT week, n_converted, n_censored,
+       |    CAST(sum(n_ending) OVER (ORDER BY week DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_at_risk
+       |  FROM histo)
+       |SELECT week, n_at_risk, n_converted, n_censored,
+       |  (n_converted * 1000000) // n_at_risk AS hazard_ppm
+       |FROM ar ORDER BY week""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q224: conversion attribution (first-touch vs last-touch)
+  // ---------------------------------------------------------------
+
+  /** Marketing-style conversion attribution — for every purchase,
+    * which event channel gets the credit under the two standard
+    * models: FIRST touch (the channel that acquired the user) and
+    * LAST touch (the channel that closed), per-channel conversion
+    * census for both models side by side. Touches and purchases ride
+    * ONE per-user window pass (union-then-window, the q32 as-of
+    * discipline): rows ordered by (tsec, kind, event_id) — kind puts
+    * a same-second touch BEFORE the purchase deterministically — and
+    * both attributions are running first/last of the touch-channel
+    * column with nulls ignored. Purchases with no preceding touch
+    * credit the 'none' channel (never dropped). Scale shape: one
+    * user-keyed exchange + window, then a bounded |channels|-axis
+    * aggregation; the two models share the single pass. */
+  def q224Attribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", sec($"ts").as("tsec"),
+        $"event_id",
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("kind"),
+        when($"event_type" =!= "purchase", $"event_type").as("touch"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"tsec", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = ev
+      .select($"user_id", $"kind",
+        first($"touch", ignoreNulls = true).over(w).as("first_touch"),
+        last($"touch", ignoreNulls = true).over(w).as("last_touch"))
+      .filter($"kind" === 1L)
+      .select(coalesce($"first_touch", lit("none")).as("first_touch"),
+        coalesce($"last_touch", lit("none")).as("last_touch"))
+    val ft = attributed.groupBy($"first_touch".as("channel"))
+      .agg(count(lit(1)).as("first_touch_convs"))
+    val lt = attributed.groupBy($"last_touch".as("channel"))
+      .agg(count(lit(1)).as("last_touch_convs"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .select($"channel",
+        coalesce($"first_touch_convs", lit(0L)).as("first_touch_convs"),
+        coalesce($"last_touch_convs", lit(0L)).as("last_touch_convs"))
+      .orderBy($"channel")
+  }
+
+  val q224AttributionSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind,
+       |    CASE WHEN event_type <> 'purchase' THEN event_type
+       |         END AS touch
+       |  FROM events),
+       |at AS (SELECT user_id, kind,
+       |    first_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY tsec, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS first_touch,
+       |    last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id
+       |      ORDER BY tsec, kind, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_touch
+       |  FROM ev),
+       |pu AS (SELECT coalesce(first_touch, 'none') AS first_touch,
+       |    coalesce(last_touch, 'none') AS last_touch
+       |  FROM at WHERE kind = 1),
+       |ft AS (SELECT first_touch AS channel, count(*)
+       |    AS first_touch_convs FROM pu GROUP BY 1),
+       |lt AS (SELECT last_touch AS channel, count(*)
+       |    AS last_touch_convs FROM pu GROUP BY 1)
+       |SELECT coalesce(f.channel, l.channel) AS channel,
+       |  coalesce(f.first_touch_convs, 0) AS first_touch_convs,
+       |  coalesce(l.last_touch_convs, 0) AS last_touch_convs
+       |FROM ft f FULL OUTER JOIN lt l ON f.channel = l.channel
+       |ORDER BY channel""".stripMargin
+
 }

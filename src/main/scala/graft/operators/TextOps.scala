@@ -5255,4 +5255,97 @@ object TextOps {
        |FROM b JOIN fit f2 ON b.bucket = f2.i
        |ORDER BY b.bucket""".stripMargin
 
+
+  // ---------------------------------------------------------------
+  // q222: set-containment join (near-superset detection)
+  // ---------------------------------------------------------------
+
+  /** Containment numerator threshold |A∩B| ≥ (ContNum/ContDen)·|A| as
+    * an exact rational — 0.9: B holds at least 90% of A's shingles. */
+  private val ContNum = 9L
+  private val ContDen = 10L
+
+  /** Set-CONTAINMENT self-join over the dedup family's shingle sets
+    * (Chaudhuri et al. ICDE 2006's asymmetric variant; the relation
+    * behind quote/excerpt detection): find (contained, container)
+    * pairs with |A∩B| ⁄ |A| ≥ 0.9 — near-supersets that symmetric
+    * Jaccard (q205) structurally misses (a 20-shingle note inside a
+    * 500-shingle report has Jaccard ≈ 0.04 but containment 1.0).
+    * Candidates come from the CONTAINED side's prefix only (the
+    * asymmetric prefix principle: overlap ≥ ⌈τ·|A|⌉ forces a hit in
+    * A's m − ⌈τ·m⌉ + 1 rarest shingles), probed against the FULL
+    * shingle relation — the container side cannot be pruned and is
+    * not. Verification is the exact intersection count with the
+    * pure-integer cross-multiplied test; self-pairs and the
+    * symmetric duplicate-direction are excluded by requiring a ≠ b
+    * (both directions are emitted when two docs contain each other —
+    * that asymmetry is the point). Scale shape: one shingle-grain
+    * distinct + df join (q205's relations verbatim); candidate
+    * buckets are bounded by rare-shingle df exactly as q205 argues —
+    * the probe side is keyed by the SAME rare shingles. */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val tok = shingleRows(docs).distinct()
+    val dfr = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val rk = tok.join(dfr, "sh")
+      .select($"doc_id", $"sh",
+        row_number().over(Window.partitionBy($"doc_id")
+          .orderBy($"df", $"sh")).as("rn"),
+        count(lit(1)).over(Window.partitionBy($"doc_id")).as("m"))
+    val pfx = rk
+      .filter($"rn" <=
+        expr(s"m - (m * $ContNum + $ContDen - 1) div $ContDen + 1"))
+      .select($"doc_id", $"sh")
+    val cand = pfx.select($"sh", $"doc_id".as("a"))
+      .join(tok.select($"sh", $"doc_id".as("b")), "sh")
+      .filter($"a" =!= $"b")
+      .select($"a", $"b").distinct()
+    val msz = tok.groupBy($"doc_id").agg(count(lit(1)).as("m"))
+    val inter = cand
+      .join(tok.select($"doc_id".as("a"), $"sh"), "a")
+      .join(tok.select($"doc_id".as("b"), $"sh"), Seq("b", "sh"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(msz.select($"doc_id".as("a"), $"m".as("ma")), "a")
+      .join(msz.select($"doc_id".as("b"), $"m".as("mb")), "b")
+      .filter(lit(ContDen) * $"inter" >= lit(ContNum) * $"ma")
+      .select($"a".as("contained"), $"b".as("container"),
+        $"ma", $"mb", $"inter",
+        expr("(inter * 1000000) div ma").as("containment_ppm"))
+      .orderBy($"contained", $"container")
+  }
+
+  def q222ContainmentJoin(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d))
+
+  val q222ContainmentJoinSql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |       WHERE len(string_split(text, ' ')) >= 3),
+       |tok AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+       |       FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+       |dfr AS (SELECT sh, count(*) AS df FROM tok GROUP BY sh),
+       |rk AS (SELECT t.doc_id, t.sh,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df, t.sh) AS rn,
+       |    count(*) OVER (PARTITION BY t.doc_id) AS m
+       |  FROM tok t JOIN dfr d USING (sh)),
+       |pfx AS (SELECT doc_id, sh FROM rk
+       |  WHERE rn <= m - (m * $ContNum + $ContDen - 1) // $ContDen + 1),
+       |cand AS (SELECT DISTINCT p.doc_id AS a, f.doc_id AS b
+       |  FROM pfx p JOIN tok f
+       |    ON p.sh = f.sh AND p.doc_id <> f.doc_id),
+       |msz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY doc_id),
+       |iv AS (SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN tok t1 ON t1.doc_id = c.a
+       |  JOIN tok t2 ON t2.doc_id = c.b AND t2.sh = t1.sh
+       |  GROUP BY c.a, c.b)
+       |SELECT i.a AS contained, i.b AS container, m1.m AS ma,
+       |  m2.m AS mb, i.inter,
+       |  (i.inter * 1000000) // m1.m AS containment_ppm
+       |FROM iv i
+       |JOIN msz m1 ON m1.doc_id = i.a
+       |JOIN msz m2 ON m2.doc_id = i.b
+       |WHERE $ContDen * i.inter >= $ContNum * m1.m
+       |ORDER BY contained, container""".stripMargin
+
 }

@@ -4516,4 +4516,115 @@ class EngineSpec extends AnyFunSuite {
       (if (isoCores.nonEmpty) Seq(1) else Nil)).maxOption.getOrElse(0)
     assert(got("max_cluster_size") === maxSz.toLong)
   }
+
+  test("q222 containment: zero false negatives vs brute force (crafted + corpus)") {
+    import graft.operators.TextOps
+    // a short doc verbatim inside a long one: Jaccard tiny (q205 would
+    // never pair them) but containment 1.0 — the asymmetric relation
+    val note = "alpha beta gamma delta epsilon"
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, note),
+      (2L, filler + " " + note),
+      (3L, "p q r s t u v w"),
+      (4L, "alpha beta gamma qq rr ss tt uu")
+    ).toDF("doc_id", "text")
+    val got = TextOps.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+    // doc1 has 3 shingles, all inside doc2 → containment 1.0
+    assert(got.contains((1L, 2L, 3L)))
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L))
+    // doc4 shares only 'alpha beta gamma' (1 of its 6 shingles) → out
+    assert(!got.exists(t => t._1 == 4L))
+    // corpus: brute-force all-pairs containment at sf0.001 must equal
+    // the emitted set exactly (the asymmetric completeness guarantee)
+    val d = "/root/testdata/sf0.001"
+    val corpus = TextOps.q222ContainmentJoin(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = graft.sources.Tables.documents(spark, d)
+      .select($"doc_id", $"text").collect()
+      .map { r =>
+        val w = r.getString(1).split(" ", -1)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val expected = (for {
+      (da, sa) <- sets.iterator; (db, sb) <- sets.iterator
+      if da != db
+      inter = (sa & sb).size.toLong
+      if 10L * inter >= 9L * sa.size
+    } yield (da, db)).toSet
+    assert(corpus === expected)
+    assert(corpus.nonEmpty)
+  }
+
+  test("q223 hazard: equals brute-force life table with censoring live") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q223ConversionHazard(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts".cast("long"), $"value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2) / 86400L,
+        math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val hh = evs.map(_._3).max
+    val byUser = evs.groupBy(_._1)
+    // .values.toSeq first: Map#map over pair results would collapse
+    // same-(converted, week) users into one entry
+    val obs = byUser.values.toSeq.map { rs =>
+      val f = rs.map(_._3).min
+      val conv = rs.filter(t => t._2 == "purchase" && t._4 >= 9000L)
+      if (conv.nonEmpty) (true, (conv.map(_._3).min - f) / 7L)
+      else (false, (hh - f) / 7L)
+    }
+    val weeks = obs.map(_._2).distinct.sorted
+    assert(got.keySet === weeks.toSet)
+    weeks.foreach { w =>
+      val row = got(w)
+      val atRisk = obs.count(_._2 >= w).toLong
+      val conv = obs.count(o => o._1 && o._2 == w).toLong
+      val cens = obs.count(o => !o._1 && o._2 == w).toLong
+      assert(row.getAs[Long]("n_at_risk") === atRisk)
+      assert(row.getAs[Long]("n_converted") === conv)
+      assert(row.getAs[Long]("n_censored") === cens)
+      assert(row.getAs[Long]("hazard_ppm") === conv * 1000000L / atRisk)
+    }
+    // both branches of the life table are live on the driver corpus
+    assert(obs.exists(_._1) && obs.exists(!_._1))
+  }
+
+  test("q224 attribution: equals brute-force first/last preceding touch") {
+    import graft.operators.EventOps
+    val d = "/root/testdata/sf0.001"
+    val got = EventOps.q224Attribution(spark, d).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("first_touch_convs"), r.getAs[Long]("last_touch_convs")))
+      .toMap
+    val evs = graft.sources.Tables.events(spark, d)
+      .select($"user_id", $"event_type", $"ts".cast("long"), $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ft = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val lt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    evs.groupBy(_._1).values.foreach { us =>
+      // (tsec, kind, event_id): touches sort before a same-second purchase
+      val srt = us.sortBy(t => (t._3, if (t._2 == "purchase") 1 else 0, t._4))
+      var first: String = null; var last: String = null
+      srt.foreach { t =>
+        if (t._2 == "purchase") {
+          ft(if (first == null) "none" else first) += 1L
+          lt(if (last == null) "none" else last) += 1L
+        } else { if (first == null) first = t._2; last = t._2 }
+      }
+    }
+    val channels = (ft.keySet ++ lt.keySet).toSet
+    assert(got.keySet === channels)
+    channels.foreach { c =>
+      assert(got(c)._1 === ft(c), s"first $c")
+      assert(got(c)._2 === lt(c), s"last $c")
+    }
+    // both models conserve total conversions
+    assert(got.values.map(_._1).sum === got.values.map(_._2).sum)
+  }
 }

@@ -483,7 +483,9 @@ class ScaleSpec extends AnyFunSuite {
     val allowed = Map(
       "ods/OdsBuild.scala" -> (1, "contract dim: tens of rows"),
       "operators/Relational.scala" -> (1, "histogram bucket axis (bounded grid)"),
-      "operators/EventOps.scala" -> (1, "day axis (bounded calendar)"),
+      "operators/EventOps.scala" -> (2,
+        "day axis (bounded calendar) / q223 reverse cumsum over the " +
+          "bounded week axis"),
       "operators/TextOps.scala" -> (7,
         "quality grid / superbuckets / |sources| / quartile grid / " +
           "bucket grid / q208 skyline running-max over the ≤1e4 " +
@@ -529,7 +531,8 @@ class ScaleSpec extends AnyFunSuite {
     val crossJoinBudget = Map(
       // +1 round 10: q216's 1-row trigram-total broadcast
       // +1 round 10: q219's 1-row arm-B aggregate broadcast
-      "operators/EventOps.scala" -> 9,
+      // +1 round 10: q223's 1-row horizon broadcast
+      "operators/EventOps.scala" -> 10,
       // +1 round 10: q204's 1-row digit-total broadcast
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
