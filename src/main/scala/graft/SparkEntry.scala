@@ -247,6 +247,10 @@ object SparkEntry {
     "q222_containment_join" -> (TextOps.q222ContainmentJoin(_, _)),
     "q223_conversion_hazard" -> (EventOps.q223ConversionHazard(_, _)),
     "q224_attribution" -> (EventOps.q224Attribution(_, _)),
+    "q225_bfs_hops" -> (Relational.q225BfsHops(_, _)),
+    "q226_als_step" -> (Relational.q226AlsStep(_, _)),
+    "q227_vocab_growth" -> (TextOps.q227VocabGrowth(_, _)),
+    "q228_conn_comp" -> (Relational.q228ConnComp(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -681,5 +685,18 @@ object SparkEntry {
     // q224: one union-then-window pass; (tsec, kind, event_id) order
     // puts same-second touches before the purchase deterministically
     "q224_attribution" -> EventOps.q224AttributionSql,
+    // q225: Pregel-shape BFS — per-round persisted frontier/reached
+    // sets, AS MATERIALIZED mirror; pure integer ids and counts
+    "q225_bfs_hops" -> Relational.q225BfsHopsSql,
+    // q226: rank-1 ALS — each least-squares divide takes exact integer
+    // operands and lands on the 1e-3 grid before anything sums over
+    // it; L1 fit census in exact micro units; rule-9 packed top pick
+    "q226_als_step" -> Relational.q226AlsStepSql,
+    // q227: Heaps-law vocabulary growth on nested md5-prefix samples;
+    // exact integer counts at (term, tier) grain
+    "q227_vocab_growth" -> TextOps.q227VocabGrowthSql,
+    // q228: min-label-propagation components — persisted per-round
+    // label relations, AS MATERIALIZED mirror, integer min/counts
+    "q228_conn_comp" -> Relational.q228ConnCompSql,
   )
 }

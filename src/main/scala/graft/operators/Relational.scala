@@ -2615,4 +2615,331 @@ object Relational {
        |ORDER BY constraint_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q225: multi-source BFS (hop-distance census, 3 unrolled rounds)
+  // ---------------------------------------------------------------
+
+  /** Every [[BfsSeedMod]]-th part id seeds the search — a modulus small
+    * enough that every scale factor's id range (200 parts at sf0.001)
+    * contains seeds, so the frontier rows are non-vacuous at all three
+    * gate SFs. */
+  private val BfsSeedMod = 97L
+  private val BfsRounds = 3
+
+  /** Multi-source breadth-first search over the part co-purchase graph
+    * (reference: graph reachability the warehouse's dim graph never
+    * needs, but any 100 TB entity graph does) — the frontier-expansion
+    * primitive under shortest-path, influence-radius and coverage
+    * queries: every node's hop distance to the NEAREST seed (every
+    * [[BfsSeedMod]]-th part), capped at [[BfsRounds]] hops, reported as
+    * the per-round frontier trace plus the final distance histogram and
+    * the not-yet-reached remainder.
+    *
+    * Scale: the textbook Pregel/BSP BFS shape — each round is ONE join
+    * of the (shrinking) frontier against the edge list on the
+    * entropy-rich part-id key plus one anti join against the reached
+    * set; no per-pair work, no transitive closure. Frontier and
+    * reached sets are PERSISTED per round (the q197/GraphX iteration
+    * discipline: round r's relation feeds both its own census rows and
+    * round r+1's joins — without the cache the edge build re-evaluates
+    * 2^r times, the measured 80 s cliff). The mirror pins the same
+    * shape with AS MATERIALIZED.
+    *
+    * Determinism: pure integer node ids and counts; seed choice is a
+    * modulus, not a sample. */
+  def q225BfsHops(s: SparkSession, d: String): DataFrame =
+    bfsTrace(coEdges(s, d), BfsSeedMod)
+
+  /** The frontier loop over an arbitrary (pa, pb) edge list — split
+    * from [[q225BfsHops]] so the crafted spec can drive a small graph
+    * with a small seed modulus (the kCoreTrace pattern). */
+  private[graft] def bfsTrace(edges0: DataFrame, seedMod: Long): DataFrame = {
+    val edges = edges0.persist()
+    val nodes = edges.select(explode(array($"pa", $"pb")).as("p"))
+      .distinct().persist()
+    var frontier = nodes.filter($"p" % seedMod === 0L).persist()
+    var reached = frontier.select($"p", lit(0L).as("dist")).persist()
+    var out = censusRow("r0_frontier", frontier)
+    for (r <- 1 to BfsRounds) {
+      val nbrs = edges
+        .join(frontier.withColumnRenamed("p", "pa"), Seq("pa"), "leftsemi")
+        .select($"pb".as("p"))
+        .unionByName(edges
+          .join(frontier.withColumnRenamed("p", "pb"), Seq("pb"), "leftsemi")
+          .select($"pa".as("p")))
+        .distinct()
+      // localCheckpoint, not persist: reached_r references reached_{r-1}
+      // TWICE (the anti join and the union), so the logical tree — and
+      // with it per-round analysis cost — doubles every round under a
+      // plain persist (measured 17 s → ~3 s at sf0.1); the checkpoint
+      // materializes the same blocks and truncates lineage (GraphX
+      // iteration rule, same as dedupClusters)
+      frontier = nbrs
+        .join(reached.select($"p"), Seq("p"), "leftanti")
+        .localCheckpoint(true)
+      reached = reached
+        .unionByName(frontier.select($"p", lit(r.toLong).as("dist")))
+        .localCheckpoint(true)
+      out = out.unionByName(censusRow(s"r${r}_frontier", frontier))
+    }
+    val hist = reached.groupBy($"dist").agg(count(lit(1)).as("value"))
+      .select(concat(lit("dist_"), $"dist".cast("string")).as("metric"),
+        $"value")
+    val unreached = censusRow("unreached",
+      nodes.join(reached.select($"p"), Seq("p"), "leftanti"))
+    out.unionByName(hist).unionByName(unreached).orderBy($"metric")
+  }
+
+  val q225BfsHopsSql: String = {
+    val rounds = (1 to BfsRounds).map { r =>
+      val pf = if (r == 1) "f0" else s"f${r - 1}"
+      val pr = if (r == 1) "rch0" else s"rch${r - 1}"
+      s"""f$r AS MATERIALIZED (SELECT p FROM (
+         |    SELECT DISTINCT p FROM (
+         |      SELECT pb AS p FROM edges0
+         |        WHERE pa IN (SELECT p FROM $pf)
+         |      UNION ALL SELECT pa FROM edges0
+         |        WHERE pb IN (SELECT p FROM $pf)))
+         |  WHERE p NOT IN (SELECT p FROM $pr)),
+         |rch$r AS MATERIALIZED (SELECT p, dist FROM $pr
+         |  UNION ALL SELECT p, $r FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val frontierRows = (0 to BfsRounds).map { r =>
+      s"SELECT 'r${r}_frontier' AS metric, count(*) AS value FROM f$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $coEdgesSql,
+       |nodes AS MATERIALIZED (SELECT DISTINCT p FROM (
+       |  SELECT pa AS p FROM edges0 UNION ALL SELECT pb FROM edges0)),
+       |f0 AS MATERIALIZED (SELECT p FROM nodes WHERE p % $BfsSeedMod = 0),
+       |rch0 AS MATERIALIZED (SELECT p, 0 AS dist FROM f0),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  $frontierRows
+       |  UNION ALL SELECT 'dist_' || CAST(dist AS VARCHAR), count(*)
+       |    FROM rch$BfsRounds GROUP BY dist
+       |  UNION ALL SELECT 'unreached', count(*) FROM nodes
+       |    WHERE p NOT IN (SELECT p FROM rch$BfsRounds))
+       |ORDER BY metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q226: rank-1 ALS half-sweep (recommender training step)
+  // ---------------------------------------------------------------
+
+  /** Ridge weight for the ALS normal equations, in rating units. */
+  private val AlsLambda = 10L
+  /** Factor grid: user/item factors are fixed to 1e-3 integer grids
+    * between the two half-steps (rule 8/10 discipline — the division
+    * is IEEE-identical cross-engine, but everything SUMMED afterwards
+    * must be an exact integer). */
+  private val AlsGrid = 1000L
+
+  /** One alternating-least-squares sweep at rank 1 (Zhou et al. 2008,
+    * the Netflix-prize ALS recipe, public) over implicit feedback —
+    * the model-training operator class beside classifier inference
+    * (q178) and k-means (q65): ratings are per-(customer, part)
+    * quantity totals from `lineitem ⋈ orders`; with item factors
+    * initialized to 1, the closed-form user update is
+    * u_c = Σr / (λ + n_c), then the item update
+    * v_p = Σ r·u / (λ + Σ u²) runs against the GRIDDED user factors,
+    * and the fit census reports the exact integer L1 error of
+    * r ≈ u·v on the same grid.
+    *
+    * Determinism: each least-squares division takes EXACT integer
+    * operands (rule 7: cast to double only at the final divide) and
+    * lands on the [[AlsGrid]] integer grid before anything sums over
+    * it (rule 2/8); the error census is pure BIGINT arithmetic
+    * (|r·g² − ug·vg|, bounded ≪ 2⁶³ at gate scale — at a corpus where
+    * Σ|e| approaches 2⁶³ the census would regrid, documented here);
+    * the best-item pick is a rule-9 packed-BIGINT max with a loud
+    * raise_error bound guard, never min_by.
+    *
+    * Scale: the canonical distributed-ALS shape — each half-step is one
+    * map-side-combinable aggregate keyed by the entropy-rich user/item
+    * id (no factor matrix ever materializes on one node at rank 1; a
+    * rank-k sweep shards the same aggregates by (id, component));
+    * ratings/users/items are persisted because the second half-step
+    * and the fit census re-reference them (iterative-plan rule). */
+  def q226AlsStep(s: SparkSession, d: String): DataFrame = {
+    val ratings = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_partkey")
+      .agg(floor(sum($"l_quantity") + 0.5).cast("long").as("r"))
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"), $"r")
+      .persist()
+    val users = ratings.groupBy($"c")
+      .agg(sum($"r").as("sr"), count(lit(1)).as("n"))
+      .select($"c",
+        floor($"sr".cast("double") / ($"n" + lit(AlsLambda)).cast("double")
+          * lit(AlsGrid.toDouble) + 0.5).cast("long").as("ug"))
+      .persist()
+    val g2 = AlsGrid * AlsGrid
+    val items0 = ratings.join(users, "c")
+      .groupBy($"p")
+      .agg(sum($"r" * $"ug").as("nj"), sum($"ug" * $"ug").as("dj"))
+      .select($"p",
+        floor($"nj".cast("double") * lit(g2.toDouble)
+          / (lit(AlsLambda * g2) + $"dj").cast("double") + 0.5)
+          .cast("long").as("vg"))
+    // rule-9 pack bound, enforced loudly per row (packedTickKey
+    // philosophy): a wider part id or factor would alias pick keys
+    val items = items0.select($"p",
+      when($"p" >= lit(1L << 32) || $"vg" >= lit(1L << 31),
+        raise_error(concat(
+          lit("q226AlsStep: (vg, p) exceeds the 31/32-bit pack bound: vg="),
+          $"vg", lit(" p="), $"p"))).otherwise($"vg").as("vg"))
+      .persist()
+    val errs = ratings.join(users, "c").join(items, "p")
+      .select(abs($"r" * lit(g2) - $"ug" * $"vg").as("ae"))
+    val fit = errs.agg(sum($"ae").as("sae"), count(lit(1)).as("nr"))
+      .select(explode(map(
+        lit("n_ratings"), $"nr",
+        lit("sum_abs_err_micro"), $"sae",
+        lit("mae_micro"), expr("sae div nr"))).as(Seq("metric", "value")))
+    val top = items
+      .agg(max($"vg" * lit(1L << 32) + (lit((1L << 32) - 1) - $"p"))
+        .as("pk"))
+      .select(explode(map(
+        lit("top_item_id"), lit((1L << 32) - 1) - ($"pk" % lit(1L << 32)),
+        lit("top_item_vg"), expr("pk div 4294967296")))
+        .as(Seq("metric", "value")))
+    censusRow("n_users", users)
+      .unionByName(censusRow("n_items", items))
+      .unionByName(fit)
+      .unionByName(top)
+      .orderBy($"metric")
+  }
+
+  val q226AlsStepSql: String = {
+    val g2 = AlsGrid * AlsGrid
+    s"""WITH ratings AS MATERIALIZED (
+       |  SELECT o_custkey AS c, l_partkey AS p,
+       |    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey, l_partkey),
+       |users AS MATERIALIZED (
+       |  SELECT c, CAST(floor(
+       |      CAST(CAST(sum(r) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) + $AlsLambda AS DOUBLE)
+       |      * ${AlsGrid.toDouble} + 0.5) AS BIGINT) AS ug
+       |  FROM ratings GROUP BY c),
+       |items AS MATERIALIZED (
+       |  SELECT p, CAST(floor(
+       |      CAST(nj AS DOUBLE) * ${g2.toDouble}
+       |      / CAST(${AlsLambda * g2} + dj AS DOUBLE) + 0.5) AS BIGINT) AS vg
+       |  FROM (SELECT p, CAST(sum(r * ug) AS BIGINT) AS nj,
+       |          CAST(sum(ug * ug) AS BIGINT) AS dj
+       |        FROM ratings JOIN users USING (c) GROUP BY p)),
+       |e AS MATERIALIZED (
+       |  SELECT abs(r * $g2 - ug * vg) AS ae
+       |  FROM ratings JOIN users USING (c) JOIN items USING (p)),
+       |tp AS (SELECT max(vg * 4294967296 + (4294967295 - p)) AS pk
+       |       FROM items)
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'n_ratings' AS metric, count(*) AS value FROM e
+       |  UNION ALL SELECT 'n_users', count(*) FROM users
+       |  UNION ALL SELECT 'n_items', count(*) FROM items
+       |  UNION ALL SELECT 'sum_abs_err_micro',
+       |    (SELECT CAST(sum(ae) AS BIGINT) FROM e)
+       |  UNION ALL SELECT 'mae_micro',
+       |    (SELECT CAST(sum(ae) AS BIGINT) // count(*) FROM e)
+       |  UNION ALL SELECT 'top_item_id',
+       |    (SELECT 4294967295 - (pk % 4294967296) FROM tp)
+       |  UNION ALL SELECT 'top_item_vg',
+       |    (SELECT pk // 4294967296 FROM tp))
+       |ORDER BY metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q228: connected components (min-label propagation, 3 rounds)
+  // ---------------------------------------------------------------
+
+  private val CcRounds = 3
+
+  /** Connected components by iterative min-label propagation over the
+    * part co-purchase graph — the global clustering primitive q50's
+    * LSH-bucket components deliberately avoid (those run INSIDE
+    * bounded buckets; dedup clusters that span buckets need exactly
+    * this operator): every node starts labeled with its own id, and
+    * each round adopts the minimum label among itself and its
+    * neighbors. [[CcRounds]] unrolled rounds (the q110/q197
+    * fixed-iteration pattern), reporting the distinct-label count and
+    * the number of nodes that changed label after each — the
+    * convergence trace (label count stable + zero changes ⇒ the
+    * components are final; hop-doubling variants like large-star /
+    * small-star, Kiveris et al. 2014, cut the round count
+    * logarithmically but each round keeps this exact shape).
+    *
+    * Determinism: pure integer ids, min() aggregates, integer counts.
+    *
+    * Scale: each round is one map-side-combinable min aggregate over
+    * the directed edge list joined to the current labels on the
+    * entropy-rich id key — the standard Pregel/BSP message round; the
+    * label relation stays one row per node forever. Per-round label
+    * relations are persisted (iterative-plan rule: round r feeds its
+    * own census rows AND round r+1). */
+  def q228ConnComp(s: SparkSession, d: String): DataFrame =
+    ccTrace(coEdges(s, d))
+
+  /** The propagation loop over an arbitrary (pa, pb) edge list — split
+    * from [[q228ConnComp]] for the crafted spec (kCoreTrace pattern). */
+  private[graft] def ccTrace(edges0: DataFrame): DataFrame = {
+    val edges = edges0.persist()
+    val adj = edges.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(edges.select($"pb".as("src"), $"pa".as("dst")))
+      .persist()
+    var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
+      .distinct().select($"p", $"p".as("lbl")).persist()
+    var out = censusRow("r0_components", lbl.select($"lbl").distinct())
+    for (r <- 1 to CcRounds) {
+      val msgs = adj.join(lbl.select($"p".as("src"), $"lbl"), "src")
+        .groupBy($"dst").agg(min($"lbl").as("nlbl"))
+      val stepped = lbl.select($"p", $"lbl".as("old"))
+        .join(msgs.withColumnRenamed("dst", "p"), Seq("p"), "left")
+        .select($"p",
+          least($"old", coalesce($"nlbl", $"old")).as("lbl"), $"old")
+        .persist()
+      out = out
+        .unionByName(censusRow(s"r${r}_components",
+          stepped.select($"lbl").distinct()))
+        .unionByName(censusRow(s"r${r}_changed",
+          stepped.filter($"lbl" < $"old")))
+      lbl = stepped.select($"p", $"lbl")
+    }
+    out.orderBy($"metric")
+  }
+
+  val q228ConnCompSql: String = {
+    val rounds = (1 to CcRounds).map { r =>
+      val prev = if (r == 1) "lbl0" else s"j${r - 1}"
+      s"""j$r AS MATERIALIZED (
+         |  SELECT l.p, least(l.lbl, coalesce(m.nlbl, l.lbl)) AS lbl,
+         |         l.lbl AS old
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT a.dst, min(x.lbl) AS nlbl
+         |    FROM adj a JOIN $prev x ON a.src = x.p GROUP BY a.dst) m
+         |  ON l.p = m.dst)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to CcRounds).map { r =>
+      s"""SELECT 'r${r}_components' AS metric,
+         |    count(DISTINCT lbl) AS value FROM j$r
+         |  UNION ALL SELECT 'r${r}_changed', count(*) FROM j$r
+         |    WHERE lbl < old""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $coEdgesSql,
+       |adj AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM edges0
+       |  UNION ALL SELECT pb, pa FROM edges0),
+       |lbl0 AS MATERIALIZED (SELECT p, p AS lbl FROM (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT pa AS p FROM edges0 UNION ALL SELECT pb FROM edges0))),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'r0_components' AS metric, count(DISTINCT lbl) AS value
+       |    FROM lbl0
+       |  UNION ALL $rows)
+       |ORDER BY metric""".stripMargin
+  }
+
 }

@@ -531,10 +531,14 @@ object TextOps {
     s"cc-minlabel.rounds$ClusterMaxRounds.seed1hop.chgcol"
 
   private[graft] def dedupClusters(edges0: DataFrame): DataFrame = {
+    // localCheckpoint, not cache: the caller may hand in a DEEP edge
+    // derivation (q221's ε-pairing subtree); a cache would re-analyze
+    // that whole logical tree in every round's plan, a per-round
+    // optimizer tax that dwarfs the actual joins on small core graphs
     val edges = edges0.select($"d1".as("a"), $"d2".as("b"))
       .unionByName(edges0.select($"d2".as("a"), $"d1".as("b")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     // seed labels with the 1-hop minimum (least of self and all direct
     // neighbors) instead of self: cliques — the common near-dup cluster
     // shape — converge immediately, saving a full propagation round
@@ -553,15 +557,21 @@ object TextOps {
           .groupBy($"a")
           .agg(min($"label").as("nmin"))
         // the convergence signal rides ALONG with the label recompute (a
-        // label changes iff a neighbor's label undercuts it), so ONE
-        // action per round both materializes the cache and counts the
-        // changes — no separate join-with-old-labels job
+        // label changes iff a neighbor's label undercuts it). Each
+        // round's relation is localCheckpoint'ed, not cache()d: a cache
+        // keeps the LOGICAL tree, which references the previous round
+        // twice — the plan (and its per-action explain string) doubles
+        // per round, and a deep-lineage caller (q221 feeds this the
+        // whole ε-pairing subtree) OOMs the driver building a
+        // multi-GB plan string before any data moves. The checkpoint
+        // materializes the same blocks AND truncates lineage, keeping
+        // every round's plan constant-size (the GraphX iteration rule).
         val next = labels
           .join(neighborMin, $"id" === $"a", "left")
           .select($"id",
             least($"label", coalesce($"nmin", $"label")).as("label"),
             (coalesce($"nmin", $"label") < $"label").cast("long").as("chg"))
-          .cache()
+          .localCheckpoint(true)
         val changed =
           next.agg(coalesce(sum($"chg"), lit(0L))).head().getLong(0)
         if (prevCached != null) prevCached.unpersist()
@@ -570,6 +580,7 @@ object TextOps {
         converged = changed == 0
         rounds += 1
       }
+      System.err.println(s"[dedupClusters] converged in $rounds rounds")
       // a silent partial propagation would emit canonical ids that are
       // not the component minimum — fail loudly instead (a graph needing
       // more rounds than this means the "near-dup" threshold is not
@@ -5347,5 +5358,116 @@ object TextOps {
        |JOIN msz m2 ON m2.doc_id = i.b
        |WHERE $ContDen * i.inter >= $ContNum * m1.m
        |ORDER BY contained, container""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q227: vocabulary-growth census (Heaps' law over nested samples)
+  // ---------------------------------------------------------------
+
+  /** Nested md5-prefix cuts defining the ~10% / 25% / 50% corpus
+    * samples (tier 4 = the full corpus). Lexicographic compare of the
+    * 32-hex digest against a short prefix is the q194 hex-cut trick;
+    * the cuts only need to be NESTED and deterministic, not exact
+    * percentages. */
+  private val VocabTierCuts = Seq("1a", "40", "80")
+
+  /** Vocabulary-growth census (Heaps' law: V(n) ~ K·n^β, Heaps 1978,
+    * public) — the tokenizer-budget planning view beside the BPE
+    * trainer (q163/q184/q191) and the coverage census (q188): how fast
+    * does the DISTINCT-word vocabulary (and its fragile hapax tail)
+    * grow as the corpus grows? Measured on four NESTED deterministic
+    * samples (md5-prefix cuts at ~10/25/50/100% — the hash-nested
+    * subsampling a 100 TB corpus uses, since a "first n documents"
+    * prefix would need a global total order): per tier, the cumulative
+    * doc count, token mass, distinct vocabulary, and hapax count
+    * (words seen exactly once — the Zipf tail that decides vocab-size
+    * budgets).
+    *
+    * Determinism: md5 tier assignment, exact integer counts.
+    *
+    * Scale: one corpus scan to the (term, tier) grain with the tier
+    * rollup folded into FOUR conditional aggregates per term (the
+    * cumulative-over-a-4-row-axis window this avoids would be
+    * harmless, but the conditional sums keep it one map-side-
+    * combinable pass); the per-tier doc/token masses are a second
+    * one-pass conditional aggregate at doc grain; both collapse to
+    * single rows exploded onto the bounded 4-row tier axis and joined
+    * broadcast-small. Vocabulary grain is Zipf-bounded exactly like
+    * q163. */
+  def q227VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val tier = {
+      val h = md5($"doc_id".cast("string"))
+      when(h < VocabTierCuts(0), 1)
+        .when(h < VocabTierCuts(1), 2)
+        .when(h < VocabTierCuts(2), 3)
+        .otherwise(4)
+    }
+    val docs = Tables.documents(s, d).filter($"text".isNotNull)
+      .select($"text", tier.as("tier"))
+    def cum(t: Int, v: Column): Column =
+      sum(when($"tier" <= t, v).otherwise(lit(0L)))
+    val dAggs = (1 to 4).flatMap(t => Seq(
+      cum(t, lit(1L)).as(s"d$t"), cum(t, $"nt").as(s"t$t")))
+    val dstats = docs
+      .select($"tier", Text.tokenCount($"text").cast("long").as("nt"))
+      .agg(dAggs.head, dAggs.tail: _*)
+      .select(explode(array((1 to 4).map(t => struct(
+        lit(t).as("tier"),
+        col(s"d$t").as("n_docs"), col(s"t$t").as("n_tokens"))): _*))
+        .as("x"))
+      .select($"x.tier", $"x.n_docs", $"x.n_tokens")
+    val cAggs = (1 to 4).map(t => cum(t, lit(1L)).as(s"c$t"))
+    val tf = docs
+      .select($"tier", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"term")
+      .agg(cAggs.head, cAggs.tail: _*)
+    val vAggs = (1 to 4).flatMap(t => Seq(
+      sum(when(col(s"c$t") > 0L, 1L).otherwise(0L)).as(s"v$t"),
+      sum(when(col(s"c$t") === 1L, 1L).otherwise(0L)).as(s"h$t")))
+    val vstats = tf
+      .agg(vAggs.head, vAggs.tail: _*)
+      .select(explode(array((1 to 4).map(t => struct(
+        lit(t).as("tier"),
+        col(s"v$t").as("vocab"), col(s"h$t").as("hapax"))): _*))
+        .as("x"))
+      .select($"x.tier", $"x.vocab", $"x.hapax")
+    dstats.join(vstats, "tier")
+      .select($"tier", $"n_docs", $"n_tokens", $"vocab", $"hapax")
+      .orderBy($"tier")
+  }
+
+  val q227VocabGrowthSql: String = {
+    val tierSql =
+      s"""CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '${VocabTierCuts(0)}' THEN 1
+         |     WHEN md5(CAST(doc_id AS VARCHAR)) < '${VocabTierCuts(1)}' THEN 2
+         |     WHEN md5(CAST(doc_id AS VARCHAR)) < '${VocabTierCuts(2)}' THEN 3
+         |     ELSE 4 END""".stripMargin
+    def cum(t: Int, v: String) =
+      s"CAST(sum(CASE WHEN tier <= $t THEN $v ELSE 0 END) AS BIGINT)"
+    val dcols = (1 to 4).map(t =>
+      s"${cum(t, "1")} AS d$t, ${cum(t, "nt")} AS t$t").mkString(", ")
+    val ccols = (1 to 4).map(t => s"${cum(t, "1")} AS c$t").mkString(", ")
+    val vcols = (1 to 4).map(t =>
+      s"CAST(sum(CASE WHEN c$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS v$t, " +
+        s"CAST(sum(CASE WHEN c$t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h$t")
+      .mkString(", ")
+    val dRows = (1 to 4).map(t =>
+      s"SELECT $t AS tier, d$t AS n_docs, t$t AS n_tokens FROM ds")
+      .mkString("\n  UNION ALL ")
+    val vRows = (1 to 4).map(t =>
+      s"SELECT $t AS tier, v$t AS vocab, h$t AS hapax FROM vs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH docs AS MATERIALIZED (
+       |  SELECT text, $tierSql AS tier
+       |  FROM documents WHERE text IS NOT NULL),
+       |ds AS (SELECT $dcols FROM (
+       |  SELECT tier, CAST($tcSql AS BIGINT) AS nt FROM docs)),
+       |tf AS (SELECT term, $ccols FROM (
+       |  SELECT tier, unnest(string_split(text, ' ')) AS term FROM docs)
+       |  GROUP BY term),
+       |vs AS (SELECT $vcols FROM tf)
+       |SELECT tier, n_docs, n_tokens, vocab, hapax
+       |FROM ($dRows) d JOIN ($vRows) v USING (tier)
+       |ORDER BY tier""".stripMargin
+  }
 
 }

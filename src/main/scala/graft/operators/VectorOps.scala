@@ -1480,32 +1480,39 @@ object VectorOps {
   def q221DensityClusters(s: SparkSession, d: String): DataFrame = {
     val (_, _, a1) = lloydOneStep(s, d)
     val w = Window.partitionBy($"cell_id").orderBy($"vec_id")
+    // the census below re-references every stage (degrees, core/border
+    // splits, components, and the seven rows) — without these persists
+    // the cell-bounded cosine quadratic re-evaluates once PER ROW, the
+    // iterative-plan cliff (measured: 44 s → in-band at sf0.1)
     val rk = a1.select($"vec_id", $"embedding", $"cell_id")
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= SemDedupMaxCell)
+      .persist()
     val cand = rk.select($"cell_id".as("ccell"), $"vec_id".as("v2"),
       $"embedding".as("e2"), $"rn".as("rn2"))
     val pairs = rk.join(cand, $"ccell" === $"cell_id" && $"rn" < $"rn2")
       .filter(floor(Vectors.cosine($"embedding", $"e2") * lit(1e6) +
         lit(0.5)) >= lit(DbEpsGrid))
       .select($"vec_id".as("a"), $"v2".as("b"))
+      .persist()
     val deg = pairs.select($"a".as("v")).unionAll(pairs.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val cores = deg.filter($"deg" >= DbMinPts).select($"v")
+    val cores = deg.filter($"deg" >= DbMinPts).select($"v").persist()
     val pc = pairs
       .join(cores.select($"v".as("a"), lit(true).as("ca")), Seq("a"), "left")
       .join(cores.select($"v".as("b"), lit(true).as("cb")), Seq("b"), "left")
       .select($"a", $"b",
         coalesce($"ca", lit(false)).as("ca"),
         coalesce($"cb", lit(false)).as("cb"))
-    val coreEdges = pc.filter($"ca" && $"cb").select($"a", $"b")
+    val coreEdges = pc.filter($"ca" && $"cb").select($"a", $"b").persist()
     val borderV = pc.filter($"ca" =!= $"cb")
       .select(when($"ca", $"b").otherwise($"a").as("v")).distinct()
+      .persist()
     val comps = TextOps.dedupClusters(
-      coreEdges.select($"a".as("d1"), $"b".as("d2")))
+      coreEdges.select($"a".as("d1"), $"b".as("d2"))).persist()
     val edgeVerts = coreEdges.select($"a".as("v"))
       .unionAll(coreEdges.select($"b".as("v"))).distinct()
-    val isoCores = cores.join(edgeVerts, Seq("v"), "left_anti")
+    val isoCores = cores.join(edgeVerts, Seq("v"), "left_anti").persist()
     def row(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), $"value")
     row("n_points", rk.agg(count(lit(1)).as("value")))

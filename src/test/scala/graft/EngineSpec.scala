@@ -4627,4 +4627,109 @@ class EngineSpec extends AnyFunSuite {
     // both models conserve total conversions
     assert(got.values.map(_._1).sum === got.values.map(_._2).sum)
   }
+  test("q225 BFS: crafted two-component graph — hop histogram and unreached") {
+    // path 10-1-2-3-4 plus disjoint edge 5-6; seeds (mod 10) = {10}.
+    // dists: 10→0, 1→1, 2→2, 3→3; node 4 is one hop past the 3-round
+    // cap and 5/6 are in the unseeded component — 3 unreached total
+    val edges = Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("pa", "pb")
+    val got = graft.operators.Relational.bfsTrace(edges, 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "r0_frontier" -> 1L, "r1_frontier" -> 1L, "r2_frontier" -> 1L,
+      "r3_frontier" -> 1L,
+      "dist_0" -> 1L, "dist_1" -> 1L, "dist_2" -> 1L, "dist_3" -> 1L,
+      "unreached" -> 3L), s"trace: $got")
+  }
+
+  test("q228 connected components: star collapses in one round, path walks") {
+    // star 1-(2,3,4) collapses to label 1 immediately; the 10-…-14 path
+    // pulls label 10 inward one hop per round — hand-traced counts
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)).toDF("pa", "pb")
+    val got = graft.operators.Relational.ccTrace(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "r0_components" -> 9L,
+      "r1_components" -> 5L, "r1_changed" -> 7L,
+      "r2_components" -> 4L, "r2_changed" -> 3L,
+      "r3_components" -> 3L, "r3_changed" -> 2L), s"trace: $got")
+  }
+
+  test("q226 ALS: brute-force replay of both half-steps and the L1 fit") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cust = graft.sources.Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ratings = li.groupBy { case (ok, pk, _) => (cust(ok), pk) }
+      .map { case ((c, p), rows) =>
+        (c, p, math.floor(rows.map(_._3).sum + 0.5).toLong) }.toSeq
+    val ug = ratings.groupBy(_._1).map { case (c, rs) =>
+      val sr = rs.map(_._3).sum
+      c -> math.floor(sr.toDouble / (rs.size + 10).toDouble * 1000.0 + 0.5)
+        .toLong
+    }
+    val vg = ratings.groupBy(_._2).map { case (p, rs) =>
+      val nj = rs.map(r => r._3 * ug(r._1)).sum
+      val dj = rs.map(r => ug(r._1) * ug(r._1)).sum
+      p -> math.floor(nj.toDouble * 1e6 / (10000000L + dj).toDouble + 0.5)
+        .toLong
+    }
+    val aes = ratings.map { case (c, p, r) =>
+      math.abs(r * 1000000L - ug(c) * vg(p)) }
+    val top = vg.toSeq.map { case (p, v) => (-v, p) }.min
+    val expected = Map(
+      "n_ratings" -> ratings.size.toLong,
+      "n_users" -> ug.size.toLong,
+      "n_items" -> vg.size.toLong,
+      "sum_abs_err_micro" -> aes.sum,
+      "mae_micro" -> aes.sum / ratings.size,
+      "top_item_id" -> top._2,
+      "top_item_vg" -> -top._1)
+    val got = graft.operators.Relational.q226AlsStep(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, s"got: $got")
+  }
+
+  test("q227 vocab growth: brute-force nested-sample replay") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").collect()
+      .filter(!_.isNullAt(1))
+      .map { r =>
+        val h = md5hex(r.getLong(0).toString)
+        val tier = if (h < "1a") 1 else if (h < "40") 2
+          else if (h < "80") 3 else 4
+        (tier, r.getString(1))
+      }
+    val rows = graft.operators.TextOps.q227VocabGrowth(spark, dir)
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set(1, 2, 3, 4))
+    // vocab/hapax strictly from the cumulative term multiset; docs and
+    // token mass from the doc grain (tokenCount semantics: 0 for "")
+    for (t <- 1 to 4) {
+      val sub = docs.filter(_._1 <= t)
+      val nDocs = sub.length.toLong
+      val nTokens = sub.map { case (_, txt) =>
+        if (txt.isEmpty) 0L else (txt.count(_ == ' ') + 1).toLong }.sum
+      val terms = sub.flatMap(_._2.split(" ", -1))
+      val freq = terms.groupBy(identity).map { case (k, v) => k -> v.length }
+      val (gd, gt, gv, gh) = rows(t)
+      assert(gd === nDocs, s"tier $t n_docs")
+      assert(gt === nTokens, s"tier $t n_tokens")
+      assert(gv === freq.size.toLong, s"tier $t vocab")
+      assert(gh === freq.count(_._2 == 1).toLong, s"tier $t hapax")
+    }
+    // nesting: monotone non-decreasing along the tier axis
+    for (t <- 2 to 4) assert(rows(t)._3 >= rows(t - 1)._3)
+  }
+
 }
