@@ -251,6 +251,10 @@ object SparkEntry {
     "q226_als_step" -> (Relational.q226AlsStep(_, _)),
     "q227_vocab_growth" -> (TextOps.q227VocabGrowth(_, _)),
     "q228_conn_comp" -> (Relational.q228ConnComp(_, _)),
+    "q229_chunk_census" -> (TextOps.q229ChunkCensus(_, _)),
+    "q230_quantile_align" -> (TextOps.q230QuantileAlign(_, _)),
+    "q231_sorted_neighborhood" -> (Relational.q231SortedNeighborhood(_, _)),
+    "q232_assoc_rules" -> (Relational.q232AssocRules(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -695,6 +699,18 @@ object SparkEntry {
     // q227: Heaps-law vocabulary growth on nested md5-prefix samples;
     // exact integer counts at (term, tier) grain
     "q227_vocab_growth" -> TextOps.q227VocabGrowthSql,
+    // q229: fragmentation census off q59's packing — shared Scala
+    // helper and shared mirror CTE; pure integer boundary arithmetic
+    "q229_chunk_census" -> TextOps.q229ChunkCensusSql,
+    // q230: quantile normalization — exact decomposed target-rank
+    // arithmetic, pooled CDF on the clamped ≤1e4 length grid
+    "q230_quantile_align" -> TextOps.q230QuantileAlignSql,
+    // q231: multi-pass SNM on q123's shared messy feed — blocked
+    // ranks, offset-exploded equi-joins, ground-truth recall census
+    "q231_sorted_neighborhood" -> Relational.q231SortedNeighborhoodSql,
+    // q232: market-basket rules — exact-integer support/confidence
+    // ppm, identical-IEEE gridded lift, rule-10 strong flag
+    "q232_assoc_rules" -> Relational.q232AssocRulesSql,
     // q228: min-label-propagation components — persisted per-round
     // label relations, AS MATERIALIZED mirror, integer min/counts
     "q228_conn_comp" -> Relational.q228ConnCompSql,

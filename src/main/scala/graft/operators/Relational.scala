@@ -1693,21 +1693,50 @@ object Relational {
     * registry names differ by one digit too), which the census reports
     * honestly instead of hiding. Matching never touches the true key;
     * the key only scores the outcome. */
-  def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
+  /** Shared derive-messy-from-clean customer feed (q123 blocking ⋈
+    * q231 sorted neighborhood — one feed, two matchers, comparable
+    * censuses): a deterministic md5-chosen 30% of names carry a
+    * one-digit typo at an md5-chosen tail position, so ground truth
+    * exists per row. Shared Scala helper AND shared mirror CTE (the
+    * q194 discipline) so the two matchers cannot drift apart on what
+    * they match. */
+  private[graft] def messyCustomers(clean: DataFrame): DataFrame = {
     def h(salt: String): Column =
       conv(substring(md5(concat(lit(salt), $"c_custkey".cast("string"))),
         1, 8), 16, 10).cast("long")
-    val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
     // one-digit typo at md5-chosen tail position, md5-chosen new digit
     val pos = (h("ep") % 9 + 10).cast("int")
     val newDigit = ((ascii(substring($"c_name", pos, lit(1))) - 48 +
       (h("ec") % 9) + 1) % 10 + 48).cast("int")
-    val messy = clean.select(
+    clean.select(
       $"c_custkey".as("true_key"),
+      (h("er") % 10 < 3).as("typo"),
       when(h("er") % 10 < 3,
         concat($"c_name".substr(lit(1), pos - 1), char(newDigit),
           $"c_name".substr(pos + 1, lit(18))))
         .otherwise($"c_name").as("m_name"))
+  }
+
+  /** Mirror of [[messyCustomers]]: the m0/messy CTE pair, spliced into
+    * both q123's and q231's oracle SQL. */
+  private[graft] val messyCustomersSqlCte: String = {
+    def h(salt: String) =
+      s"CAST('0x' || substring(md5('$salt' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)"
+    s"""m0 AS (SELECT c_custkey AS true_key, c_name,
+       |    CAST(${h("ep")} % 9 + 10 AS INT) AS pos,
+       |    CAST((ascii(substring(c_name, CAST(${h("ep")} % 9 + 10 AS INT), 1))
+       |      - 48 + (${h("ec")} % 9) + 1) % 10 + 48 AS INT) AS nd,
+       |    (${h("er")} % 10 < 3) AS typo
+       |  FROM customer),
+       |messy AS (SELECT true_key, typo,
+       |    CASE WHEN typo THEN substring(c_name, 1, pos - 1) || chr(nd) ||
+       |      substring(c_name, pos + 1, 18) ELSE c_name END AS m_name
+       |  FROM m0)""".stripMargin
+  }
+
+  def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
+    val messy = messyCustomers(clean).select($"true_key", $"m_name")
     def parityKey(name: Column, odd: Boolean): Column = {
       val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
       concat(lit(if (odd) "o" else "e") +:
@@ -1751,8 +1780,6 @@ object Relational {
   }
 
   val q123EntityResolutionSql: String = {
-    def h(salt: String) =
-      s"CAST('0x' || substring(md5('$salt' || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)"
     def parityKeySql(col: String, odd: Boolean): String = {
       val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
       (s"'${if (odd) "o" else "e"}'" +:
@@ -1762,16 +1789,7 @@ object Relational {
     val evenKeySqlM = parityKeySql("m_name", odd = false)
     val oddKeySqlC = parityKeySql("c_name", odd = true)
     val evenKeySqlC = parityKeySql("c_name", odd = false)
-    s"""WITH m0 AS (SELECT c_custkey AS true_key, c_name,
-       |    CAST(${h("ep")} % 9 + 10 AS INT) AS pos,
-       |    CAST((ascii(substring(c_name, CAST(${h("ep")} % 9 + 10 AS INT), 1))
-       |      - 48 + (${h("ec")} % 9) + 1) % 10 + 48 AS INT) AS nd,
-       |    (${h("er")} % 10 < 3) AS typo
-       |  FROM customer),
-       |messy AS (SELECT true_key,
-       |    CASE WHEN typo THEN substring(c_name, 1, pos - 1) || chr(nd) ||
-       |      substring(c_name, pos + 1, 18) ELSE c_name END AS m_name
-       |  FROM m0),
+    s"""WITH $messyCustomersSqlCte,
        |mb AS (SELECT true_key, m_name, $oddKeySqlM AS bk FROM messy
        |  UNION ALL
        |  SELECT true_key, m_name, $evenKeySqlM FROM messy),
@@ -2941,5 +2959,253 @@ object Relational {
        |  UNION ALL $rows)
        |ORDER BY metric""".stripMargin
   }
+
+  // =====================================================================
+  // q231: sorted-neighborhood matching (Hernández & Stolfo SIGMOD 1995)
+  // =====================================================================
+
+  /** Sliding-window size: each record is compared to the [[SnmWindow]]
+    * records before/after it in each pass's sorted order. Calibrated so
+    * every REACHABLE census class is live at every driver SF (pass-1
+    * catches exist down to sf0.001; `typo_caught_both` is structurally
+    * empty on a single-typo feed — a typo at the tail digit keeps
+    * sorted proximity only in pass 1, anywhere else only pass 2's
+    * reversed order can keep the damage local, so no typo survives
+    * both sorts). */
+  private val SnmWindow = 4
+
+  /** Pass-2 block prefix length (reversed-tail leading digits → 100
+    * blocks): the parallel-SNM shard knob — a production registry
+    * raises it with data size (each +1 decile-splits every block);
+    * 2 keeps blocks populated at the smallest driver SF. */
+  private val SnmBlock2Len = 2
+
+  /** Sorted-neighborhood entity matching — the OTHER classic blocking
+    * family, run on the SAME derive-messy-from-clean feed as q123 so the
+    * two censuses are directly comparable: merge feed and registry into
+    * one stream, sort it by a key, and compare only records within a
+    * [[SnmWindow]]-wide sliding window (Hernández & Stolfo's multi-pass
+    * variant: pass 1 sorts by the 9-digit name tail, pass 2 by its
+    * REVERSAL, because a typo near one end of the key destroys sorted
+    * proximity in exactly one of the two orders). Unlike q123's parity
+    * blocking (100% recall by pigeonhole), SNM trades recall for a
+    * hard O(w·N) comparison bound — the census REPORTS that trade
+    * honestly against ground truth: which typos each pass catches,
+    * which both, which neither, plus the candidate volumes.
+    *
+    * Scale shape: the textbook SNM global sort is re-expressed as rank
+    * WITHIN sort-key-prefix blocks (pass 1: the 6 high-order digits —
+    * block count grows linearly with the registry; pass 2: the 3
+    * reversed-leading digits — 1000 blocks at any size), the standard
+    * parallel-SNM decomposition; window pairs straddling a block
+    * boundary are lost, which the ground-truth census prices instead of
+    * hiding. Candidate pairs come from offset-exploded EQUI-joins on
+    * (pass, block, rank) — never a range join; the bounded-threshold
+    * levenshtein verify runs map-side on the join stream BEFORE the
+    * distinct's exchange (the q123 lesson). */
+  def q231SortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
+    val messy = messyCustomers(clean)
+    val merged = clean
+      .select(lit(0).as("side"), $"c_custkey".as("rid"), $"c_name".as("name"))
+      .union(messy
+        .select(lit(1).as("side"), $"true_key".as("rid"), $"m_name".as("name")))
+      .select($"side", $"rid", $"name", substring($"name", 10, 9).as("tail"))
+    val passes = merged
+      .select($"side", $"rid", $"name", lit(1).as("pass"),
+        substring($"tail", 1, 6).as("block"), $"tail".as("skey"))
+      .union(merged.select($"side", $"rid", $"name", lit(2).as("pass"),
+        substring(reverse($"tail"), 1, SnmBlock2Len).as("block"),
+        reverse($"tail").as("skey")))
+    val w = Window.partitionBy($"pass", $"block")
+      .orderBy($"skey", $"side", $"rid")
+    val ranked = passes.select($"pass", $"block", $"side", $"rid", $"name",
+      row_number().over(w).as("rn"))
+    val pairs = ranked
+      .select($"pass", $"block", $"rn", $"side".as("sa"), $"rid".as("ra"),
+        $"name".as("na"),
+        explode(array((1 to SnmWindow).map(lit): _*)).as("off"))
+      .select($"pass", $"block", ($"rn" + $"off").as("rn2"),
+        $"sa", $"ra", $"na")
+      .join(ranked.select($"pass", $"block", $"rn".as("rn2"),
+        $"side".as("sb"), $"rid".as("rb"), $"name".as("nb")),
+        Seq("pass", "block", "rn2"))
+    // candidate volume per pass: ALL window pairs — the comparisons a
+    // real SNM run performs (including registry-internal ones)
+    val volume = pairs.groupBy($"pass").agg(count(lit(1)).as("n"))
+      .select(concat(lit("candidates_pass"), $"pass".cast("string"))
+        .as("metric"), $"n")
+    val verified = pairs.filter($"sa" =!= $"sb")
+      .select($"pass",
+        when($"sa" === 1, $"ra").otherwise($"rb").as("mkey"),
+        when($"sa" === 1, $"rb").otherwise($"ra").as("ckey"),
+        levenshtein(
+          when($"sa" === 1, $"na").otherwise($"nb"),
+          when($"sa" === 1, $"nb").otherwise($"na"), 1).as("dist"))
+      .filter($"dist" >= 0 && $"dist" <= 1)
+      .select($"pass", $"mkey", $"ckey").distinct()
+    val vRow = verified.agg(count(lit(1)).as("n"))
+      .select(lit("verified_pairs").as("metric"), $"n")
+    val truePairs = verified.filter($"mkey" === $"ckey")
+      .groupBy($"mkey").agg(
+        max(when($"pass" === 1, 1).otherwise(0)).as("p1"),
+        max(when($"pass" === 2, 1).otherwise(0)).as("p2"))
+    val classes = messy
+      .join(truePairs, messy("true_key") === truePairs("mkey"), "left")
+      .select($"typo", coalesce($"p1", lit(0)).as("p1"),
+        coalesce($"p2", lit(0)).as("p2"))
+      .select(
+        when(!$"typo" && ($"p1" === 1 || $"p2" === 1), "exact_caught")
+          .when(!$"typo", "exact_missed")
+          .when($"p1" === 1 && $"p2" === 1, "typo_caught_both")
+          .when($"p1" === 1, "typo_caught_pass1_only")
+          .when($"p2" === 1, "typo_caught_pass2_only")
+          .otherwise("typo_missed").as("metric"))
+      .groupBy($"metric").agg(count(lit(1)).as("n"))
+    classes.union(volume).union(vRow).orderBy($"metric")
+  }
+
+  val q231SortedNeighborhoodSql: String =
+    s"""WITH $messyCustomersSqlCte,
+       |merged AS (
+       |  SELECT 0 AS side, c_custkey AS rid, c_name AS name,
+       |      substring(c_name, 10, 9) AS tail FROM customer
+       |  UNION ALL
+       |  SELECT 1, true_key, m_name, substring(m_name, 10, 9) FROM messy),
+       |passes AS (
+       |  SELECT side, rid, name, 1 AS pass, substring(tail, 1, 6) AS block,
+       |      tail AS skey FROM merged
+       |  UNION ALL
+       |  SELECT side, rid, name, 2, substring(reverse(tail), 1, $SnmBlock2Len),
+       |      reverse(tail) FROM merged),
+       |ranked AS (SELECT pass, block, side, rid, name,
+       |    row_number() OVER (PARTITION BY pass, block
+       |      ORDER BY skey, side, rid) AS rn
+       |  FROM passes),
+       |pairs AS (SELECT a.pass, a.side AS sa, a.rid AS ra, a.name AS na,
+       |    b.side AS sb, b.rid AS rb, b.name AS nb
+       |  FROM ranked a JOIN ranked b
+       |    ON a.pass = b.pass AND a.block = b.block
+       |   AND b.rn - a.rn BETWEEN 1 AND $SnmWindow),
+       |vol AS (SELECT 'candidates_pass' || pass AS metric,
+       |    CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pass),
+       |verified AS (SELECT DISTINCT pass,
+       |    CASE WHEN sa = 1 THEN ra ELSE rb END AS mkey,
+       |    CASE WHEN sa = 1 THEN rb ELSE ra END AS ckey
+       |  FROM pairs WHERE sa <> sb
+       |    AND levenshtein(CASE WHEN sa = 1 THEN na ELSE nb END,
+       |                    CASE WHEN sa = 1 THEN nb ELSE na END) <= 1),
+       |vrow AS (SELECT 'verified_pairs' AS metric,
+       |    CAST(count(*) AS BIGINT) AS n FROM verified),
+       |tp AS (SELECT mkey,
+       |    max(CASE WHEN pass = 1 THEN 1 ELSE 0 END) AS p1,
+       |    max(CASE WHEN pass = 2 THEN 1 ELSE 0 END) AS p2
+       |  FROM verified WHERE mkey = ckey GROUP BY mkey),
+       |cls AS (SELECT CASE
+       |      WHEN NOT m.typo AND (coalesce(p1, 0) = 1 OR coalesce(p2, 0) = 1)
+       |        THEN 'exact_caught'
+       |      WHEN NOT m.typo THEN 'exact_missed'
+       |      WHEN coalesce(p1, 0) = 1 AND coalesce(p2, 0) = 1
+       |        THEN 'typo_caught_both'
+       |      WHEN coalesce(p1, 0) = 1 THEN 'typo_caught_pass1_only'
+       |      WHEN coalesce(p2, 0) = 1 THEN 'typo_caught_pass2_only'
+       |      ELSE 'typo_missed' END AS metric
+       |  FROM messy m LEFT JOIN tp ON tp.mkey = m.true_key)
+       |SELECT metric, n FROM (
+       |  SELECT metric, CAST(count(*) AS BIGINT) AS n FROM cls GROUP BY metric
+       |  UNION ALL SELECT metric, n FROM vol
+       |  UNION ALL SELECT metric, n FROM vrow)
+       |ORDER BY metric""".stripMargin
+
+  // =====================================================================
+  // q232: association-rule mining (Agrawal & Srikant VLDB 1994 family)
+  // =====================================================================
+
+  /** Minimum support, percent of orders: 2% keeps the frequent-pair cut
+    * LIVE on both sides at every driver SF (159/215/298 of the 300
+    * brand pairs pass at sf0.001/0.01/0.1). */
+  private val AssocMinSupPct = 2
+
+  /** Strong-rule confidence cut, ppm — sits inside every SF's observed
+    * confidence range so both decision branches stay live (rule 10:
+    * the decision compares the SAME exact integer both engines). */
+  private val AssocStrongPpm = 150000L
+
+  /** Association-rule mining over order baskets — the market-basket
+    * operator class (Agrawal & Srikant's Apriori family, public):
+    * baskets are the DISTINCT brands each order touches, frequent pairs
+    * are kept at [[AssocMinSupPct]]% support, and each surviving pair
+    * emits both directed rules a→b and b→a scored by exact-integer
+    * support/confidence ppm plus a gridded lift. On skewed real-world
+    * baskets the level-wise support prune is what bounds candidate
+    * growth; this synthetic market is near-uniform (all 25 brands
+    * frequent), so the prune's level-shrink shows in the crafted spec
+    * corpus while the driver row proves the counting arithmetic.
+    *
+    * Determinism: support/confidence are floor divisions of exact
+    * non-negative BIGINTs (rule 13); lift runs the identical IEEE
+    * double expression both engines AFTER the exact sums (rule 7) and
+    * lands on the 1e-6 grid (rule 10); the strong flag compares an
+    * exact integer.
+    *
+    * Scale shape: baskets from ONE lineitem⋈part projection
+    * deduplicated at (order, brand) grain; the pair generation is a
+    * self-equi-join on the entropy-rich order key with per-order
+    * output bounded by C(|basket|, 2) — basket sizes are small by
+    * domain (a cart), the classic market-basket bound; supports are
+    * map-side-combinable counts on the bounded brand-pair axis; the
+    * 1-row order count is a broadcast. */
+  def q232AssocRules(s: SparkSession, d: String): DataFrame = {
+    val basket = Tables.lineitem(s, d)
+      .select($"l_orderkey".as("o"), $"l_partkey")
+      .join(Tables.part(s, d).select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"o", $"p_brand".as("br")).distinct()
+    assocRules(basket)
+  }
+
+  private[graft] def assocRules(basket: DataFrame): DataFrame = {
+    val no = basket.agg(countDistinct($"o").as("no"))
+    val l1 = basket.groupBy($"br").agg(count(lit(1)).as("cnt"))
+    val pairs = basket.as("b1")
+      .join(basket.as("b2"), $"b1.o" === $"b2.o" && $"b1.br" < $"b2.br")
+      .select($"b1.br".as("a"), $"b2.br".as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("sup"))
+    val f2 = pairs.crossJoin(broadcast(no))
+      .filter($"sup" * 100 >= lit(AssocMinSupPct) * $"no")
+    val rules = f2.select($"a".as("ante"), $"b".as("cons"), $"sup", $"no")
+      .union(f2.select($"b", $"a", $"sup", $"no"))
+      .join(l1.select($"br".as("ante"), $"cnt".as("sa")), Seq("ante"))
+      .join(l1.select($"br".as("cons"), $"cnt".as("sc")), Seq("cons"))
+    rules.select($"ante", $"cons", $"sup".as("support"),
+      expr("(sup * 1000000) div no").as("support_ppm"),
+      expr("(sup * 1000000) div sa").as("conf_ppm"),
+      floor(lit(1000000.0) * ($"sup".cast("double") * $"no") /
+        ($"sa".cast("double") * $"sc") + 0.5).as("lift_ppm"),
+      (expr("(sup * 1000000) div sa") >= AssocStrongPpm).as("strong"))
+      .orderBy($"ante", $"cons")
+  }
+
+  val q232AssocRulesSql: String =
+    s"""WITH basket AS (SELECT DISTINCT l_orderkey AS o, p_brand AS br
+       |    FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS no FROM basket),
+       |l1 AS (SELECT br, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM basket GROUP BY br),
+       |pr AS (SELECT b1.br AS a, b2.br AS b, CAST(count(*) AS BIGINT) AS sup
+       |  FROM basket b1 JOIN basket b2 ON b1.o = b2.o AND b1.br < b2.br
+       |  GROUP BY 1, 2),
+       |f2 AS (SELECT a, b, sup, no FROM pr CROSS JOIN n
+       |  WHERE sup * 100 >= $AssocMinSupPct * no),
+       |ru AS (SELECT a AS ante, b AS cons, sup, no FROM f2
+       |  UNION ALL SELECT b, a, sup, no FROM f2)
+       |SELECT ru.ante, ru.cons, ru.sup AS support,
+       |  (ru.sup * 1000000) // ru.no AS support_ppm,
+       |  (ru.sup * 1000000) // la.cnt AS conf_ppm,
+       |  CAST(floor((1000000.0 * (CAST(ru.sup AS DOUBLE) * ru.no))
+       |    / (CAST(la.cnt AS DOUBLE) * lc.cnt) + 0.5) AS BIGINT) AS lift_ppm,
+       |  ((ru.sup * 1000000) // la.cnt >= $AssocStrongPpm) AS strong
+       |FROM ru JOIN l1 la ON la.br = ru.ante JOIN l1 lc ON lc.br = ru.cons
+       |ORDER BY ante, cons""".stripMargin
 
 }

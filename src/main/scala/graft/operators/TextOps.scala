@@ -917,8 +917,12 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  val q59PackSequencesSql: String =
-    s"""WITH t AS (SELECT doc_id, lang,
+  /** Shared packing CTE body (t = sharded token counts, c = running
+    * start offsets) — q59 reads the per-doc assignment off it, q229 the
+    * fragmentation census, from ONE template so they cannot drift (the
+    * q194 shared-mirror discipline). */
+  private val packCteSql: String =
+    s"""t AS (SELECT doc_id, lang,
        |        (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
        |          AS BIGINT) % $PackShards) AS shard,
        |        $tcSql AS n_tokens
@@ -928,7 +932,10 @@ object TextOps {
        |          ORDER BY doc_id
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |          AS BIGINT) AS start_tok
-       |      FROM t)
+       |      FROM t)""".stripMargin
+
+  val q59PackSequencesSql: String =
+    s"""WITH $packCteSql
        |SELECT doc_id, lang, shard, n_tokens,
        |  start_tok // $PackBudget AS pack_id,
        |  start_tok % $PackBudget AS pack_offset
@@ -5469,5 +5476,197 @@ object TextOps {
        |FROM ($dRows) d JOIN ($vRows) v USING (tier)
        |ORDER BY tier""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q229: chunk-packing fragmentation census
+  // ---------------------------------------------------------------
+
+  /** Concat-and-chunk fragmentation census — the loss accounting for
+    * q59's packing plan: when documents are concatenated per
+    * (lang, shard) and cut at the fixed [[PackBudget]]-token context
+    * boundary, how many documents get SPLIT across contexts (their
+    * attention span truncated mid-document), how many extra fragments
+    * does the cut create, and how full is the trailing chunk? This is
+    * the census an LLM data loader runs before choosing budget/shard
+    * parameters — q59 assigns, q155 plans padding, this prices the
+    * boundary damage. Derived entirely from q59's assignment (shared
+    * Scala helper AND shared mirror CTE, the q194 discipline): a doc
+    * spanning [start, start+n) crosses
+    * `(start+n-1) div B - start div B` boundaries, each crossing one
+    * extra fragment.
+    *
+    * Determinism: pure integer arithmetic on exact token counts; the
+    * ppm shares are floor divisions of non-negative integers (rule 13).
+    *
+    * Scale: rides q59's per-(lang, shard) cumsum (the shard key is
+    * what spreads the running totals at cluster scale), then ONE
+    * map-side-combinable aggregate onto the bounded lang × shard axis
+    * (≤ |langs|·[[PackShards]] rows). */
+  def q229ChunkCensus(s: SparkSession, d: String): DataFrame =
+    chunkCensus(Tables.documents(s, d))
+
+  private[graft] def chunkCensus(docs: DataFrame,
+      budget: Long = PackBudget, nShards: Int = PackShards): DataFrame = {
+    val p = packSequences(docs, budget, nShards)
+      .select($"lang", $"shard", $"n_tokens",
+        ($"pack_id" * budget + $"pack_offset").as("start_tok"))
+      // greatest(n,1): a zero-token doc occupies no span and crosses
+      // nothing — and keeps the dividend NON-NEGATIVE (rule 13: Spark
+      // div truncates toward zero, DuckDB // floors; they disagree on
+      // every negative non-multiple)
+      .select($"lang", $"shard", $"n_tokens",
+        (expr(s"(start_tok + greatest(n_tokens, 1) - 1) div $budget") -
+          expr(s"start_tok div $budget")).as("crossings"))
+    p.groupBy($"lang", $"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("n_tokens"),
+        sum(when($"crossings" > 0, 1L).otherwise(0L)).as("split_docs"),
+        sum($"crossings").as("extra_fragments"))
+      .select($"lang", $"shard", $"n_docs", $"n_tokens",
+        expr(s"(n_tokens + ${budget - 1}) div $budget").as("n_chunks"),
+        $"split_docs", $"extra_fragments",
+        expr("((n_docs - split_docs) * 1000000) div n_docs").as("intact_ppm"),
+        // all-empty group: 0 tokens → no trailing chunk (and the
+        // n_tokens - 1 dividend would go negative — rule 13 again)
+        when($"n_tokens" === 0L, 0L)
+          .otherwise(expr(
+            s"(((n_tokens - 1) % $budget + 1) * 1000000) div $budget"))
+          .as("last_fill_ppm"))
+      .orderBy($"lang", $"shard")
+  }
+
+  val q229ChunkCensusSql: String =
+    s"""WITH $packCteSql,
+       |p AS (SELECT lang, shard, n_tokens,
+       |        (start_tok + greatest(n_tokens, 1) - 1) // $PackBudget
+       |          - start_tok // $PackBudget AS crossings
+       |      FROM c)
+       |SELECT lang, shard,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  (CAST(sum(n_tokens) AS BIGINT) + ${PackBudget - 1}) // $PackBudget
+       |    AS n_chunks,
+       |  CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS split_docs,
+       |  CAST(sum(crossings) AS BIGINT) AS extra_fragments,
+       |  ((CAST(count(*) AS BIGINT)
+       |      - CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT))
+       |    * 1000000) // CAST(count(*) AS BIGINT) AS intact_ppm,
+       |  CASE WHEN CAST(sum(n_tokens) AS BIGINT) = 0 THEN 0
+       |    ELSE (((CAST(sum(n_tokens) AS BIGINT) - 1) % $PackBudget + 1)
+       |      * 1000000) // $PackBudget END AS last_fill_ppm
+       |FROM p GROUP BY lang, shard ORDER BY lang, shard""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q230: cross-source quantile alignment (quantile normalization)
+  // ---------------------------------------------------------------
+
+  /** Clamp grid for the length value axis: the pooled CDF runs a
+    * partition-less window over DISTINCT clamped lengths, so the axis
+    * must be bounded BY CONSTRUCTION (the q208 quality-grid rule) —
+    * documents longer than this share the tail cell. At the driver SFs
+    * max(n_chars) = 577, so the clamp is semantically invisible there. */
+  private val AlignClamp = 10000L
+
+  /** Exact-arithmetic bound for the target-rank decomposition: the tie
+    * term is < ni², so ni must stay ≤ 3e9 for BIGINT (9e18 < 2^63).
+    * Enforced LOUDLY per row (the packedTickKey philosophy). */
+  private val AlignMaxSource = 3000000000L
+
+  /** Cross-source quantile alignment (quantile normalization, Bolstad
+    * et al. Bioinformatics 2003, public) — make every source's length
+    * distribution comparable by mapping each document's WITHIN-SOURCE
+    * rank onto the POOLED distribution's order statistic at the same
+    * quantile: rank r of nᵢ maps to pooled rank
+    * 1 + (r−1)(N−1)/(nᵢ−1), the value there is the aligned length.
+    * This is the drift-robust normalization a multi-source curation
+    * pipeline applies before comparing length/quality cuts across
+    * crawls with different length profiles.
+    *
+    * Determinism: ranks are total orders (value, doc_id tie-break);
+    * the target rank is EXACT integer arithmetic via the decomposition
+    * (r−1)·q + ((r−1)·s) div (nᵢ−1) where q, s are the quotient and
+    * remainder of (N−1) div (nᵢ−1) — an identity, and every
+    * intermediate < max(N, nᵢ²), guarded by [[AlignMaxSource]].
+    *
+    * Scale: NO corpus-grain global window — per-source ranks decompose
+    * into a (source, value)-histogram CDF (windows run on the
+    * metadata-sized histogram, ≤ |sources|·1e4 rows) plus a tie rank
+    * partitioned by the entropy-rich (source, value) pair; the pooled
+    * lookup is a ≤1e4-row CDF broadcast and range-probed map-side
+    * (BroadcastNestedLoop against a bounded build side — never a
+    * shuffle, never an N-row rank relation). */
+  def q230QuantileAlign(s: SparkSession, d: String): DataFrame =
+    quantileAlign(Tables.documents(s, d))
+
+  private[graft] def quantileAlign(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn.filter($"n_chars".isNotNull)
+      .select($"doc_id", $"source",
+        least($"n_chars", lit(AlignClamp)).as("len"))
+    val hist = docs.groupBy($"source", $"len").agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy($"source").orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val srcCdf = hist.select($"source", $"len",
+      coalesce(sum($"cnt").over(wSrc), lit(0L)).as("scb"))
+    val srcSize = hist.groupBy($"source").agg(sum($"cnt").as("ni"))
+    val totals = srcSize.agg(sum($"ni").as("n_total"))
+    // 1-row pooled total onto the |sources|-row size relation
+    val sized = srcSize.crossJoin(broadcast(totals))
+    val pooledHist = docs.groupBy($"len").agg(count(lit(1)).as("pcnt"))
+    // partition-less window: bounded by construction (clamped length
+    // grid ≤ 1e4 values) — registered in ScaleSpec's allowlist
+    val wPool = Window.orderBy($"len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val poolCdf = pooledHist.select($"len".as("aligned_len"), $"pcnt",
+      coalesce(sum($"pcnt").over(wPool), lit(0L)).as("pcb"))
+    val wTie = Window.partitionBy($"source", $"len").orderBy($"doc_id")
+    val nig = when($"ni" > AlignMaxSource,
+      raise_error(concat(
+        lit("quantileAlign: source size exceeds the exact-arithmetic "),
+        lit("bound 3e9: "), $"ni"))).otherwise($"ni")
+    val ranked = docs
+      .join(srcCdf, Seq("source", "len"))
+      .select($"doc_id", $"source", $"len",
+        ($"scb" + row_number().over(wTie)).as("src_rank"))
+      .join(broadcast(sized), Seq("source"))
+      .select($"doc_id", $"source", $"len", $"src_rank",
+        when(nig === 1L, expr("(n_total + 1) div 2"))
+          .otherwise(
+            lit(1L) + ($"src_rank" - 1) * expr("(n_total - 1) div (ni - 1)")
+              + expr("((src_rank - 1) * ((n_total - 1) % (ni - 1))) " +
+                "div (ni - 1)")).as("target_rn"))
+    ranked
+      .join(broadcast(poolCdf),
+        $"target_rn" > $"pcb" && $"target_rn" <= $"pcb" + $"pcnt")
+      .select($"doc_id", $"source", $"len", $"src_rank", $"target_rn",
+        $"aligned_len")
+      .orderBy($"doc_id")
+  }
+
+  val q230QuantileAlignSql: String =
+    s"""WITH docs AS (SELECT doc_id, source,
+       |    least(n_chars, $AlignClamp) AS len
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS ni
+       |  FROM docs GROUP BY source),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM docs),
+       |r AS (SELECT doc_id, source, len,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY len, doc_id) AS BIGINT) AS src_rank
+       |  FROM docs),
+       |p AS (SELECT len AS aligned_len,
+       |    CAST(row_number() OVER (ORDER BY len, doc_id) AS BIGINT) AS rn
+       |  FROM docs),
+       |t AS (SELECT r.doc_id, r.source, r.len, r.src_rank,
+       |    CASE WHEN s.ni = 1 THEN (n.n_total + 1) // 2
+       |    ELSE 1 + (r.src_rank - 1) * ((n.n_total - 1) // (s.ni - 1))
+       |      + ((r.src_rank - 1) * ((n.n_total - 1) % (s.ni - 1)))
+       |        // (s.ni - 1) END AS target_rn
+       |  FROM r JOIN sz s USING (source) CROSS JOIN nt n)
+       |SELECT t.doc_id, t.source, t.len, t.src_rank, t.target_rn,
+       |  p.aligned_len
+       |FROM t JOIN p ON p.rn = t.target_rn
+       |ORDER BY doc_id""".stripMargin
 
 }

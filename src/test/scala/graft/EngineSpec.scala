@@ -4732,4 +4732,163 @@ class EngineSpec extends AnyFunSuite {
     for (t <- 2 to 4) assert(rows(t)._3 >= rows(t - 1)._3)
   }
 
+  test("q229 chunk census: crafted boundary crossings incl. empty docs") {
+    def txt(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // budget 10, one shard: en starts 0,4,12,22,25 — docs 2 and 3 cross
+    // a boundary, the empty doc occupies no span; fr is all-empty
+    val docs = Seq(
+      (1L, "en", txt(4)), (2L, "en", txt(8)), (3L, "en", txt(10)),
+      (4L, "en", txt(3)), (5L, "en", ""),
+      (6L, "fr", "")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.TextOps.chunkCensus(docs, budget = 10L,
+      nShards = 1).collect()
+      .map(r => (r.getString(0), (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(got("en") === ((5L, 25L, 3L, 2L, 2L, 600000L, 500000L)))
+    // all-empty group: zero chunks, zero fill, fully intact (the
+    // negative-dividend guards on BOTH rule-13 sites)
+    assert(got("fr") === ((1L, 0L, 0L, 0L, 0L, 1000000L, 0L)))
+  }
+
+  test("q230 quantile align: brute-force replay incl. the ni=1 branch") {
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L), (4L, "A", 30L),
+      (5L, "A", 40L),
+      (6L, "B", 15L), (7L, "B", 35L),
+      (8L, "C", 25L)
+    ).toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.TextOps.quantileAlign(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // JVM replay: pooled total order by (len, doc_id); per-source ranks;
+    // exact decomposed target index
+    val rows = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 20L),
+      (4L, "A", 30L), (5L, "A", 40L), (6L, "B", 15L), (7L, "B", 35L),
+      (8L, "C", 25L))
+    val pooled = rows.sortBy(r => (r._3, r._1)).map(_._3)
+    val n = pooled.length.toLong
+    for ((src, grp) <- rows.groupBy(_._2)) {
+      val ni = grp.length.toLong
+      val sorted = grp.sortBy(r => (r._3, r._1))
+      for ((r, i) <- sorted.zipWithIndex) {
+        val rank = i + 1L
+        val tgt =
+          if (ni == 1L) (n + 1L) / 2L
+          else 1L + (rank - 1L) * ((n - 1L) / (ni - 1L)) +
+            (rank - 1L) * ((n - 1L) % (ni - 1L)) / (ni - 1L)
+        assert(got(r._1) === ((rank, tgt, pooled((tgt - 1L).toInt))),
+          s"doc ${r._1} (source $src)")
+      }
+    }
+    // endpoints map to endpoints: every source's min/max land on the
+    // pooled min/max when ni > 1
+    assert(got(6L)._3 === 10L && got(7L)._3 === 40L)
+    // the single-doc source lands on the pooled lower median
+    assert(got(8L)._3 === 20L)
+  }
+
+  test("q231 sorted neighborhood: independent JVM replay of both passes") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(salt: String, k: Long): Long =
+      java.lang.Long.parseLong(md5hex(salt + k).take(8), 16)
+    def lev1(a: String, b: String): Boolean = {
+      // levenshtein ≤ 1 for equal-length strings = ≤ 1 substitution
+      if (a.length == b.length) a.zip(b).count(t => t._1 != t._2) <= 1
+      else math.abs(a.length - b.length) == 1 && {
+        val (s, l) = if (a.length < b.length) (a, b) else (b, a)
+        (0 to s.length).exists(i => l.substring(0, i) == s.substring(0, i) &&
+          l.substring(i + 1) == s.substring(i))
+      }
+    }
+    val clean = graft.sources.Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val messy = clean.map { case (k, name) =>
+      val pos = (h("ep", k) % 9 + 10).toInt
+      val nd = ((name.charAt(pos - 1) - '0' + h("ec", k) % 9 + 1) % 10)
+      val typo = h("er", k) % 10 < 3
+      val m = if (typo)
+        name.substring(0, pos - 1) + ('0' + nd).toChar + name.substring(pos)
+      else name
+      (k, typo, m)
+    }
+    // merged stream, two blocked passes, w=4 window pairs
+    case class R(side: Int, rid: Long, name: String)
+    val merged = clean.map { case (k, n) => R(0, k, n) } ++
+      messy.map { case (k, _, m) => R(1, k, m) }
+    def passPairs(blockOf: String => String, keyOf: String => String)
+        : (Long, Set[(Long, Long)]) = {
+      var vol = 0L
+      val hits = scala.collection.mutable.Set.empty[(Long, Long)]
+      for ((_, grp) <- merged.groupBy(r => blockOf(r.name.substring(9, 18)))) {
+        val sorted = grp.sortBy(r =>
+          (keyOf(r.name.substring(9, 18)), r.side, r.rid))
+        for (i <- sorted.indices; j <- i + 1 to math.min(i + 4, sorted.length - 1)) {
+          vol += 1
+          val (a, b) = (sorted(i), sorted(j))
+          if (a.side != b.side && lev1(a.name, b.name)) {
+            val (m, c) = if (a.side == 1) (a, b) else (b, a)
+            if (m.rid == c.rid) hits += ((m.rid, c.rid))
+          }
+        }
+      }
+      (vol, hits.toSet)
+    }
+    val (v1, hit1) = passPairs(_.take(6), identity)
+    val (v2, hit2) = passPairs(_.reverse.take(2), _.reverse)
+    val expect = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    for ((k, typo, _) <- messy) {
+      val (p1, p2) = (hit1.contains((k, k)), hit2.contains((k, k)))
+      val cls =
+        if (!typo) if (p1 || p2) "exact_caught" else "exact_missed"
+        else if (p1 && p2) "typo_caught_both"
+        else if (p1) "typo_caught_pass1_only"
+        else if (p2) "typo_caught_pass2_only"
+        else "typo_missed"
+      expect(cls) += 1L
+    }
+    expect("candidates_pass1") = v1
+    expect("candidates_pass2") = v2
+    val got = graft.operators.Relational
+      .q231SortedNeighborhood(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, v) <- expect) assert(got(k) === v, s"class $k")
+    // verified_pairs exists and bounds the true catches
+    assert(got("verified_pairs") >= hit1.size.toLong)
+    // the pass-1-only class the window size was calibrated for is live
+    assert(got("typo_caught_pass1_only") >= 1L)
+  }
+
+  test("q232 assoc rules: crafted-basket replay incl. minsup drop") {
+    // 100 orders: (A,B) co-occur in 10, (A,C) in exactly 1 — the (A,C)
+    // pair sits below the 2% minsup and must be pruned entirely
+    val rows =
+      (1 to 10).flatMap(o => Seq((o.toLong, "A"), (o.toLong, "B"))) ++
+      (11 to 40).map(o => (o.toLong, "A")) ++
+      (41 to 99).map(o => (o.toLong, "B")) ++
+      Seq((100L, "A"), (100L, "C"))
+    val basket = rows.toDF("o", "br")
+    val got = graft.operators.Relational.assocRules(basket).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))).toMap
+    assert(got.keySet === Set(("A", "B"), ("B", "A")))
+    val (no, sa, sb, sup) = (100L, 41L, 69L, 10L)
+    def lift = math.floor(1000000.0 * (sup.toDouble * no) /
+      (sa.toDouble * sb) + 0.5).toLong
+    assert(got(("A", "B")) ===
+      ((sup, sup * 1000000L / no, sup * 1000000L / sa, lift,
+        sup * 1000000L / sa >= 150000L)))
+    assert(got(("B", "A")) ===
+      ((sup, sup * 1000000L / no, sup * 1000000L / sb, lift,
+        sup * 1000000L / sb >= 150000L)))
+    // both decision branches exercised: A→B is strong, B→A is not
+    assert(got(("A", "B"))._5 && !got(("B", "A"))._5)
+  }
+
 }

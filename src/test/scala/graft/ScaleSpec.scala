@@ -486,11 +486,12 @@ class ScaleSpec extends AnyFunSuite {
       "operators/EventOps.scala" -> (2,
         "day axis (bounded calendar) / q223 reverse cumsum over the " +
           "bounded week axis"),
-      "operators/TextOps.scala" -> (7,
+      "operators/TextOps.scala" -> (8,
         "quality grid / superbuckets / |sources| / quartile grid / " +
           "bucket grid / q208 skyline running-max over the ≤1e4 " +
           "quality-grid axis / q214 prefix sums over the bounded " +
-          "logit-bucket axis"),
+          "logit-bucket axis / q230 pooled CDF over the clamped ≤1e4 " +
+          "length grid"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -536,7 +537,8 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q204's 1-row digit-total broadcast
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
-      "operators/Relational.scala" -> 6,
+      // +1 round 10: q232's 1-row basket-count broadcast
+      "operators/Relational.scala" -> 7,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
@@ -546,7 +548,9 @@ class ScaleSpec extends AnyFunSuite {
       // 1-row symbol-mass broadcast (both LIMIT-1/global-agg relations)
       // +2 round 10: q210's |langs|-row prior broadcast (class spine)
       // and 1-row global-total broadcast
-      "operators/TextOps.scala" -> 20,
+      // +1 round 10: q230's 1-row pooled-total broadcast onto the
+      // |sources|-row size relation
+      "operators/TextOps.scala" -> 21,
       // +1 round 10: q220's NumCells-row centroid broadcast
       "operators/VectorOps.scala" -> 6)
     assert(countSites("crossJoin") === crossJoinBudget,
