@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{CustomOps, EventOps, Relational, TextOps, VectorOps}
+import graft.operators.{CustomOps, EventOps, Relational, StatsOps, TextOps, VectorOps}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -255,6 +255,9 @@ object SparkEntry {
     "q230_quantile_align" -> (TextOps.q230QuantileAlign(_, _)),
     "q231_sorted_neighborhood" -> (Relational.q231SortedNeighborhood(_, _)),
     "q232_assoc_rules" -> (Relational.q232AssocRules(_, _)),
+    "q233_bootstrap_ci" -> (StatsOps.q233BootstrapCi(_, _)),
+    "q234_rank_drift" -> (StatsOps.q234RankDrift(_, _)),
+    "q235_chi_square" -> (StatsOps.q235ChiSquare(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -714,5 +717,14 @@ object SparkEntry {
     // q228: min-label-propagation components — persisted per-round
     // label relations, AS MATERIALIZED mirror, integer min/counts
     "q228_conn_comp" -> Relational.q228ConnCompSql,
+    // q233: Poisson bootstrap — md5-derived integer weights against
+    // literal CDF breakpoints, exact replicate means, order-stat CI
+    "q233_bootstrap_ci" -> StatsOps.q233BootstrapCiSql,
+    // q234: Mann-Whitney U off the histogram CDF — doubled midranks
+    // exact BIGINT, one rule-7 z expression, rule-10 drift flag
+    "q234_rank_drift" -> StatsOps.q234RankDriftSql,
+    // q235: chi-square independence — full marginal axis incl. zero
+    // cells, per-cell micro grid BEFORE the statistic sums (rule 5/8)
+    "q235_chi_square" -> StatsOps.q235ChiSquareSql,
   )
 }

@@ -4891,4 +4891,115 @@ class EngineSpec extends AnyFunSuite {
     assert(got(("A", "B"))._5 && !got(("B", "A"))._5)
   }
 
+  test("q233 bootstrap CI: independent JVM replay of weights, means, CI ranks") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val thresh = graft.operators.StatsOps.PoisThresh
+    def weight(b: Int, docId: Long): Long = {
+      val u = java.lang.Long.parseLong(
+        md5hex(s"boot:$b:$docId").substring(0, 6), 16)
+      val k = thresh.indexWhere(u < _)
+      if (k < 0) thresh.size.toLong else k.toLong
+    }
+    // two sources, enough docs that every replicate has mass
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 25) "sa" else "sb", 100L + 7L * i))
+    val df = docs.toDF("doc_id", "source", "n_chars")
+    val got = graft.operators.StatsOps.bootstrapCi(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (src <- Seq("sa", "sb")) {
+      val mine = docs.filter(_._2 == src)
+      val means = (0 until 100).flatMap { b =>
+        val ws = mine.map { case (id, _, x) => (weight(b, id), x) }
+        val sw = ws.map(_._1).sum
+        if (sw == 0) None
+        else Some((b, ws.map { case (w, x) => w * x }.sum * 1000L / sw))
+      }
+      val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+      val neff = sorted.size
+      val rlo = neff * 25 / 1000 + 1
+      val rhi = neff - neff * 25 / 1000
+      val r = got(src)
+      assert(r.getLong(1) === mine.size.toLong, s"$src n_docs")
+      assert(r.getLong(2) === mine.map(_._3).sum * 1000L / mine.size,
+        s"$src mean")
+      assert(r.getLong(3) === neff.toLong, s"$src n_reps")
+      assert(r.getLong(4) === sorted(rlo - 1), s"$src lo")
+      assert(r.getLong(5) === sorted(rhi - 1), s"$src hi")
+      val sm = sorted.sum
+      val smm = sorted.map(m => m * m).sum
+      val variance = math.max((neff.toDouble * smm - sm.toDouble * sm) /
+        (neff.toDouble * (neff - 1L)), 0.0)
+      assert(r.getLong(6) ===
+        math.floor(math.sqrt(variance) * 1000.0 + 0.5).toLong, s"$src se")
+      // a Poisson(1) resample keeps roughly the sample mass: the CI
+      // must bracket the point estimate on this smooth series
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(2) <= r.getLong(5))
+    }
+  }
+
+  test("q234 rank drift: histogram U equals brute-force pairwise U, flags fire") {
+    // source A sits strictly above B/C except one crafted tie pair;
+    // values repeat so midranks and the tie correction are exercised
+    val vals = Seq.tabulate(30)(i => ("A", 200L + (i % 5) * 10L)) ++
+      Seq.tabulate(30)(i => ("B", 100L + (i % 7) * 3L)) ++
+      Seq.tabulate(30)(i => ("C", (i % 4) * 25L + 50L)) ++
+      Seq(("B", 200L)) // the cross-source tie
+    val df = vals.toDF("source", "len")
+    val got = graft.operators.StatsOps.rankDrift(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (src <- Seq("A", "B", "C")) {
+      val mine = vals.filter(_._1 == src).map(_._2)
+      val rest = vals.filter(_._1 != src).map(_._2)
+      // doubled brute-force U: 2*wins + ties, over all n1*n2 pairs
+      val u2 = mine.map(x =>
+        2L * rest.count(x > _) + rest.count(x == _)).sum
+      val r = got(src)
+      assert(r.getLong(1) === mine.size.toLong, s"$src n1")
+      assert(r.getLong(2) === rest.size.toLong, s"$src n2")
+      assert(r.getLong(3) === u2, s"$src u2")
+    }
+    // A dominates -> large positive z, drifted; C sits low -> negative
+    assert(got("A").getLong(4) > 0L && got("A").getBoolean(5))
+    assert(got("C").getLong(4) < 0L)
+    // a single-valued rest comparison cannot be drifted on this layout
+    val gotNull = graft.operators.StatsOps
+      .rankDrift(Seq(("X", 5L), ("Y", 5L)).toDF("source", "len"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // all values tie -> zero variance -> z undefined, flag false
+    assert(gotNull("X").isNullAt(4) && !gotNull("X").getBoolean(5))
+  }
+
+  test("q235 chi-square: zero cell enters via the marginal axis; independence -> 0") {
+    // y-t is never observed: the full-axis path must still charge its
+    // expected mass (O=0, E=30*20/50=12)
+    val obs = Seq.fill(10)(("x", "s")) ++ Seq.fill(10)(("x", "t")) ++
+      Seq.fill(30)(("y", "s"))
+    val got = graft.operators.StatsOps.chiSquare(obs.toDF("lang", "source"))
+      .collect()(0)
+    val cells = Seq(("x", "s", 10L, 20L, 40L), ("x", "t", 10L, 20L, 10L),
+      ("y", "s", 30L, 30L, 40L), ("y", "t", 0L, 30L, 10L))
+    val contribs = cells.map { case (_, _, o, rt, ct) =>
+      val e = rt.toDouble * ct / 50L
+      val dv = o.toDouble - e
+      math.floor(dv * dv / e * 1000000.0 + 0.5).toLong
+    }
+    assert(got.getLong(0) === 50L)
+    assert(got.getLong(3) === 1L) // df = (2-1)*(2-1)
+    assert(got.getLong(4) === contribs.sum, "chi2 from hand-replayed cells")
+    val v = math.sqrt(contribs.sum / 1000000.0 / (50.0 * 1L))
+    assert(got.getLong(5) === math.floor(v * 1000000.0 + 0.5).toLong)
+    // largest contributor on this layout is the inflated (x, t) cell
+    // ((10-4)^2/4 = 9.0 beats the zero cell's (0-6)^2/6 = 6.0)
+    assert((got.getString(6), got.getString(7)) === (("x", "t")))
+    assert(got.getLong(8) === 9000000L)
+    // exact independence: both sources draw langs in identical ratio
+    val indep = Seq.fill(8)(("x", "s")) ++ Seq.fill(4)(("y", "s")) ++
+      Seq.fill(2)(("x", "t")) ++ Seq.fill(1)(("y", "t"))
+    val g2 = graft.operators.StatsOps.chiSquare(indep.toDF("lang", "source"))
+      .collect()(0)
+    assert(g2.getLong(4) === 0L, "independent table must score exactly 0")
+  }
+
 }

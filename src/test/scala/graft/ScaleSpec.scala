@@ -492,6 +492,8 @@ class ScaleSpec extends AnyFunSuite {
           "quality-grid axis / q214 prefix sums over the bounded " +
           "logit-bucket axis / q230 pooled CDF over the clamped ≤1e4 " +
           "length grid"),
+      "operators/StatsOps.scala" -> (1,
+        "q234 pooled-rank CDF over the clamped ≤1e4 length grid"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -539,6 +541,10 @@ class ScaleSpec extends AnyFunSuite {
       // 1-row estimate
       // +1 round 10: q232's 1-row basket-count broadcast
       "operators/Relational.scala" -> 7,
+      // round 10: q234's 1-row (N, tie-term) broadcast; q235's bounded
+      // |langs|×|sources| marginal axis, 1-row total broadcast, and
+      // 1-row top-cell broadcast onto the 1-row summary
+      "operators/StatsOps.scala" -> 4,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
