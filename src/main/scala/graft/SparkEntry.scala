@@ -258,6 +258,8 @@ object SparkEntry {
     "q233_bootstrap_ci" -> (StatsOps.q233BootstrapCi(_, _)),
     "q234_rank_drift" -> (StatsOps.q234RankDrift(_, _)),
     "q235_chi_square" -> (StatsOps.q235ChiSquare(_, _)),
+    "q236_roc_auc" -> (TextOps.q236RocAuc(_, _)),
+    "q237_hits" -> (Relational.q237Hits(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -726,5 +728,12 @@ object SparkEntry {
     // q235: chi-square independence — full marginal axis incl. zero
     // cells, per-cell micro grid BEFORE the statistic sums (rule 5/8)
     "q235_chi_square" -> StatsOps.q235ChiSquareSql,
+    // q236: binned ROC-AUC + threshold sweep — doubled U exact BIGINT
+    // on the clamped bucket axis, one rule-7 AUC ratio, integer
+    // precision/recall/F1 floor divisions
+    "q236_roc_auc" -> TextOps.q236RocAucSql,
+    // q237: HITS — q110's ppb normalization discipline per half-step,
+    // top-k with unique tie-breaks
+    "q237_hits" -> Relational.q237HitsSql,
   )
 }

@@ -3208,4 +3208,84 @@ object Relational {
        |FROM ru JOIN l1 la ON la.br = ru.ante JOIN l1 lc ON lc.br = ru.cons
        |ORDER BY ante, cons""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q237: HITS hubs & authorities (Kleinberg 1999, alternating steps)
+  // ---------------------------------------------------------------
+
+  private val HitsTopK = 20
+
+  /** HITS over the bipartite customer→part purchase graph (Kleinberg,
+    * J. ACM 1999, public) — the mutual-reinforcement ranking beside
+    * q110's pagerank: a part is a strong AUTHORITY when strong-hub
+    * customers buy it, a customer a strong HUB when they buy strong-
+    * authority parts. Alternating half-steps a₁ = indegree →
+    * h₁ = Σ a₁ over each hub's parts → a₂ = Σ h₁ over each part's
+    * buyers, each half-step renormalized onto the integer ppb grid
+    * exactly as q110's power iteration (floor of an identical-IEEE
+    * double divide by the 1-row L1 total — rule 7); output is the
+    * top-[[HitsTopK]] of each role with unique (score desc, id)
+    * tie-breaks.
+    *
+    * Scale: each half-step is one equi-join of the edge list to the
+    * previous score relation plus a map-side-combinable aggregate —
+    * the Pregel message round expressed declaratively, |E|-bounded
+    * like q110; normalization totals are 1-row broadcasts; the top-k
+    * is TakeOrdered, never a global sort materialization. */
+  def q237Hits(s: SparkSession, d: String): DataFrame =
+    hits(Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct())
+
+  private[graft] def hits(edges: DataFrame): DataFrame = {
+    def normPpb(df: DataFrame, key: String): DataFrame = {
+      val tot = df.agg(sum($"raw").as("tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col(key),
+          floor($"raw".cast("double") * 1000000000.0 / $"tot")
+            .cast("long").as("s"))
+    }
+    val a1 = normPpb(edges.groupBy($"p").agg(count(lit(1)).as("raw")), "p")
+    val h1 = normPpb(edges.join(a1, "p")
+      .groupBy($"c").agg(sum($"s").as("raw")), "c")
+    val a2 = normPpb(edges.join(h1, "c")
+      .groupBy($"p").agg(sum($"s").as("raw")), "p")
+    val auth = a2.orderBy($"s".desc, $"p").limit(HitsTopK)
+      .select(lit("authority").as("role"), $"p".as("node_id"),
+        $"s".as("score_ppb"))
+    val hubs = h1.orderBy($"s".desc, $"c").limit(HitsTopK)
+      .select(lit("hub").as("role"), $"c".as("node_id"),
+        $"s".as("score_ppb"))
+    auth.unionByName(hubs)
+      .orderBy($"role", $"score_ppb".desc, $"node_id")
+  }
+
+  val q237HitsSql: String =
+    s"""WITH edges AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c,
+       |    l.l_partkey AS p
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |a1r AS (SELECT p, CAST(count(*) AS BIGINT) AS raw
+       |  FROM edges GROUP BY p),
+       |a1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a1r),
+       |a1 AS MATERIALIZED (SELECT p, CAST(floor(CAST(raw AS DOUBLE)
+       |    * 1000000000.0 / tot) AS BIGINT) AS s FROM a1r, a1t),
+       |h1r AS (SELECT c, CAST(sum(a1.s) AS BIGINT) AS raw
+       |  FROM edges JOIN a1 USING (p) GROUP BY c),
+       |h1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h1r),
+       |h1 AS MATERIALIZED (SELECT c, CAST(floor(CAST(raw AS DOUBLE)
+       |    * 1000000000.0 / tot) AS BIGINT) AS s FROM h1r, h1t),
+       |a2r AS (SELECT p, CAST(sum(h1.s) AS BIGINT) AS raw
+       |  FROM edges JOIN h1 USING (c) GROUP BY p),
+       |a2t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a2r),
+       |a2 AS (SELECT p, CAST(floor(CAST(raw AS DOUBLE)
+       |    * 1000000000.0 / tot) AS BIGINT) AS s FROM a2r, a2t)
+       |SELECT * FROM (
+       |  (SELECT 'authority' AS role, p AS node_id, s AS score_ppb
+       |   FROM a2 ORDER BY s DESC, p LIMIT $HitsTopK)
+       |  UNION ALL
+       |  (SELECT 'hub' AS role, c AS node_id, s AS score_ppb
+       |   FROM h1 ORDER BY s DESC, c LIMIT $HitsTopK))
+       |ORDER BY role, score_ppb DESC, node_id""".stripMargin
+
 }

@@ -5669,4 +5669,139 @@ object TextOps {
        |FROM t JOIN p ON p.rn = t.target_rn
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q236: ROC-AUC + operating-point sweep (classifier discrimination)
+  // ---------------------------------------------------------------
+
+  /** Score-axis clamp for the binned ROC: buckets outside
+    * [[AucBucketLo]], [[AucBucketHi]] collapse into the end buckets, so
+    * the rank axis is ≤ 301 values by construction regardless of
+    * corpus size (the q230 clamp discipline). At q178's weights the
+    * clamp is inactive for any plausible document (bucket 200 needs a
+    * 4e6-micro logit ≈ 6,700 tokens); pathological outliers land in an
+    * end bucket instead of unbounding the axis. */
+  private val AucBucketLo = -100L
+  private val AucBucketHi = 200L
+
+  /** Operating-point sweep: thresholds k·[[CalibBucket]] micro-logits
+    * for k ∈ [[AucThreshLo]]..[[AucThreshHi]] — brackets q178's
+    * deployed boundary (k = 0) on both sides. */
+  private val AucThreshLo = -6L
+  private val AucThreshHi = 12L
+
+  /** ROC-AUC and the operating-point table for q178's quality
+    * classifier against q175's independent rule battery — the
+    * DISCRIMINATION half of the evaluation q185's calibration table
+    * starts (Hanley–McNeil 1982: AUC ≡ the Mann–Whitney U probability
+    * a random rules-pass doc outscores a random rules-fail doc, ties
+    * at half credit). A curation team reads this before picking the
+    * filter threshold: the sweep says what precision/recall each
+    * boundary buys, the AUC says whether the model ranks at all.
+    *
+    * The AUC is computed on the [[CalibBucket]]-binned score axis
+    * (binned AUC — the standard large-scale formulation; an exact
+    * per-score AUC would rank the corpus globally, this ranks ≤ 301
+    * histogram buckets): u2 = Σ_b np_b·(2·cumneg_below + nn_b) is the
+    * doubled U with in-bucket ties at half credit, all exact integers.
+    *
+    * Determinism: scores and labels are q175/q178's shared integer
+    * grid; the bucket is an explicit double floor then integer clamp
+    * (identical IEEE both sides, q185's discipline); u2/tp/fp are
+    * exact integer sums (every DuckDB sum CAST BIGINT, rule 11);
+    * precision/recall/F1 are non-negative floor divisions (rule 13;
+    * F1 = 2tp/(2tp+fp+fn) simplifies to the shared integer form
+    * 2tp·1e6 div (tp+fp+npos)); only the final AUC ratio runs rule-7
+    * doubles on the exact sums, gridded to ppm with the shared
+    * floor(x+0.5) (u2 exact under 2^53 up to ~1.3e8 eval docs per
+    * side product — an evaluation-slice bound, documented not
+    * guarded).
+    *
+    * Scale: one corpus scan computes both classifiers (the q185
+    * single-scan shape), one map-side-combinable aggregate onto the
+    * bounded bucket axis; everything after is metadata-sized — the
+    * sweep is a broadcast of the ≤301-row histogram against 19
+    * threshold rows, the AUC a 1-row broadcast. */
+  def q236RocAuc(s: SparkSession, d: String): DataFrame =
+    rocAuc(featureGrid(Tables.documents(s, d).filter($"text".isNotNull))
+      .select(logitCol.as("logit_micro"),
+        (!ruleViolCols.reduce(_ || _)).as("pos")))
+
+  private[graft] def rocAuc(scored: DataFrame): DataFrame = {
+    val bucket = least(greatest(
+      floor($"logit_micro" / CalibBucket).cast("long"),
+      lit(AucBucketLo)), lit(AucBucketHi))
+    val hist = scored.select(bucket.as("bucket"), $"pos")
+      .groupBy($"bucket")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+        sum(when($"pos", 0L).otherwise(1L)).as("nn"))
+    // partition-less window: bounded by construction (clamped ≤301-
+    // value bucket axis) — registered in ScaleSpec's allowlist
+    val wAsc = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.select($"bucket", $"np", $"nn",
+      coalesce(sum($"nn").over(wAsc), lit(0L)).as("cnb"))
+    val tot = cum.agg(sum($"np").as("npos"), sum($"nn").as("nneg"),
+        sum($"np" * $"nn" + lit(2L) * $"np" * $"cnb").as("u2"))
+      .select($"npos", $"nneg",
+        when($"npos" > 0L && $"nneg" > 0L,
+          floor($"u2".cast("double") * 1000000.0 /
+            (lit(2.0) * $"npos" * $"nneg") + 0.5).cast("long")).as("auc_ppm"))
+    val sweep = scored.sparkSession.range(AucThreshLo, AucThreshHi + 1)
+      .select($"id".as("k"))
+      .crossJoin(broadcast(hist))
+      .groupBy($"k")
+      .agg(sum(when($"bucket" >= $"k", $"np").otherwise(0L)).as("tp"),
+        sum(when($"bucket" >= $"k", $"nn").otherwise(0L)).as("fp"))
+    sweep.crossJoin(broadcast(tot))
+      .select(($"k" * lit(CalibBucket.toLong)).as("thresh_micro"),
+        $"tp", $"fp", ($"npos" - $"tp").as("fn"),
+        ($"nneg" - $"fp").as("tn"),
+        when($"tp" + $"fp" > 0L,
+          expr("(tp * 1000000) div (tp + fp)")).as("precision_ppm"),
+        when($"npos" > 0L, expr("(tp * 1000000) div npos")).as("recall_ppm"),
+        when($"tp" + $"fp" + $"npos" > 0L,
+          expr("(2 * tp * 1000000) div (tp + fp + npos)")).as("f1_ppm"),
+        $"auc_ppm")
+      .orderBy($"thresh_micro")
+  }
+
+  val q236RocAucSql: String =
+    s"""WITH f AS (SELECT ${featureGridSql("")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT $logitSql AS logit_micro,
+       |    NOT (${ruleViolSql.mkString(" OR ")}) AS pos
+       |  FROM f),
+       |h AS (SELECT least(greatest(
+       |      CAST(floor(logit_micro / $CalibBucket) AS BIGINT),
+       |      $AucBucketLo), $AucBucketHi) AS bucket,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM sc GROUP BY 1),
+       |c AS (SELECT bucket, np, nn,
+       |    CAST(coalesce(sum(nn) OVER (ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cnb
+       |  FROM h),
+       |tot AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+       |    CAST(sum(nn) AS BIGINT) AS nneg,
+       |    CAST(sum(np * nn + 2 * np * cnb) AS BIGINT) AS u2 FROM c),
+       |sw AS (SELECT k,
+       |    CAST(coalesce(sum(CASE WHEN bucket >= k THEN np END), 0)
+       |      AS BIGINT) AS tp,
+       |    CAST(coalesce(sum(CASE WHEN bucket >= k THEN nn END), 0)
+       |      AS BIGINT) AS fp
+       |  FROM generate_series($AucThreshLo, $AucThreshHi) AS t(k), h
+       |  GROUP BY k)
+       |SELECT k * ${CalibBucket.toLong} AS thresh_micro, tp, fp,
+       |  npos - tp AS fn, nneg - fp AS tn,
+       |  CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp) END
+       |    AS precision_ppm,
+       |  CASE WHEN npos > 0 THEN (tp * 1000000) // npos END AS recall_ppm,
+       |  CASE WHEN tp + fp + npos > 0
+       |    THEN (2 * tp * 1000000) // (tp + fp + npos) END AS f1_ppm,
+       |  CASE WHEN npos > 0 AND nneg > 0 THEN CAST(floor(CAST(u2 AS DOUBLE)
+       |    * 1000000.0 / (2.0 * npos * nneg) + 0.5) AS BIGINT) END
+       |    AS auc_ppm
+       |FROM sw, tot ORDER BY thresh_micro""".stripMargin
+
 }

@@ -5002,4 +5002,86 @@ class EngineSpec extends AnyFunSuite {
     assert(g2.getLong(4) === 0L, "independent table must score exactly 0")
   }
 
+  test("q236 ROC-AUC: brute-force pairwise U on bucketed scores, sweep counts") {
+    // scores straddle negative buckets (floor on negatives), share a
+    // cross-class bucket (half-credit ties), and include one extreme
+    // outlier that must CLAMP into bucket 200 instead of widening the
+    // axis
+    val rows: Seq[(Long, Boolean)] = Seq(
+      (-130000L, false), (-95000L, false), (-41000L, false),
+      (-39999L, false), (5000L, false), (25000L, false),
+      (5000L, true), (45000L, true), (85000L, true), (125000L, true),
+      (165000L, true), (1000000000L, true))
+    val df = rows.toDF("logit_micro", "pos")
+    val got = graft.operators.TextOps.rocAuc(df).collect()
+    def bucket(x: Long): Long =
+      math.min(math.max(math.floor(x / 20000.0).toLong, -100L), 200L)
+    val posB = rows.filter(_._2).map(r => bucket(r._1))
+    val negB = rows.filterNot(_._2).map(r => bucket(r._1))
+    assert(posB.contains(200L), "outlier must clamp into the end bucket")
+    val u2 = posB.map(p =>
+      2L * negB.count(p > _) + negB.count(p == _)).sum
+    val aucPpm = math.floor(u2.toDouble * 1000000.0 /
+      (2.0 * posB.size * negB.size) + 0.5).toLong
+    assert(got.length === 19, "one row per threshold k in -6..12")
+    for (r <- got) {
+      val k = r.getLong(0) / 20000L
+      val tp = posB.count(_ >= k).toLong
+      val fp = negB.count(_ >= k).toLong
+      assert(r.getLong(1) === tp, s"k=$k tp")
+      assert(r.getLong(2) === fp, s"k=$k fp")
+      assert(r.getLong(3) === posB.size - tp, s"k=$k fn")
+      assert(r.getLong(4) === negB.size - fp, s"k=$k tn")
+      if (tp + fp > 0)
+        assert(r.getLong(5) === tp * 1000000L / (tp + fp), s"k=$k prec")
+      else assert(r.isNullAt(5), s"k=$k prec null")
+      assert(r.getLong(6) === tp * 1000000L / posB.size, s"k=$k rec")
+      assert(r.getLong(7) ===
+        2L * tp * 1000000L / (tp + fp + posB.size), s"k=$k f1")
+      assert(r.getLong(8) === aucPpm, s"k=$k auc")
+    }
+    // this layout separates well but not perfectly (one tied bucket):
+    // AUC strictly between the coin-flip and the perfect ranker
+    assert(aucPpm > 500000L && aucPpm < 1000000L)
+    // a perfectly-ranked layout scores exactly 1e6
+    val perfect = (Seq.tabulate(5)(i => (100000L + 20000L * i, true)) ++
+      Seq.tabulate(5)(i => (-100000L - 20000L * i, false)))
+      .toDF("logit_micro", "pos")
+    val g2 = graft.operators.TextOps.rocAuc(perfect).collect()
+    assert(g2.head.getLong(8) === 1000000L)
+  }
+
+  test("q237 HITS: hand-replayed alternating half-steps on a nested bipartite graph") {
+    // c1 buys everything, c3 only the bestseller: authority order must
+    // be p1 > p2 > p3 and hub order c1 > c2 > c3, with every ppb value
+    // reproduced by the identical floor(double) arithmetic
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L),
+      (2L, 101L), (2L, 102L), (3L, 101L))
+    val got = graft.operators.Relational
+      .hits(edges.toDF("c", "p")).collect()
+    def norm(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = raw.values.sum
+      raw.view.mapValues(v =>
+        math.floor(v.toDouble * 1000000000.0 / tot).toLong).toMap
+    }
+    val a1 = norm(edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.size.toLong })
+    val h1 = norm(edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.map(e => a1(e._2)).sum })
+    val a2 = norm(edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(e => h1(e._1)).sum })
+    val gotAuth = got.filter(_.getString(0) == "authority")
+      .map(r => r.getLong(1) -> r.getLong(2))
+    val gotHubs = got.filter(_.getString(0) == "hub")
+      .map(r => r.getLong(1) -> r.getLong(2))
+    assert(gotAuth.toSeq === Seq(101L, 102L, 103L).map(p => p -> a2(p)),
+      "authority scores/order")
+    assert(gotHubs.toSeq === Seq(1L, 2L, 3L).map(c => c -> h1(c)),
+      "hub scores/order")
+    // mutual reinforcement, not just degree: c2 and c3 differ in hub
+    // score by MORE than the one-part raw-degree gap alone (c2's parts
+    // are the two strongest authorities)
+    assert(h1(2L) > h1(3L))
+  }
+
 }

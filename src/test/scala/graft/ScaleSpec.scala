@@ -486,12 +486,13 @@ class ScaleSpec extends AnyFunSuite {
       "operators/EventOps.scala" -> (2,
         "day axis (bounded calendar) / q223 reverse cumsum over the " +
           "bounded week axis"),
-      "operators/TextOps.scala" -> (8,
+      "operators/TextOps.scala" -> (9,
         "quality grid / superbuckets / |sources| / quartile grid / " +
           "bucket grid / q208 skyline running-max over the ≤1e4 " +
           "quality-grid axis / q214 prefix sums over the bounded " +
           "logit-bucket axis / q230 pooled CDF over the clamped ≤1e4 " +
-          "length grid"),
+          "length grid / q236 cumulative negatives over the clamped " +
+          "≤301-value logit-bucket axis"),
       "operators/StatsOps.scala" -> (1,
         "q234 pooled-rank CDF over the clamped ≤1e4 length grid"),
       "stg/Normalizer.scala" -> (1,
@@ -540,7 +541,9 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
       // +1 round 10: q232's 1-row basket-count broadcast
-      "operators/Relational.scala" -> 7,
+      // +3 round 10: q237's per-half-step 1-row L1-total broadcasts
+      // (the q110 normalization discipline)
+      "operators/Relational.scala" -> 10,
       // round 10: q234's 1-row (N, tie-term) broadcast; q235's bounded
       // |langs|×|sources| marginal axis, 1-row total broadcast, and
       // 1-row top-cell broadcast onto the 1-row summary
@@ -556,7 +559,10 @@ class ScaleSpec extends AnyFunSuite {
       // and 1-row global-total broadcast
       // +1 round 10: q230's 1-row pooled-total broadcast onto the
       // |sources|-row size relation
-      "operators/TextOps.scala" -> 21,
+      // +2 round 10: q236's ≤301-row clamped score-histogram broadcast
+      // against the 19-row threshold axis, and its 1-row
+      // (npos, nneg, auc) broadcast onto the 19-row sweep
+      "operators/TextOps.scala" -> 23,
       // +1 round 10: q220's NumCells-row centroid broadcast
       "operators/VectorOps.scala" -> 6)
     assert(countSites("crossJoin") === crossJoinBudget,
