@@ -260,6 +260,8 @@ object SparkEntry {
     "q235_chi_square" -> (StatsOps.q235ChiSquare(_, _)),
     "q236_roc_auc" -> (TextOps.q236RocAuc(_, _)),
     "q237_hits" -> (Relational.q237Hits(_, _)),
+    "q238_clustering_coeff" -> (Relational.q238ClusteringCoeff(_, _)),
+    "q239_link_predict" -> (Relational.q239LinkPredict(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -735,5 +737,11 @@ object SparkEntry {
     // q237: HITS — q110's ppb normalization discipline per half-step,
     // top-k with unique tie-breaks
     "q237_hits" -> Relational.q237HitsSql,
+    // q238: per-node triangle credit off the SAME oriented closing as
+    // q189 (shared CTE template), bounded 11-band census
+    "q238_clustering_coeff" -> Relational.q238ClusteringCoeffSql,
+    // q239: RA index on the q194-sparsified graph — integer ppm, no
+    // transcendental, capped wedge centers
+    "q239_link_predict" -> Relational.q239LinkPredictSql,
   )
 }

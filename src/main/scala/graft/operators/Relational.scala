@@ -2164,7 +2164,7 @@ object Relational {
     val wedges = ed.select($"u", $"v", $"kv")
       .join(ed.select($"u", $"v".as("w"), $"kv".as("kw")), Seq("u"))
       .filter($"kv" < $"kw")
-      .select($"v", $"w")
+      .select($"u", $"v", $"w")
     val tri = wedges
       .join(ed.select($"u".as("cv"), $"v".as("cw")),
         $"v" === $"cv" && $"w" === $"cw")
@@ -2205,9 +2205,9 @@ object Relational {
       |  FROM edges e
       |  JOIN dk ka ON ka.p = e.pa
       |  JOIN dk kb ON kb.p = e.pb),
-      |wedges AS MATERIALIZED (SELECT a.v, b.v AS w
+      |wedges AS MATERIALIZED (SELECT a.u, a.v, b.v AS w
       |  FROM ed a JOIN ed b USING (u) WHERE a.kv < b.kv),
-      |tri AS MATERIALIZED (SELECT 1 AS one FROM wedges x
+      |tri AS MATERIALIZED (SELECT x.u, x.v, x.w FROM wedges x
       |  JOIN ed c ON c.u = x.v AND c.v = x.w)""".stripMargin
 
   private val coEdgesSql: String =
@@ -3287,5 +3287,145 @@ object Relational {
        |  (SELECT 'hub' AS role, c AS node_id, s AS score_ppb
        |   FROM h1 ORDER BY s DESC, c LIMIT $HitsTopK))
        |ORDER BY role, score_ppb DESC, node_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q238: local clustering coefficient census (Watts–Strogatz 1998)
+  // ---------------------------------------------------------------
+
+  /** Per-node local clustering coefficient over the part co-purchase
+    * graph (Watts–Strogatz 1998, public): c(v) = 2·t(v)/(deg(v)·
+    * (deg(v)−1)), the probability two of v's neighbors are themselves
+    * connected — the node-grain refinement of q189's global census
+    * (global transitivity says the graph clusters; this says WHERE).
+    * Output is the bounded 11-band coefficient histogram (band =
+    * coeff_ppm div 1e5), the scale-correct shape — a per-node list is
+    * corpus-sized, the census is metadata.
+    *
+    * Per-node triangle counts come from the SAME degree-ordered
+    * oriented closing as q189 (each triangle materializes once at its
+    * minimum-okey vertex, then credits all three corners via a 3-row
+    * explode), so the hub-proof Σ outdeg² wedge bound carries over
+    * unchanged; deg ≥ 2 filters the undefined coefficients.
+    *
+    * Determinism: pure integer arithmetic end to end — coeff_ppm is a
+    * non-negative floor division (rule 13; deg < 2³¹ keeps
+    * deg·(deg−1) in BIGINT, the q189 guard), band and band mean are
+    * integer floor divisions. */
+  def q238ClusteringCoeff(s: SparkSession, d: String): DataFrame =
+    clusteringCoeffBands(coEdges(s, d))
+
+  private[graft] def clusteringCoeffBands(edges: DataFrame): DataFrame = {
+    val (deg, _, tri) = triangleParts(edges)
+    val tcnt = tri.select(explode(array($"u", $"v", $"w")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("t"))
+    val per = deg.filter($"deg" >= 2L)
+      .join(tcnt, Seq("p"), "left")
+      .select($"p", $"deg", coalesce($"t", lit(0L)).as("t"))
+      .select($"p", $"deg", $"t",
+        expr("(2 * t * 1000000) div (deg * (deg - 1))").as("coeff_ppm"))
+    per.groupBy(expr("coeff_ppm div 100000").as("band"))
+      .agg(count(lit(1)).as("n_nodes"), sum($"t").as("sum_tri"),
+        sum($"coeff_ppm").as("sc"))
+      .select($"band", $"n_nodes", $"sum_tri",
+        expr("sc div n_nodes").as("mean_coeff_ppm"))
+      .orderBy($"band")
+  }
+
+  val q238ClusteringCoeffSql: String =
+    s"""WITH $coEdgesSql,
+       |edges AS (SELECT pa, pb FROM edges0),
+       |$triangleCtesSql,
+       |tc AS (SELECT p, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT u AS p FROM tri UNION ALL SELECT v FROM tri
+       |    UNION ALL SELECT w FROM tri) GROUP BY p),
+       |per AS (SELECT d.p, d.deg, coalesce(tc.t, 0) AS t,
+       |    (2 * coalesce(tc.t, 0) * 1000000) // (d.deg * (d.deg - 1))
+       |      AS coeff_ppm
+       |  FROM deg d LEFT JOIN tc ON tc.p = d.p WHERE d.deg >= 2)
+       |SELECT coeff_ppm // 100000 AS band,
+       |  CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(sum(t) AS BIGINT) AS sum_tri,
+       |  CAST(sum(coeff_ppm) AS BIGINT) // count(*) AS mean_coeff_ppm
+       |FROM per GROUP BY 1 ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q239: link prediction by resource allocation (Zhou et al. 2009)
+  // ---------------------------------------------------------------
+
+  /** Wedge centers above this degree are excluded: they carry ≤
+    * cap⁻¹ RA weight per wedge (negligible by construction) and are
+    * exactly the hubs that would unbound the Σ deg² center
+    * expansion. The cap makes the wedge build O(cap·|E|). */
+  private val LinkDegCap = 256L
+  private val LinkTopK = 20
+
+  /** Link prediction over the DOULION-sparsified co-purchase graph
+    * (q194's 1/8 md5 coin): score every non-adjacent part pair by the
+    * resource-allocation index RA(v,w) = Σ_{u ∈ Γ(v)∩Γ(w)} 1/deg(u)
+    * (Zhou–Lü–Zhang, EPJ B 2009, public — the common-neighbors family
+    * member that needs NO transcendental, unlike Adamic–Adar's 1/log),
+    * emit the top-[[LinkTopK]] candidate edges — the recommender
+    * candidate-generation step run on the cheap monitoring subgraph.
+    *
+    * Wedges here must be centered at EVERY common neighbor (unlike
+    * q189's oriented wedges, which materialize each wedge only at its
+    * minimum-okey corner — orientation counts triangles once, but
+    * undercounts common neighbors), so the center expansion is the
+    * full Σ deg² — bounded instead by the [[LinkDegCap]] degree cap on
+    * centers, with the 1/8 edge sampling shrinking it a further ~64×.
+    *
+    * Determinism: the coin is the exact md5 hex-prefix 1/8 (q194's
+    * constant); RA rides the integer ppm grid (1e6 div deg — exact,
+    * non-negative); candidate pairs are unique (v, w) keys so the
+    * (ra, cn, v, w) top-k order is total. */
+  def q239LinkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredict(coEdges(s, d).filter(
+      md5(concat($"pa".cast("string"), lit("_"), $"pb".cast("string")))
+        < TriSampleHexCut))
+
+  private[graft] def linkPredict(edges: DataFrame): DataFrame = {
+    val adj = edges.select($"pa".as("u"), $"pb".as("v"))
+      .union(edges.select($"pb".as("u"), $"pa".as("v")))
+    val dg = adj.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val cadj = adj.join(
+      dg.filter($"deg" >= 2L && $"deg" <= LinkDegCap), Seq("u"))
+    val pairs = cadj.select($"u", $"v", $"deg")
+      .join(cadj.select($"u", $"v".as("w")), Seq("u"))
+      .filter($"v" < $"w")
+      .groupBy($"v", $"w")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div deg")).as("ra_ppm"))
+    pairs
+      .join(edges, pairs("v") === edges("pa") && pairs("w") === edges("pb"),
+        "left_anti")
+      .orderBy($"ra_ppm".desc, $"cn".desc, $"v", $"w").limit(LinkTopK)
+      .select($"v".as("part_a"), $"w".as("part_b"),
+        $"cn".as("common_neighbors"), $"ra_ppm")
+      .orderBy($"ra_ppm".desc, $"common_neighbors".desc,
+        $"part_a", $"part_b")
+  }
+
+  val q239LinkPredictSql: String =
+    s"""WITH $coEdgesSql,
+       |edges AS MATERIALIZED (SELECT pa, pb FROM edges0
+       |  WHERE md5(CAST(pa AS VARCHAR) || '_' || CAST(pb AS VARCHAR))
+       |    < '$TriSampleHexCut'),
+       |adj AS MATERIALIZED (SELECT pa AS u, pb AS v FROM edges
+       |  UNION ALL SELECT pb, pa FROM edges),
+       |dg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM adj GROUP BY u),
+       |ce AS MATERIALIZED (SELECT a.u, a.v, d.deg
+       |  FROM adj a JOIN dg d USING (u)
+       |  WHERE d.deg >= 2 AND d.deg <= $LinkDegCap),
+       |pr AS (SELECT a.v, b.v AS w, CAST(count(*) AS BIGINT) AS cn,
+       |    CAST(sum(1000000 // a.deg) AS BIGINT) AS ra_ppm
+       |  FROM ce a JOIN ce b ON a.u = b.u AND a.v < b.v
+       |  GROUP BY 1, 2),
+       |ne AS (SELECT pr.v, pr.w, pr.cn, pr.ra_ppm FROM pr
+       |  LEFT JOIN edges e ON e.pa = pr.v AND e.pb = pr.w
+       |  WHERE e.pa IS NULL)
+       |SELECT v AS part_a, w AS part_b, cn AS common_neighbors, ra_ppm
+       |FROM ne ORDER BY ra_ppm DESC, cn DESC, part_a, part_b
+       |LIMIT $LinkTopK""".stripMargin
 
 }

@@ -5084,4 +5084,81 @@ class EngineSpec extends AnyFunSuite {
     assert(h1(2L) > h1(3L))
   }
 
+  test("q238 clustering coefficient: brute-force per-node replay, K4 + pendant") {
+    // K4 on 1-4 (every coeff exactly 1e6 -> band 10), node 5 pendant
+    // off 4 (deg 1, excluded), node 6 bridging 1-2's edge via a path
+    // 1-6, 6-2 (coeff 1e6 since 1-2 is an edge), node 7 wedge-only
+    // center 3-7, 7-5x no... 7 connects 3 and 5: 3-5 not an edge ->
+    // coeff 0
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (1L, 6L), (2L, 6L), (3L, 7L), (5L, 7L))
+    val got = graft.operators.Relational
+      .clusteringCoeffBands(edges.toDF("pa", "pb")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent brute force
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val eset = edges.toSet
+    def adj(n: Long) = nodes.filter(m =>
+      eset.contains((n, m).swap) || eset.contains((n, m))
+        || eset.contains((m, n))).filter(_ != n)
+    val per = nodes.map { n =>
+      val a = adj(n).distinct
+      val t = a.combinations(2).count { case Seq(x, y) =>
+        eset.contains(if (x < y) (x, y) else (y, x)) }
+      (n, a.size.toLong, t.toLong)
+    }.filter(_._2 >= 2)
+    val bands = per.map { case (_, dg, t) =>
+      2L * t * 1000000L / (dg * (dg - 1)) }
+      .groupBy(_ / 100000L)
+    for ((b, cs) <- bands) {
+      val exp = per.filter { case (_, dg, t) =>
+        2L * t * 1000000L / (dg * (dg - 1)) / 100000L == b }
+      assert(got(b)._1 === cs.size.toLong, s"band $b n_nodes")
+      assert(got(b)._2 === exp.map(_._3).sum, s"band $b sum_tri")
+      assert(got(b)._3 === cs.sum / cs.size, s"band $b mean")
+    }
+    assert(got.keySet === bands.keySet)
+    // hand-derived anchors: node 6 closes 1-2 exactly (coeff 1e6,
+    // band 10); nodes 5 and 7 center open wedges (band 0); the K4
+    // corners 1/2 carry the extra closed neighbor 6 (t=4, deg 4 ->
+    // 666666, band 6) while 3/4 carry an open extra neighbor (t=3,
+    // deg 4 -> 500000, band 5)
+    assert(got(10L) === ((1L, 1L, 1000000L)))
+    assert(got(0L)._1 === 2L)
+    assert(got(6L)._1 === 2L && got(5L)._1 === 2L)
+  }
+
+  test("q239 link prediction: RA scores replayed, hub cap and edge exclusion") {
+    // star hub 100 connects 1..60 (deg 60 > cap 50? cap is 256 - use
+    // many spokes? keep cap semantics via a crafted >256-degree hub)
+    val hubSpokes = (1L to 300L).map(i => (100000L, 100000L + i))
+    // center 10 joins 1 and 2 (deg 2); center 11 joins 1, 2 and 3
+    // (deg 3); edge 1-2 exists -> excluded from candidates
+    val core = Seq((1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 11L), (1L, 2L))
+    val edges = (core ++ hubSpokes).map { case (a, b) =>
+      if (a < b) (a, b) else (b, a) }
+    val got = graft.operators.Relational
+      .linkPredict(edges.toDF("pa", "pb")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // (1,2) is an existing edge: must NOT appear even though both
+    // centers 10 and 11 connect it
+    assert(!got.contains((1L, 2L)), "existing edge excluded")
+    // (1,3) and (2,3) share only center 11 (deg 3): RA = 1e6 div 3
+    assert(got((1L, 3L)) === ((1L, 333333L)))
+    assert(got((2L, 3L)) === ((1L, 333333L)))
+    // hub spokes pair only through the 300-degree hub, which the cap
+    // excludes: no spoke pair may appear
+    assert(!got.keys.exists { case (a, b) =>
+      a > 100000L && b > 100000L }, "capped hub generated candidates")
+    // every other center-generated pair ((1,10), (2,11), ...) is an
+    // existing edge and must be anti-joined away; the lone survivor
+    // is (10,11), reached through BOTH centers 1 and 2 (deg 3 each):
+    // cn = 2, RA = 2 * (1e6 div 3)
+    assert(got.keySet === Set((10L, 11L), (1L, 3L), (2L, 3L)))
+    assert(got((10L, 11L)) === ((2L, 666666L)))
+  }
+
 }
