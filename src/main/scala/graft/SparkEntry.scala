@@ -262,6 +262,8 @@ object SparkEntry {
     "q237_hits" -> (Relational.q237Hits(_, _)),
     "q238_clustering_coeff" -> (Relational.q238ClusteringCoeff(_, _)),
     "q239_link_predict" -> (Relational.q239LinkPredict(_, _)),
+    "q240_decision_stump" -> (TextOps.q240DecisionStump(_, _)),
+    "q241_cluster_purity" -> (VectorOps.q241ClusterPurity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -743,5 +745,11 @@ object SparkEntry {
     // q239: RA index on the q194-sparsified graph — integer ppm, no
     // transcendental, capped wedge centers
     "q239_link_predict" -> Relational.q239LinkPredictSql,
+    // q240: PLANET-style histogram split search — one corpus scan,
+    // 4×64 candidate relation, rule-9 packed argmin
+    "q240_decision_stump" -> TextOps.q240DecisionStumpSql,
+    // q241: external cluster validation — rule-9 packed majority per
+    // cell on q47's shared assignment
+    "q241_cluster_purity" -> VectorOps.q241ClusterPuritySql,
   )
 }

@@ -5804,4 +5804,142 @@ object TextOps {
        |    AS auc_ppm
        |FROM sw, tot ORDER BY thresh_micro""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q240: decision-stump training (best Gini split, CART family)
+  // ---------------------------------------------------------------
+
+  /** Per-feature binning axis: (fid, column, offset, step) — bin =
+    * least(greatest(v − offset, 0) div step, [[StumpBins]]−1), a
+    * bounded 64-value grid per feature (the tails collapse into the
+    * end bins; both subtraction guards keep every floor-division
+    * dividend non-negative, rule 13). ONE Seq generates the Spark
+    * explode AND the mirror UNION ALL so the axes cannot drift. */
+  private val StumpBins = 64L
+  private val StumpFeats: Seq[(Long, String, Long, Long)] = Seq(
+    (0L, "nt", 0L, 4L), (1L, "atl_g", 30000L, 500L),
+    (2L, "pr_g", 0L, 20L), (3L, "swr_g", 0L, 100L))
+
+  /** Decision-stump TRAINING (the CART split search, Breiman et al.
+    * 1984, public) — one real trainer step beyond q178's fixed-weight
+    * inference: over the shared q175/q178 feature grid, find the
+    * single (feature, threshold) split that best separates English
+    * documents (label = lang 'en') by weighted Gini impurity. This is
+    * the inner loop of every tree/forest/GBDT data-quality classifier,
+    * and its scale shape is exactly the classic distributed algorithm
+    * (e.g. PLANET, Panda et al. VLDB 2009): quantize features onto
+    * bounded per-feature histograms, aggregate (bin → class counts)
+    * once over the corpus, then score every candidate threshold from
+    * cumulative histogram sums — the corpus is scanned ONCE, the split
+    * search runs on a 4×64 metadata relation.
+    *
+    * Determinism: class counts are exact integers; left/right sums
+    * come from fid-partitioned cumulative windows (bin is unique in
+    * partition); the weighted-Gini score runs ONE identical-IEEE
+    * rule-7 double expression over the exact counts, ppm-gridded
+    * (rule 10) BEFORE the argmin; the argmin is a single packed-BIGINT
+    * min (rule 9: score·2⁸ + fid·2⁶ + bin, each component bounded by
+    * construction — score ≤ 5e5 < 2²³, fid < 4, bin < 64), never a
+    * multi-column min-by. Degenerate splits (empty side) are filtered
+    * before scoring. */
+  def q240DecisionStump(s: SparkSession, d: String): DataFrame =
+    decisionStump(featureGrid(
+      Tables.documents(s, d).filter($"text".isNotNull), $"lang")
+      .select(($"lang" === "en").as("pos"),
+        $"nt", $"atl_g", $"pr_g", $"swr_g"))
+
+  private[graft] def decisionStump(f: DataFrame): DataFrame = {
+    val x = f.select($"pos", explode(array(StumpFeats.map {
+        case (fid, c, off, step) =>
+          struct(lit(fid).as("fid"),
+            least(expr(s"greatest($c - $off, 0) div $step"),
+              lit(StumpBins - 1)).as("bin"))
+      }: _*)).as("e"))
+      .select($"e.fid".as("fid"), $"e.bin".as("bin"), $"pos")
+    val h = x.groupBy($"fid", $"bin")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("np"),
+        sum(when($"pos", 0L).otherwise(1L)).as("nn"))
+    val wCum = Window.partitionBy($"fid").orderBy($"bin")
+    val wAll = Window.partitionBy($"fid")
+    val c = h.select($"fid", $"bin",
+      sum($"np").over(wCum).as("lp"), sum($"nn").over(wCum).as("ln"),
+      sum($"np").over(wAll).as("npos"), sum($"nn").over(wAll).as("nneg"))
+    val s0 = c.select($"fid", $"bin", $"lp", $"ln",
+      ($"npos" - $"lp").as("rp"), ($"nneg" - $"ln").as("rn"),
+      $"npos", $"nneg")
+    val sc = s0.filter($"lp" + $"ln" > 0L && $"rp" + $"rn" > 0L)
+      .select($"fid", $"bin", $"lp", $"ln", $"rp", $"rn",
+        $"npos", $"nneg",
+        floor((lit(2.0) * $"lp" * $"ln" / ($"lp" + $"ln") +
+          lit(2.0) * $"rp" * $"rn" / ($"rp" + $"rn")) /
+          ($"npos" + $"nneg") * 1000000.0 + 0.5).cast("long")
+          .as("gini_ppm"))
+      .withColumn("pack",
+        $"gini_ppm" * 256L + $"fid" * 64L + $"bin")
+    val best = sc.agg(min($"pack").as("mp"))
+    val featName = StumpFeats.foldRight(lit(null: String)) {
+      case ((fid, c, _, _), e) => when($"fid" === fid, c).otherwise(e)
+    }
+    val threshold = StumpFeats.foldRight(lit(null: String).cast("long")) {
+      case ((fid, _, off, step), e) =>
+        when($"fid" === fid, lit(off) + ($"bin" + 1L) * step).otherwise(e)
+    }
+    val parent = floor(lit(2.0) * $"npos" * $"nneg" /
+      ($"npos" + $"nneg") / ($"npos" + $"nneg") * 1000000.0 + 0.5)
+      .cast("long")
+    sc.join(broadcast(best), $"pack" === $"mp")
+      .select(featName.as("feature"), threshold.as("threshold"),
+        $"lp".as("left_pos"), $"ln".as("left_neg"),
+        $"rp".as("right_pos"), $"rn".as("right_neg"),
+        $"gini_ppm", parent.as("parent_gini_ppm"),
+        (parent - $"gini_ppm").as("gain_ppm"))
+  }
+
+  val q240DecisionStumpSql: String = {
+    val axes = StumpFeats.map { case (fid, c, off, step) =>
+      s"  SELECT CAST($fid AS BIGINT) AS fid, " +
+        s"least(greatest($c - $off, 0) // $step, ${StumpBins - 1}) " +
+        "AS bin, pos FROM f"
+    }.mkString("\n  UNION ALL\n")
+    val featCase = StumpFeats.map { case (fid, c, _, _) =>
+      s"WHEN $fid THEN '$c'"
+    }.mkString("CASE fid ", " ", " END")
+    val threshCase = StumpFeats.map { case (fid, _, off, step) =>
+      s"WHEN $fid THEN $off + (bin + 1) * $step"
+    }.mkString("CASE fid ", " ", " END")
+    s"""WITH f AS (SELECT ${featureGridSql("lang = 'en' AS pos,")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |x AS (
+       |$axes),
+       |h AS (SELECT fid, bin,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+       |  FROM x GROUP BY 1, 2),
+       |c AS (SELECT fid, bin,
+       |    CAST(sum(np) OVER (PARTITION BY fid ORDER BY bin) AS BIGINT)
+       |      AS lp,
+       |    CAST(sum(nn) OVER (PARTITION BY fid ORDER BY bin) AS BIGINT)
+       |      AS ln,
+       |    CAST(sum(np) OVER (PARTITION BY fid) AS BIGINT) AS npos,
+       |    CAST(sum(nn) OVER (PARTITION BY fid) AS BIGINT) AS nneg
+       |  FROM h),
+       |s0 AS (SELECT fid, bin, lp, ln, npos - lp AS rp, nneg - ln AS rn,
+       |    npos, nneg FROM c),
+       |sc AS (SELECT fid, bin, lp, ln, rp, rn, npos, nneg,
+       |    CAST(floor((2.0 * lp * ln / (lp + ln) +
+       |      2.0 * rp * rn / (rp + rn)) / (npos + nneg) * 1000000.0
+       |      + 0.5) AS BIGINT) AS gini_ppm
+       |  FROM s0 WHERE lp + ln > 0 AND rp + rn > 0),
+       |p AS (SELECT *, gini_ppm * 256 + fid * 64 + bin AS pack FROM sc),
+       |b AS (SELECT min(pack) AS mp FROM p)
+       |SELECT $featCase AS feature,
+       |  $threshCase AS threshold,
+       |  lp AS left_pos, ln AS left_neg, rp AS right_pos, rn AS right_neg,
+       |  gini_ppm,
+       |  CAST(floor(2.0 * npos * nneg / (npos + nneg) / (npos + nneg)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS parent_gini_ppm,
+       |  CAST(floor(2.0 * npos * nneg / (npos + nneg) / (npos + nneg)
+       |    * 1000000.0 + 0.5) AS BIGINT) - gini_ppm AS gain_ppm
+       |FROM p JOIN b ON p.pack = b.mp""".stripMargin
+  }
+
 }

@@ -1586,4 +1586,82 @@ object VectorOps {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q241: cluster purity vs ground-truth labels (external validation)
+  // ---------------------------------------------------------------
+
+  /** Majority pack base: labels must sit in [0, [[PurityPackBase]])
+    * for the rule-9 single-BIGINT argmax — enforced LOUDLY per row
+    * (the q189 guard philosophy), so a wider label space fails
+    * instead of silently corrupting the majority pick. */
+  private val PurityPackBase = 1024L
+
+  /** Cluster purity against ground-truth labels — the EXTERNAL
+    * clustering validation beside q220's internal silhouette: per IVF
+    * cell (q47's assignment, shared machinery), the majority label,
+    * its count, and purity = majority/n. Purity is what a curation
+    * team checks before trusting cells as semantic strata (q161's
+    * SemDeDup, q183's triplet mining both key on these cells): low
+    * purity means the cells don't capture the label structure and
+    * cell-local decisions leak across classes.
+    *
+    * Determinism: the majority pick is ONE packed-BIGINT min per cell
+    * (rule 9): (n_cell − cnt)·1024 + label — count desc then label
+    * asc, never min_by/struct-min; counts and the purity ppm floor
+    * division are exact integers (rule 13, n_cell ≥ 1).
+    *
+    * Scale: the corpus never self-joins — one broadcast-centroid
+    * assignment scan (q47's shape), one (cell × label) hash aggregate
+    * (bounded: 16 cells × |labels|), everything after metadata-sized. */
+  def q241ClusterPurity(s: SparkSession, d: String): DataFrame = {
+    val lab = Tables.embeddings(s, d).select($"vec_id", $"label")
+    clusterPurity(ivfAssignments(s, d)
+      .select($"vec_id", $"cell_id")
+      .join(lab, Seq("vec_id"))
+      .select($"cell_id", $"label".cast("long").as("label")))
+  }
+
+  private[graft] def clusterPurity(assigned: DataFrame): DataFrame = {
+    val guarded = when(
+      $"label" < 0L || $"label" >= PurityPackBase,
+      raise_error(concat(
+        lit("clusterPurity: label outside the pack base [0, 1024): "),
+        $"label"))).otherwise($"label")
+    val cl = assigned.select($"cell_id", guarded.as("label"))
+      .groupBy($"cell_id", $"label").agg(count(lit(1)).as("cnt"))
+    val wCell = Window.partitionBy($"cell_id")
+    val packed = cl.select($"cell_id", $"label", $"cnt",
+      sum($"cnt").over(wCell).as("n_vecs"))
+      .select($"cell_id", $"n_vecs",
+        (($"n_vecs" - $"cnt") * PurityPackBase + $"label").as("pack"))
+    packed.groupBy($"cell_id")
+      .agg(max($"n_vecs").as("n_vecs"), min($"pack").as("mp"))
+      .select($"cell_id", $"n_vecs",
+        ($"mp" % PurityPackBase).as("majority_label"),
+        ($"n_vecs" - expr(s"mp div $PurityPackBase")).as("majority_cnt"))
+      .select($"cell_id", $"n_vecs", $"majority_label", $"majority_cnt",
+        expr("(majority_cnt * 1000000) div n_vecs").as("purity_ppm"))
+      .orderBy($"cell_id")
+  }
+
+  val q241ClusterPuritySql: String =
+    s"""WITH $ivfAssignSql,
+       |al AS (SELECT a.cell_id, CAST(e.label AS BIGINT) AS label
+       |  FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |cl AS (SELECT cell_id, label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM al GROUP BY 1, 2),
+       |n AS (SELECT cell_id, label, cnt,
+       |    CAST(sum(cnt) OVER (PARTITION BY cell_id) AS BIGINT) AS n_vecs
+       |  FROM cl),
+       |p AS (SELECT cell_id, n_vecs,
+       |    (n_vecs - cnt) * $PurityPackBase + label AS pack FROM n),
+       |m AS (SELECT cell_id, max(n_vecs) AS n_vecs,
+       |    min(pack) AS mp FROM p GROUP BY cell_id),
+       |u AS (SELECT cell_id, n_vecs, mp % $PurityPackBase
+       |    AS majority_label,
+       |    n_vecs - mp // $PurityPackBase AS majority_cnt FROM m)
+       |SELECT cell_id, n_vecs, majority_label, majority_cnt,
+       |  (majority_cnt * 1000000) // n_vecs AS purity_ppm
+       |FROM u ORDER BY cell_id""".stripMargin
+
 }

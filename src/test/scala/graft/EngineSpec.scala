@@ -5161,4 +5161,83 @@ class EngineSpec extends AnyFunSuite {
     assert(got((10L, 11L)) === ((2L, 666666L)))
   }
 
+  test("q240 decision stump: brute-force split search replay, clean split wins") {
+    // nt separates perfectly at 40 (bin boundary 40 = (9+1)*4);
+    // the other features carry anti-correlated noise so the search
+    // must actually compare Gini across features, not pick fid 0 by
+    // default
+    val rows = (0 until 40).map { i =>
+      val pos = i < 20
+      (pos,
+        if (pos) 20L + (i % 5) else 44L + (i % 7) * 4L, // nt
+        44000L + (i % 11) * 600L,                       // atl_g
+        (if (pos) 300L else 250L) + (i % 3) * 40L,      // pr_g
+        (if (pos) 1000L else 1400L) + (i % 4) * 200L)   // swr_g
+    }
+    val df = rows.toDF("pos", "nt", "atl_g", "pr_g", "swr_g")
+    val got = graft.operators.TextOps.decisionStump(df).collect()
+    assert(got.length === 1)
+    val r = got.head
+    // independent JVM split search over the same binning
+    val feats = Seq(("nt", 0L, 4L), ("atl_g", 30000L, 500L),
+      ("pr_g", 0L, 20L), ("swr_g", 0L, 100L))
+    def bin(v: Long, off: Long, step: Long): Long =
+      math.min(math.max(v - off, 0L) / step, 63L)
+    val cands = feats.zipWithIndex.flatMap { case ((c, off, step), fi) =>
+      val vals = rows.map(t => (t._1, c match {
+        case "nt" => t._2; case "atl_g" => t._3
+        case "pr_g" => t._4; case _ => t._5 }))
+      val bs = vals.map { case (p, v) => (p, bin(v, off, step)) }
+      (0L to 63L).flatMap { b =>
+        val (l, rr) = bs.partition(_._2 <= b)
+        if (l.isEmpty || rr.isEmpty) None
+        else {
+          val (lp, ln) = (l.count(_._1).toLong, l.count(!_._1).toLong)
+          val (rp, rn) = (rr.count(_._1).toLong, rr.count(!_._1).toLong)
+          val g = (2.0 * lp * ln / (lp + ln) + 2.0 * rp * rn / (rp + rn)) /
+            bs.size * 1000000.0
+          Some((math.floor(g + 0.5).toLong, fi.toLong, b, lp, ln, rp, rn))
+        }
+      }
+    }
+    val best = cands.minBy { case (g, fi, b, _, _, _, _) =>
+      g * 256L + fi * 64L + b }
+    val (bg, bfi, bb, lp, ln, rp, rn) = best
+    assert(r.getString(0) === feats(bfi.toInt)._1, "winning feature")
+    assert(r.getLong(1) ===
+      feats(bfi.toInt)._2 + (bb + 1) * feats(bfi.toInt)._3, "threshold")
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((lp, ln, rp, rn)), "split counts")
+    assert(r.getLong(6) === bg, "gini")
+    // the crafted layout's clean split: pos nt tops out at bin 6
+    // (nt 24), neg starts at bin 11 (nt 44) — every boundary between
+    // is pure and the packed argmin picks the EARLIEST (bin 6,
+    // threshold 28), zero impurity
+    assert(r.getString(0) === "nt" && r.getLong(1) === 28L)
+    assert(r.getLong(6) === 0L && r.getLong(8) === r.getLong(7), "pure split")
+  }
+
+  test("q241 cluster purity: packed majority with count-desc label-asc tie-break") {
+    val assigned = Seq(
+      // cell 1: labels 3x2, 5x2 -> tie broken to the SMALLER label
+      (1L, 3L), (1L, 3L), (1L, 5L), (1L, 5L),
+      // cell 2: pure
+      (2L, 7L), (2L, 7L), (2L, 7L),
+      // cell 3: majority 0 over 9
+      (3L, 0L), (3L, 0L), (3L, 9L))
+    val got = graft.operators.VectorOps
+      .clusterPurity(assigned.toDF("cell_id", "label")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) === ((4L, 3L, 2L, 500000L)), "tie -> smaller label")
+    assert(got(2L) === ((3L, 7L, 3L, 1000000L)), "pure cell")
+    assert(got(3L) === ((3L, 0L, 2L, 666666L)))
+    // out-of-range label fails loudly instead of aliasing the pack
+    val bad = intercept[Exception] {
+      graft.operators.VectorOps
+        .clusterPurity(Seq((1L, 1024L)).toDF("cell_id", "label")).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
 }
