@@ -264,6 +264,7 @@ object SparkEntry {
     "q239_link_predict" -> (Relational.q239LinkPredict(_, _)),
     "q240_decision_stump" -> (TextOps.q240DecisionStump(_, _)),
     "q241_cluster_purity" -> (VectorOps.q241ClusterPurity(_, _)),
+    "q242_dp_release" -> (TextOps.q242DpRelease(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -751,5 +752,8 @@ object SparkEntry {
     // q241: external cluster validation — rule-9 packed majority per
     // cell on q47's shared assignment
     "q241_cluster_purity" -> VectorOps.q241ClusterPuritySql,
+    // q242: discrete-Laplace DP counts — md5 draws vs exact dyadic
+    // inverse-CDF literals (one Seq generates both CASEs)
+    "q242_dp_release" -> TextOps.q242DpReleaseSql,
   )
 }

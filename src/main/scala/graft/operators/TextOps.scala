@@ -5942,4 +5942,79 @@ object TextOps {
        |FROM p JOIN b ON p.pack = b.mp""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q242: differentially-private count release (discrete Laplace)
+  // ---------------------------------------------------------------
+
+  /** Noise support clamp: z ∈ [−[[DpNoiseMax]], [[DpNoiseMax]]] (tail
+    * mass beyond ±8 is 2⁻⁷/3 ≈ 2.6e-3 per side, folded into the end
+    * values by the inverse-CDF table). */
+  private val DpNoiseMax = 8
+
+  /** Inverse-CDF thresholds for the two-sided geometric (discrete
+    * Laplace) with α = 1/2 ⇔ ε = ln 2: P(z) = (1−α)/(1+α)·α^|z|, so
+    * F(z) = 2^(1−|z|)/3 for z < 0 and 1 − 2^(−z)/3 for z ≥ 0 — exact
+    * dyadic-over-3 rationals, floored onto the 2²⁴ draw grid with
+    * BigInt arithmetic (entry k is the threshold for z = k −
+    * [[DpNoiseMax]]; a draw u maps to the first z with u < t_z, else
+    * +[[DpNoiseMax]]). ONE Seq generates the Spark CASE and the
+    * mirror CASE so the tables cannot drift. */
+  private[graft] val DpThresh: Seq[Long] =
+    ((-DpNoiseMax to -1).map { z =>
+      ((BigInt(1) << (24 + 1 + z)) / 3).toLong
+    } ++ (0 until DpNoiseMax).map { z =>
+      (((BigInt(3) << 24) - (BigInt(1) << (24 - z))) / 3).toLong
+    })
+
+  /** Differentially-private release of the (lang, source) count table
+    * (Dwork et al. 2006; the discrete/geometric mechanism of Ghosh–
+    * Roughgarden–Sundararajan 2009, public) — the governance operator
+    * after q179/q195/q210's k-anonymity/l-diversity/t-closeness
+    * audits: counting-query release with two-sided-geometric noise at
+    * ε = ln 2 per cell, negatives clamped to 0 (post-processing —
+    * DP-safe). Noise draws are md5-derived 24-bit integers against
+    * the exact dyadic [[DpThresh]] inverse-CDF literals (the q233
+    * PoisThresh discipline): deterministic ⇒ ORACLE-ABLE — a
+    * production deployment swaps the md5 draw for a crypto RNG and
+    * the plan is unchanged; the 2⁻²⁴ CDF discretization and the ±8
+    * truncation perturb the mechanism by ≲3e-3 total mass
+    * (documented, not hidden). The audit shape (true, noise,
+    * released side by side) is the internal utility-calibration
+    * table; the PUBLISHED artifact is the released column only.
+    *
+    * Scale: one corpus scan onto the bounded |langs|×|sources| axis;
+    * the noise CASE is per-cell metadata arithmetic. */
+  def q242DpRelease(s: SparkSession, d: String): DataFrame = {
+    val u = conv(substring(md5(concat(lit("dp:"), $"lang", lit(":"),
+      $"source")), 1, 6), 16, 10).cast("long")
+    val noise = DpThresh.zipWithIndex
+      .foldRight(lit(DpNoiseMax.toLong): Column) {
+        case ((t, k), e) =>
+          when($"u" < t, lit((k - DpNoiseMax).toLong)).otherwise(e)
+      }
+    Tables.documents(s, d).filter($"text".isNotNull)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("n_true"))
+      .select($"lang", $"source", $"n_true", u.as("u"))
+      .select($"lang", $"source", $"n_true", noise.as("noise"))
+      .select($"lang", $"source", $"n_true", $"noise",
+        greatest($"n_true" + $"noise", lit(0L)).as("released"))
+      .orderBy($"lang", $"source")
+  }
+
+  val q242DpReleaseSql: String = {
+    val u = "CAST('0x' || substring(md5('dp:' || lang || ':' || source)," +
+      " 1, 6) AS BIGINT)"
+    val noise = DpThresh.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN ${k - DpNoiseMax}" }
+      .mkString("CASE ", " ", s" ELSE $DpNoiseMax END")
+    s"""WITH g AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM documents WHERE text IS NOT NULL GROUP BY 1, 2),
+       |n AS (SELECT lang, source, n_true, $u AS u FROM g),
+       |r AS (SELECT lang, source, n_true,
+       |    CAST($noise AS BIGINT) AS noise FROM n)
+       |SELECT lang, source, n_true, noise,
+       |  greatest(n_true + noise, 0) AS released
+       |FROM r ORDER BY lang, source""".stripMargin
+  }
+
 }

@@ -5240,4 +5240,39 @@ class EngineSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("q242 DP release: exact dyadic CDF table, md5 noise replay at sf0.001") {
+    val t = graft.operators.TextOps.DpThresh
+    // independent closed-form CDF of the two-sided geometric with
+    // alpha = 1/2: F(z) = 2^(1-|z|)/3 (z<0), 1 - 2^(-z)/3 (z>=0)
+    def cdf(z: Int): BigInt =
+      if (z < 0) (BigInt(1) << (24 + 1 + z)) / 3
+      else ((BigInt(3) << 24) - (BigInt(1) << (24 - z))) / 3
+    assert(t === (-8 to 7).map(z => cdf(z).toLong))
+    assert(t === t.sorted && t.distinct === t, "strictly increasing")
+    // F(-1) ~ 1/3 and F(0) ~ 2/3 of the 2^24 grid (median noise 0)
+    assert(math.abs(t(7) - (1 << 24) / 3) <= 1)
+    assert(math.abs(t(8) - (2 << 24) / 3) <= 1)
+    // full replay on the real corpus slice
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = graft.operators.TextOps
+      .q242DpRelease(spark, "/root/testdata/sf0.001").collect()
+    assert(got.nonEmpty)
+    var sawNonZero = false
+    for (r <- got) {
+      val (lang, src, n, noise, rel) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val u = java.lang.Long.parseLong(
+        md5hex(s"dp:$lang:$src").substring(0, 6), 16)
+      val k = t.indexWhere(u < _)
+      val expNoise = if (k < 0) 8L else (k - 8).toLong
+      assert(noise === expNoise, s"$lang/$src noise")
+      assert(rel === math.max(n + noise, 0L), s"$lang/$src clamp")
+      if (noise != 0L) sawNonZero = true
+    }
+    // the mechanism must actually perturb something on this slice
+    assert(sawNonZero, "all draws landed on zero noise - table suspect")
+  }
+
 }
