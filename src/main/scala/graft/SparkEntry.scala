@@ -265,6 +265,7 @@ object SparkEntry {
     "q240_decision_stump" -> (TextOps.q240DecisionStump(_, _)),
     "q241_cluster_purity" -> (VectorOps.q241ClusterPurity(_, _)),
     "q242_dp_release" -> (TextOps.q242DpRelease(_, _)),
+    "q243_label_prop" -> (VectorOps.q243LabelProp(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -755,5 +756,8 @@ object SparkEntry {
     // q242: discrete-Laplace DP counts — md5 draws vs exact dyadic
     // inverse-CDF literals (one Seq generates both CASEs)
     "q242_dp_release" -> TextOps.q242DpReleaseSql,
+    // q243: label propagation on the q221 cell-bounded ε-graph —
+    // clamped seeds, rule-9 packed majority, held-out accuracy census
+    "q243_label_prop" -> VectorOps.q243LabelPropSql,
   )
 }

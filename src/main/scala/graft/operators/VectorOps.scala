@@ -1664,4 +1664,145 @@ object VectorOps {
        |  (majority_cnt * 1000000) // n_vecs AS purity_ppm
        |FROM u ORDER BY cell_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q243: semi-supervised label propagation (seed-clamped, 2 rounds)
+  // ---------------------------------------------------------------
+
+  /** Seed coin: md5("lp:"+vec_id) first hex < '8' — an exact 1/2
+    * labeled seed set (q167/q194 idiom). */
+  private val LpSeedHexCut = "8"
+  private val LpRounds = 2
+
+  /** Semi-supervised label propagation (Zhu–Ghahramani 2002 family,
+    * hard-label majority variant with clamped seeds) — the label-
+    * bootstrap step a curation pipeline runs to extend a small
+    * labeled set over an unlabeled corpus: half the vectors keep
+    * their ground-truth label (the md5 seed coin), the rest adopt,
+    * round by round, the majority label among their already-labeled
+    * ε-neighbors ([[LpRounds]] unrolled rounds, the q110/q191
+    * fixed-iteration pattern; once labeled, a node is clamped). The
+    * similarity graph is q221's cell-bounded gridded-cosine ε-pair
+    * relation — the quadratic never leaves a ≤512-member k-means
+    * cell. BECAUSE the full ground truth exists here, the census
+    * doubles as the held-out evaluation: each round reports adopted
+    * labels AND how many match the hidden truth — the accuracy a
+    * team reads before trusting bootstrapped labels for training.
+    *
+    * Determinism: votes are exact integer counts; the per-node
+    * majority is ONE rule-9 packed min ((512−cnt)·1024 + label —
+    * count desc, label asc; cnt ≤ 511 by the cell cap, labels
+    * raise_error-guarded into [0, 1024)); the census is 7 integer
+    * rows. Scale: adjacency is |pairs|-bounded, each round one
+    * equi-join + bounded aggregate (the Pregel round), label
+    * relations are one row per node. */
+  def q243LabelProp(s: SparkSession, d: String): DataFrame = {
+    val (_, _, a1) = lloydOneStep(s, d)
+    val w = Window.partitionBy($"cell_id").orderBy($"vec_id")
+    // persists: every census row re-references the pair build and the
+    // round relations (the q221 iterative-plan cliff)
+    val rk = a1.select($"vec_id", $"embedding", $"cell_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= SemDedupMaxCell)
+      .persist()
+    val cand = rk.select($"cell_id".as("ccell"), $"vec_id".as("v2"),
+      $"embedding".as("e2"), $"rn".as("rn2"))
+    val pairs = rk.join(cand, $"ccell" === $"cell_id" && $"rn" < $"rn2")
+      .filter(floor(Vectors.cosine($"embedding", $"e2") * lit(1e6) +
+        lit(0.5)) >= lit(DbEpsGrid))
+      .select($"vec_id".as("a"), $"v2".as("b"))
+    val adj = pairs.select($"a".as("v"), $"b".as("n"))
+      .unionAll(pairs.select($"b".as("v"), $"a".as("n"))).persist()
+    val truth = rk.select($"vec_id")
+      .join(Tables.embeddings(s, d)
+        .select($"vec_id", $"label".cast("long").as("tl")), Seq("vec_id"))
+      .persist()
+    val guardedTl = when($"tl" < 0L || $"tl" >= lit(1024L),
+      raise_error(concat(
+        lit("labelProp: label outside the pack base [0, 1024): "),
+        $"tl"))).otherwise($"tl")
+    val l0 = truth
+      .filter(md5(concat(lit("lp:"), $"vec_id".cast("string")))
+        < LpSeedHexCut)
+      .select($"vec_id", guardedTl.as("lab"))
+      .persist()
+    labelPropRounds(adj, truth, l0)
+  }
+
+  /** The propagation core over a prepared symmetric adjacency (v, n),
+    * ground truth (vec_id, tl), and clamped seeds (vec_id, lab) —
+    * split from [[q243LabelProp]] for the crafted-graph spec. */
+  private[graft] def labelPropRounds(adj: DataFrame, truth: DataFrame,
+      l0: DataFrame): DataFrame = {
+    def row(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value"))
+        .select(lit(name).as("metric"), $"value")
+    val (census, _) = (1 to LpRounds)
+      .foldLeft((row("r0_labeled", l0), l0)) { case ((cen, lbl), r) =>
+        val votes = adj
+          .join(lbl.select($"vec_id".as("v")), Seq("v"), "left_anti")
+          .join(lbl.select($"vec_id".as("n"), $"lab"), Seq("n"))
+          .groupBy($"v", $"lab").agg(count(lit(1)).as("cnt"))
+        val adopted = votes
+          .select($"v", ((lit(512L) - $"cnt") * 1024L + $"lab").as("pack"))
+          .groupBy($"v").agg(min($"pack").as("mp"))
+          .select($"v".as("vec_id"), ($"mp" % 1024L).as("lab"))
+          .persist()
+        val nl = lbl.unionByName(adopted).persist()
+        val correct = adopted.join(truth, Seq("vec_id"))
+          .filter($"lab" === $"tl")
+        (cen.unionAll(row(s"r${r}_adopted", adopted))
+          .unionAll(row(s"r${r}_correct", correct))
+          .unionAll(row(s"r${r}_labeled", nl)), nl)
+      }
+    census.orderBy($"metric")
+  }
+
+  val q243LabelPropSql: String = {
+    val cos = cosSql("r.embedding", "p.embedding")
+    val rounds = (1 to LpRounds).map { r =>
+      s"""v$r AS (SELECT a.v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM adj a JOIN l${r - 1} l ON l.vec_id = a.n
+         |  WHERE a.v NOT IN (SELECT vec_id FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |ad$r AS (SELECT v AS vec_id,
+         |    min((512 - cnt) * 1024 + lab) % 1024 AS lab
+         |  FROM v$r GROUP BY v),
+         |l$r AS (SELECT vec_id, lab FROM l${r - 1}
+         |  UNION ALL SELECT vec_id, lab FROM ad$r)""".stripMargin
+    }.mkString(",\n")
+    val censusRows = (1 to LpRounds).map { r =>
+      s"""  UNION ALL SELECT 'r${r}_adopted',
+         |    (SELECT count(*) FROM ad$r)
+         |  UNION ALL SELECT 'r${r}_correct',
+         |    (SELECT count(*) FROM ad$r a JOIN truth t
+         |     ON t.vec_id = a.vec_id AND t.tl = a.lab)
+         |  UNION ALL SELECT 'r${r}_labeled',
+         |    (SELECT count(*) FROM l$r)""".stripMargin
+    }.mkString("\n")
+    s"""WITH $lloydCtes,
+       |rk AS (SELECT vec_id, embedding, cell_id,
+       |    row_number() OVER (PARTITION BY cell_id ORDER BY vec_id)
+       |      AS rn
+       |  FROM a1),
+       |rkc AS (SELECT * FROM rk WHERE rn <= $SemDedupMaxCell),
+       |prs AS (SELECT r.vec_id AS a, p.vec_id AS b
+       |  FROM rkc r JOIN rkc p
+       |    ON p.cell_id = r.cell_id AND r.rn < p.rn
+       |  WHERE CAST(floor($cos * 1e6 + 0.5) AS BIGINT)
+       |    >= $DbEpsGrid),
+       |adj AS MATERIALIZED (SELECT a AS v, b AS n FROM prs
+       |  UNION ALL SELECT b, a FROM prs),
+       |truth AS MATERIALIZED (SELECT r.vec_id,
+       |    CAST(e.label AS BIGINT) AS tl
+       |  FROM rkc r JOIN embeddings e ON e.vec_id = r.vec_id),
+       |l0 AS MATERIALIZED (SELECT vec_id, tl AS lab FROM truth
+       |  WHERE md5('lp:' || CAST(vec_id AS VARCHAR)) < '$LpSeedHexCut'),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'r0_labeled' AS metric,
+       |    (SELECT count(*) FROM l0) AS value
+       |$censusRows)
+       |ORDER BY metric""".stripMargin
+  }
+
 }

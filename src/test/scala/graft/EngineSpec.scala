@@ -5275,4 +5275,21 @@ class EngineSpec extends AnyFunSuite {
     assert(sawNonZero, "all draws landed on zero noise - table suspect")
   }
 
+  test("q243 label propagation: hand-traced rounds, clamped seeds, tie to smaller label") {
+    // chain 1-2-3 spreads label 0 over two rounds; 4-5 spreads 1 in
+    // one; node 6 hears a 0/1 tie in round 2 (adopts 0, which is
+    // WRONG vs its truth 7 -> r2_correct counts only node 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L), (2L, 6L), (5L, 6L))
+    val adj = (pairs ++ pairs.map(_.swap)).toDF("v", "n")
+    val truth = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 7L)).toDF("vec_id", "tl")
+    val l0 = Seq((1L, 0L), (4L, 1L)).toDF("vec_id", "lab")
+    val got = graft.operators.VectorOps.labelPropRounds(adj, truth, l0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "r0_labeled" -> 2L,
+      "r1_adopted" -> 2L, "r1_correct" -> 2L, "r1_labeled" -> 4L,
+      "r2_adopted" -> 2L, "r2_correct" -> 1L, "r2_labeled" -> 6L))
+  }
+
 }
