@@ -266,6 +266,7 @@ object SparkEntry {
     "q241_cluster_purity" -> (VectorOps.q241ClusterPurity(_, _)),
     "q242_dp_release" -> (TextOps.q242DpRelease(_, _)),
     "q243_label_prop" -> (VectorOps.q243LabelProp(_, _)),
+    "q244_power_iteration" -> (VectorOps.q244PowerIteration(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -759,5 +760,8 @@ object SparkEntry {
     // q243: label propagation on the q221 cell-bounded ε-graph —
     // clamped seeds, rule-9 packed majority, held-out accuracy census
     "q243_label_prop" -> VectorOps.q243LabelPropSql,
+    // q244: distributed PCA — one corpus scan to q213's gram (shared
+    // CTE), 3 metadata-sized matvec/renormalize iterations
+    "q244_power_iteration" -> VectorOps.q244PowerIterationSql,
   )
 }

@@ -1288,20 +1288,26 @@ object VectorOps {
       .orderBy($"i", $"j")
   }
 
-  val q213GramMatrixSql: String = {
+  /** The gram-accumulation CTE chain `dims → cells → gram`, shared by
+    * q213's and q244's mirrors (one definition — q194 discipline). */
+  private def gramCtesSql: String = {
     val vals = (for { i <- 0 until GramDims; j <- i until GramDims }
       yield s"($i,$j)").mkString(", ")
-    s"""WITH dims AS (SELECT i, j FROM (VALUES $vals) AS t(i, j)),
+    s"""dims AS (SELECT i, j FROM (VALUES $vals) AS t(i, j)),
        |cells AS (SELECT d.i, d.j,
        |    CAST(floor(CAST(e.embedding[d.i + 1] AS DOUBLE) *
        |      CAST(e.embedding[d.j + 1] AS DOUBLE) *
        |      1000000.0 + 0.5) AS BIGINT) AS xy
        |  FROM embeddings e CROSS JOIN dims d
-       |  WHERE e.embedding IS NOT NULL)
-       |SELECT i, j, count(*) AS n,
-       |  CAST(sum(xy) AS BIGINT) AS gram_micro
-       |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  WHERE e.embedding IS NOT NULL),
+       |gram AS MATERIALIZED (SELECT i, j, count(*) AS n,
+       |    CAST(sum(xy) AS BIGINT) AS gram_micro
+       |  FROM cells GROUP BY 1, 2)""".stripMargin
   }
+
+  val q213GramMatrixSql: String =
+    s"""WITH $gramCtesSql
+       |SELECT i, j, n, gram_micro FROM gram ORDER BY 1, 2""".stripMargin
 
 
   // ---------------------------------------------------------------
@@ -1803,6 +1809,83 @@ object VectorOps {
        |    (SELECT count(*) FROM l0) AS value
        |$censusRows)
        |ORDER BY metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q244: top principal component by power iteration (PCA at scale)
+  // ---------------------------------------------------------------
+
+  private val PowerIters = 3
+
+  /** Top principal direction of the embedding corpus by [[PowerIters]]
+    * unrolled power iterations over q213's gram matrix — the canonical
+    * distributed-PCA shape (e.g. Halko et al. 2011's randomized
+    * sketches start exactly here): ONE corpus scan accumulates the
+    * d×d gram (q213's map-side-combinable cell aggregate), and every
+    * iteration after is arithmetic on the [[GramDims]]²-cell metadata
+    * relation — at 100 TB the corpus is touched once, the iteration
+    * cost is nil. The dominant eigenvector is the direction a curation
+    * team inspects for corpus-level anisotropy (the "rogue dimension"
+    * phenomenon) and the first step of spectral whitening.
+    *
+    * Determinism: the gram is q213's exact micro-grid integers; each
+    * matvec entry is floor(identical-IEEE double product)/1e6 summed
+    * exactly (≤ [[GramDims]] BIGINT terms, order-free); each iterate
+    * renormalizes onto the ppm grid by its L∞ norm (max-abs — no
+    * sqrt), zero-matrix guarded by greatest(m, 1). Output: the 16
+    * component rows of v₃ plus the dim = −1 row carrying the final
+    * pre-normalization L∞ norm — the dominant-eigenvalue estimate in
+    * gram-micro units (v₂ is ppm-normalized, so ‖G·v₂‖∞/1e6·1e6
+    * collapses to ‖raw‖∞). */
+  def q244PowerIteration(s: SparkSession, d: String): DataFrame =
+    powerIteration(q213GramMatrix(s, d)
+      .select($"i", $"j", $"gram_micro"))
+
+  private[graft] def powerIteration(gram: DataFrame): DataFrame = {
+    val gF = gram.unionByName(gram.filter($"i" =!= $"j")
+      .select($"j".as("i"), $"i".as("j"), $"gram_micro")).persist()
+    val v0 = gram.select($"i").distinct()
+      .select($"i", lit(1000000L).as("v"))
+    val (vF, mF) = (1 to PowerIters)
+      .foldLeft((v0, v0 /*placeholder*/)) { case ((v, _), _) =>
+        val raw = gF.join(v.select($"i".as("j"), $"v"), Seq("j"))
+          .select($"i",
+            floor($"gram_micro".cast("double") * $"v" / 1000000.0)
+              .cast("long").as("c"))
+          .groupBy($"i").agg(sum($"c").as("r"))
+        val m = raw.agg(max(abs($"r")).as("m"))
+        val vn = raw.crossJoin(broadcast(m))
+          .select($"i",
+            floor($"r".cast("double") * 1000000.0 /
+              greatest($"m", lit(1L))).cast("long").as("v"))
+          .persist()
+        (vn, m)
+      }
+    vF.select($"i".cast("long").as("dim"), $"v".as("value"))
+      .unionByName(mF.select(lit(-1L).as("dim"), $"m".as("value")))
+      .orderBy($"dim")
+  }
+
+  val q244PowerIterationSql: String = {
+    val iters = (1 to PowerIters).map { k =>
+      s"""r$k AS (SELECT g.i,
+         |    CAST(sum(CAST(floor(CAST(g.gram_micro AS DOUBLE) * v.v
+         |      / 1000000.0) AS BIGINT)) AS BIGINT) AS r
+         |  FROM gf g JOIN v${k - 1} v ON v.i = g.j GROUP BY g.i),
+         |m$k AS (SELECT CAST(max(abs(r)) AS BIGINT) AS m FROM r$k),
+         |v$k AS (SELECT i, CAST(floor(CAST(r AS DOUBLE) * 1000000.0
+         |    / greatest(m, 1)) AS BIGINT) AS v FROM r$k, m$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $gramCtesSql,
+       |gf AS (SELECT i, j, gram_micro FROM gram
+       |  UNION ALL SELECT j, i, gram_micro FROM gram WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS v
+       |  FROM gram),
+       |$iters
+       |SELECT CAST(i AS BIGINT) AS dim, v AS value FROM v$PowerIters
+       |UNION ALL SELECT CAST(-1 AS BIGINT), m FROM m$PowerIters
+       |ORDER BY dim""".stripMargin
   }
 
 }

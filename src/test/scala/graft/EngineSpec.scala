@@ -5292,4 +5292,38 @@ class EngineSpec extends AnyFunSuite {
       "r2_adopted" -> 2L, "r2_correct" -> 1L, "r2_labeled" -> 6L))
   }
 
+  test("q244 power iteration: exact JVM replay, dominant direction found") {
+    // block matrix: coupled dims 0/1 dominate, dim 2 decoupled and
+    // weaker -> the iterate must concentrate on dims 0/1 with dim 0
+    // the max component
+    val gram = Seq((0, 0, 4000000L), (0, 1, 1000000L), (0, 2, 0L),
+      (1, 1, 3000000L), (1, 2, 0L), (2, 2, 1000000L))
+    val got = graft.operators.VectorOps
+      .powerIteration(gram.toDF("i", "j", "gram_micro")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical-arithmetic replay
+    val g = Array.ofDim[Long](3, 3)
+    for ((i, j, x) <- gram) { g(i)(j) = x; g(j)(i) = x }
+    var v = Array.fill(3)(1000000L)
+    var m = 0L
+    for (_ <- 1 to 3) {
+      val raw = (0 until 3).map(i => (0 until 3).map(j =>
+        math.floor(g(i)(j).toDouble * v(j) / 1000000.0).toLong).sum)
+      m = raw.map(math.abs).max
+      v = raw.map(r =>
+        math.floor(r.toDouble * 1000000.0 / math.max(m, 1L)).toLong).toArray
+    }
+    assert(got === (0 until 3).map(i => i.toLong -> v(i)).toMap
+      + (-1L -> m))
+    // qualitative: dim 0 is the max component (normalized to 1e6),
+    // dim 2 decayed well below the coupled block
+    assert(got(0L) === 1000000L)
+    assert(got(2L) < got(1L) && got(1L) < got(0L))
+    // eigenvalue estimate approaches the true dominant eigenvalue
+    // (3.5 + sqrt(1.25) ~ 4.618 in micro units); the L∞ quotient
+    // overshoots while the iterate still mixes the second mode
+    // (replayed value after 3 rounds: 4.708e6)
+    assert(m > 4500000L && m < 4800000L)
+  }
+
 }

@@ -564,7 +564,9 @@ class ScaleSpec extends AnyFunSuite {
       // (npos, nneg, auc) broadcast onto the 19-row sweep
       "operators/TextOps.scala" -> 23,
       // +1 round 10: q220's NumCells-row centroid broadcast
-      "operators/VectorOps.scala" -> 6)
+      // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
+      // (one source site inside the fold)
+      "operators/VectorOps.scala" -> 7)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
         "argue the new site is broadcast metadata-sized, then register it")
