@@ -267,6 +267,7 @@ object SparkEntry {
     "q242_dp_release" -> (TextOps.q242DpRelease(_, _)),
     "q243_label_prop" -> (VectorOps.q243LabelProp(_, _)),
     "q244_power_iteration" -> (VectorOps.q244PowerIteration(_, _)),
+    "q245_dedup_eval" -> (TextOps.q245DedupEval(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -763,5 +764,8 @@ object SparkEntry {
     // q244: distributed PCA — one corpus scan to q213's gram (shared
     // CTE), 3 metadata-sized matvec/renormalize iterations
     "q244_power_iteration" -> VectorOps.q244PowerIterationSql,
+    // q245: dedup-pipeline eval — exact integer Jaccard threshold,
+    // precision over candidates, recall vs bounded-seed brute force
+    "q245_dedup_eval" -> TextOps.q245DedupEvalSql,
   )
 }

@@ -344,10 +344,10 @@ object TextOps {
       .orderBy($"d1", $"d2")
   }
 
-  val q24LshPairsSql: String =
-    s"""WITH $shinglesCte,
-       |$bandsCte,
-       |buckets AS (SELECT band_id, band_key,
+  /** The `buckets → cands → counts → inter` candidate chain, shared
+    * by q24's and q245's mirrors (one definition — q194 discipline). */
+  private def lshCandCtes: String =
+    s"""buckets AS (SELECT band_id, band_key,
        |              list_sort(list(DISTINCT doc_id))[1:$MaxBucket] AS ds
        |            FROM bands GROUP BY band_id, band_key),
        |cands AS (SELECT DISTINCT ds[i] AS d1, ds[j] AS d2
@@ -360,7 +360,12 @@ object TextOps {
        |          FROM cands c
        |          JOIN sh s1 ON s1.doc_id = c.d1
        |          JOIN sh s2 ON s2.doc_id = c.d2 AND s2.sh = s1.sh
-       |          GROUP BY c.d1, c.d2)
+       |          GROUP BY c.d1, c.d2)""".stripMargin
+
+  val q24LshPairsSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |$lshCandCtes
        |SELECT c.d1, c.d2, coalesce(i.n_common, 0) AS n_common,
        |  c1.n AS n1, c2.n AS n2,
        |  ${sqlRound("coalesce(i.n_common, 0) / (c1.n + c2.n - coalesce(i.n_common, 0))", 6)} AS jaccard
@@ -6016,5 +6021,125 @@ object TextOps {
        |  greatest(n_true + noise, 0) AS released
        |FROM r ORDER BY lang, source""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q245: dedup-pipeline evaluation (LSH precision + seed recall)
+  // ---------------------------------------------------------------
+
+  /** Recall ground truth runs brute-force over the first
+    * [[DedupEvalSeedMax]] doc ids — an ABSOLUTE cap (the q47 seeded-
+    * centroid discipline), so the all-pairs reference is ≤ ~131k
+    * pairs at any corpus size (and far fewer materialize: the truth
+    * search equi-joins on shingles, so 0-overlap pairs never appear);
+    * a fraction-based sample would grow quadratically. 512 is sized
+    * so the driver corpus has live true-dup pairs inside the seed
+    * range at every SF. */
+  private val DedupEvalSeedMax = 512L
+
+  /** Evaluation of the MinHash-LSH near-dup pipeline against exact
+    * shingle Jaccard — the measurement a team runs before trusting
+    * q23/q24/q50's candidates (Broder 1997's estimator has known
+    * band/bucket recall curves; this measures the DEPLOYED
+    * configuration on the actual corpus, the q136/q200 ANN-recall
+    * discipline applied to dedup):
+    *
+    *  - PRECISION over every LSH candidate pair: fraction whose exact
+    *    Jaccard reaches the 0.8 cluster threshold — decided by the
+    *    EXACT integer cross-multiplication n_common·10 ≥ (n1+n2−
+    *    n_common)·8, no double compare anywhere (sharper than rule
+    *    10: the grid is exact rational).
+    *  - RECALL against brute-force truth on the seed subset: all
+    *    true ≥0.8 pairs among the first [[DedupEvalSeedMax]] docs
+    *    (found via the shingle equi-join — a 0-common pair cannot be
+    *    a dup, so no quadratic materializes), intersected with the
+    *    candidate set.
+    *
+    * One tagged union feeds ONE aggregate computing all four counts —
+    * no 1-row cross-join assembly; ppm ratios are rule-13 floor
+    * divisions, CASE-guarded for empty denominators. */
+  def q245DedupEval(s: SparkSession, d: String): DataFrame =
+    dedupEval(Tables.documents(s, d))
+
+  private[graft] def dedupEval(docs: DataFrame): DataFrame = {
+    val candT = lshPairs(docs).select($"d1", $"d2",
+      ($"n_common" * 10L >= ($"n1" + $"n2" - $"n_common") * 8L).as("dup"))
+    val seedsh = shingleRows(docs.filter($"doc_id" < DedupEvalSeedMax))
+      .distinct()
+    val scnt = seedsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val struth = seedsh.select($"doc_id".as("d1"), $"sh")
+      .join(seedsh.select($"doc_id".as("d2"), $"sh"), Seq("sh"))
+      .filter($"d1" < $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("n_common"))
+      .join(scnt.select($"doc_id".as("d1"), $"n".as("sn1")), Seq("d1"))
+      .join(scnt.select($"doc_id".as("d2"), $"n".as("sn2")), Seq("d2"))
+      .filter($"n_common" * 10L >= ($"sn1" + $"sn2" - $"n_common") * 8L)
+      .select($"d1", $"d2")
+    val tagged = candT.select(lit("cand").as("tag"), $"dup")
+      .unionByName(struth
+        .join(candT.select($"d1", $"d2", lit(true).as("c")),
+          Seq("d1", "d2"), "left")
+        .select(lit("seed").as("tag"), coalesce($"c", lit(false)).as("dup")))
+    tagged.agg(
+        sum(when($"tag" === "cand", 1L).otherwise(0L)).as("n_candidates"),
+        sum(when($"tag" === "cand" && $"dup", 1L).otherwise(0L))
+          .as("n_cand_dups"),
+        sum(when($"tag" === "seed", 1L).otherwise(0L)).as("n_seed_true"),
+        sum(when($"tag" === "seed" && $"dup", 1L).otherwise(0L))
+          .as("n_seed_caught"))
+      .select($"n_candidates", $"n_cand_dups",
+        when($"n_candidates" > 0L,
+          expr("(n_cand_dups * 1000000) div n_candidates"))
+          .as("precision_ppm"),
+        $"n_seed_true", $"n_seed_caught",
+        when($"n_seed_true" > 0L,
+          expr("(n_seed_caught * 1000000) div n_seed_true"))
+          .as("recall_ppm"))
+  }
+
+  val q245DedupEvalSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |$lshCandCtes,
+       |candt AS (SELECT c.d1, c.d2,
+       |    (coalesce(i.n_common, 0) * 10 >=
+       |     (c1.n + c2.n - coalesce(i.n_common, 0)) * 8) AS dup
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |  JOIN counts c1 ON c1.doc_id = c.d1
+       |  JOIN counts c2 ON c2.doc_id = c.d2),
+       |ssh AS (SELECT doc_id, sh FROM sh
+       |  WHERE doc_id < $DedupEvalSeedMax),
+       |scnt AS (SELECT doc_id, count(*) AS n FROM ssh GROUP BY doc_id),
+       |sint AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    count(*) AS n_common
+       |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |struth AS (SELECT s.d1, s.d2 FROM sint s
+       |  JOIN scnt c1 ON c1.doc_id = s.d1
+       |  JOIN scnt c2 ON c2.doc_id = s.d2
+       |  WHERE s.n_common * 10 >= (c1.n + c2.n - s.n_common) * 8),
+       |tagged AS (SELECT 'cand' AS tag, dup FROM candt
+       |  UNION ALL SELECT 'seed', (ct.d1 IS NOT NULL) FROM struth st
+       |    LEFT JOIN (SELECT d1, d2 FROM candt) ct
+       |    ON ct.d1 = st.d1 AND ct.d2 = st.d2),
+       |a AS (SELECT
+       |    CAST(sum(CASE WHEN tag = 'cand' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_candidates,
+       |    CAST(sum(CASE WHEN tag = 'cand' AND dup THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_cand_dups,
+       |    CAST(sum(CASE WHEN tag = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_seed_true,
+       |    CAST(sum(CASE WHEN tag = 'seed' AND dup THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_seed_caught
+       |  FROM tagged)
+       |SELECT n_candidates, n_cand_dups,
+       |  CASE WHEN n_candidates > 0
+       |    THEN (n_cand_dups * 1000000) // n_candidates END
+       |    AS precision_ppm,
+       |  n_seed_true, n_seed_caught,
+       |  CASE WHEN n_seed_true > 0
+       |    THEN (n_seed_caught * 1000000) // n_seed_true END
+       |    AS recall_ppm
+       |FROM a""".stripMargin
 
 }

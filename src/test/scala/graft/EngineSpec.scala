@@ -5326,4 +5326,35 @@ class EngineSpec extends AnyFunSuite {
     assert(m > 4500000L && m < 4800000L)
   }
 
+  test("q245 dedup eval: identical pairs guaranteed caught, seed truth brute-forced") {
+    // docs 1/2 identical (true dup, inside the 512-id seed range);
+    // 600/601 identical (candidate dup OUTSIDE the seed range — feeds
+    // precision only); 4 shares one shingle with 1/2 (J = 1/11, not a
+    // dup); 3 unrelated
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "z y x w v u t s"), (4L, "a b c q r s t u"),
+      (600L, "m n o p q r s t"), (601L, "m n o p q r s t"))
+    val r = graft.operators.TextOps
+      .dedupEval(docs.toDF("doc_id", "text")).collect().head
+    val (nc, nd, prec, nt, ncau, rec) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    // JVM brute-force seed truth over doc ids < 512
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val seeds = docs.filter(_._1 < 512L)
+    val truth = for {
+      (a, ta) <- seeds; (b, tb) <- seeds if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      common = (sa & sb).size
+      if common * 10 >= (sa.size + sb.size - common) * 8
+    } yield (a, b)
+    assert(nt === truth.size.toLong && truth === Seq((1L, 2L)))
+    // identical docs have identical signatures -> guaranteed caught
+    assert(ncau === 1L && rec === 1000000L)
+    // both identical pairs must be candidates AND verified dups
+    assert(nd >= 2L && nc >= nd)
+    assert(prec === nd * 1000000L / nc, "precision consistency")
+  }
+
 }

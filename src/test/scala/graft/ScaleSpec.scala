@@ -541,9 +541,9 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
       // +1 round 10: q232's 1-row basket-count broadcast
-      // +3 round 10: q237's per-half-step 1-row L1-total broadcasts
-      // (the q110 normalization discipline)
-      "operators/Relational.scala" -> 10,
+      // +1 round 10: q237's 1-row L1-total broadcast (one source site
+      // inside normPpb, applied per half-step — q110 discipline)
+      "operators/Relational.scala" -> 8,
       // round 10: q234's 1-row (N, tie-term) broadcast; q235's bounded
       // |langs|×|sources| marginal axis, 1-row total broadcast, and
       // 1-row top-cell broadcast onto the 1-row summary
