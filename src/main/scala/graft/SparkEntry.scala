@@ -268,6 +268,7 @@ object SparkEntry {
     "q243_label_prop" -> (VectorOps.q243LabelProp(_, _)),
     "q244_power_iteration" -> (VectorOps.q244PowerIteration(_, _)),
     "q245_dedup_eval" -> (TextOps.q245DedupEval(_, _)),
+    "q246_perm_importance" -> (TextOps.q246PermImportance(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -767,5 +768,8 @@ object SparkEntry {
     // q245: dedup-pipeline eval — exact integer Jaccard threshold,
     // precision over candidates, recall vs bounded-seed brute force
     "q245_dedup_eval" -> TextOps.q245DedupEvalSql,
+    // q246: permutation importance — bucketed cyclic derangement
+    // (partitioned windows only), exact contribution swap arithmetic
+    "q246_perm_importance" -> TextOps.q246PermImportanceSql,
   )
 }

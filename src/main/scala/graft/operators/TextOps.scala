@@ -6142,4 +6142,113 @@ object TextOps {
        |    AS recall_ppm
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q246: permutation feature importance for the quality classifier
+  // ---------------------------------------------------------------
+
+  /** q178's per-feature micro-logit CONTRIBUTIONS, factored so the
+    * permuted score is base − own + partner per term. The EngineSpec
+    * consistency test pins Σ contribs − 30000 ≡ logitCol on real
+    * corpus rows, so these cannot drift from the deployed model. */
+  private def contribCols: Seq[(String, Column)] = Seq(
+    ("nt", lit(600L) * $"nt"),
+    ("atl_g", lit(-2L) * abs($"atl_g" - 45000L)),
+    ("pr_g", lit(-60L) * $"pr_g"),
+    ("swr_g", lit(40L) * $"swr_g"))
+  private val contribSql: Seq[(String, String)] = Seq(
+    ("nt", "600 * %s"), ("atl_g", "-2 * abs(%s - 45000)"),
+    ("pr_g", "-60 * %s"), ("swr_g", "40 * %s"))
+
+  /** Permutation feature importance (Breiman 2001's forest-OOB
+    * measure, model-agnostic form) for q178's quality classifier:
+    * break each feature's association with the document by swapping
+    * in ANOTHER document's value and count how often the keep/drop
+    * decision flips — the importance ranking a team reads before
+    * pruning the feature set or debugging a dominant feature.
+    *
+    * The "permutation" is deterministic and SCALABLE: docs are
+    * md5-bucketed (256 buckets), ranked inside their bucket
+    * (PARTITIONED window — never a global rank), and each doc swaps
+    * with the next rank cyclically — a derangement within buckets
+    * (singleton buckets degenerate to self-swap = zero delta,
+    * counted honestly as no-flip). Because the model is an affine
+    * score over per-feature terms, the permuted logit is EXACTLY
+    * base − contrib_f(own) + contrib_f(partner) — one equi-join
+    * fetches the partner's grid, all four permuted scores come from
+    * the same row, all arithmetic exact integers.
+    *
+    * Output per feature: docs, decision flips, flip ppm, and the
+    * mean absolute logit shift (floor division, micro units). */
+  def q246PermImportance(s: SparkSession, d: String): DataFrame =
+    permImportance(featureGrid(
+      Tables.documents(s, d).filter($"text".isNotNull), $"doc_id"))
+
+  private[graft] def permImportance(grid: DataFrame): DataFrame = {
+    val wB = Window.partitionBy($"bkt").orderBy($"doc_id")
+    val ranked = grid
+      .withColumn("bkt", substring(md5(concat(lit("pi:"),
+        $"doc_id".cast("string"))), 1, 2))
+      .withColumn("rn", row_number().over(wB).cast("long"))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy($"bkt"))
+        .cast("long"))
+    val own = ranked.select(($"doc_id" +: $"bkt" +: $"rn" +: $"nb" +:
+      contribCols.map { case (n, c) => c.as(s"c_$n") }): _*)
+      .withColumn("base",
+        lit(-30000L) + contribCols.map(n => col(s"c_${n._1}"))
+          .reduce(_ + _))
+    val partner = own.select(($"bkt".as("pbkt") +: $"rn".as("prn") +:
+      contribCols.map { case (n, _) => col(s"c_$n").as(s"p_$n") }): _*)
+    val joined = own.join(partner,
+      $"bkt" === $"pbkt" && ($"rn" % $"nb" + 1L) === $"prn")
+    val x = joined.select($"base", explode(array(contribCols.map {
+        case (n, _) => struct(lit(n).as("feature"),
+          (col(s"p_$n") - col(s"c_$n")).as("delta"))
+      }: _*)).as("e"))
+      .select($"e.feature".as("feature"), $"base", $"e.delta".as("delta"))
+    x.groupBy($"feature")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(($"base" >= 0L) =!= ($"base" + $"delta" >= 0L), 1L)
+          .otherwise(0L)).as("n_flips"),
+        sum(abs($"delta")).as("sad"))
+      .select($"feature", $"n_docs", $"n_flips",
+        expr("(n_flips * 1000000) div n_docs").as("flip_ppm"),
+        expr("sad div n_docs").as("mean_abs_delta_micro"))
+      .orderBy($"feature")
+  }
+
+  val q246PermImportanceSql: String = {
+    val ownC = contribSql.map { case (n, f) =>
+      s"${f.format(n)} AS c_$n" }.mkString(", ")
+    val baseExpr = "-30000 + " + contribSql.map { case (n, _) =>
+      s"c_$n" }.mkString(" + ")
+    val deltas = contribSql.map { case (n, _) =>
+      s"SELECT feature, base, delta FROM (SELECT '$n' AS feature, " +
+        s"o.base, p.c_$n - o.c_$n AS delta FROM own o JOIN own p ON " +
+        "p.bkt = o.bkt AND p.rn = o.rn % o.nb + 1)"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH f AS (SELECT ${featureGridSql("doc_id,")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |rk AS (SELECT doc_id, nt, atl_g, pr_g, swr_g,
+       |    substring(md5('pi:' || CAST(doc_id AS VARCHAR)), 1, 2)
+       |      AS bkt
+       |  FROM f),
+       |rn AS (SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY bkt ORDER BY doc_id)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY bkt) AS BIGINT) AS nb
+       |  FROM rk),
+       |c AS (SELECT doc_id, bkt, rn, nb, $ownC FROM rn),
+       |own AS MATERIALIZED (SELECT *, $baseExpr AS base FROM c),
+       |x AS ($deltas)
+       |SELECT feature, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN (base >= 0) <> (base + delta >= 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flips,
+       |  (CAST(sum(CASE WHEN (base >= 0) <> (base + delta >= 0)
+       |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*)
+       |    AS flip_ppm,
+       |  CAST(sum(abs(delta)) AS BIGINT) // count(*)
+       |    AS mean_abs_delta_micro
+       |FROM x GROUP BY feature ORDER BY feature""".stripMargin
+  }
+
 }

@@ -5357,4 +5357,54 @@ class EngineSpec extends AnyFunSuite {
     assert(prec === nd * 1000000L / nc, "precision consistency")
   }
 
+  test("q246 permutation importance: full JVM replay of the bucketed derangement") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // grids straddling the keep/drop boundary so swaps genuinely
+    // flip; 600 docs over 256 md5 buckets so most buckets host real
+    // (non-self) swap partners
+    val rows = (1L to 600L).map { i =>
+      (i, 40L + (i % 13) * 3L, 43000L + (i % 9) * 700L,
+        (i % 7) * 90L, 100L + (i % 11) * 60L)
+    }
+    val got = graft.operators.TextOps
+      .permImportance(rows.toDF("doc_id", "nt", "atl_g", "pr_g", "swr_g"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent replay with the q178 model constants
+    def contribs(t: (Long, Long, Long, Long, Long)): Map[String, Long] =
+      Map("nt" -> 600L * t._2, "atl_g" -> -2L * math.abs(t._3 - 45000L),
+        "pr_g" -> -60L * t._4, "swr_g" -> 40L * t._5)
+    val byBkt = rows.groupBy(r => md5hex(s"pi:${r._1}").substring(0, 2))
+    var flips = Map.empty[String, Long].withDefaultValue(0L)
+    var sad = Map.empty[String, Long].withDefaultValue(0L)
+    for ((_, ds) <- byBkt) {
+      val ord = ds.sortBy(_._1)
+      for ((doc, idx) <- ord.zipWithIndex) {
+        val partner = ord((idx + 1) % ord.size)
+        val co = contribs(doc); val cp = contribs(partner)
+        val base = -30000L + co.values.sum
+        for (f <- co.keys) {
+          val delta = cp(f) - co(f)
+          if ((base >= 0L) != (base + delta >= 0L))
+            flips += f -> (flips(f) + 1L)
+          sad += f -> (sad(f) + math.abs(delta))
+        }
+      }
+    }
+    for (f <- Seq("nt", "atl_g", "pr_g", "swr_g")) {
+      val (n, nf, fppm, mad) = got(f)
+      assert(n === 600L, s"$f n_docs")
+      assert(nf === flips(f), s"$f flips")
+      assert(fppm === flips(f) * 1000000L / 600L, s"$f ppm")
+      assert(mad === sad(f) / 600L, s"$f mean delta")
+    }
+    // nt dominates this model (600 micro per token): it must flip at
+    // least as often as the weakest feature and shift the most mass
+    assert(got("nt")._4 >= got.values.map(_._4).min)
+    assert(flips.values.sum > 0L, "crafted grid produced no flips")
+  }
+
 }
