@@ -269,6 +269,7 @@ object SparkEntry {
     "q244_power_iteration" -> (VectorOps.q244PowerIteration(_, _)),
     "q245_dedup_eval" -> (TextOps.q245DedupEval(_, _)),
     "q246_perm_importance" -> (TextOps.q246PermImportance(_, _)),
+    "q247_cv_stump" -> (TextOps.q247CvStump(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -771,5 +772,8 @@ object SparkEntry {
     // q246: permutation importance — bucketed cyclic derangement
     // (partitioned windows only), exact contribution swap arithmetic
     "q246_perm_importance" -> TextOps.q246PermImportanceSql,
+    // q247: k-fold CV of the stump — one scan, per-fold training
+    // histograms by subtraction, held-out accuracy census
+    "q247_cv_stump" -> TextOps.q247CvStumpSql,
   )
 }

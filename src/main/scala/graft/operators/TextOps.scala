@@ -6251,4 +6251,179 @@ object TextOps {
        |FROM x GROUP BY feature ORDER BY feature""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q247: k-fold cross-validated stump (model selection, CV eval)
+  // ---------------------------------------------------------------
+
+  private val CvFolds = 4L
+
+  /** K-fold cross-validation of the q240 decision stump — the model-
+    * selection loop around the trainer step: docs are dealt into
+    * [[CvFolds]] md5 folds, a stump is trained on each fold's
+    * COMPLEMENT and scored on the held-out fold; the per-fold test
+    * accuracies (and their spread) are what a team reads before
+    * trusting q240's single split.
+    *
+    * The scale trick is histogram SUBTRACTION: the corpus is scanned
+    * ONCE into per-(fold, feature, bin) class counts; each fold's
+    * training histogram is the global histogram minus its own — never
+    * k re-scans (the same algebra distributed GBDT uses for feature
+    * subsampling). All [[CvFolds]]×4×64 candidates score in one
+    * bounded relation; per-fold argmin is the q240 rule-9 pack
+    * grouped by fold. Held-out predictions ride the SAME exploded
+    * doc×feature relation joined to the 4-row winner table
+    * (broadcast): each doc's bin for the winning feature picks a
+    * leaf, the leaf predicts its training majority (lp ≥ ln → pos,
+    * ties to pos — documented), and the fold accuracy is an exact
+    * integer census.
+    *
+    * Determinism: folds are exact md5 mod [[CvFolds]]; the weighted
+    * Gini is q240's identical-IEEE rule-7 expression ppm-gridded
+    * before the argmin; everything else integer. */
+  def q247CvStump(s: SparkSession, d: String): DataFrame =
+    cvStump(featureGrid(
+      Tables.documents(s, d).filter($"text".isNotNull),
+      $"doc_id", ($"lang" === "en").as("pos")))
+
+  private[graft] def cvStump(f: DataFrame): DataFrame = {
+    val fold = conv(substring(md5(concat(lit("cv:"),
+      $"doc_id".cast("string"))), 1, 2), 16, 10).cast("long") % CvFolds
+    val x = f.select($"doc_id", fold.as("fold"), $"pos",
+        explode(array(StumpFeats.map { case (fid, c, off, step) =>
+          struct(lit(fid).as("fid"),
+            least(expr(s"greatest($c - $off, 0) div $step"),
+              lit(StumpBins - 1)).as("bin"))
+        }: _*)).as("e"))
+      .select($"doc_id", $"fold", $"e.fid".as("fid"),
+        $"e.bin".as("bin"), $"pos")
+    val histAll = x.groupBy($"fid", $"bin")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("anp"),
+        sum(when($"pos", 0L).otherwise(1L)).as("ann"))
+    val histFold = x.groupBy($"fold", $"fid", $"bin")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("fnp"),
+        sum(when($"pos", 0L).otherwise(1L)).as("fnn"))
+    val folds = f.sparkSession.range(CvFolds).select($"id".as("fold"))
+    val train = folds.crossJoin(broadcast(histAll))
+      .join(histFold, Seq("fold", "fid", "bin"), "left")
+      .select($"fold", $"fid", $"bin",
+        ($"anp" - coalesce($"fnp", lit(0L))).as("np"),
+        ($"ann" - coalesce($"fnn", lit(0L))).as("nn"))
+    val wCum = Window.partitionBy($"fold", $"fid").orderBy($"bin")
+    val wAll = Window.partitionBy($"fold", $"fid")
+    val sc = train.select($"fold", $"fid", $"bin",
+        sum($"np").over(wCum).as("lp"), sum($"nn").over(wCum).as("ln"),
+        sum($"np").over(wAll).as("npos"),
+        sum($"nn").over(wAll).as("nneg"))
+      .select($"fold", $"fid", $"bin", $"lp", $"ln",
+        ($"npos" - $"lp").as("rp"), ($"nneg" - $"ln").as("rn"))
+      .filter($"lp" + $"ln" > 0L && $"rp" + $"rn" > 0L)
+      .select($"fold", $"fid", $"bin", $"lp", $"ln", $"rp", $"rn",
+        floor((lit(2.0) * $"lp" * $"ln" / ($"lp" + $"ln") +
+          lit(2.0) * $"rp" * $"rn" / ($"rp" + $"rn")) /
+          ($"lp" + $"ln" + $"rp" + $"rn") * 1000000.0 + 0.5)
+          .cast("long").as("gini_ppm"))
+      .withColumn("pack", $"gini_ppm" * 256L + $"fid" * 64L + $"bin")
+    val best = sc.groupBy($"fold").agg(min($"pack").as("mp"))
+      .select($"fold".as("bfold"), $"mp")
+    val winners = sc.join(best,
+        $"fold" === $"bfold" && $"pack" === $"mp")
+      .select($"fold".as("wfold"), $"fid".as("wfid"),
+        $"bin".as("wbin"), $"gini_ppm",
+        ($"lp" >= $"ln").as("leftpos"), ($"rp" >= $"rn").as("rightpos"))
+    val evals = x.join(broadcast(winners),
+        $"fold" === $"wfold" && $"fid" === $"wfid")
+      .select($"fold", $"gini_ppm", $"wfid", $"wbin", $"pos",
+        when($"bin" <= $"wbin", $"leftpos").otherwise($"rightpos")
+          .as("pred"))
+      .groupBy($"fold", $"wfid", $"wbin", $"gini_ppm")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when($"pos" === $"pred", 1L).otherwise(0L)).as("n_correct"))
+    val featName = StumpFeats.foldRight(lit(null: String)) {
+      case ((fid, c, _, _), e) => when($"wfid" === fid, c).otherwise(e)
+    }
+    val threshold = StumpFeats.foldRight(lit(null: String).cast("long")) {
+      case ((fid, _, off, step), e) =>
+        when($"wfid" === fid, lit(off) + ($"wbin" + 1L) * step)
+          .otherwise(e)
+    }
+    evals.select($"fold", featName.as("feature"),
+        threshold.as("threshold"), $"gini_ppm".as("train_gini_ppm"),
+        $"n_test", $"n_correct",
+        expr("(n_correct * 1000000) div n_test").as("acc_ppm"))
+      .orderBy($"fold")
+  }
+
+  val q247CvStumpSql: String = {
+    val axes = StumpFeats.map { case (fid, c, off, step) =>
+      s"  SELECT doc_id, fold, pos, CAST($fid AS BIGINT) AS fid, " +
+        s"least(greatest($c - $off, 0) // $step, ${StumpBins - 1}) " +
+        "AS bin FROM f0"
+    }.mkString("\n  UNION ALL\n")
+    val featCase = StumpFeats.map { case (fid, c, _, _) =>
+      s"WHEN $fid THEN '$c'"
+    }.mkString("CASE wfid ", " ", " END")
+    val threshCase = StumpFeats.map { case (fid, _, off, step) =>
+      s"WHEN $fid THEN $off + (wbin + 1) * $step"
+    }.mkString("CASE wfid ", " ", " END")
+    s"""WITH f1 AS (SELECT ${featureGridSql(
+          "doc_id, lang = 'en' AS pos,")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |f0 AS (SELECT *,
+       |    CAST('0x' || substring(md5('cv:' || CAST(doc_id AS VARCHAR)),
+       |      1, 2) AS BIGINT) % $CvFolds AS fold
+       |  FROM f1),
+       |x AS (
+       |$axes),
+       |ha AS (SELECT fid, bin,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS anp,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS ann
+       |  FROM x GROUP BY 1, 2),
+       |hf AS (SELECT fold, fid, bin,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS fnp,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS fnn
+       |  FROM x GROUP BY 1, 2, 3),
+       |fl AS (SELECT fold FROM generate_series(0, ${CvFolds - 1})
+       |  AS t(fold)),
+       |tb AS (SELECT fl.fold, ha.fid, ha.bin, ha.anp, ha.ann
+       |  FROM fl CROSS JOIN ha),
+       |tr AS (SELECT tb.fold, tb.fid, tb.bin,
+       |    tb.anp - coalesce(hf.fnp, 0) AS np,
+       |    tb.ann - coalesce(hf.fnn, 0) AS nn
+       |  FROM tb LEFT JOIN hf ON hf.fold = tb.fold AND hf.fid = tb.fid
+       |    AND hf.bin = tb.bin),
+       |c AS (SELECT fold, fid, bin,
+       |    CAST(sum(np) OVER (PARTITION BY fold, fid ORDER BY bin)
+       |      AS BIGINT) AS lp,
+       |    CAST(sum(nn) OVER (PARTITION BY fold, fid ORDER BY bin)
+       |      AS BIGINT) AS ln,
+       |    CAST(sum(np) OVER (PARTITION BY fold, fid) AS BIGINT)
+       |      AS npos,
+       |    CAST(sum(nn) OVER (PARTITION BY fold, fid) AS BIGINT)
+       |      AS nneg
+       |  FROM tr),
+       |s0 AS (SELECT fold, fid, bin, lp, ln, npos - lp AS rp,
+       |    nneg - ln AS rn FROM c),
+       |sc AS (SELECT fold, fid, bin, lp, ln, rp, rn,
+       |    CAST(floor((2.0 * lp * ln / (lp + ln) +
+       |      2.0 * rp * rn / (rp + rn)) / (lp + ln + rp + rn)
+       |      * 1000000.0 + 0.5) AS BIGINT) AS gini_ppm
+       |  FROM s0 WHERE lp + ln > 0 AND rp + rn > 0),
+       |p AS (SELECT *, gini_ppm * 256 + fid * 64 + bin AS pack FROM sc),
+       |b AS (SELECT fold, min(pack) AS mp FROM p GROUP BY fold),
+       |w AS (SELECT p.fold AS wfold, p.fid AS wfid, p.bin AS wbin,
+       |    p.gini_ppm, p.lp >= p.ln AS leftpos, p.rp >= p.rn AS rightpos
+       |  FROM p JOIN b ON b.fold = p.fold AND p.pack = b.mp),
+       |ev AS (SELECT x.fold, w.wfid, w.wbin, w.gini_ppm,
+       |    CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN x.pos = (CASE WHEN x.bin <= w.wbin
+       |      THEN w.leftpos ELSE w.rightpos END) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_correct
+       |  FROM x JOIN w ON w.wfold = x.fold AND w.wfid = x.fid
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT fold, $featCase AS feature, $threshCase AS threshold,
+       |  gini_ppm AS train_gini_ppm, n_test, n_correct,
+       |  (n_correct * 1000000) // n_test AS acc_ppm
+       |FROM ev ORDER BY fold""".stripMargin
+  }
+
 }

@@ -5407,4 +5407,42 @@ class EngineSpec extends AnyFunSuite {
     assert(flips.values.sum > 0L, "crafted grid produced no flips")
   }
 
+  test("q247 CV stump: separable data -> pure split and perfect held-out accuracy") {
+    // label perfectly determined by nt (pos iff nt <= 24): every
+    // fold's complement still separates, so each winner must be an nt
+    // split with train gini 0 and held-out accuracy exactly 1e6 —
+    // this exercises the histogram-subtraction algebra end to end
+    // (a subtraction bug would corrupt some fold's split or leaf)
+    val rows = (0 until 160).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, pos, if (pos) 20L + (i % 3) else 44L + (i % 5) * 4L,
+        45000L, 0L, 1000L)
+    }
+    val df = rows.toDF("doc_id", "pos", "nt", "atl_g", "pr_g", "swr_g")
+    val got = graft.operators.TextOps.cvStump(df).collect()
+    assert(got.length === 4, "one row per fold")
+    assert(got.map(_.getLong(0)).toSet === Set(0L, 1L, 2L, 3L))
+    var totalTest = 0L
+    for (r <- got) {
+      assert(r.getString(1) === "nt", s"fold ${r.getLong(0)} feature")
+      assert(r.getLong(3) === 0L, s"fold ${r.getLong(0)} train gini")
+      assert(r.getLong(5) === r.getLong(4), s"fold ${r.getLong(0)} correct")
+      assert(r.getLong(6) === 1000000L, s"fold ${r.getLong(0)} acc")
+      totalTest += r.getLong(4)
+    }
+    // held-out folds partition the corpus exactly once
+    assert(totalTest === 160L)
+    // flip the signal onto swr_g: winners must follow the feature
+    val rows2 = (0 until 160).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong, pos, 50L, 45000L, 0L,
+        if (pos) 2000L + (i % 4) * 100L else 200L + (i % 4) * 50L)
+    }
+    val got2 = graft.operators.TextOps
+      .cvStump(rows2.toDF("doc_id", "pos", "nt", "atl_g", "pr_g",
+        "swr_g")).collect()
+    assert(got2.forall(_.getString(1) == "swr_g"))
+    assert(got2.forall(_.getLong(6) == 1000000L))
+  }
+
 }

@@ -562,7 +562,9 @@ class ScaleSpec extends AnyFunSuite {
       // +2 round 10: q236's ≤301-row clamped score-histogram broadcast
       // against the 19-row threshold axis, and its 1-row
       // (npos, nneg, auc) broadcast onto the 19-row sweep
-      "operators/TextOps.scala" -> 23,
+      // +1 round 10: q247's bounded 4×64 global-histogram broadcast
+      // against the 4-row fold axis (histogram-subtraction CV)
+      "operators/TextOps.scala" -> 24,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
