@@ -270,6 +270,7 @@ object SparkEntry {
     "q245_dedup_eval" -> (TextOps.q245DedupEval(_, _)),
     "q246_perm_importance" -> (TextOps.q246PermImportance(_, _)),
     "q247_cv_stump" -> (TextOps.q247CvStump(_, _)),
+    "q248_kcenter" -> (VectorOps.q248KCenter(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -775,5 +776,8 @@ object SparkEntry {
     // q247: k-fold CV of the stump — one scan, per-fold training
     // histograms by subtraction, held-out accuracy census
     "q247_cv_stump" -> TextOps.q247CvStumpSql,
+    // q248: Gonzalez greedy k-center — incremental min-distance vs
+    // 1-row broadcast centers, rule-9 packed farthest-point argmax
+    "q248_kcenter" -> VectorOps.q248KCenterSql,
   )
 }

@@ -1888,4 +1888,100 @@ object VectorOps {
        |ORDER BY dim""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q248: greedy k-center coreset selection (Gonzalez 1985)
+  // ---------------------------------------------------------------
+
+  private val KCenterK = 4
+  /** Sentinel min-distance above any gridded cosine distance
+    * (dist = 1e6 − cos_grid ∈ [0, 2e6]); with every mind equal to it,
+    * round 1's farthest-point argmax tie-breaks to the MIN vec_id —
+    * the deterministic seed, no special-cased first round. */
+  private val KCenterInf = 2000000L
+  /** Rule-9 pack shift for ((sentinel − mind), vec_id): vec ids must
+    * sit under 2⁴⁰ — guarded loudly per row (q189 philosophy). */
+  private val KCenterIdShift = 1L << 40
+
+  /** Greedy k-center coreset selection (Gonzalez 1985, public — the
+    * 2-approximation every coreset / active-learning / diverse-
+    * sampling pipeline starts from): repeatedly add the point
+    * FARTHEST from the chosen set, [[KCenterK]] unrolled rounds. The
+    * selected ids are the diversity sample; the final cover radius
+    * (max over the corpus of distance-to-nearest-center) is the
+    * k-center objective — the number a team reads to size how many
+    * exemplars a corpus needs.
+    *
+    * Scale: the classic distributed formulation — the min-distance
+    * relation updates INCREMENTALLY (least(mind, dist-to-new-center)
+    * against a 1-row broadcast center; one map-only corpus pass per
+    * round, never a pairwise matrix), and the argmax is ONE rule-9
+    * packed BIGINT min ((sentinel − mind)·2⁴⁰ + vec_id — farthest
+    * first, ties to the smaller id), never a global sort.
+    *
+    * Determinism: distances are the gridded cosine (1e6 − cos_grid,
+    * exact integers after the q161-style floor); every selection and
+    * the cover radius are integer min/max aggregates. */
+  def q248KCenter(s: SparkSession, d: String): DataFrame =
+    kCenter(Tables.embeddings(s, d).filter($"embedding".isNotNull)
+      .select($"vec_id", $"embedding"))
+
+  private[graft] def kCenter(emb: DataFrame): DataFrame = {
+    val guardedId = when($"vec_id" >= KCenterIdShift,
+      raise_error(concat(
+        lit("kCenter: vec_id exceeds the 2^40 pack bound: "),
+        $"vec_id"))).otherwise($"vec_id")
+    val s0 = emb.select($"vec_id", $"embedding",
+      lit(KCenterInf).as("mind"))
+    val (_, rows) = (1 to KCenterK)
+      .foldLeft((s0, Seq.empty[DataFrame])) { case ((state, acc), k) =>
+        val sel = state
+          .select(((lit(KCenterInf) - $"mind") * KCenterIdShift +
+            guardedId).as("pack"))
+          .agg(min($"pack").as("mp"))
+          .select(($"mp" % KCenterIdShift).as("cid"))
+        val cEmb = sel.join(emb, $"cid" === $"vec_id")
+          .select($"cid", $"embedding".as("cvec"))
+        val ns = state.crossJoin(broadcast(cEmb))
+          .select($"vec_id", $"embedding", $"cid",
+            least($"mind", lit(1000000L) -
+              floor(Vectors.cosine($"embedding", $"cvec") * lit(1e6) +
+                lit(0.5)).cast("long")).as("mind"))
+          .persist()
+        val row = ns.agg(max($"cid").as("center_id"),
+            max($"mind").as("cover_radius_micro"))
+          .select(lit(k.toLong).as("step"), $"center_id",
+            $"cover_radius_micro")
+        (ns.select($"vec_id", $"embedding", $"mind"), acc :+ row)
+      }
+    rows.reduce(_ unionByName _).orderBy($"step")
+  }
+
+  val q248KCenterSql: String = {
+    val rounds = (1 to KCenterK).map { k =>
+      val cos = cosSql("s.embedding", "e.cvec")
+      s"""p$k AS (SELECT min(($KCenterInf - mind) * $KCenterIdShift
+         |    + vec_id) AS mp FROM s${k - 1}),
+         |c$k AS (SELECT mp % $KCenterIdShift AS cid FROM p$k),
+         |e$k AS (SELECT c.cid, m.embedding AS cvec
+         |  FROM c$k c JOIN emb m ON m.vec_id = c.cid),
+         |s$k AS (SELECT s.vec_id, s.embedding, e.cid,
+         |    least(s.mind, 1000000 -
+         |      CAST(floor($cos * 1e6 + 0.5) AS BIGINT)) AS mind
+         |  FROM s${k - 1} s, e$k e),
+         |r$k AS (SELECT CAST($k AS BIGINT) AS step,
+         |    CAST(max(cid) AS BIGINT) AS center_id,
+         |    CAST(max(mind) AS BIGINT) AS cover_radius_micro
+         |  FROM s$k)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to KCenterK).map(k => s"SELECT * FROM r$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |s0 AS (SELECT vec_id, embedding,
+       |    CAST($KCenterInf AS BIGINT) AS mind FROM emb),
+       |$rounds
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
 }

@@ -5445,4 +5445,27 @@ class EngineSpec extends AnyFunSuite {
     assert(got2.forall(_.getLong(6) == 1000000L))
   }
 
+  test("q248 k-center: exact hand trace on axis-aligned points, id tie-break") {
+    // four compass points + a duplicate of v0: the greedy trace is
+    // fully determined with EXACT gridded distances (cos is exactly
+    // ±1/0 on axis-aligned vectors): seed 0 (sentinel tie -> min id),
+    // then the antipode, then the 1e6-tie broken to id 1, then id 3,
+    // final cover 0 (the duplicate is covered by its twin)
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(-1f, 0f)),
+      (3L, Array(0f, -1f)), (4L, Array(1f, 0f)))
+    val got = graft.operators.VectorOps
+      .kCenter(emb.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 0L, 2000000L), (2L, 2L, 1000000L),
+      (3L, 1L, 1000000L), (4L, 3L, 0L)))
+    // pack-bound guard fails loudly instead of aliasing the argmax
+    val bad = intercept[Exception] {
+      graft.operators.VectorOps
+        .kCenter(Seq((1L << 41, Array(1f, 0f)), (1L, Array(0f, 1f)))
+          .toDF("vec_id", "embedding")).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
 }

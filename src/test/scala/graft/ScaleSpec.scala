@@ -568,7 +568,9 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
-      "operators/VectorOps.scala" -> 7)
+      // +1 round 10: q248's per-round 1-row newest-center broadcast
+      // (one source site inside the fold)
+      "operators/VectorOps.scala" -> 8)
     assert(countSites("crossJoin") === crossJoinBudget,
       s"crossJoin sites drifted (found ${countSites("crossJoin")}): " +
         "argue the new site is broadcast metadata-sized, then register it")
