@@ -271,6 +271,7 @@ object SparkEntry {
     "q246_perm_importance" -> (TextOps.q246PermImportance(_, _)),
     "q247_cv_stump" -> (TextOps.q247CvStump(_, _)),
     "q248_kcenter" -> (VectorOps.q248KCenter(_, _)),
+    "q249_retrieval_gain" -> (VectorOps.q249RetrievalGain(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -779,5 +780,8 @@ object SparkEntry {
     // q248: Gonzalez greedy k-center — incremental min-distance vs
     // 1-row broadcast centers, rule-9 packed farthest-point argmax
     "q248_kcenter" -> VectorOps.q248KCenterSql,
+    // q249: rank-discounted graded gain — harmonic integer discounts
+    // (no ln), composes the q27/q48 arms like q136
+    "q249_retrieval_gain" -> VectorOps.q249RetrievalGainSql,
   )
 }

@@ -1048,6 +1048,77 @@ object VectorOps {
        |ORDER BY kk.query_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q249: graded retrieval gain (rank-discounted ANN quality)
+  // ---------------------------------------------------------------
+
+  /** Ideal harmonic-discounted gain at k = [[TopK]]: Σ (11−r)·(1e6
+    * div r) — the score a system earns by reproducing the exact
+    * ranking perfectly. A compile-time integer constant shared by
+    * both mirrors. */
+  private val GainIdeal: Long =
+    (1 to TopK).map(r => (11 - r).toLong * (1000000L / r)).sum
+
+  /** Graded rank-discounted retrieval gain — the ORDER-sensitive
+    * refinement of q136's set recall (recall treats rank 1 and rank
+    * 10 alike; a curation pipeline consuming top-k cares where the
+    * good neighbors land): each ANN result earns graded relevance
+    * (11 − exact_rank, 0 if outside the exact top-10) discounted by
+    * its ANN rank with the HARMONIC weight 1e6 div r — the DCG family
+    * with a 1/r discount, chosen over log₂ because it keeps the whole
+    * metric in EXACT integer arithmetic (no transcendental, no
+    * ln-boundary hazard battery needed). Ratio vs [[GainIdeal]] is
+    * the per-query quality in ppm (1e6 = the ANN arm reproduced the
+    * exact ranking).
+    *
+    * Scale: composes the two already-bounded arms (q27 exact, q48
+    * IVF) exactly as q136 does — the join is top-k×top-k per query;
+    * everything is |queries|×k rows of metadata. */
+  def q249RetrievalGain(s: SparkSession, d: String): DataFrame =
+    retrievalGain(
+      q27KnnCosine(s, d)
+        .select($"query_id", $"neighbor_id", $"rank".as("erank")),
+      q48IvfAnn(s, d)
+        .select($"query_id", $"neighbor_id", $"rank".as("arank")))
+
+  /** The gain computation over prepared (query, neighbor, rank) arms —
+    * split from [[q249RetrievalGain]] for the crafted-ranking spec. */
+  private[graft] def retrievalGain(exact: DataFrame,
+      approx: DataFrame): DataFrame = {
+    val gains = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select($"query_id",
+        (coalesce(lit(11L) - $"erank", lit(0L)) *
+          expr("1000000 div arank")).as("g"))
+      .groupBy($"query_id").agg(sum($"g").as("gain"))
+    exact.select($"query_id").distinct()
+      .join(gains, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"gain", lit(0L)).as("gain"),
+        lit(GainIdeal).as("ideal_gain"),
+        expr(s"(coalesce(gain, 0) * 1000000) div $GainIdeal")
+          .as("gain_ratio_ppm"))
+      .orderBy($"query_id")
+  }
+
+  val q249RetrievalGainSql: String =
+    s"""WITH ex AS (SELECT query_id, neighbor_id, rank AS erank
+       |  FROM ($q27KnnCosineSql)),
+       |ap AS (SELECT query_id, neighbor_id, rank AS arank
+       |  FROM ($q48IvfAnnSql)),
+       |g AS (SELECT a.query_id,
+       |    CAST(sum(coalesce(11 - e.erank, 0) * (1000000 // a.arank))
+       |      AS BIGINT) AS gain
+       |  FROM ap a LEFT JOIN ex e
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY a.query_id),
+       |sp AS (SELECT DISTINCT query_id FROM ex)
+       |SELECT sp.query_id, CAST(coalesce(g.gain, 0) AS BIGINT) AS gain,
+       |  CAST($GainIdeal AS BIGINT) AS ideal_gain,
+       |  (coalesce(g.gain, 0) * 1000000) // $GainIdeal
+       |    AS gain_ratio_ppm
+       |FROM sp LEFT JOIN g USING (query_id)
+       |ORDER BY sp.query_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q152: hard-negative mining (contrastive-training pair selection)
   // ---------------------------------------------------------------
 

@@ -5468,4 +5468,30 @@ class EngineSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("q249 retrieval gain: perfect arm scores exactly ideal, hand-graded variants") {
+    def arm(q: Long, ids: Seq[Long]): Seq[(Long, Long, Long)] =
+      ids.zipWithIndex.map { case (n, i) => (q, n, i + 1L) }
+    val ideal = (1 to 10).map(r => (11 - r).toLong * (1000000L / r)).sum
+    val exact = (arm(1L, 101L to 110L) ++ arm(2L, 201L to 210L) ++
+      arm(3L, 301L to 310L))
+      .toDF("query_id", "neighbor_id", "erank")
+    // q1: identical ranking -> ratio exactly 1e6; q2: reversed; q3:
+    // fully disjoint results -> gain 0
+    val approx = (arm(1L, 101L to 110L) ++
+      arm(2L, (201L to 210L).reverse) ++ arm(3L, 901L to 910L))
+      .toDF("query_id", "neighbor_id", "arank")
+    val got = graft.operators.VectorOps.retrievalGain(exact, approx)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === ((ideal, ideal, 1000000L)), "perfect arm")
+    val revGain = (1 to 10).map { r =>
+      (11 - (11 - r)).toLong * (1000000L / r) }.sum
+    assert(got(2L) === ((revGain, ideal, revGain * 1000000L / ideal)),
+      "reversed arm hand-graded")
+    assert(got(3L) === ((0L, ideal, 0L)), "disjoint arm")
+    // order sensitivity: same SET, worse ORDER -> strictly lower gain
+    // (exactly what q136's recall cannot see)
+    assert(got(2L)._1 < got(1L)._1)
+  }
+
 }
