@@ -272,6 +272,7 @@ object SparkEntry {
     "q247_cv_stump" -> (TextOps.q247CvStump(_, _)),
     "q248_kcenter" -> (VectorOps.q248KCenter(_, _)),
     "q249_retrieval_gain" -> (VectorOps.q249RetrievalGain(_, _)),
+    "q250_assortativity" -> (Relational.q250Assortativity(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -783,5 +784,8 @@ object SparkEntry {
     // q249: rank-discounted graded gain — harmonic integer discounts
     // (no ln), composes the q27/q48 arms like q136
     "q249_retrieval_gain" -> VectorOps.q249RetrievalGainSql,
+    // q250: Newman degree assortativity — exact edge-moment sums, one
+    // rule-7 ratio, zero-variance CASE
+    "q250_assortativity" -> Relational.q250AssortativitySql,
   )
 }

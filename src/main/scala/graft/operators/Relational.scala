@@ -3428,4 +3428,73 @@ object Relational {
        |FROM ne ORDER BY ra_ppm DESC, cn DESC, part_a, part_b
        |LIMIT $LinkTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q250: degree assortativity (Newman 2002 degree correlation)
+  // ---------------------------------------------------------------
+
+  /** Degree assortativity of the part co-purchase graph (Newman, PRL
+    * 2002, public): the Pearson correlation of excess degrees
+    * (deg − 1) across edge endpoints — positive means hubs co-occur
+    * with hubs (assortative mixing), negative means hub-and-spoke
+    * (the common retail shape). The fourth member of the graph-
+    * structure battery (q189 census, q238 local clustering, q197
+    * k-core): one number that says which large-scale topology the
+    * dedup/recommendation operators will face.
+    *
+    * r = (4m·S3 − S1²) / (2m·S2 − S1²) where, over undirected edges,
+    * S1 = Σ(ja+jb), S2 = Σ(ja²+jb²), S3 = Σ ja·jb on excess degrees —
+    * the textbook edge-moment formulation: ONE degree aggregate, one
+    * equi-join of degrees onto the edge list, one map-side-combinable
+    * moment aggregate; everything after is a 1-row expression.
+    *
+    * Determinism: the moments are exact BIGINT sums (degrees < 2³¹
+    * by q189's guard class; S2/S3 terms < 2⁶² per edge, sums exact
+    * under 2⁶³ for any bench-scale graph — the corpus-scale fallback
+    * is the rule-7 pattern already in the final expression, where
+    * the cross products run in double AFTER the exact sums, q80
+    * discipline); the ratio is ppm-gridded with the shared
+    * floor(x+0.5), degenerate (zero-variance) denominators CASE to
+    * NULL identically both sides. */
+  def q250Assortativity(s: SparkSession, d: String): DataFrame =
+    assortativity(coEdges(s, d))
+
+  private[graft] def assortativity(edges: DataFrame): DataFrame = {
+    val deg = edges.select(explode(array($"pa", $"pb")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("deg"))
+    val el = edges
+      .join(deg.select($"p".as("pa"), ($"deg" - 1L).as("ja")), "pa")
+      .join(deg.select($"p".as("pb"), ($"deg" - 1L).as("jb")), "pb")
+    val mom = el.agg(count(lit(1)).as("m"),
+      sum($"ja" + $"jb").as("s1"),
+      sum($"ja" * $"ja" + $"jb" * $"jb").as("s2"),
+      sum($"ja" * $"jb").as("s3"))
+    mom.select($"m", $"s1", $"s2", $"s3",
+      when(lit(2.0) * $"m" * $"s2" - $"s1".cast("double") * $"s1" =!= 0.0,
+        floor((lit(4.0) * $"m" * $"s3" - $"s1".cast("double") * $"s1") /
+          (lit(2.0) * $"m" * $"s2" - $"s1".cast("double") * $"s1") *
+          1000000.0 + 0.5).cast("long")).as("r_ppm"))
+  }
+
+  val q250AssortativitySql: String =
+    s"""WITH $coEdgesSql,
+       |edges AS (SELECT pa, pb FROM edges0),
+       |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges)
+       |  GROUP BY p),
+       |el AS (SELECT a.deg - 1 AS ja, b.deg - 1 AS jb
+       |  FROM edges e
+       |  JOIN deg a ON a.p = e.pa
+       |  JOIN deg b ON b.p = e.pb),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    CAST(sum(ja + jb) AS BIGINT) AS s1,
+       |    CAST(sum(ja * ja + jb * jb) AS BIGINT) AS s2,
+       |    CAST(sum(ja * jb) AS BIGINT) AS s3
+       |  FROM el)
+       |SELECT m, s1, s2, s3,
+       |  CASE WHEN 2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1 <> 0.0
+       |    THEN CAST(floor((4.0 * m * s3 - CAST(s1 AS DOUBLE) * s1) /
+       |      (2.0 * m * s2 - CAST(s1 AS DOUBLE) * s1) * 1000000.0
+       |      + 0.5) AS BIGINT) END AS r_ppm
+       |FROM mom""".stripMargin
+
 }

@@ -5494,4 +5494,33 @@ class EngineSpec extends AnyFunSuite {
     assert(got(2L)._1 < got(1L)._1)
   }
 
+  test("q250 assortativity: star is exactly -1, regular graph degenerates to NULL") {
+    def run(edges: Seq[(Long, Long)]) = graft.operators.Relational
+      .assortativity(edges.toDF("pa", "pb")).collect().head
+    // star K1,3: perfectly disassortative
+    val star = run(Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(star.getLong(0) === 3L)
+    assert(star.getLong(4) === -1000000L)
+    // 4-cycle: every excess degree equal -> zero variance -> NULL
+    val cyc = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)))
+    assert(cyc.isNullAt(4))
+    // mixed graph: JVM Pearson replay over edge endpoint excess degs
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L))
+    val r = run(g)
+    val deg = g.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val (m, pairs) = (g.size.toLong,
+      g.map { case (a, b) => (deg(a) - 1L, deg(b) - 1L) })
+    val s1 = pairs.map(p => p._1 + p._2).sum
+    val s2 = pairs.map(p => p._1 * p._1 + p._2 * p._2).sum
+    val s3 = pairs.map(p => p._1 * p._2).sum
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((m, s1, s2, s3)))
+    val expected = math.floor(
+      (4.0 * m * s3 - s1.toDouble * s1) /
+        (2.0 * m * s2 - s1.toDouble * s1) * 1000000.0 + 0.5).toLong
+    assert(r.getLong(4) === expected)
+  }
+
 }
