@@ -273,6 +273,9 @@ object SparkEntry {
     "q248_kcenter" -> (VectorOps.q248KCenter(_, _)),
     "q249_retrieval_gain" -> (VectorOps.q249RetrievalGain(_, _)),
     "q250_assortativity" -> (Relational.q250Assortativity(_, _)),
+    "q251_good_turing" -> (TextOps.q251GoodTuring(_, _)),
+    "q252_cohen_kappa" -> (TextOps.q252CohenKappa(_, _)),
+    "q253_source_ablation" -> (TextOps.q253SourceAblation(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -787,5 +790,14 @@ object SparkEntry {
     // q250: Newman degree assortativity — exact edge-moment sums, one
     // rule-7 ratio, zero-variance CASE
     "q250_assortativity" -> Relational.q250AssortativitySql,
+    // q251: Good–Turing count-of-counts — pure integer, left-join
+    // nulls at frequency-spectrum gaps
+    "q251_good_turing" -> TextOps.q251GoodTuringSql,
+    // q252: Cohen's kappa — exact 2×2 confusion, rule-7 kappa ratio,
+    // degenerate marginal CASEs to NULL
+    "q252_cohen_kappa" -> TextOps.q252CohenKappaSql,
+    // q253: leave-one-source-out ablation — q247 subtraction algebra
+    // at source grain, 1-row global broadcast
+    "q253_source_ablation" -> TextOps.q253SourceAblationSql,
   )
 }

@@ -6426,4 +6426,207 @@ object TextOps {
        |FROM ev ORDER BY fold""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q251: Good–Turing count-of-counts census (LM smoothing prep)
+  // ---------------------------------------------------------------
+
+  /** Output clamp: rows for observed frequencies r ≤ [[GtMaxR]] (the
+    * region Good–Turing smoothing actually adjusts; higher counts use
+    * raw MLE). */
+  private val GtMaxR = 20L
+
+  /** Good–Turing count-of-counts census (Good 1953; the frequency-of-
+    * frequencies table every GT / Katz-backoff / SGT smoother is
+    * built from): for each observed corpus frequency r ≤ [[GtMaxR]],
+    * the number of distinct terms N_r occurring exactly r times and
+    * the GT-adjusted count r* = (r+1)·N_{r+1}/N_r (milli-units) —
+    * with N_1/N (the unseen-mass estimate) readable off the r = 1
+    * row. The companion to q102's unigram LM (which needs exactly
+    * this table to smooth) and q227's vocab-growth curve.
+    *
+    * Determinism: pure integer arithmetic — corpus frequencies are
+    * exact sums, the adjusted count a rule-13 floor division, rows
+    * with no N_{r+1} (a gap in the frequency spectrum) NULL via the
+    * left join identically both sides.
+    *
+    * Scale: one corpus scan to the term-grain frequency relation
+    * (vocabulary-sized — the standard LM aggregation), then a
+    * count-of-counts aggregate whose result has at most O(√tokens)
+    * distinct frequencies (Σ r·N_r = corpus tokens bounds the
+    * distinct-r count); the adjacent-frequency join is metadata. */
+  def q251GoodTuring(s: SparkSession, d: String): DataFrame =
+    goodTuring(tokenCounts(s, d)
+      .groupBy($"term").agg(sum($"c").as("r")))
+
+  private[graft] def goodTuring(termFreq: DataFrame): DataFrame = {
+    val cc = termFreq
+      .groupBy($"r").agg(count(lit(1)).as("n_r"))
+    cc.filter($"r" <= GtMaxR)
+      .join(cc.select(($"r" - 1L).as("r"), $"n_r".as("n_r1")),
+        Seq("r"), "left")
+      .select($"r", $"n_r",
+        when($"n_r1".isNotNull,
+          expr("((r + 1) * n_r1 * 1000) div n_r")).as("gt_star_milli"))
+      .orderBy($"r")
+  }
+
+  val q251GoodTuringSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+       |    AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
+       |  GROUP BY 1, 2),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS r FROM tf
+       |  GROUP BY term),
+       |cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cf
+       |  GROUP BY r),
+       |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM cc)
+       |SELECT cc.r, cc.n_r,
+       |  CASE WHEN nx.n_r1 IS NOT NULL
+       |    THEN ((cc.r + 1) * nx.n_r1 * 1000) // cc.n_r END
+       |    AS gt_star_milli
+       |FROM cc LEFT JOIN nx USING (r)
+       |WHERE cc.r <= $GtMaxR ORDER BY cc.r""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q252: Cohen's kappa between the rule and model classifiers
+  // ---------------------------------------------------------------
+
+  /** Cohen's kappa (Cohen 1960) between q175's rule battery and
+    * q178's model classifier — the CHANCE-CORRECTED agreement the
+    * q185/q236 pair still lacks (raw agreement is inflated when both
+    * classifiers mostly say "keep"; kappa subtracts the agreement two
+    * independent raters with these marginals would reach by luck).
+    * The number a team quotes when deciding whether the model can
+    * REPLACE the rules rather than merely correlate with them.
+    *
+    * Determinism: the 2×2 confusion counts are exact integers from
+    * the shared single-scan grid; the expected-agreement product
+    * p_x = (a+b)(a+c)+(c+d)(b+d) stays exact BIGINT (≤ n², exact
+    * under BIGINT for n ≤ 3e9 — an eval-slice bound, documented);
+    * p_o is a rule-13 integer division; p_e and kappa run rule-7
+    * doubles on the exact counts with identical trees, ppm-gridded,
+    * and the degenerate kappa denominator (p_e = 1: a single-cell
+    * marginal) CASEs to NULL both sides. */
+  def q252CohenKappa(s: SparkSession, d: String): DataFrame =
+    cohenKappa(featureGrid(
+      Tables.documents(s, d).filter($"text".isNotNull))
+      .select((!ruleViolCols.reduce(_ || _)).as("rules"),
+        (logitCol >= 0L).as("model")))
+
+  private[graft] def cohenKappa(rated: DataFrame): DataFrame =
+    rated.agg(count(lit(1)).as("n"),
+        sum(when($"model" && $"rules", 1L).otherwise(0L)).as("a"),
+        sum(when($"model" && !$"rules", 1L).otherwise(0L)).as("b"),
+        sum(when(!$"model" && $"rules", 1L).otherwise(0L)).as("c"),
+        sum(when(!$"model" && !$"rules", 1L).otherwise(0L)).as("d"))
+      .select($"n", $"a", $"b", $"c", $"d",
+        (($"a" + $"b") * ($"a" + $"c") +
+          ($"c" + $"d") * ($"b" + $"d")).as("px"))
+      .select($"n", $"a", $"b", $"c", $"d",
+        expr("((a + d) * 1000000) div n").as("po_ppm"),
+        floor($"px".cast("double") / ($"n".cast("double") * $"n") *
+          1000000.0 + 0.5).cast("long").as("pe_ppm"),
+        when($"n".cast("double") * $"n" - $"px" =!= 0.0,
+          floor(($"n".cast("double") * ($"a" + $"d") - $"px") /
+            ($"n".cast("double") * $"n" - $"px") * 1000000.0 + 0.5)
+            .cast("long")).as("kappa_ppm"))
+
+  val q252CohenKappaSql: String =
+    s"""WITH f AS (SELECT ${featureGridSql("")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT NOT (${ruleViolSql.mkString(" OR ")}) AS rules,
+       |    ($logitSql) >= 0 AS model
+       |  FROM f),
+       |cm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN model AND rules THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN model AND NOT rules THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN NOT model AND rules THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN NOT model AND NOT rules THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM sc),
+       |px AS (SELECT *, (a + b) * (a + c) + (c + d) * (b + d) AS px
+       |  FROM cm)
+       |SELECT n, a, b, c, d,
+       |  ((a + d) * 1000000) // n AS po_ppm,
+       |  CAST(floor(CAST(px AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+       |    * 1000000.0 + 0.5) AS BIGINT) AS pe_ppm,
+       |  CASE WHEN CAST(n AS DOUBLE) * n - px <> 0.0
+       |    THEN CAST(floor((CAST(n AS DOUBLE) * (a + d) - px) /
+       |      (CAST(n AS DOUBLE) * n - px) * 1000000.0 + 0.5) AS BIGINT)
+       |    END AS kappa_ppm
+       |FROM px""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q253: leave-one-source-out ablation (mixture accounting)
+  // ---------------------------------------------------------------
+
+  /** Leave-one-source-out corpus ablation — the mixture-accounting
+    * question behind every curation decision ("which source is
+    * dragging quality?"): for each source, the corpus-level metrics
+    * WITH THAT SOURCE REMOVED (doc count, mean token length, Gopher-
+    * pass rate) and the pass-rate delta vs the full corpus. A
+    * positive delta says removing the source IMPROVES the corpus —
+    * the ranked removal work-list.
+    *
+    * Scale: the q247 subtraction algebra at source grain — ONE corpus
+    * scan into per-source sums, the global totals a 1-row broadcast,
+    * every ablation a pure subtraction — never |sources| re-scans.
+    *
+    * Determinism: exact integer sums; ratios rule-13 floor divisions;
+    * the single-source corpus (empty remainder) CASEs to NULL both
+    * sides. */
+  def q253SourceAblation(s: SparkSession, d: String): DataFrame =
+    sourceAblation(featureGrid(
+        Tables.documents(s, d).filter($"text".isNotNull), $"source")
+      .select($"source", $"nt",
+        (!ruleViolCols.reduce(_ || _)).as("pass")))
+
+  private[graft] def sourceAblation(docs: DataFrame): DataFrame = {
+    val per = docs
+      .groupBy($"source")
+      .agg(count(lit(1)).as("sn"), sum($"nt").as("st"),
+        sum(when($"pass", 1L).otherwise(0L)).as("sp"))
+    val tot = per.agg(sum($"sn").as("gn"), sum($"st").as("gt"),
+      sum($"sp").as("gp"))
+    per.crossJoin(broadcast(tot))
+      .select($"source", ($"gn" - $"sn").as("n_rest"),
+        when($"gn" - $"sn" > 0L,
+          expr("((gt - st) * 1000) div (gn - sn)"))
+          .as("mean_tokens_milli_rest"),
+        when($"gn" - $"sn" > 0L,
+          expr("((gp - sp) * 1000000) div (gn - sn)"))
+          .as("pass_ppm_rest"),
+        when($"gn" - $"sn" > 0L,
+          expr("((gp - sp) * 1000000) div (gn - sn)") -
+            expr("(gp * 1000000) div gn")).as("delta_pass_ppm"))
+      .orderBy($"source")
+  }
+
+  val q253SourceAblationSql: String =
+    s"""WITH f AS (SELECT ${featureGridSql("source,")}
+       |  FROM documents WHERE text IS NOT NULL),
+       |sc AS (SELECT source, nt,
+       |    NOT (${ruleViolSql.mkString(" OR ")}) AS pass
+       |  FROM f),
+       |per AS (SELECT source, CAST(count(*) AS BIGINT) AS sn,
+       |    CAST(sum(nt) AS BIGINT) AS st,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS sp
+       |  FROM sc GROUP BY source),
+       |tot AS (SELECT CAST(sum(sn) AS BIGINT) AS gn,
+       |    CAST(sum(st) AS BIGINT) AS gt,
+       |    CAST(sum(sp) AS BIGINT) AS gp FROM per)
+       |SELECT source, gn - sn AS n_rest,
+       |  CASE WHEN gn - sn > 0
+       |    THEN ((gt - st) * 1000) // (gn - sn) END
+       |    AS mean_tokens_milli_rest,
+       |  CASE WHEN gn - sn > 0
+       |    THEN ((gp - sp) * 1000000) // (gn - sn) END AS pass_ppm_rest,
+       |  CASE WHEN gn - sn > 0
+       |    THEN ((gp - sp) * 1000000) // (gn - sn)
+       |      - (gp * 1000000) // gn END AS delta_pass_ppm
+       |FROM per, tot ORDER BY source""".stripMargin
+
 }

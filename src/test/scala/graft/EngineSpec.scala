@@ -5523,4 +5523,58 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getLong(4) === expected)
   }
 
+  test("q251 Good-Turing: hand-built spectrum, gap NULL, clamp boundary") {
+    // 5 hapaxes, 3 doubletons, 1 tripleton, one heavy term past the
+    // r<=20 clamp; no r=4 -> the r=3 row's adjusted count is NULL
+    val freqs = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 25L))
+      .zipWithIndex.map { case (r, i) => (s"t$i", r) }
+    val got = graft.operators.TextOps
+      .goodTuring(freqs.toDF("term", "r")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "clamped row excluded")
+    assert(got(1L).getLong(1) === 5L)
+    assert(got(1L).getLong(2) === 2L * 3L * 1000L / 5L) // (r+1)N2/N1
+    assert(got(2L).getLong(1) === 3L)
+    assert(got(2L).getLong(2) === 3L * 1L * 1000L / 3L)
+    assert(got(3L).getLong(1) === 1L)
+    assert(got(3L).isNullAt(2), "spectrum gap -> NULL adjusted count")
+  }
+
+  test("q252 Cohen kappa: textbook 2x2 table, degenerate marginal NULL") {
+    def rate(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("model", "rules")
+    val r = graft.operators.TextOps.cohenKappa(rate(40, 10, 5, 45))
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((100L, 40L, 10L, 5L, 45L)))
+    assert(r.getLong(5) === 850000L) // po = 85/100
+    assert(r.getLong(6) === 500000L) // pe = (50*45 + 50*55)/1e4
+    assert(r.getLong(7) === 700000L) // kappa = (0.85-0.5)/(1-0.5)
+    // all four raters agree on one cell: pe = 1 -> kappa undefined
+    val deg = graft.operators.TextOps.cohenKappa(rate(7, 0, 0, 0))
+      .collect().head
+    assert(deg.isNullAt(7))
+  }
+
+  test("q253 source ablation: subtraction algebra hand-checked per source") {
+    val docs = Seq(("A", 10L, true), ("A", 20L, false),
+      ("B", 30L, true), ("C", 40L, false))
+    val got = graft.operators.TextOps
+      .sourceAblation(docs.toDF("source", "nt", "pass")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // totals: gn=4, gt=100, gp=2, global pass 500000 ppm
+    assert(got("A") === ((2L, 35000L, 500000L, 0L)))
+    assert(got("B") === ((3L, 70000L / 3L, 333333L, -166667L)))
+    assert(got("C") === ((3L, 20000L, 666666L, 166666L)))
+    // single-source corpus: remainder empty -> NULLs, no div-by-zero
+    val solo = graft.operators.TextOps
+      .sourceAblation(Seq(("A", 5L, true)).toDF("source", "nt", "pass"))
+      .collect().head
+    assert(solo.getLong(1) === 0L && solo.isNullAt(2) &&
+      solo.isNullAt(3) && solo.isNullAt(4))
+  }
+
 }

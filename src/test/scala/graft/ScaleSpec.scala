@@ -564,7 +564,9 @@ class ScaleSpec extends AnyFunSuite {
       // (npos, nneg, auc) broadcast onto the 19-row sweep
       // +1 round 10: q247's bounded 4×64 global-histogram broadcast
       // against the 4-row fold axis (histogram-subtraction CV)
-      "operators/TextOps.scala" -> 24,
+      // +1 round 10: q253's 1-row global-totals broadcast onto the
+      // |sources|-row ablation relation
+      "operators/TextOps.scala" -> 25,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
