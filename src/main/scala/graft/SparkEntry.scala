@@ -276,6 +276,8 @@ object SparkEntry {
     "q251_good_turing" -> (TextOps.q251GoodTuring(_, _)),
     "q252_cohen_kappa" -> (TextOps.q252CohenKappa(_, _)),
     "q253_source_ablation" -> (TextOps.q253SourceAblation(_, _)),
+    "q254_ppr" -> (EventOps.q254PersonalizedPagerank(_, _)),
+    "q255_dup_weights" -> (TextOps.q255DupWeights(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -799,5 +801,11 @@ object SparkEntry {
     // q253: leave-one-source-out ablation — q247 subtraction algebra
     // at source grain, 1-row global broadcast
     "q253_source_ablation" -> TextOps.q253SourceAblationSql,
+    // q254: seeded-teleport PPR — q110's iteration/grid verbatim with
+    // restart mass on the seed; same staged edge relation
+    "q254_ppr" -> EventOps.q254PersonalizedPagerankSql,
+    // q255: soft-dedup loss weights — q50's staged clusters composed
+    // q52-style, banded integer weight census
+    "q255_dup_weights" -> TextOps.q255DupWeightsSql,
   )
 }

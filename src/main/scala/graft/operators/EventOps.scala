@@ -2436,4 +2436,92 @@ object EventOps {
        |FROM ft f FULL OUTER JOIN lt l ON f.channel = l.channel
        |ORDER BY channel""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q254: personalized PageRank (seeded teleport, RWR)
+  // ---------------------------------------------------------------
+
+  /** Teleport seed: all restart mass lands on this event type — the
+    * "random walk with restart" personalization (the recommender
+    * question "what is reachable FROM here", vs q110's global
+    * centrality). */
+  private val PprSeed = "view"
+
+  /** Personalized PageRank / random-walk-with-restart over the q110
+    * transition graph (Haveliwala WWW 2002; Tong et al. ICDM 2006,
+    * public): identical power iteration, but ALL teleport mass
+    * returns to the [[PprSeed]] node instead of spreading uniformly —
+    * the scores rank nodes by proximity to the seed, the third member
+    * of the link-analysis family (q110 global, q237 mutual-
+    * reinforcement, q254 seeded). Same integer-ppb grid, same
+    * identical-IEEE floor divides, same staged edge relation (the
+    * SAME stage key as q110 — one materialization serves both).
+    *
+    * Scale: per iteration one edges⋈ranks equi-join + map-side-
+    * combinable aggregate (the Pregel round); the seed teleport is a
+    * per-row CASE, no broadcast needed. */
+  def q254PersonalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val edgesDf = prEdges(s, d)
+    pprRounds(Staged.orCompute(s, d, s"pr$PrIters",
+      "pr_edges", Staged.planHash(edgesDf))(edgesDf))
+  }
+
+  /** The seeded power iteration over a prepared (src, dst, n) edge
+    * relation — split from [[q254PersonalizedPagerank]] for the
+    * crafted-graph spec. */
+  private[graft] def pprRounds(edges: DataFrame): DataFrame = {
+    val outW = edges.groupBy($"src").agg(sum($"n").as("wout"))
+    val nodes = edges.select($"src".as("node"))
+      .union(edges.select($"dst".as("node"))).distinct()
+    val r0 = nodes.select($"node",
+      when($"node" === PprSeed, lit(1000000000L)).otherwise(lit(0L))
+        .as("r"))
+    val rFinal = (1 to PrIters).foldLeft(r0) { (rank, _) =>
+      val contribs = rank.join(edges, rank("node") === edges("src"))
+        .join(outW, "src")
+        .select($"dst",
+          floor(($"r" * $"n").cast("double") / $"wout").cast("long")
+            .as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .select($"node",
+          (when($"node" === PprSeed, lit(150000000L)).otherwise(lit(0L)) +
+            floor(coalesce($"s", lit(0L)) * 85.0 / 100.0).cast("long"))
+            .as("r"))
+    }
+    rFinal.select($"node", $"r".as("rank_ppb"))
+      .orderBy($"rank_ppb".desc, $"node")
+  }
+
+  val q254PersonalizedPagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(floor(CAST(r.r * e.n AS DOUBLE) / o.wout)
+         |                  AS BIGINT)) AS BIGINT) AS s
+         |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |  JOIN outw o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |    CASE WHEN n.node = '$PprSeed' THEN 150000000 ELSE 0 END +
+         |    CAST(floor(coalesce(c.s, 0) * 85.0 / 100.0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ord AS (SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY floor(epoch(ts)), event_id) AS dst
+       |  FROM events),
+       |edges AS (SELECT src, dst, count(*) AS n FROM ord
+       |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(n) AS BIGINT) AS wout
+       |  FROM edges GROUP BY 1),
+       |nodes AS (SELECT src AS node FROM edges
+       |  UNION SELECT dst FROM edges),
+       |r0 AS (SELECT node,
+       |    CAST(CASE WHEN node = '$PprSeed' THEN 1000000000 ELSE 0 END
+       |      AS BIGINT) AS r
+       |  FROM nodes),
+       |$iters
+       |SELECT node, r AS rank_ppb FROM r$PrIters
+       |ORDER BY rank_ppb DESC, node""".stripMargin
+  }
+
 }

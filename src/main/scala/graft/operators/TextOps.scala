@@ -6629,4 +6629,53 @@ object TextOps {
        |      - (gp * 1000000) // gn END AS delta_pass_ppm
        |FROM per, tot ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q255: duplicate-aware loss weighting (soft dedup)
+  // ---------------------------------------------------------------
+
+  /** Cluster sizes above this collapse into the end band. */
+  private val DupWeightBandCap = 64L
+
+  /** Duplicate-aware loss weighting — the SOFT alternative to q52's
+    * hard keep-list (the option discussed alongside SemDeDup/D4:
+    * instead of dropping near-dups, keep every copy but weight each
+    * document 1/cluster_size so a cluster contributes one document's
+    * worth of gradient). Output is the weight-mass census per
+    * cluster-size band: how many docs sit in each size class and the
+    * effective (weighted) document mass they retain — the table that
+    * says what soft dedup actually changes about the training mix.
+    *
+    * Composes q50's staged cluster relation exactly as q52 does (left
+    * join; absent docs are singletons, weight 1e6). Pure integers:
+    * weight = rule-13 floor division 1e6 div size; the band axis is
+    * clamped to [[DupWeightBandCap]] values.
+    *
+    * Scale: one documents scan left-joined to the staged cluster
+    * relation (doc-keyed sort-merge), one map-side-combinable
+    * aggregate onto the bounded band axis. */
+  def q255DupWeights(s: SparkSession, d: String): DataFrame =
+    dupWeights(Tables.documents(s, d).select($"doc_id"),
+      q50DedupClusters(s, d).select($"doc_id", $"cluster_size"))
+
+  private[graft] def dupWeights(docs: DataFrame,
+      clusters: DataFrame): DataFrame =
+    docs
+      .join(clusters, Seq("doc_id"), "left")
+      .select(coalesce($"cluster_size", lit(1L)).as("sz"))
+      .select(least($"sz", lit(DupWeightBandCap)).as("size_band"), $"sz")
+      .groupBy($"size_band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("1000000 div sz")).as("sum_weight_ppm"))
+      .orderBy($"size_band")
+
+  val q255DupWeightsSql: String =
+    s"""WITH cl AS (SELECT doc_id, cluster_size
+       |  FROM ($q50DedupClustersSql)),
+       |w AS (SELECT coalesce(cl.cluster_size, 1) AS sz
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+       |SELECT least(sz, $DupWeightBandCap) AS size_band,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(1000000 // sz) AS BIGINT) AS sum_weight_ppm
+       |FROM w GROUP BY 1 ORDER BY size_band""".stripMargin
+
 }

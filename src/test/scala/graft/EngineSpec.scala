@@ -5577,4 +5577,45 @@ class EngineSpec extends AnyFunSuite {
       solo.isNullAt(3) && solo.isNullAt(4))
   }
 
+  test("q254 PPR: exact replay on a crafted cycle, seed dominates via restarts") {
+    // view -> click (3), click -> {buy, view}, buy -> view: restart
+    // mass keeps returning to 'view'
+    val edges = Seq(("view", "click", 3L), ("click", "buy", 1L),
+      ("click", "view", 1L), ("buy", "view", 1L))
+    val got = graft.operators.EventOps
+      .pprRounds(edges.toDF("src", "dst", "n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // identical-arithmetic JVM replay of the 3 seeded rounds
+    val wout = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var r = nodes.map(nd =>
+      nd -> (if (nd == "view") 1000000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val s = scala.collection.mutable.Map.empty[String, Long]
+        .withDefaultValue(0L)
+      for ((a, b, n) <- edges)
+        s(b) += math.floor((r(a) * n).toDouble / wout(a)).toLong
+      r = nodes.map(nd => nd ->
+        ((if (nd == "view") 150000000L else 0L) +
+          math.floor(s(nd) * 85.0 / 100.0).toLong)).toMap
+    }
+    assert(got === r, "exact ppb replay")
+    // proximity ranking: the seed outranks everything, and click (one
+    // hop out, fed every round) outranks buy (two hops)
+    assert(got("view") > got("click") && got("click") > got("buy"))
+  }
+
+  test("q255 dup weights: banded census, singletons weight 1e6, floor thirds") {
+    val docs = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    val clusters = Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 2L), (5L, 2L))
+      .toDF("doc_id", "cluster_size")
+    val got = graft.operators.TextOps.dupWeights(docs, clusters)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, 1000000L)),       // doc 6: absent -> singleton
+      2L -> ((2L, 1000000L)),       // two halves
+      3L -> ((3L, 999999L))))       // three floor-thirds lose 1 ppm
+  }
+
 }
