@@ -278,6 +278,8 @@ object SparkEntry {
     "q253_source_ablation" -> (TextOps.q253SourceAblation(_, _)),
     "q254_ppr" -> (EventOps.q254PersonalizedPagerank(_, _)),
     "q255_dup_weights" -> (TextOps.q255DupWeights(_, _)),
+    "q256_simpson" -> (TextOps.q256SimpsonDiversity(_, _)),
+    "q257_minhash_calib" -> (TextOps.q257MinhashCalibration(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -807,5 +809,10 @@ object SparkEntry {
     // q255: soft-dedup loss weights — q50's staged clusters composed
     // q52-style, banded integer weight census
     "q255_dup_weights" -> TextOps.q255DupWeightsSql,
+    // q256: unbiased Simpson diversity — exact rational, no ln
+    "q256_simpson" -> TextOps.q256SimpsonDiversitySql,
+    // q257: MinHash sketch calibration — slice-agreement bins vs
+    // exact integer Jaccard over the LSH-bounded candidates
+    "q257_minhash_calib" -> TextOps.q257MinhashCalibrationSql,
   )
 }

@@ -6678,4 +6678,130 @@ object TextOps {
        |  CAST(sum(1000000 // sz) AS BIGINT) AS sum_weight_ppm
        |FROM w GROUP BY 1 ORDER BY size_band""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q256: Simpson lexical diversity per source (repetition index)
+  // ---------------------------------------------------------------
+
+  /** Per-source lexical diversity by the unbiased Simpson index
+    * (Simpson 1948, public): the probability two tokens drawn WITHOUT
+    * replacement from a source are the same type — Σ c(c−1)/(N(N−1)),
+    * an EXACT rational on integer counts (unlike Shannon entropy, no
+    * transcendental and no ln-hazard battery); reported with token
+    * count, vocabulary, and type-token ratio. High Simpson = a
+    * repetitive/templated source — the lexical-health screen beside
+    * q61's within-doc repetition and q68's per-doc entropy.
+    *
+    * Determinism: collision mass Σ c(c−1) and N are exact BIGINT sums
+    * (c(c−1) ≤ N² keeps the per-source mass exact for N ≤ 3e9 — a
+    * per-source bound, documented); both ratios rule-13 floor
+    * divisions; sources with N < 2 CASE to NULL both sides.
+    *
+    * Scale: one scan to the (source × term) frequency aggregate (the
+    * vocabulary-sized LM aggregation, source-keyed), then one
+    * map-side-combinable reduction onto the |sources| axis. */
+  def q256SimpsonDiversity(s: SparkSession, d: String): DataFrame =
+    simpsonDiversity(Tables.documents(s, d)
+      .select($"source", explode(Text.tokens($"text")).as("term")))
+
+  private[graft] def simpsonDiversity(toks: DataFrame): DataFrame =
+    toks.groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("vocab"),
+        sum($"c" * ($"c" - 1L)).as("coll"))
+      .select($"source", $"n_tokens", $"vocab",
+        expr("(vocab * 1000000) div n_tokens").as("ttr_ppm"),
+        when($"n_tokens" >= 2L,
+          expr("(coll * 1000000) div (n_tokens * (n_tokens - 1))"))
+          .as("simpson_ppm"))
+      .orderBy($"source")
+
+  val q256SimpsonDiversitySql: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS term FROM documents),
+       |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+       |  FROM tf GROUP BY source)
+       |SELECT source, n_tokens, vocab,
+       |  (vocab * 1000000) // n_tokens AS ttr_ppm,
+       |  CASE WHEN n_tokens >= 2
+       |    THEN (coll * 1000000) // (n_tokens * (n_tokens - 1)) END
+       |    AS simpson_ppm
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q257: MinHash estimator calibration (signature vs exact Jaccard)
+  // ---------------------------------------------------------------
+
+  /** Calibration of the MinHash Jaccard ESTIMATOR against exact
+    * shingle Jaccard (Broder 1997: per-slice match probability ≈ J) —
+    * q245 evaluated the LSH candidate PIPELINE; this evaluates the
+    * SKETCH itself: over every candidate pair, the 0..8 signature-
+    * agreement count vs the mean exact Jaccard at that agreement
+    * level. A well-behaved sketch shows mean Jaccard rising with the
+    * match count toward matches/K; the table is how a team picks K
+    * and the band threshold.
+    *
+    * Determinism: agreement counts are exact integer equality sums on
+    * the LONG minhash slices; per-pair exact Jaccard rides the
+    * integer ppm grid (n_common·1e6 div union, rule 13); bin means
+    * are floor divisions.
+    *
+    * Scale: the pair relation is the LSH-bounded candidate set;
+    * signatures join back doc-keyed (sort-merge, never broadcast —
+    * the q24 docsets discipline); the census axis is 9 values. */
+  def q257MinhashCalibration(s: SparkSession, d: String): DataFrame =
+    minhashCalibration(Tables.documents(s, d))
+
+  private[graft] def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val matchCnt = (0 until MinhashK).map(i =>
+      when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    lshPairs(docs)
+      .select($"d1", $"d2",
+        expr("(n_common * 1000000) div (n1 + n2 - n_common)")
+          .as("jacc_ppm"))
+      .join(sigs.select(($"doc_id".as("d1") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"a_mh$i"))): _*)
+        .hint("merge"), "d1")
+      .join(sigs.select(($"doc_id".as("d2") +:
+        (0 until MinhashK).map(i => col(s"mh$i").as(s"b_mh$i"))): _*)
+        .hint("merge"), "d2")
+      .select(matchCnt.as("matches"), $"jacc_ppm")
+      .groupBy($"matches")
+      .agg(count(lit(1)).as("n_pairs"), sum($"jacc_ppm").as("sj"))
+      .select($"matches",
+        expr(s"(matches * 1000000) div $MinhashK").as("est_jaccard_ppm"),
+        $"n_pairs", expr("sj div n_pairs").as("mean_exact_jaccard_ppm"))
+      .orderBy($"matches")
+  }
+
+  val q257MinhashCalibrationSql: String = {
+    val matchSum = (0 until MinhashK).map(i =>
+      s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |$lshCandCtes,
+       |jp AS (SELECT c.d1, c.d2,
+       |    (coalesce(i.n_common, 0) * 1000000)
+       |      // (c1.n + c2.n - coalesce(i.n_common, 0)) AS jacc_ppm
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |  JOIN counts c1 ON c1.doc_id = c.d1
+       |  JOIN counts c2 ON c2.doc_id = c.d2),
+       |mt AS (SELECT CAST($matchSum AS BIGINT) AS matches, jp.jacc_ppm
+       |  FROM jp
+       |  JOIN sigs sa ON sa.doc_id = jp.d1
+       |  JOIN sigs sb ON sb.doc_id = jp.d2)
+       |SELECT matches,
+       |  (matches * 1000000) // $MinhashK AS est_jaccard_ppm,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(jacc_ppm) AS BIGINT) // count(*)
+       |    AS mean_exact_jaccard_ppm
+       |FROM mt GROUP BY matches ORDER BY matches""".stripMargin
+  }
+
 }

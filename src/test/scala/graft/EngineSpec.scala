@@ -5618,4 +5618,34 @@ class EngineSpec extends AnyFunSuite {
       3L -> ((3L, 999999L))))       // three floor-thirds lose 1 ppm
   }
 
+  test("q256 Simpson diversity: exact rational per source, hapax and singleton edges") {
+    val toks = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "a"), ("B", "b"), ("B", "c"), ("C", "z"))
+      .toDF("source", "term")
+    val got = graft.operators.TextOps.simpsonDiversity(toks).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // A: N=4 V=2 coll=3*2=6 -> ttr 1/2, simpson 6/12 = 1/2
+    assert(got("A").getLong(1) === 4L && got("A").getLong(2) === 2L)
+    assert(got("A").getLong(3) === 500000L)
+    assert(got("A").getLong(4) === 500000L)
+    // B: all hapax -> zero collision probability
+    assert(got("B").getLong(4) === 0L)
+    // C: one token -> undefined (N < 2)
+    assert(got("C").getLong(3) === 1000000L && got("C").isNullAt(4))
+  }
+
+  test("q257 MinHash calibration: identical pairs land in the matches=8 bin at J=1") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"),
+      (3L, "v w x y z q"), (4L, "v w x y z q"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.minhashCalibration(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // identical docs share every signature slice and have exact J = 1;
+    // cross pairs would need a 32-bit band-key collision between
+    // unrelated shingle sets (deterministically absent here)
+    assert(got === Map(8L -> ((1000000L, 2L, 1000000L))))
+  }
+
 }
