@@ -6435,28 +6435,34 @@ object TextOps {
     * raw MLE). */
   private val GtMaxR = 20L
 
-  /** Good–Turing count-of-counts census (Good 1953; the frequency-of-
-    * frequencies table every GT / Katz-backoff / SGT smoother is
-    * built from): for each observed corpus frequency r ≤ [[GtMaxR]],
-    * the number of distinct terms N_r occurring exactly r times and
-    * the GT-adjusted count r* = (r+1)·N_{r+1}/N_r (milli-units) —
-    * with N_1/N (the unseen-mass estimate) readable off the r = 1
-    * row. The companion to q102's unigram LM (which needs exactly
-    * this table to smooth) and q227's vocab-growth curve.
+  /** Good–Turing count-of-counts census over TRIGRAM frequencies
+    * (Good 1953; the frequency-of-frequencies table every GT /
+    * Katz-backoff / SGT smoother is built from — and n-gram counts
+    * are exactly where Katz applies it: unigram counts saturate
+    * while the trigram spectrum is hapax-rich): for each observed
+    * corpus frequency r ≤ [[GtMaxR]], the number of distinct
+    * trigrams N_r occurring exactly r times and the GT-adjusted
+    * count r* = (r+1)·N_{r+1}/N_r (milli-units) — with N_1/N (the
+    * unseen-mass estimate) readable off the r = 1 row. The LM-
+    * smoothing companion to q102's unigram LM and q119's bigram
+    * statistics. (Trigram grain also keeps the census LIVE on any
+    * corpus — a bounded-vocabulary stream saturates every unigram
+    * past the clamp, which is precisely why Katz smooths n-grams.)
     *
     * Determinism: pure integer arithmetic — corpus frequencies are
-    * exact sums, the adjusted count a rule-13 floor division, rows
+    * exact counts, the adjusted count a rule-13 floor division, rows
     * with no N_{r+1} (a gap in the frequency spectrum) NULL via the
     * left join identically both sides.
     *
-    * Scale: one corpus scan to the term-grain frequency relation
-    * (vocabulary-sized — the standard LM aggregation), then a
-    * count-of-counts aggregate whose result has at most O(√tokens)
-    * distinct frequencies (Σ r·N_r = corpus tokens bounds the
-    * distinct-r count); the adjacent-frequency join is metadata. */
+    * Scale: one corpus scan through the codegen'd trigram stream
+    * (q23's shingle machinery) to the trigram-grain frequency
+    * relation — the standard LM aggregation; the count-of-counts
+    * result has at most O(√tokens) distinct frequencies (Σ r·N_r =
+    * corpus trigrams bounds the distinct-r count); the adjacent-
+    * frequency join is metadata. */
   def q251GoodTuring(s: SparkSession, d: String): DataFrame =
-    goodTuring(tokenCounts(s, d)
-      .groupBy($"term").agg(sum($"c").as("r")))
+    goodTuring(shingleRows(Tables.documents(s, d))
+      .groupBy($"sh").agg(count(lit(1)).as("r")))
 
   private[graft] def goodTuring(termFreq: DataFrame): DataFrame = {
     val cc = termFreq
@@ -6471,12 +6477,13 @@ object TextOps {
   }
 
   val q251GoodTuringSql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
-       |    AS term FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS c FROM toks
-       |  GROUP BY 1, 2),
-       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS r FROM tf
-       |  GROUP BY term),
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+       |    AS sh
+       |  FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+       |cf AS (SELECT sh, CAST(count(*) AS BIGINT) AS r FROM tg
+       |  GROUP BY sh),
        |cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cf
        |  GROUP BY r),
        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM cc)
