@@ -280,6 +280,8 @@ object SparkEntry {
     "q255_dup_weights" -> (TextOps.q255DupWeights(_, _)),
     "q256_simpson" -> (TextOps.q256SimpsonDiversity(_, _)),
     "q257_minhash_calib" -> (TextOps.q257MinhashCalibration(_, _)),
+    "q258_moore_lewis" -> (TextOps.q258MooreLewis(_, _)),
+    "q259_jsd_sources" -> (TextOps.q259JsdSources(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -814,5 +816,11 @@ object SparkEntry {
     // q257: MinHash sketch calibration — slice-agreement bins vs
     // exact integer Jaccard over the LSH-bounded candidates
     "q257_minhash_calib" -> TextOps.q257MinhashCalibrationSql,
+    // q258: Moore-Lewis cross-entropy-difference selection — two
+    // smoothed unigram LMs, vocab-grain ln grid, banded score census
+    "q258_moore_lewis" -> TextOps.q258MooreLewisSql,
+    // q259: Jensen-Shannon divergence per source vs rest — ppb
+    // probability grid, integer ln args, closed-form OOV remainder
+    "q259_jsd_sources" -> TextOps.q259JsdSourcesSql,
   )
 }

@@ -1648,9 +1648,10 @@ object TextOps {
         min($"headroom").as("min_headroom"))
       .orderBy($"site")
 
-  /** All gridded ln terms across the five transcendental rounding
+  /** All gridded ln terms across the engine's transcendental rounding
     * sites, pre-filter: (site, key, y) where y is the pre-floor
-    * value. */
+    * value. Every new ln-grid site MUST register here (README rule
+    * 8). */
   private def lnBoundaryTerms(s: SparkSession, d: String): DataFrame = {
     val scoreHaz = tfidfTerms(s, d)
       .select(lit("q67_score").as("site"),
@@ -1707,9 +1708,61 @@ object TextOps {
       .select(lit("q180_idf").as("site"), $"term".as("key"),
         (log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) * 1e6 + 0.5)
           .as("y"))
+    // q258's four grid sites: the two smoothed-LM numerators per
+    // vocab term (cf+1 general, cfi+1 in-domain) and the two 1-row
+    // denominators — vocabulary-grain scans, q102's cost shape
+    val mlCf = Tables.documents(s, d)
+      .select($"lang", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"term").agg(
+        count(lit(1)).as("cf"),
+        sum(when($"lang" === MlInLang, 1L).otherwise(0L)).as("cfi"))
+    val mlAgenHaz = mlCf.select(lit("q258_agen").as("site"),
+      $"term".as("key"),
+      (log(($"cf" + lit(1L)).cast("double")) * 1e6 + 0.5).as("y"))
+    val mlAinHaz = mlCf.select(lit("q258_ain").as("site"),
+      $"term".as("key"),
+      (log(($"cfi" + lit(1L)).cast("double")) * 1e6 + 0.5).as("y"))
+    val mlDenHaz = mlCf.agg(sum($"cf").as("n"), sum($"cfi").as("ni"),
+        count(lit(1)).as("v"))
+      .select(explode(array(
+        struct(lit("d_in").as("key"),
+          (log(($"ni" + $"v").cast("double")) * 1e6 + 0.5).as("y")),
+        struct(lit("d_gen").as("key"),
+          (log(($"n" + $"v").cast("double")) * 1e6 + 0.5).as("y")))).as("kv"))
+      .select(lit("q258_den").as("site"), $"kv.key".as("key"), $"kv.y".as("y"))
+    // q259's three grid sites: ln(2p), ln(2q), ln(p+q) over the
+    // source-keyed vocabulary relation (gridded-ppb integer args)
+    val jsdTf = Tables.documents(s, d)
+      .select($"source", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val jsdCt = jsdTf.groupBy($"term").agg(sum($"c").as("ctot"))
+    val jsdNs = jsdTf.groupBy($"source").agg(sum($"c").as("n_s"))
+    val jsdTot = jsdNs.agg(sum($"n_s").as("n_all"))
+    val jsdPairs = jsdTf.join(jsdCt, "term")
+      .join(broadcast(jsdNs.crossJoin(broadcast(jsdTot))
+        .select($"source", $"n_s", ($"n_all" - $"n_s").as("n_rest"))),
+        "source")
+      .select($"source", $"term",
+        expr(s"(c * $JsdPpb) div n_s").as("pg"),
+        when($"n_rest" > 0L, expr(s"((ctot - c) * $JsdPpb) div n_rest"))
+          .as("qg"))
+    val jsdKey = concat($"source", lit(":"), $"term")
+    val jsdP2Haz = jsdPairs.filter($"pg" > 0L)
+      .select(lit("q259_p2").as("site"), jsdKey.as("key"),
+        (log((lit(2L) * $"pg").cast("double")) * 1e6 + 0.5).as("y"))
+    val jsdQ2Haz = jsdPairs.filter($"qg" > 0L)
+      .select(lit("q259_q2").as("site"), jsdKey.as("key"),
+        (log((lit(2L) * $"qg").cast("double")) * 1e6 + 0.5).as("y"))
+    val jsdPqHaz = jsdPairs
+      .filter(($"pg" + coalesce($"qg", lit(0L))) > 0L)
+      .select(lit("q259_pq").as("site"), jsdKey.as("key"),
+        (log(($"pg" + coalesce($"qg", lit(0L))).cast("double")) * 1e6 + 0.5)
+          .as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
       .unionAll(dsirTermHaz).unionAll(dsirConstHaz).unionAll(bm25Haz)
+      .unionAll(mlAgenHaz).unionAll(mlAinHaz).unionAll(mlDenHaz)
+      .unionAll(jsdP2Haz).unionAll(jsdQ2Haz).unionAll(jsdPqHaz)
   }
 
   // ---------------------------------------------------------------
@@ -6810,5 +6863,263 @@ object TextOps {
        |    AS mean_exact_jaccard_ppm
        |FROM mt GROUP BY matches ORDER BY matches""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q258: Moore-Lewis cross-entropy-difference data selection
+  // ---------------------------------------------------------------
+
+  /** In-domain language for the Moore-Lewis selector: the corpus's
+    * majority language plays the "in-domain seed corpus" role. */
+  private[graft] val MlInLang = "en"
+  /** Selection-score band width (milli-nats) and clamp (bands beyond
+    * +/-12 fold into the edge bands; 25-value axis). */
+  private[graft] val MlBandMilli = 250.0
+  private[graft] val MlBandClamp = 12L
+
+  /** Moore-Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, ACL 2010, public): score every document by
+    * H_in(d) - H_gen(d) under two add-one-smoothed unigram LMs — one
+    * trained on the in-domain stratum (lang = [[MlInLang]]), one on
+    * the whole corpus — and report the banded score census a
+    * curation pipeline reads its selection threshold off. Documents
+    * the in-domain LM models BETTER (negative difference) are the
+    * classic "intelligently selected" training set; DSIR (q166) is
+    * the hashed-feature descendant of exactly this scorer.
+    *
+    * Determinism: both LMs share the corpus vocabulary V;
+    * ln p(t) = ln(cf+1) - ln(N+V) with every ln gridded to integer
+    * micro-nats AT THE VOCABULARY GRAIN (q102's discipline; all four
+    * grid sites registered in [[lnBoundaryHazards]]), so per-doc
+    * sums are exact order-independent BIGINT arithmetic. The per-doc
+    * mean and the band cut run the identical IEEE double divide +
+    * floor on both engines (negative-safe, README rule 13; |sum| <=
+    * n_tok * 2.2e7 keeps the dividend double-exact for docs under
+    * ~4e8 tokens). Band census means are floor(double) on exact sums.
+    *
+    * Scale: one corpus scan to the (doc, term) tf relation, two
+    * map-side-combinable vocabulary aggregates, the tf-vocab join
+    * NOT hand-broadcast (q67's df discipline — a web-corpus
+    * vocabulary isn't broadcastable; AQE decides locally), the two
+    * LM denominators a 1-row broadcast, and the output a bounded
+    * <=25-band census. No global sort, no pairwise work. */
+  def q258MooreLewis(s: SparkSession, d: String): DataFrame =
+    mooreLewis(Tables.documents(s, d)
+      .select($"doc_id", $"lang", explode(Text.tokens($"text")).as("term")))
+
+  private[graft] def mooreLewis(toks: DataFrame): DataFrame = {
+    val tf = toks.groupBy($"doc_id", $"lang", $"term")
+      .agg(count(lit(1)).as("c"))
+    val cf = tf.groupBy($"term").agg(
+      sum($"c").as("cf"),
+      sum(when($"lang" === MlInLang, $"c").otherwise(0L)).as("cfi"))
+    // 1-row relation: the two smoothed-LM denominators, gridded
+    val denoms = cf.agg(sum($"cf").as("n"), sum($"cfi").as("ni"),
+        count(lit(1)).as("v"))
+      .select(
+        floor(log(($"ni" + $"v").cast("double")) * 1e6 + 0.5).cast("long")
+          .as("d_in"),
+        floor(log(($"n" + $"v").cast("double")) * 1e6 + 0.5).cast("long")
+          .as("d_gen"))
+    val g = cf.select($"term",
+      floor(log(($"cf" + lit(1L)).cast("double")) * 1e6 + 0.5).cast("long")
+        .as("a_gen"),
+      floor(log(($"cfi" + lit(1L)).cast("double")) * 1e6 + 0.5).cast("long")
+        .as("a_in"))
+    val perDoc = tf.join(g, "term")
+      .groupBy($"doc_id", $"lang")
+      .agg(sum($"c").as("n_tok"),
+        sum($"c" * ($"a_gen" - $"a_in")).as("s_diff"))
+      .crossJoin(broadcast(denoms))
+      .select($"lang", $"n_tok",
+        floor(($"s_diff" + $"n_tok" * ($"d_in" - $"d_gen")) /
+          ($"n_tok" * 1000.0)).cast("long").as("ce_milli"))
+    perDoc
+      .select($"lang", $"n_tok", $"ce_milli",
+        greatest(lit(-MlBandClamp), least(lit(MlBandClamp),
+          floor($"ce_milli" / MlBandMilli).cast("long"))).as("band"))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"lang" === MlInLang, 1L).otherwise(0L)).as("n_docs_in"),
+        sum($"n_tok").as("n_tokens"),
+        sum($"ce_milli").as("sum_ce"))
+      .select($"band", $"n_docs", $"n_docs_in", $"n_tokens",
+        floor($"sum_ce".cast("double") / $"n_docs").cast("long")
+          .as("mean_ce_milli"))
+      .orderBy($"band")
+  }
+
+  val q258MooreLewisSql: String =
+    s"""WITH toks AS (SELECT doc_id, lang,
+       |    unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2, 3),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf,
+       |    CAST(sum(CASE WHEN lang = '$MlInLang' THEN c ELSE 0 END)
+       |      AS BIGINT) AS cfi
+       |  FROM tf GROUP BY term),
+       |denoms AS (SELECT
+       |    CAST(floor(ln(CAST(sum(cfi) + count(*) AS DOUBLE)) * 1e6 + 0.5)
+       |      AS BIGINT) AS d_in,
+       |    CAST(floor(ln(CAST(sum(cf) + count(*) AS DOUBLE)) * 1e6 + 0.5)
+       |      AS BIGINT) AS d_gen FROM cf),
+       |g AS (SELECT term,
+       |    CAST(floor(ln(CAST(cf + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS a_gen,
+       |    CAST(floor(ln(CAST(cfi + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS a_in
+       |  FROM cf),
+       |pd AS (SELECT t.doc_id, t.lang, CAST(sum(c) AS BIGINT) AS n_tok,
+       |    CAST(sum(c * (a_gen - a_in)) AS BIGINT) AS s_diff
+       |  FROM tf t JOIN g USING (term) GROUP BY 1, 2),
+       |sc AS (SELECT lang, n_tok,
+       |    CAST(floor((s_diff + n_tok * (d_in - d_gen)) / (n_tok * 1000.0))
+       |      AS BIGINT) AS ce_milli
+       |  FROM pd, denoms),
+       |bd AS (SELECT lang, n_tok, ce_milli,
+       |    greatest(CAST(-$MlBandClamp AS BIGINT), least(
+       |      CAST($MlBandClamp AS BIGINT),
+       |      CAST(floor(ce_milli / $MlBandMilli) AS BIGINT))) AS band
+       |  FROM sc)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN lang = '$MlInLang' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_in,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(floor(CAST(sum(ce_milli) AS DOUBLE) / count(*)) AS BIGINT)
+       |    AS mean_ce_milli
+       |FROM bd GROUP BY band ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q259: Jensen-Shannon divergence, each source vs rest
+  // ---------------------------------------------------------------
+
+  /** Probability grid for q259 (parts-per-billion). */
+  private[graft] val JsdPpb = 1000000000L
+  /** floor(ln 2 * 1e6 + 0.5) — a compile-time literal on BOTH engines
+    * (never an engine-evaluated transcendental), used for the
+    * closed-form out-of-vocabulary remainder. */
+  private[graft] val Ln2Micro = 693147L
+  /** Exact-arithmetic bound: corpus tokens <= 9e9 keeps c * [[JsdPpb]]
+    * inside BIGINT (9e18 < 2^63). Guarded loudly. */
+  private[graft] val JsdMaxTokens = 9000000000L
+
+  /** Jensen-Shannon divergence of each source's unigram distribution
+    * vs the REST of the corpus (Lin 1991, public) — the bounded
+    * symmetric distributional distance a mixture designer reads
+    * before weighting sources (q140's KS and q234's rank drift test
+    * LENGTH distributions; this measures the CONTENT distribution).
+    * JSD = [Sum_t p ln(2p/(p+q)) + q ln(2q/(p+q))] / 2 over the union
+    * support, in [0, ln 2].
+    *
+    * Determinism: p and q are gridded to exact ppb integers (rule-13
+    * floor divisions; corpus bound [[JsdMaxTokens]] raise_error-
+    * guarded), so every ln argument is an exact integer — each ln is
+    * gridded to micro-nats and registered in [[lnBoundaryHazards]]
+    * (three sites). Zero-count sides CASE to 0 (lim x ln x = 0) both
+    * engines. The out-of-source-vocabulary remainder needs no
+    * per-term rows: terms with p = 0 contribute q ln 2 in closed
+    * form, so one residual-mass grid x the [[Ln2Micro]] LITERAL
+    * covers the whole complement — the |sources| x |vocab| explosion
+    * never materializes. Per-source sums are exact BIGINT
+    * (|term| <= 1e9 * 2.2e7 = 2.2e16 < 2^63).
+    *
+    * Scale: one scan to the source-keyed vocabulary relation, one
+    * term-keyed equi-join to corpus counts (NOT hand-broadcast —
+    * q67's df discipline), the |sources|-row totals broadcast back,
+    * one map-side-combinable reduction to the |sources| axis.
+    * Single-source corpora (n_rest = 0) NULL both sides. */
+  def q259JsdSources(s: SparkSession, d: String): DataFrame =
+    jsdSources(Tables.documents(s, d)
+      .select($"source", explode(Text.tokens($"text")).as("term")))
+
+  private[graft] def jsdSources(toks: DataFrame): DataFrame = {
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val ct = tf.groupBy($"term").agg(sum($"c").as("ctot"))
+    val ns = tf.groupBy($"source")
+      .agg(sum($"c").as("n_s"), count(lit(1)).as("vocab_s"))
+    val totG = ns.agg(sum($"n_s").as("n_all"))
+      .select(when($"n_all" > JsdMaxTokens, raise_error(concat(
+        lit(s"jsdSources: corpus exceeds the exact-arithmetic bound " +
+          s"$JsdMaxTokens tokens: "), $"n_all"))).otherwise($"n_all")
+        .as("n_all"))
+    val nsb = ns.crossJoin(broadcast(totG))
+      .select($"source", $"n_s", $"vocab_s", ($"n_all" - $"n_s").as("n_rest"))
+    val lnG: Column => Column =
+      x => floor(log(x.cast("double")) * 1e6 + 0.5).cast("long")
+    val pairs = tf.join(ct, "term").join(broadcast(nsb), "source")
+      .select($"source", $"n_s", $"vocab_s", $"n_rest",
+        expr(s"(c * $JsdPpb) div n_s").as("pg"),
+        when($"n_rest" > 0L, expr(s"((ctot - c) * $JsdPpb) div n_rest"))
+          .otherwise(lit(null)).as("qg"),
+        ($"ctot" - $"c").as("crest"))
+    val terms = pairs.select($"source", $"n_s", $"vocab_s", $"n_rest",
+      $"crest",
+      when($"pg" > 0L,
+        $"pg" * (lnG(lit(2L) * $"pg") - lnG($"pg" + coalesce($"qg", lit(0L)))))
+        .otherwise(0L).as("pterm"),
+      when($"qg" > 0L,
+        $"qg" * (lnG(lit(2L) * $"qg") - lnG($"pg" + $"qg")))
+        .otherwise(0L).as("qterm"))
+    // n_s / vocab_s / n_rest are constant per source — carried through
+    // the aggregate (max) instead of re-joining nsb (no diamond join)
+    terms.groupBy($"source")
+      .agg(sum($"pterm").as("sp"), sum($"qterm").as("sq"),
+        sum($"crest").as("rest_in_vs"),
+        sum(when($"crest" === 0L, 1L).otherwise(0L)).as("excl_vocab"),
+        max($"n_s").as("n_s"), max($"vocab_s").as("vocab_s"),
+        max($"n_rest").as("n_rest"))
+      .select($"source", $"n_s".as("n_tokens"), $"vocab_s", $"excl_vocab",
+        when($"n_rest" > 0L,
+          expr(s"((n_rest - rest_in_vs) * $JsdPpb) div n_rest"))
+          .as("resid_ppb"), $"sp", $"sq")
+      .select($"source", $"n_tokens", $"vocab_s", $"excl_vocab", $"resid_ppb",
+        when($"resid_ppb".isNotNull, stableRound(
+          ($"sp" + $"sq" + $"resid_ppb" * lit(Ln2Micro)) /
+            (2.0 * JsdPpb * 1e6), 6)).as("jsd_nats"))
+      .orderBy($"source")
+  }
+
+  val q259JsdSourcesSql: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS term FROM documents),
+       |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ctot
+       |  FROM tf GROUP BY term),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+       |    CAST(count(*) AS BIGINT) AS vocab_s FROM tf GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM ns),
+       |nsb AS (SELECT source, n_s, vocab_s, n_all - n_s AS n_rest
+       |  FROM ns, tot),
+       |pairs AS (SELECT t.source,
+       |    (c * $JsdPpb) // n_s AS pg,
+       |    CASE WHEN n_rest > 0
+       |      THEN ((ctot - c) * $JsdPpb) // n_rest END AS qg,
+       |    ctot - c AS crest
+       |  FROM tf t JOIN ct USING (term) JOIN nsb USING (source)),
+       |terms AS (SELECT source, crest,
+       |    CASE WHEN pg > 0 THEN pg *
+       |      (CAST(floor(ln(CAST(2 * pg AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |       - CAST(floor(ln(CAST(pg + coalesce(qg, 0) AS DOUBLE)) * 1e6
+       |           + 0.5) AS BIGINT))
+       |      ELSE 0 END AS pterm,
+       |    CASE WHEN qg > 0 THEN qg *
+       |      (CAST(floor(ln(CAST(2 * qg AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |       - CAST(floor(ln(CAST(pg + qg AS DOUBLE)) * 1e6 + 0.5)
+       |           AS BIGINT))
+       |      ELSE 0 END AS qterm
+       |  FROM pairs),
+       |agg AS (SELECT source, CAST(sum(pterm) AS BIGINT) AS sp,
+       |    CAST(sum(qterm) AS BIGINT) AS sq,
+       |    CAST(sum(crest) AS BIGINT) AS rest_in_vs,
+       |    CAST(sum(CASE WHEN crest = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS excl_vocab
+       |  FROM terms GROUP BY source)
+       |SELECT a.source, n_s AS n_tokens, vocab_s, excl_vocab,
+       |  CASE WHEN n_rest > 0
+       |    THEN ((n_rest - rest_in_vs) * $JsdPpb) // n_rest END AS resid_ppb,
+       |  CASE WHEN n_rest > 0 THEN ${sqlRound(
+             s"(sp + sq + ((n_rest - rest_in_vs) * $JsdPpb) // n_rest" +
+             s" * $Ln2Micro) / (2.0 * $JsdPpb * 1e6)", 6)} END AS jsd_nats
+       |FROM agg a JOIN nsb USING (source) ORDER BY a.source""".stripMargin
 
 }

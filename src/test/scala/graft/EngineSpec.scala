@@ -5648,4 +5648,82 @@ class EngineSpec extends AnyFunSuite {
     assert(got === Map(8L -> ((1000000L, 2L, 1000000L))))
   }
 
+  test("q258 Moore-Lewis: JVM grid replay and in-domain separation") {
+    val toks = Seq(
+      (1L, "en", "alpha"), (1L, "en", "alpha"), (1L, "en", "beta"),
+      (2L, "en", "alpha"), (2L, "en", "beta"), (2L, "en", "beta"),
+      (2L, "en", "gamma"),
+      (3L, "fr", "rouge"), (3L, "fr", "rouge"), (3L, "fr", "vert"),
+      (4L, "fr", "rouge"), (4L, "fr", "vert"), (4L, "fr", "bleu"),
+      (4L, "fr", "bleu"))
+      .toDF("doc_id", "lang", "term")
+    def lnG(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    // independent replay of the whole integer pipeline
+    val rows = Seq(
+      (1L, "en", Seq("alpha", "alpha", "beta")),
+      (2L, "en", Seq("alpha", "beta", "beta", "gamma")),
+      (3L, "fr", Seq("rouge", "rouge", "vert")),
+      (4L, "fr", Seq("rouge", "vert", "bleu", "bleu")))
+    val all = rows.flatMap(_._3)
+    val cf = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val cfi = rows.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val v = cf.size.toLong
+    val dIn = lnG(cfi.values.sum + v)
+    val dGen = lnG(all.size.toLong + v)
+    val ce = rows.map { case (id, lang, ts) =>
+      val n = ts.size.toLong
+      val sd = ts.map(t =>
+        lnG(cf(t) + 1) - lnG(cfi.getOrElse(t, 0L) + 1)).sum
+      (id, lang, n,
+        math.floor((sd + n * (dIn - dGen)) / (n * 1000.0)).toLong)
+    }
+    val bands = ce.groupBy { case (_, _, _, m) =>
+      math.max(-12L, math.min(12L, math.floor(m / 250.0).toLong))
+    }
+    val expect = bands.map { case (b, ds) =>
+      b -> ((ds.size.toLong, ds.count(_._2 == "en").toLong,
+        ds.map(_._3).sum,
+        math.floor(ds.map(_._4).sum.toDouble / ds.size).toLong))
+    }
+    val got = graft.operators.TextOps.mooreLewis(toks).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expect, "banded census replay")
+    // separation: every in-domain doc scores below every out-domain doc
+    val enMax = ce.filter(_._2 == "en").map(_._4).max
+    val frMin = ce.filter(_._2 == "fr").map(_._4).min
+    assert(enMax < frMin, "Moore-Lewis separates the in-domain stratum")
+  }
+
+  test("q259 JSD: identical halves 0, disjoint vocabularies ln 2, single source NULL") {
+    def lnG(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    // identical token multisets -> p grid == q grid -> exactly 0
+    val same = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("B", "y")).toDF("source", "term")
+    val g1 = graft.operators.TextOps.jsdSources(same).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(g1("A").getDouble(5) === 0.0 && g1("B").getDouble(5) === 0.0)
+    assert(g1("A").getLong(4) === 0L, "no out-of-vocabulary remainder")
+    // disjoint vocabularies -> jsd = ln 2 up to the grid
+    val disj = Seq(("A", "a"), ("A", "a"), ("B", "b"), ("B", "b"))
+      .toDF("source", "term")
+    val g2 = graft.operators.TextOps.jsdSources(disj).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // replay source A exactly: one term, p = 1e9, q = 0, full residual
+    val pterm = 1000000000L * (lnG(2000000000L) - lnG(1000000000L))
+    val exact = math.floor(
+      (pterm + 1000000000L * 693147L) / 2.0e15 * 1e6 + 0.5) / 1e6
+    assert(g2("A").getDouble(5) === exact)
+    assert(math.abs(g2("A").getDouble(5) - math.log(2.0)) < 1e-4)
+    assert(g2("A").getLong(3) === 1L, "term a is exclusive to A")
+    assert(g2("A").getLong(4) === 1000000000L, "whole rest mass is OOV")
+    // single-source corpus: n_rest = 0 -> NULL divergence both sides
+    val solo = Seq(("C", "z"), ("C", "z")).toDF("source", "term")
+    val g3 = graft.operators.TextOps.jsdSources(solo).collect()
+    assert(g3.length === 1 && g3(0).isNullAt(4) && g3(0).isNullAt(5))
+  }
+
 }
