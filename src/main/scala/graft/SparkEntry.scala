@@ -282,6 +282,7 @@ object SparkEntry {
     "q257_minhash_calib" -> (TextOps.q257MinhashCalibration(_, _)),
     "q258_moore_lewis" -> (TextOps.q258MooreLewis(_, _)),
     "q259_jsd_sources" -> (TextOps.q259JsdSources(_, _)),
+    "q260_stream_dedup_lookup" -> (EventStream.q260StreamDedupLookup(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -822,5 +823,11 @@ object SparkEntry {
     // q259: Jensen-Shannon divergence per source vs rest — ppb
     // probability grid, integer ln args, closed-form OOV remainder
     "q259_jsd_sources" -> TextOps.q259JsdSourcesSql,
+    // q260: streaming near-dup front door — stream-static left join
+    // of the doc stream onto the staged q50 clusters; mirror
+    // recomputes the clusters via the recursive CTE (the eleventh
+    // oracled streaming surface; StreamingSpec holds the batch-twin
+    // lockstep)
+    "q260_stream_dedup_lookup" -> TextOps.q260StreamDedupLookupSql,
   )
 }

@@ -657,6 +657,24 @@ object TextOps {
        |FROM comp c JOIN sizes s USING (canonical_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** DuckDB mirror of the q260 streaming dedup front door
+    * ([[graft.streaming.EventStream.q260StreamDedupLookup]]): the q50
+    * cluster CTEs left-joined under every document — a doc outside
+    * every cluster is its own canonical, size 1, keep. Lives here
+    * (not EventStream) because it composes the private cluster CTE
+    * chain. */
+  val q260StreamDedupLookupSql: String =
+    s"""WITH RECURSIVE $clusterCtes
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       |  coalesce(c.canonical_id, d.doc_id) AS canonical_id,
+       |  coalesce(s.cluster_size, 1) AS cluster_size,
+       |  CASE WHEN coalesce(c.canonical_id, d.doc_id) = d.doc_id
+       |    THEN 'keep' ELSE 'drop' END AS action
+       |FROM documents d
+       |LEFT JOIN comp c ON c.id = d.doc_id
+       |LEFT JOIN sizes s ON s.canonical_id = c.canonical_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   // q52: end-to-end corpus selection (quality ∧ language ∧ dedup)
   // ---------------------------------------------------------------

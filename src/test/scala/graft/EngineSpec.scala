@@ -3169,9 +3169,9 @@ class EngineSpec extends AnyFunSuite {
     // columns — validates the pairing+policy layer independently of
     // the clustering layer (whose arithmetic q65's specs own)
     rows.groupBy(_.getAs[Long]("cell_id")).foreach { case (_, members) =>
-      // the replay ignores the 512 candidate cap — valid only while no
+      // the replay ignores the candidate cap — valid only while no
       // cell exceeds it; fail HERE with a diagnosis if the corpus grows
-      assert(members.length <= 512,
+      assert(members.length <= VectorOps.SemDedupMaxCell,
         s"cell exceeds SemDedupMaxCell (${members.length}) — replay must cap")
       val byRank = members.sortBy(_.getAs[Long]("cell_rank"))
       byRank.zipWithIndex.foreach { case (r, idx) =>

@@ -565,8 +565,12 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q247's bounded 4×64 global-histogram broadcast
       // against the 4-row fold axis (histogram-subtraction CV)
       // +1 round 10: q253's 1-row global-totals broadcast onto the
-      // |sources|-row ablation relation
-      "operators/TextOps.scala" -> 25,
+      // |sources|-row ablation relation (TextOps.scala:6654)
+      // +1 round 10: q258's 1-row Moore-Lewis denominators broadcast
+      // (in-domain/general token totals, TextOps.scala:6932)
+      // +1 round 10: q259's 1-row guarded grand-total broadcast onto
+      // the bounded |sources|×|buckets| JSD axis (TextOps.scala:7044)
+      "operators/TextOps.scala" -> 28,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)

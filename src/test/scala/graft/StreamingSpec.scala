@@ -291,6 +291,41 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q260 streaming dedup front door: crafted clusters, stream ≡ batch twin") {
+    // crafted corpus: docs 1 and 2 share an identical 8-word text
+    // (shingle jaccard 1.0 → one near-dup cluster, canonical = min id
+    // = 1), doc 3 is disjoint (outside every cluster → its own
+    // canonical, size 1). The front door must keep 1 and 3, drop 2.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streamdedup").toString
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (1L, textA, "en", "web"),
+      (2L, textA, "en", "book"),
+      (3L, "one two three four five six seven eight", "vi", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp")
+    val part = new java.io.File(s"$base/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/documents.parquet"))
+    def asMap(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[String]("action"))).toMap
+    val stream = asMap(EventStream.q260StreamDedupLookup(spark, base).collect())
+    assert(stream === Map(
+      1L -> ((1L, 2L, "keep")),
+      2L -> ((1L, 2L, "drop")),
+      3L -> ((3L, 1L, "keep"))), s"crafted anchors: $stream")
+    // lockstep: the batch twin runs the SAME dedupLookup transform over
+    // the batch reader — stream ≡ batch bit-for-bit on any corpus
+    val batch = asMap(EventStream.q260BatchTwin(spark, base).collect())
+    assert(batch === stream, s"stream/batch divergence: $batch vs $stream")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("GraftExtensions registers the native functions without error") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-injection path; must not throw
