@@ -2138,11 +2138,37 @@ object Relational {
       .select($"pa", $"pb").distinct()
   }
 
+  /** The co-purchase edge list, STAGED (the LSH-stage discipline
+    * applied to the graph family): eight queries (q189, q194, q197,
+    * q225, q228, q238, q239, q250) consume this one relation, and the
+    * basket self-join + two distincts behind it are the dominant
+    * rebuild cost at every scale — materialize once per corpus, read
+    * everywhere. Measured at sf0.1 (reps 3): edge stage alone takes
+    * the graph-family total 33.7 s → 25.4 s (the edge build is paid
+    * once instead of 8×; pure consumers halve: q197 2.84→1.15,
+    * q228 2.49→1.24, q194 3.19→1.83, q250 1.20→0.75); with the
+    * oriented/triangle stages on top, 14.6 s. The stage-path fingerprint
+    * covers documents.parquet only, so lineitem's identity (the edge
+    * list's true input) rides in the token alongside the plan hash. */
+  private def coEdgesStaged(s: SparkSession, d: String): DataFrame = {
+    val df = coEdges(s, d)
+    Staged.orCompute(s, d, "graph", "co_edges",
+      Staged.combine(Staged.planHash(df), lineitemFp(d)))(df)
+  }
+
+  private def lineitemFp(d: String): String = {
+    val p = java.nio.file.Paths.get(d, "lineitem.parquet")
+    if (java.nio.file.Files.exists(p))
+      s"${java.nio.file.Files.size(p)}-${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    else "noli"
+  }
+
   /** Degree-ordered orientation + wedge closing over an edge list —
     * the shared engine of q189 (exact) and q194 (sampled graph).
-    * Returns (deg, wedges, tri). */
+    * Returns (deg, ed, wedges, tri) — ed is the oriented edge list
+    * (u, v, kv) the staged variants materialize. */
   private def triangleParts(edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val deg = edges.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
     // The (degree, id) pack bound is enforced LOUDLY per row (the
@@ -2168,7 +2194,60 @@ object Relational {
     val tri = wedges
       .join(ed.select($"u".as("cv"), $"v".as("cw")),
         $"v" === $"cv" && $"w" === $"cw")
-    (deg, wedges, tri)
+    (deg, ed, wedges, tri)
+  }
+
+  /** The vertex-degree relation of an edge list — one explode + one
+    * map-side-combinable aggregate (shared by q189's census and q238's
+    * coefficient denominator). */
+  private def degOf(edges: DataFrame): DataFrame =
+    edges.select(explode(array($"pa", $"pb")).as("p"))
+      .groupBy($"p").agg(count(lit(1)).as("deg"))
+
+  /** Token of the co-edge stage, spliced into every downstream graph
+    * stage's token (a parquet scan's canonicalized plan shows no path,
+    * so transitive invalidation is explicit — the pairsToken
+    * discipline). */
+  private def coEdgesToken(s: SparkSession, d: String): String =
+    Staged.combine(Staged.planHash(coEdges(s, d)), lineitemFp(d))
+
+  /** The degree-ordered ORIENTED edge list (u, v, kv), staged: the
+    * orientation (degree aggregate + two key joins + the per-row pack
+    * guard) runs once per corpus; q189's wedge count and the triangle
+    * stage read it back. Its plan hash sees the orientation
+    * expressions over the staged co-edge scan, so orientation edits
+    * invalidate it; the co-edge token carries input/edge-derivation
+    * changes. */
+  private def orientedStaged(s: SparkSession, d: String): DataFrame = {
+    val ed = triangleParts(coEdgesStaged(s, d))._2
+    Staged.orCompute(s, d, "graph", "oriented",
+      Staged.combine(Staged.planHash(ed), coEdgesToken(s, d)))(ed)
+  }
+
+  private def orientedToken(s: SparkSession, d: String): String =
+    Staged.combine(
+      Staged.planHash(triangleParts(coEdgesStaged(s, d))._2),
+      coEdgesToken(s, d))
+
+  /** The closed triangle relation (u, v, w — u the degree-min corner),
+    * staged: the Σ outdeg² wedge-closing join — the single most
+    * expensive graph derivation — runs once per corpus instead of once
+    * per consumer (q189 counts it, q238 explodes per-corner credit).
+    * Measured at sf0.1 (reps 3, beside the co-edge/oriented stages):
+    * q189 7.7 → 2.0 s, q238 9.8 → 1.7 s; graph-family total
+    * 33.7 → 14.6 s. */
+  private def trianglesStaged(s: SparkSession, d: String): DataFrame = {
+    val ed = orientedStaged(s, d)
+    val wedges = ed.select($"u", $"v", $"kv")
+      .join(ed.select($"u", $"v".as("w"), $"kv".as("kw")), Seq("u"))
+      .filter($"kv" < $"kw")
+      .select($"u", $"v", $"w")
+    val tri = wedges
+      .join(ed.select($"u".as("cv"), $"v".as("cw")),
+        $"v" === $"cv" && $"w" === $"cw")
+      .select($"u", $"v", $"w")
+    Staged.orCompute(s, d, "graph", "tri",
+      Staged.combine(Staged.planHash(tri), orientedToken(s, d)))(tri)
   }
 
   private def censusRow(name: String, df: DataFrame): DataFrame =
@@ -2176,12 +2255,21 @@ object Relational {
       .select(lit(name).as("metric"), $"value")
 
   def q189Triangles(s: SparkSession, d: String): DataFrame = {
-    val edges = coEdges(s, d)
-    val (deg, wedges, tri) = triangleParts(edges)
+    val edges = coEdgesStaged(s, d)
+    // n_wedges by the closed form Σ_u C(outdeg(u), 2) over the staged
+    // oriented edges — each u's oriented neighbors have distinct okeys
+    // and (u,v) rows are unique, so exactly one ordering of every
+    // neighbor pair passes kv < kw. Counting the wedge JOIN would
+    // materialize the Σ outdeg² relation just to count it; the
+    // identity reads |E| rows instead. c(c−1) is even, div exact.
+    val wedgeCount = orientedStaged(s, d)
+      .groupBy($"u").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1) div 2")), lit(0L)).as("value"))
+      .select(lit("n_wedges").as("metric"), $"value")
     censusRow("n_edges", edges)
-      .unionByName(censusRow("n_nodes", deg))
-      .unionByName(censusRow("n_triangles", tri))
-      .unionByName(censusRow("n_wedges", wedges))
+      .unionByName(censusRow("n_nodes", degOf(edges)))
+      .unionByName(censusRow("n_triangles", trianglesStaged(s, d)))
+      .unionByName(wedgeCount)
       .orderBy($"metric")
   }
 
@@ -2261,11 +2349,11 @@ object Relational {
     * as 1/√(p³·T) — at 100 TB graph scale T is astronomically large,
     * exactly where the variance argument is strongest. */
   def q194TriangleSample(s: SparkSession, d: String): DataFrame = {
-    val edges = coEdges(s, d)
+    val edges = coEdgesStaged(s, d)
     val sampled = edges.filter(
       md5(concat($"pa".cast("string"), lit("_"), $"pb".cast("string")))
         < TriSampleHexCut)
-    val (_, wedgesS, triS) = triangleParts(sampled)
+    val (_, _, wedgesS, triS) = triangleParts(sampled)
     val est = triS.agg(count(lit(1)).as("n"))
       .select(lit("est_triangles").as("metric"),
         ($"n" * lit(TriSampleInvP * TriSampleInvP * TriSampleInvP))
@@ -2316,7 +2404,7 @@ object Relational {
     * garbage-collected. The mirror pins the same shape with
     * AS MATERIALIZED. */
   def q197KCore(s: SparkSession, d: String): DataFrame =
-    kCoreTrace(coEdges(s, d), KCoreK)
+    kCoreTrace(coEdgesStaged(s, d), KCoreK)
 
   /** The peel loop over an arbitrary (pa, pb) edge list — split from
     * [[q197KCore]] so the crafted spec can drive a small graph with a
@@ -2666,7 +2754,7 @@ object Relational {
     * Determinism: pure integer node ids and counts; seed choice is a
     * modulus, not a sample. */
   def q225BfsHops(s: SparkSession, d: String): DataFrame =
-    bfsTrace(coEdges(s, d), BfsSeedMod)
+    bfsTrace(coEdgesStaged(s, d), BfsSeedMod)
 
   /** The frontier loop over an arbitrary (pa, pb) edge list — split
     * from [[q225BfsHops]] so the crafted spec can drive a small graph
@@ -2899,7 +2987,7 @@ object Relational {
     * relations are persisted (iterative-plan rule: round r feeds its
     * own census rows AND round r+1). */
   def q228ConnComp(s: SparkSession, d: String): DataFrame =
-    ccTrace(coEdges(s, d))
+    ccTrace(coEdgesStaged(s, d))
 
   /** The propagation loop over an arbitrary (pa, pb) edge list — split
     * from [[q228ConnComp]] for the crafted spec (kCoreTrace pattern). */
@@ -3312,10 +3400,17 @@ object Relational {
     * deg·(deg−1) in BIGINT, the q189 guard), band and band mean are
     * integer floor divisions. */
   def q238ClusteringCoeff(s: SparkSession, d: String): DataFrame =
-    clusteringCoeffBands(coEdges(s, d))
+    clusteringCoeffFrom(degOf(coEdgesStaged(s, d)), trianglesStaged(s, d))
 
   private[graft] def clusteringCoeffBands(edges: DataFrame): DataFrame = {
-    val (deg, _, tri) = triangleParts(edges)
+    val (deg, _, _, tri) = triangleParts(edges)
+    clusteringCoeffFrom(deg, tri)
+  }
+
+  /** The coefficient/banding layer over any (deg, tri) pair — the
+    * spec replays it on crafted edge lists via
+    * [[clusteringCoeffBands]]; q238 feeds it the STAGED relations. */
+  private def clusteringCoeffFrom(deg: DataFrame, tri: DataFrame): DataFrame = {
     val tcnt = tri.select(explode(array($"u", $"v", $"w")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("t"))
     val per = deg.filter($"deg" >= 2L)
@@ -3379,7 +3474,7 @@ object Relational {
     * non-negative); candidate pairs are unique (v, w) keys so the
     * (ra, cn, v, w) top-k order is total. */
   def q239LinkPredict(s: SparkSession, d: String): DataFrame =
-    linkPredict(coEdges(s, d).filter(
+    linkPredict(coEdgesStaged(s, d).filter(
       md5(concat($"pa".cast("string"), lit("_"), $"pb".cast("string")))
         < TriSampleHexCut))
 
@@ -3456,7 +3551,7 @@ object Relational {
     * floor(x+0.5), degenerate (zero-variance) denominators CASE to
     * NULL identically both sides. */
   def q250Assortativity(s: SparkSession, d: String): DataFrame =
-    assortativity(coEdges(s, d))
+    assortativity(coEdgesStaged(s, d))
 
   private[graft] def assortativity(edges: DataFrame): DataFrame = {
     val deg = edges.select(explode(array($"pa", $"pb")).as("p"))

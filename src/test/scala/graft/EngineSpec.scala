@@ -320,6 +320,42 @@ class EngineSpec extends AnyFunSuite {
       s"qother must sum exactly the merged centiseconds: $tight")
   }
 
+  test("bench contract line fits at the FULL current query surface (worst-case widths)") {
+    // round-10 verdict item 7: the 1869/1900-char measurement was taken
+    // at 198 queries — re-pin the guard at the CURRENT surface size so
+    // growth can't silently run the line out of fold headroom. Worst
+    // realistic widths: every query at 999.99s (5-digit centiseconds)
+    // and a 16-query failure batch (failures never fold, so they are
+    // the incompressible part of the line).
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      (n, if (i % 16 == 0) -1.0 else 999.99)
+    }
+    val line = Bench.contractLine(results, 999.99 * names.size, "cold", 1,
+      "one-shot", "/root/testdata/sf0.1")
+    assert(line.length < 1870,
+      s"contract line must fit the default budget at ${names.size} queries: ${line.length}")
+    // the fold must still keep the failures individually visible
+    results.filter(_._2 < 0).foreach { case (n, _) =>
+      assert(line.contains("\"" + n.split("_")(0) + "\":-1"),
+        s"failed row ${n} folded away: $line")
+    }
+    assert(line.contains("\"qmerged\":"), "full surface must trigger the fold")
+    // incompressibility bound: failures never fold, so they are the one
+    // row class that can outgrow the budget. Pin the guaranteed failure
+    // capacity: a 64-query failure batch (a whole operator family
+    // regressing at once) must still fit beside the fold — beyond that
+    // the hard require in main is the intended loud signal.
+    val batchFail = names.zipWithIndex.map { case (n, i) =>
+      (n, if (i < 64) -1.0 else 999.99)
+    }
+    val failLine = Bench.contractLine(batchFail, 999.99 * names.size,
+      "cold", 1, "one-shot", "/root/testdata/sf0.1")
+    assert(failLine.length < 1870,
+      s"64-failure batch no longer fits the stdout contract " +
+        s"(${failLine.length} chars) — shrink ids before adding queries")
+  }
+
   test("bench breakdown lists name real queries and stay disjoint") {
     // drift gate for the infrastructure breakout in the bench file
     // output: a renamed/removed query must fail here, not silently
