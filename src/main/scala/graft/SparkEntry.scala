@@ -283,6 +283,7 @@ object SparkEntry {
     "q258_moore_lewis" -> (TextOps.q258MooreLewis(_, _)),
     "q259_jsd_sources" -> (TextOps.q259JsdSources(_, _)),
     "q260_stream_dedup_lookup" -> (EventStream.q260StreamDedupLookup(_, _)),
+    "q261_hybrid_eval" -> (TextOps.q261HybridEval(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -829,5 +830,9 @@ object SparkEntry {
     // oracled streaming surface; StreamingSpec holds the batch-twin
     // lockstep)
     "q260_stream_dedup_lookup" -> TextOps.q260StreamDedupLookupSql,
+    // q261: hybrid consensus eval — RRF fused recall@5 vs each single
+    // arm against the both-arms consensus set; mirror nests the q180,
+    // q48, and q190 oracles verbatim
+    "q261_hybrid_eval" -> TextOps.q261HybridEvalSql,
   )
 }

@@ -5017,6 +5017,127 @@ object TextOps {
        |FROM rk WHERE rn <= $RrfTopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q261: hybrid-retrieval robustness eval — RRF vs each single arm
+  // ---------------------------------------------------------------
+
+  /** Fused-vs-single-arm evaluation of the q190 hybrid — the
+    * MODALITY-ROBUSTNESS reading of reciprocal-rank fusion (Cormack,
+    * Clarke &amp; Buettcher, SIGIR 2009, public: RRF's documented win
+    * is robustness across query types, not beating the best arm on
+    * its home turf). Per query, two modality anchors: the exact
+    * lexical #1 (BM25 rank 1 — q180 IS the exact lexical ranking)
+    * and the exact semantic #1 (q27 brute-force cosine rank 1 —
+    * EXTERNAL to the approximate IVF arm, so IVF error is charged
+    * honestly). Each ranked list — lexical arm, semantic arm, fused —
+    * scores the micro-scaled reciprocal rank (1e6 div rank, 0 if
+    * absent) of BOTH anchors; the robust score is the WORSE of the
+    * two (least). A single arm ranks its own anchor first but
+    * typically misses the other modality's anchor entirely
+    * (robust = 0); the fused list carries each arm's head near its
+    * own head — an arm's rank-1 doc contributes floor(1e6/61) =
+    * 16393 micro, the maximum any single-arm doc can score, so only
+    * both-arms docs (&gt;= 2*floor(1e6/70) = 28570) can outrank it —
+    * so fused holds BOTH anchors in its top 10 and its robust score
+    * is live at every SF. EngineSpec asserts fused_robust &gt;=
+    * max(arm robusts) per query on the live corpus plus a crafted
+    * strict-win trace.
+    *
+    * Determinism: ranks are the arms' proven unique-tie-break ranks;
+    * reciprocal ranks are rule-13 integer floor divisions; an anchor
+    * absent from a list scores 0 on both engines (coalesced max over
+    * an empty CASE set).
+    *
+    * Scale: the arms (and the fused list nesting them) are exactly
+    * q180/q48/q27/q190's plans; the eval layer joins
+    * |queries|x10-row relations — metadata-sized at any corpus. */
+  def q261HybridEval(s: SparkSession, d: String): DataFrame = {
+    val lex = q180Bm25(s, d).filter($"query_id" < RrfNumQueries)
+      .select($"query_id", $"doc_id", $"rank")
+    val sem = graft.operators.VectorOps.q48IvfAnn(s, d)
+      .filter($"query_id" < RrfNumQueries)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
+    val fused = q190RrfFusion(s, d).select($"query_id", $"doc_id", $"rank")
+    val lexTop = lex.filter($"rank" === 1L)
+      .select($"query_id", $"doc_id".as("t_lex"))
+    val semTop = graft.operators.VectorOps.q27KnnCosine(s, d)
+      .filter($"query_id" < RrfNumQueries && $"rank" === 1L)
+      .select($"query_id", $"neighbor_id".as("t_sem"))
+    hybridEval(lex, sem, fused, lexTop, semTop)
+  }
+
+  /** The eval layer over any (lex, sem, fused) rank lists and
+    * (query, anchor) pairs — the spec replays it on crafted lists;
+    * q261 feeds it the live arms. */
+  private[graft] def hybridEval(lex: DataFrame, sem: DataFrame,
+      fused: DataFrame, lexTop: DataFrame, semTop: DataFrame): DataFrame = {
+    def rr(list: DataFrame, tag: String): DataFrame = list
+      .join(lexTop, Seq("query_id"), "left")
+      .join(semTop, Seq("query_id"), "left")
+      .groupBy($"query_id")
+      .agg(
+        coalesce(max(when($"doc_id" === $"t_lex",
+          expr("1000000 div rank"))), lit(0L)).as(s"${tag}_rr_lex"),
+        coalesce(max(when($"doc_id" === $"t_sem",
+          expr("1000000 div rank"))), lit(0L)).as(s"${tag}_rr_sem"))
+      .withColumn(s"${tag}_robust",
+        least(col(s"${tag}_rr_lex"), col(s"${tag}_rr_sem")))
+    fused.select($"query_id").distinct()
+      .join(rr(lex, "lex"), Seq("query_id"), "left")
+      .join(rr(sem, "sem"), Seq("query_id"), "left")
+      .join(rr(fused, "fused"), Seq("query_id"), "left")
+      .select(($"query_id" +:
+        Seq("lex", "sem", "fused").flatMap(t => Seq(
+          coalesce(col(s"${t}_rr_lex"), lit(0L)).as(s"${t}_rr_lex"),
+          coalesce(col(s"${t}_rr_sem"), lit(0L)).as(s"${t}_rr_sem"),
+          coalesce(col(s"${t}_robust"), lit(0L)).as(s"${t}_robust")))): _*)
+      .orderBy($"query_id")
+  }
+
+  /** Mirror: composes the two arm oracles, the exact-kNN oracle, and
+    * the q190 fusion oracle as nested subqueries (the q190 discipline
+    * — the eval can never drift from the lists it evaluates). */
+  val q261HybridEvalSql: String = {
+    def rrCte(name: String, listCte: String): String =
+      s"""$name AS (SELECT l.query_id,
+         |    coalesce(max(CASE WHEN l.doc_id = t.t_lex
+         |      THEN 1000000 // l.rank END), 0) AS rr_lex,
+         |    coalesce(max(CASE WHEN l.doc_id = u.t_sem
+         |      THEN 1000000 // l.rank END), 0) AS rr_sem
+         |  FROM $listCte l
+         |  LEFT JOIN ltop t USING (query_id)
+         |  LEFT JOIN stop u USING (query_id)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH lexq AS (SELECT query_id, doc_id, rank FROM ($q180Bm25Sql)
+       |              WHERE query_id < $RrfNumQueries),
+       |semq AS (SELECT query_id, neighbor_id AS doc_id, rank
+       |         FROM (${graft.operators.VectorOps.q48IvfAnnSql})
+       |         WHERE query_id < $RrfNumQueries),
+       |fusedq AS (SELECT query_id, doc_id, rank FROM ($q190RrfFusionSql)),
+       |ltop AS (SELECT query_id, doc_id AS t_lex FROM lexq WHERE rank = 1),
+       |stop AS (SELECT query_id, neighbor_id AS t_sem
+       |         FROM (${graft.operators.VectorOps.q27KnnCosineSql})
+       |         WHERE query_id < $RrfNumQueries AND rank = 1),
+       |${rrCte("lr", "lexq")},
+       |${rrCte("sr", "semq")},
+       |${rrCte("fr", "fusedq")}
+       |SELECT q.query_id,
+       |  coalesce(lr.rr_lex, 0) AS lex_rr_lex,
+       |  coalesce(lr.rr_sem, 0) AS lex_rr_sem,
+       |  coalesce(least(lr.rr_lex, lr.rr_sem), 0) AS lex_robust,
+       |  coalesce(sr.rr_lex, 0) AS sem_rr_lex,
+       |  coalesce(sr.rr_sem, 0) AS sem_rr_sem,
+       |  coalesce(least(sr.rr_lex, sr.rr_sem), 0) AS sem_robust,
+       |  coalesce(fr.rr_lex, 0) AS fused_rr_lex,
+       |  coalesce(fr.rr_sem, 0) AS fused_rr_sem,
+       |  coalesce(least(fr.rr_lex, fr.rr_sem), 0) AS fused_robust
+       |FROM (SELECT DISTINCT query_id FROM fusedq) q
+       |LEFT JOIN lr USING (query_id)
+       |LEFT JOIN sr USING (query_id)
+       |LEFT JOIN fr USING (query_id)
+       |ORDER BY q.query_id""".stripMargin
+  }
+
 
   // ---------------------------------------------------------------
   // q205: exact set-similarity join via prefix filtering (AllPairs)

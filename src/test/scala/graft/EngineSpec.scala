@@ -3907,6 +3907,40 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q261 hybrid robustness: crafted strict-win trace + live fused ≥ arms") {
+    import graft.operators.TextOps
+    // crafted lists for query 0: lexical anchor doc 100, semantic
+    // anchor doc 200. The lex arm holds its own anchor at rank 1 and
+    // the semantic anchor deep at rank 7 (rr 1e6 div 7 = 142857); the
+    // sem arm misses the lexical anchor entirely (robust 0); the fused
+    // list carries both anchors at ranks 2 and 1.
+    val lex = Seq((0L, 100L, 1L), (0L, 300L, 2L), (0L, 200L, 7L))
+      .toDF("query_id", "doc_id", "rank")
+    val sem = Seq((0L, 200L, 1L), (0L, 400L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Seq((0L, 200L, 1L), (0L, 100L, 2L), (0L, 300L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val lexTop = Seq((0L, 100L)).toDF("query_id", "t_lex")
+    val semTop = Seq((0L, 200L)).toDF("query_id", "t_sem")
+    val r = TextOps.hybridEval(lex, sem, fused, lexTop, semTop)
+      .collect().map(r => (0 until 10).map(i => r.getLong(i)))
+    assert(r.toSeq === Seq(Seq(0L,
+      1000000L, 142857L, 142857L,   // lex arm: own anchor 1st, sem anchor rank 7
+      0L, 1000000L, 0L,             // sem arm: lexical anchor absent
+      500000L, 1000000L, 500000L)), // fused: both anchors up top — strict win
+      s"crafted trace: ${r.toSeq}")
+    // live invariant at sf0.001: the fused list's robust score beats
+    // (or ties) BOTH single arms' on every query — the recorded RRF
+    // property the query exists to show
+    TextOps.q261HybridEval(spark, "/root/testdata/sf0.001")
+      .collect().foreach { row =>
+        val (l, s, f) = (row.getAs[Long]("lex_robust"),
+          row.getAs[Long]("sem_robust"), row.getAs[Long]("fused_robust"))
+        assert(f >= math.max(l, s),
+          s"fused robust below an arm at query ${row.getLong(0)}: $l $s $f")
+      }
+  }
+
   test("q186/q187 stream-batch parity pair shares ONE mirror (lockstep)") {
     // q187's oracle deliberately IS q186's (stream ≡ batch parity as a
     // driver row). Reference equality, not string equality: a future
