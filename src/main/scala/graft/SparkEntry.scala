@@ -284,6 +284,8 @@ object SparkEntry {
     "q259_jsd_sources" -> (TextOps.q259JsdSources(_, _)),
     "q260_stream_dedup_lookup" -> (EventStream.q260StreamDedupLookup(_, _)),
     "q261_hybrid_eval" -> (TextOps.q261HybridEval(_, _)),
+    "q262_hll_distinct" -> (TextOps.q262HllDistinct(_, _)),
+    "q263_domain_reweight" -> (TextOps.q263DomainReweight(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -834,5 +836,12 @@ object SparkEntry {
     // arm against the both-arms consensus set; mirror nests the q180,
     // q48, and q190 oracles verbatim
     "q261_hybrid_eval" -> TextOps.q261HybridEvalSql,
+    // q262: deterministic HyperLogLog — md5 sketch, integer registers,
+    // one IEEE division on spliced literals; exact arm is the truth
+    "q262_hll_distinct" -> TextOps.q262HllDistinctSql,
+    // q263: one multiplicative-weights domain-reweighting step over
+    // per-source excess LM surprisal (linearized DoReMi update —
+    // exact rationals, no engine-evaluated exp)
+    "q263_domain_reweight" -> TextOps.q263DomainReweightSql,
   )
 }

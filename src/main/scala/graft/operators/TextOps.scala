@@ -2194,6 +2194,259 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
+  // q262: deterministic HyperLogLog distinct-count sketch
+  // ---------------------------------------------------------------
+
+  /** Register count (2^8 buckets — ±6.5% standard error, the classic
+    * small-sketch point on the HLL curve). */
+  private[graft] val HllM = 256
+  /** Power-of-two scaling that keeps Σ 2^(HllExp − M_j) an exact
+    * BIGINT: M_j ≤ 33 ⇒ smallest term 2^7; S ≤ 256·2^40 = 2^48 < 2^53
+    * so the cast to double before the one IEEE division is exact. */
+  private val HllExp = 40
+  /** α_m·m²·2^[[HllExp]] as ONE Scala-computed double, spliced as the
+    * same decimal literal into both engines (java round-trip string;
+    * DuckDB's strtod is correctly rounded) — neither engine ever
+    * evaluates a transcendental. */
+  private val HllAlphaL: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllExp)
+  /** Linear-counting estimates m·ln(m/zeros), PRE-EVALUATED in Scala
+    * per possible zero-register count and spliced as integer literals
+    * (the q242 inverse-CDF-table discipline) — the ln never runs in
+    * either engine, so there is no boundary hazard to register. */
+  private val HllLcTable: Seq[(Int, Long)] = (1 to HllM - 1).map(z =>
+    z -> math.floor(HllM * math.log(HllM.toDouble / z) + 0.5).toLong)
+
+  /** ρ(v) = leading-zero count of the 32-bit hash word + 1 — a pure
+    * integer CASE cascade generated from one Seq for both engines. */
+  private def hllRhoCase(v: String): String =
+    (1 to 32).map(r => s"WHEN $v >= ${1L << (32 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 33 END")
+  /** 2^([[HllExp]] − m) for m in 1..33, as literals (no engine pow). */
+  private def hllPowCase(m: String): String =
+    (1 to 33).map(k => s"WHEN $m = $k THEN ${1L << (HllExp - k)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+  private def hllLcCase(z: String): String =
+    HllLcTable.map { case (k, e) => s"WHEN $z = $k THEN $e" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** HyperLogLog distinct count (Flajolet–Fusy–Gandouet–Meunier 2007,
+    * public), DETERMINISTIC and bit-exact across engines — the
+    * upgrade over q19's engine-native HLL++ (whose sketch differs per
+    * engine, so q19 can only assert an error-bound flag): per source,
+    * the estimated vocabulary size beside the exact one. Every step
+    * is cross-engine-exact: md5 → 8-bit bucket + 32-bit word; ρ a
+    * 32-arm integer CASE; registers an integer max; the register sum
+    * Σ 2^(40−M_j) an exact BIGINT; the raw estimate ONE IEEE division
+    * of two identical doubles (α_m·m²·2^40 a spliced literal; S <
+    * 2^53 so its double cast is exact) then floor; the small-range
+    * linear-counting branch (raw ≤ 2.5m, empty registers exist) reads
+    * m·ln(m/zeros) from a Scala-precomputed 255-entry literal table —
+    * no transcendental ever evaluates in either engine.
+    *
+    * Scale: the sketch arm never builds the distinct set — max(ρ) is
+    * duplicate-insensitive, so it is ONE map-side-combinable
+    * aggregate onto the bounded |sources|×256 register axis (at
+    * 100 TB this is THE way to count distincts; the exact arm here
+    * exists only as the oracle's ground truth and is itself one
+    * vocabulary-grain aggregate, the same cost class as q256).
+    *
+    * Trigram grain (the q251 lesson): the driver corpus's unigram
+    * vocabulary is bounded (~31/source — the linear-counting branch
+    * would be the only live path), while per-source distinct TRIGRAMS
+    * number in the thousands, so the raw-estimate branch is live at
+    * every SF; the LC branch is spec-proven on a crafted corpus. */
+  def q262HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val tri = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead($"w", 1).over(w))
+      .withColumn("w2", lead($"w", 2).over(w))
+      .filter($"w2".isNotNull)
+      .select($"source", concat_ws(" ", $"w", $"w1", $"w2").as("term"))
+    hllDistinct(tri)
+  }
+
+  private[graft] def hllDistinct(toks: DataFrame): DataFrame = {
+    val hv = toks.select($"source", md5($"term").as("h"))
+      .select($"source",
+        conv(substring($"h", 1, 2), 16, 10).cast("long").as("bucket"),
+        conv(substring($"h", 3, 8), 16, 10).cast("long").as("v"))
+      .select($"source", $"bucket", expr(hllRhoCase("v")).as("rho"))
+    val sketch = hv.groupBy($"source", $"bucket").agg(max($"rho").as("m"))
+      .groupBy($"source").agg(
+        count(lit(1)).as("n_buckets_hit"),
+        sum(expr(hllPowCase("m"))).as("spart"))
+      .select($"source", $"n_buckets_hit",
+        ($"spart" + (lit(HllM.toLong) - $"n_buckets_hit")
+          * lit(1L << HllExp)).as("s"),
+        (lit(HllM.toLong) - $"n_buckets_hit").as("zeros"))
+      .select($"source", $"n_buckets_hit", $"zeros",
+        floor(lit(HllAlphaL) / $"s".cast("double")).cast("long").as("raw"))
+      .select($"source", $"n_buckets_hit",
+        when($"raw" <= lit(5L * HllM / 2) && $"zeros" > 0L,
+          expr(hllLcCase("zeros"))).otherwise($"raw").as("est_hll"))
+    val exact = toks.groupBy($"source")
+      .agg(countDistinct($"term").as("n_exact"))
+    exact.join(sketch, Seq("source"))
+      .select($"source", $"n_exact", $"n_buckets_hit", $"est_hll",
+        expr("(abs(est_hll - n_exact) * 1000000) div n_exact")
+          .as("err_ppm"))
+      .orderBy($"source")
+  }
+
+  val q262HllDistinctSql: String = {
+    // java round-trip literal: DuckDB's strtod parses it to the SAME
+    // double the Spark side uses via lit(HllAlphaL)
+    val lLit = java.lang.Double.toString(HllAlphaL)
+    s"""WITH ws AS (SELECT source, string_split(text, ' ') AS w
+       |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |toks AS (SELECT source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+       |    AS term
+       |  FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+       |hv AS (SELECT source,
+       |    CAST('0x' || substring(md5(term), 1, 2) AS BIGINT) AS bucket,
+       |    CAST('0x' || substring(md5(term), 3, 8) AS BIGINT) AS v
+       |  FROM toks),
+       |rh AS (SELECT source, bucket, ${hllRhoCase("v")} AS rho FROM hv),
+       |regs AS (SELECT source, bucket, max(rho) AS m
+       |  FROM rh GROUP BY 1, 2),
+       |sk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_buckets_hit,
+       |    CAST(sum(${hllPowCase("m")}) AS BIGINT) AS spart
+       |  FROM regs GROUP BY 1),
+       |er AS (SELECT source, n_buckets_hit,
+       |    $HllM - n_buckets_hit AS zeros,
+       |    CAST(floor($lLit / CAST(spart
+       |      + ($HllM - n_buckets_hit) * ${1L << HllExp} AS DOUBLE))
+       |      AS BIGINT) AS raw
+       |  FROM sk),
+       |es AS (SELECT source, n_buckets_hit,
+       |    CASE WHEN raw <= ${5L * HllM / 2} AND zeros > 0
+       |      THEN ${hllLcCase("zeros")} ELSE raw END AS est_hll
+       |  FROM er),
+       |ex AS (SELECT source, CAST(count(DISTINCT term) AS BIGINT)
+       |    AS n_exact FROM toks GROUP BY 1)
+       |SELECT x.source, x.n_exact, e.n_buckets_hit, e.est_hll,
+       |  (abs(e.est_hll - x.n_exact) * 1000000) // x.n_exact AS err_ppm
+       |FROM ex x JOIN es e USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q263: domain reweighting — one multiplicative-weights step
+  // ---------------------------------------------------------------
+
+  /** MW margin D (nano-nats of per-token surprisal — the q173 grid
+    * is micro-nats × the ·1000 mean scaling): the update factor is
+    * D + excess, i.e. the LINEARIZED multiplicative-weights rule with
+    * η = 1/D — exact rational arithmetic where the exponentiated rule
+    * would drag a cross-engine exp() hazard into the oracle. The live
+    * per-source excess spread is ±4.4e6 nano-nats across SFs, so
+    * D = 2e7 leaves ~4.5× headroom while keeping the reweighting
+    * visibly non-uniform (±22%% weight swing). |excess| < D is
+    * raise_error-guarded (a source that extreme needs a wider margin,
+    * not a silent negative weight). */
+  private[graft] val MwMargin = 20000000L
+
+  /** One domain-reweighting step over per-source excess LM loss — the
+    * mixture-update read of DoReMi (Xie et al. 2023, public), with
+    * the exponentiated-gradient update replaced by its linearization
+    * (multiplicative weights, Freund–Schapire 1997): starting from
+    * uniform domain weights, upweight each source proportionally to
+    * D + (its mean token surprisal − the corpus mean) — domains the
+    * reference LM models WORST gain weight, the worst-case-loss
+    * optimization DoReMi runs iteratively. Surprisal is q102/q173's
+    * integer micro-nat unigram-LM grid (the grid sites are the SAME
+    * ln(cf)/ln(N) values q102 registers in [[lnBoundaryHazards]] —
+    * the battery already covers them); the per-source mean is q173's
+    * identical-IEEE floor(·1000/n) milli-nat expression at source
+    * grain; excess, factors, and the final ppm weights are exact
+    * integer arithmetic (rule 13).
+    *
+    * Scale: one corpus scan to the (source, term) tf aggregate, the
+    * tf-vocab join NOT hand-broadcast (q67 df discipline), a
+    * |sources|-row reduction, and two 1-row broadcasts (ln N; the
+    * corpus mean + factor normalizer) — no pairwise work, no sort. */
+  def q263DomainReweight(s: SparkSession, d: String): DataFrame =
+    domainReweight(Tables.documents(s, d)
+      .select($"source", explode(Text.tokens($"text")).as("term")))
+
+  private[graft] def domainReweight(toks: DataFrame): DataFrame = {
+    val tf = toks.groupBy($"source", $"term").agg(count(lit(1)).as("c"))
+    val cf = tf.groupBy($"term").agg(sum($"c").as("cf"))
+    val lnN = cf.agg(sum($"cf").as("nn"))
+      .select(floor(log($"nn".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_n_grid"))
+    val g = cf.select($"term",
+      floor(log($"cf".cast("double")) * 1e6 + 0.5).cast("long")
+        .as("ln_cf_grid"))
+    val perSrc = tf.join(g, "term")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"), sum($"c" * $"ln_cf_grid").as("slncf"))
+      .crossJoin(broadcast(lnN))
+      .select($"source", $"n_tokens",
+        floor(($"n_tokens" * $"ln_n_grid" - $"slncf") * lit(1000.0)
+          / $"n_tokens").cast("long").as("msurp"))
+    // corpus mean from the SAME per-source sums (the q253 subtraction
+    // algebra): one K-row aggregate carries the mean, the source
+    // count, and the factor normalizer Σ(D + msurp_i − mean)
+    val tot = perSrc
+      .agg(sum($"n_tokens").as("nn"), sum($"msurp").as("sm"),
+        count(lit(1)).as("k"),
+        sum($"n_tokens" * $"msurp").as("wsum"))
+      .select($"k", $"sm", expr("wsum div nn").as("mean_all"))
+      .select($"k", $"mean_all",
+        ($"k" * lit(MwMargin) + $"sm" - $"k" * $"mean_all").as("fsum"))
+    perSrc.crossJoin(broadcast(tot))
+      .select($"source", $"n_tokens", $"msurp",
+        ($"msurp" - $"mean_all").as("excess"), $"k", $"fsum")
+      .select($"source", $"n_tokens", $"msurp".as("msurp_nano"),
+        when(abs($"excess") >= lit(MwMargin), raise_error(concat(
+          lit(s"q263: |excess| exceeds the MW margin $MwMargin at "),
+          $"source"))).otherwise($"excess").as("excess_nano"),
+        expr("1000000 div k").as("w_before_ppm"),
+        expr(s"(($MwMargin + excess) * 1000000) div fsum").as("w_after_ppm"))
+      .withColumn("delta_ppm", $"w_after_ppm" - $"w_before_ppm")
+      .orderBy($"source")
+  }
+
+  val q263DomainReweightSql: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS term FROM documents),
+       |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+       |  FROM toks GROUP BY 1, 2),
+       |cf AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf
+       |  FROM tf GROUP BY term),
+       |lnn AS (SELECT CAST(floor(ln(CAST(sum(cf) AS DOUBLE)) * 1e6 + 0.5)
+       |    AS BIGINT) AS ln_n_grid FROM cf),
+       |g AS (SELECT term, CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e6 + 0.5)
+       |    AS BIGINT) AS ln_cf_grid FROM cf),
+       |ps AS (SELECT t.source, CAST(sum(t.c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(t.c * g.ln_cf_grid) AS BIGINT) AS slncf
+       |  FROM tf t JOIN g USING (term) GROUP BY 1),
+       |ms AS (SELECT source, n_tokens,
+       |    CAST(floor((n_tokens * l.ln_n_grid - slncf) * 1000.0
+       |      / n_tokens) AS BIGINT) AS msurp
+       |  FROM ps, lnn l),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(msurp) AS BIGINT) AS sm,
+       |    CAST(sum(n_tokens * msurp) AS BIGINT)
+       |      // CAST(sum(n_tokens) AS BIGINT) AS mean_all
+       |  FROM ms),
+       |tf2 AS (SELECT k, mean_all,
+       |    k * $MwMargin + sm - k * mean_all AS fsum FROM tot)
+       |SELECT m.source, m.n_tokens, m.msurp AS msurp_nano,
+       |  m.msurp - t.mean_all AS excess_nano,
+       |  1000000 // t.k AS w_before_ppm,
+       |  (($MwMargin + m.msurp - t.mean_all) * 1000000) // t.fsum
+       |    AS w_after_ppm,
+       |  (($MwMargin + m.msurp - t.mean_all) * 1000000) // t.fsum
+       |    - 1000000 // t.k AS delta_ppm
+       |FROM ms m, tf2 t
+       |ORDER BY m.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q89: count-min sketch of term frequencies
   // ---------------------------------------------------------------
 

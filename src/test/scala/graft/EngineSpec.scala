@@ -3907,6 +3907,109 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q263 MW reweighting: JVM replay, identical-sources fixed point, direction") {
+    import graft.operators.TextOps
+    // skewed corpus: src_b carries 2 rare tokens in 1000 — a subtle
+    // ~1.4e7 nano-nat surprisal excess (inside the 2e7 MW margin;
+    // grosser skew must trip the guard, asserted below)
+    val toks = (Seq.fill(1000)(("src_a", "common")) ++
+      Seq.fill(998)(("src_b", "common")) ++ Seq.fill(2)(("src_b", "rare")))
+      .toDF("source", "term")
+    val got = TextOps.domainReweight(toks).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // independent replay: the same grid arithmetic from first principles
+    val cf = Map("common" -> 1998L, "rare" -> 2L)
+    val n = 2000L
+    def grid(x: Long) = math.floor(math.log(x.toDouble) * 1e6 + 0.5).toLong
+    def msurp(tf: Map[String, Long]) = {
+      val nt = tf.values.sum
+      val sl = tf.map { case (t, c) => c * grid(cf(t)) }.sum
+      math.floor((nt * grid(n) - sl) * 1000.0 / nt).toLong
+    }
+    val (ma, mb) = (msurp(Map("common" -> 1000L)),
+      msurp(Map("common" -> 998L, "rare" -> 2L)))
+    val meanAll = (1000L * ma + 1000L * mb) / 2000L
+    val d = TextOps.MwMargin
+    val fsum = 2L * d + (ma + mb) - 2L * meanAll
+    def w(m: Long) = (d + m - meanAll) * 1000000L / fsum
+    assert(got("src_a") === ((1000L, ma, ma - meanAll, 500000L, w(ma),
+      w(ma) - 500000L)), s"src_a replay: ${got("src_a")}")
+    assert(got("src_b") === ((1000L, mb, mb - meanAll, 500000L, w(mb),
+      w(mb) - 500000L)), s"src_b replay: ${got("src_b")}")
+    // the guard is live: a gross skew (half rare) must fail loudly,
+    // not emit a negative or saturated weight
+    val gross = (Seq.fill(90)(("g_a", "common")) ++
+      Seq.fill(5)(("g_b", "common")) ++ Seq.fill(5)(("g_b", "rare")))
+      .toDF("source", "term")
+    val e = intercept[Exception] {
+      TextOps.domainReweight(gross).collect()
+    }
+    assert(e.getMessage.contains("exceeds the MW margin"),
+      s"expected the margin guard, got: ${e.getMessage}")
+    // direction: the worse-modeled source gains, and strictly
+    assert(mb > ma && w(mb) > 500000L && w(ma) < 500000L,
+      s"MW direction violated: $ma $mb ${w(ma)} ${w(mb)}")
+    // fixed point: identical per-source distributions -> excess 0,
+    // weights exactly uniform
+    val unif = (Seq.fill(10)(("s1", "x")) ++ Seq.fill(10)(("s2", "x")))
+      .toDF("source", "term")
+    TextOps.domainReweight(unif).collect().foreach { r =>
+      assert(r.getAs[Long]("excess_nano") === 0L &&
+        r.getAs[Long]("delta_ppm") === 0L, s"uniform fixed point: $r")
+    }
+  }
+
+  test("q262 HLL: independent JVM sketch replay, LC branch, duplicate-insensitive") {
+    import graft.operators.TextOps
+    // crafted streams: a 1000-term source (raw-estimate branch), a
+    // 5-term source (linear-counting branch) — every term fed TWICE to
+    // prove the sketch is duplicate-insensitive
+    val terms = (0 until 1000).map(i => ("big", s"term_$i")) ++
+      (0 until 5).map(i => ("tiny", s"t$i"))
+    val toks = (terms ++ terms).toDF("source", "term")
+    val got = TextOps.hllDistinct(toks).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // full JVM replay from first principles (no TextOps arithmetic)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def replay(ts: Seq[String]): (Long, Long, Long, Long) = {
+      val regs = new Array[Long](256)
+      ts.distinct.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val b = Integer.parseInt(hex.substring(0, 2), 16)
+        val v = java.lang.Long.parseLong(hex.substring(2, 10), 16)
+        val rho = if (v == 0L) 33L else 33L - (64 - java.lang.Long.numberOfLeadingZeros(v))
+        regs(b) = math.max(regs(b), rho)
+      }
+      val hit = regs.count(_ > 0L).toLong
+      val s = regs.map(m => 1L << (40 - m)).sum // m=0 contributes 2^40
+      val alphaL = 0.7213 / (1 + 1.079 / 256.0) * 256.0 * 256.0 * math.pow(2.0, 40)
+      val raw = math.floor(alphaL / s.toDouble).toLong
+      val zeros = 256L - hit
+      val est = if (raw <= 640L && zeros > 0L)
+        math.floor(256.0 * math.log(256.0 / zeros) + 0.5).toLong else raw
+      val n = ts.distinct.size.toLong
+      (n, hit, est, math.abs(est - n) * 1000000L / n)
+    }
+    val eBig = replay((0 until 1000).map(i => s"term_$i"))
+    val eTiny = replay((0 until 5).map(i => s"t$i"))
+    assert(got("big") === eBig, s"big-source sketch diverged: ${got("big")} vs $eBig")
+    assert(got("tiny") === eTiny, s"tiny-source sketch diverged: ${got("tiny")} vs $eTiny")
+    // branch sanity: the big source must take the raw branch with a
+    // plausible estimate; the tiny one linear counting, near-exact
+    assert(eBig._3 > 640L && math.abs(eBig._3 - 1000L) < 200L,
+      s"raw-branch estimate off: $eBig")
+    assert(eTiny._3 >= 4L && eTiny._3 <= 6L, s"LC estimate off: $eTiny")
+    // live error bound at sf0.001: 3 sigma of the m=256 HLL (1.04/16)
+    TextOps.q262HllDistinct(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("err_ppm") <= 200000L,
+          s"HLL error beyond 3 sigma at ${r.getString(0)}: $r")
+      }
+  }
+
   test("q261 hybrid robustness: crafted strict-win trace + live fused ≥ arms") {
     import graft.operators.TextOps
     // crafted lists for query 0: lexical anchor doc 100, semantic

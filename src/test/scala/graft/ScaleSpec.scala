@@ -570,7 +570,10 @@ class ScaleSpec extends AnyFunSuite {
       // (in-domain/general token totals, TextOps.scala:6932)
       // +1 round 10: q259's 1-row guarded grand-total broadcast onto
       // the bounded |sources|×|buckets| JSD axis (TextOps.scala:7044)
-      "operators/TextOps.scala" -> 28,
+      // +2 round 11: q263's two 1-row broadcasts — the ln(N) grid
+      // constant onto the |sources|-row surprisal relation, and the
+      // (k, mean, normalizer) totals row for the MW weight step
+      "operators/TextOps.scala" -> 30,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
