@@ -286,6 +286,8 @@ object SparkEntry {
     "q261_hybrid_eval" -> (TextOps.q261HybridEval(_, _)),
     "q262_hll_distinct" -> (TextOps.q262HllDistinct(_, _)),
     "q263_domain_reweight" -> (TextOps.q263DomainReweight(_, _)),
+    "q264_stream_heavy_hitters" -> (EventStream.q264StreamHeavyHitters(_, _)),
+    "q265_hard_negatives" -> (VectorOps.q265HardNegatives(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -843,5 +845,11 @@ object SparkEntry {
     // per-source excess LM surprisal (linearized DoReMi update —
     // exact rationals, no engine-evaluated exp)
     "q263_domain_reweight" -> TextOps.q263DomainReweightSql,
+    // q264: streaming per-day top-3 users — the twelfth oracled
+    // streaming surface (watermarked tumbling agg + drained leaderboard)
+    "q264_stream_heavy_hitters" -> EventStream.q264StreamHeavyHittersSql,
+    // q265: DPR-style hard-negative mining — BM25 candidates labeled by
+    // exact-semantic membership, cosine as the hardness key
+    "q265_hard_negatives" -> VectorOps.q265HardNegativesSql,
   )
 }

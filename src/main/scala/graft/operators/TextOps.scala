@@ -5194,7 +5194,7 @@ object TextOps {
   // ---------------------------------------------------------------
 
   private val RrfC = 60L       // the standard RRF damping constant
-  private val RrfNumQueries = 3L // query ids shared by BOTH arms (0..2)
+  private[graft] val RrfNumQueries = 3L // query ids shared by BOTH arms (0..2)
   private val RrfTopK = 10
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009,

@@ -2055,4 +2055,86 @@ object VectorOps {
        |ORDER BY step""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q265: BM25 hard-negative mining for contrastive training
+  // ---------------------------------------------------------------
+
+  /** Hard-negative mining for embedding-model training (the DPR
+    * recipe, Karpukhin et al. EMNLP 2020, public: the best negatives
+    * for contrastive training are BM25-retrieved passages that are
+    * NOT semantically relevant — lexically plausible, semantically
+    * wrong): for each query, every lexical-arm candidate (q180 top-10,
+    * the query's own document excluded — it is the positive, not a
+    * negative) is scored with its EXACT gridded cosine to the query
+    * embedding and labeled: in the exact semantic top-10 (q27) → not
+    * a negative; outside it → hard negative, with the cosine as the
+    * hardness curriculum key. Candidates without an embedding row
+    * cannot be judged — cosine and label NULL on both engines (the
+    * honest unknown, never a silent 0).
+    *
+    * Determinism: the cosine is the q27 identical-IEEE expression
+    * stableRounded to the 1e-6 grid; membership joins are exact.
+    *
+    * Scale: |queries|×10 candidate rows; the 3-row query-embedding
+    * relation broadcasts; the candidate→embedding join is key-grain
+    * (AQE picks the strategy — the corpus-grain embedding side is
+    * never hand-broadcast); the q27 baseline is the one corpus-scan
+    * arm. */
+  def q265HardNegatives(s: SparkSession, d: String): DataFrame = {
+    val nq = graft.operators.TextOps.RrfNumQueries
+    val cands = graft.operators.TextOps.q180Bm25(s, d)
+      .filter($"query_id" < nq && $"doc_id" =!= $"query_id")
+      .select($"query_id", $"rank".as("lex_rank"), $"doc_id")
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter($"vec_id" < nq)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val semTop = q27KnnCosine(s, d)
+      .filter($"query_id" < nq)
+      .select($"query_id", $"neighbor_id".as("doc_id"), lit(1L).as("in_sem"))
+    cands
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb.select($"vec_id".as("doc_id"), $"embedding".as("dvec")),
+        Seq("doc_id"), "left")
+      .join(semTop, Seq("query_id", "doc_id"), "left")
+      .select($"query_id", $"lex_rank", $"doc_id",
+        when($"dvec".isNotNull,
+          stableRound(Vectors.cosine($"qvec", $"dvec"), 6)).as("cos_sem"),
+        coalesce($"in_sem", lit(0L)).as("in_sem_topk"),
+        when($"dvec".isNull, lit(null).cast("long"))
+          .otherwise(when($"in_sem".isNull, 1L).otherwise(0L))
+          .as("is_hard_negative"))
+      .orderBy($"query_id", $"lex_rank")
+  }
+
+  // lazy: TextOps's own init references VectorOps (q190's mirror), so
+  // an eager val here would capture TextOps.q180Bm25Sql as null when
+  // TextOps is the object that loads first (circular-init order)
+  lazy val q265HardNegativesSql: String = {
+    val nq = graft.operators.TextOps.RrfNumQueries
+    s"""WITH lexq AS (SELECT query_id, rank AS lex_rank, doc_id
+       |  FROM (${graft.operators.TextOps.q180Bm25Sql})
+       |  WHERE query_id < $nq AND doc_id <> query_id),
+       |semt AS (SELECT query_id, neighbor_id AS doc_id
+       |  FROM ($q27KnnCosineSql) WHERE query_id < $nq),
+       |qv AS (SELECT vec_id AS query_id, embedding AS qvec
+       |  FROM embeddings WHERE vec_id < $nq),
+       |j AS (SELECT l.query_id, l.lex_rank, l.doc_id,
+       |    q.qvec, e.embedding AS dvec,
+       |    CASE WHEN s.doc_id IS NOT NULL THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS in_sem_topk,
+       |    CASE WHEN e.vec_id IS NULL THEN CAST(NULL AS BIGINT)
+       |      WHEN s.doc_id IS NULL THEN CAST(1 AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS is_hard_negative
+       |  FROM lexq l
+       |  JOIN qv q USING (query_id)
+       |  LEFT JOIN embeddings e ON e.vec_id = l.doc_id
+       |  LEFT JOIN semt s ON s.query_id = l.query_id
+       |    AND s.doc_id = l.doc_id)
+       |SELECT query_id, lex_rank, doc_id,
+       |  CASE WHEN dvec IS NOT NULL
+       |    THEN ${sqlRound(cosSql("qvec", "dvec"), 6)} END AS cos_sem,
+       |  in_sem_topk, is_hard_negative
+       |FROM j ORDER BY query_id, lex_rank""".stripMargin
+  }
+
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -845,6 +846,70 @@ object EventStream {
       graft.operators.TextOps.q50DedupClusters(spark, sfDir)
         .select($"doc_id".as("c_doc_id"), $"canonical_id", $"cluster_size"))
       .orderBy($"doc_id")
+
+  // ---------------------------------------------------------------
+  // q264: streaming heavy hitters — per-day top-k users
+  // ---------------------------------------------------------------
+
+  /** Heavy-hitter cut: the per-window leaderboard depth. */
+  private[graft] val HhTopK = 3L
+
+  /** Streaming heavy-hitter detection — the TWELFTH oracled streaming
+    * surface: per tumbling day window, the top-[[HhTopK]] users by
+    * event count (the abuse/monitoring question every ingest pipeline
+    * asks of its stream: who dominates today's traffic?). The
+    * STREAMING layer is the watermarked tumbling count aggregate at
+    * (day, user) grain — state is one counter per live (window, user),
+    * the same bounded class as q174's per-key state; the LEADERBOARD
+    * layer (rank + cut) runs over the drained aggregate, a
+    * |days|×|active users| relation (30×1500 here). At a deployment
+    * where the per-window user set itself is too wide, the aggregate
+    * grain is unchanged and the leaderboard swaps in the q89
+    * count-min + candidate-probe shape — the windowed agg below is
+    * the part that must stream.
+    *
+    * Determinism: tumbling windows are epoch-aligned (the q172 µs
+    * truncation identity); the rank's ORDER BY carries the unique
+    * (count desc, user_id) tie-break (README rule: every window
+    * ORDER BY totally ordered). */
+  def q264StreamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "hh_" + UUID.randomUUID().toString.replace("-", "")
+    val ss = streamSession(spark, 8)
+    val stream = rawEvents(ss, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day").as("win"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val ckpt = s"/tmp/graft_ckpt_$name"
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    val w = Window.partitionBy($"win").orderBy($"n_events".desc, $"user_id")
+    ss.table(name)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= HhTopK)
+      .select(date_format($"win.start", "yyyy-MM-dd").as("day"),
+        $"rank", $"user_id", $"n_events")
+      .orderBy($"day", $"rank")
+  }
+
+  val q264StreamHeavyHittersSql: String =
+    s"""WITH e AS (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+       |             * 86400000000 AS d_us, user_id FROM events),
+       |c AS (SELECT d_us, user_id, CAST(count(*) AS BIGINT) AS n_events
+       |      FROM e GROUP BY 1, 2),
+       |r AS (SELECT d_us, user_id, n_events,
+       |        row_number() OVER (PARTITION BY d_us
+       |          ORDER BY n_events DESC, user_id) AS rn FROM c)
+       |SELECT strftime(make_timestamp(d_us), '%Y-%m-%d') AS day,
+       |  CAST(rn AS BIGINT) AS rank, user_id, n_events
+       |FROM r WHERE rn <= $HhTopK
+       |ORDER BY day, rank""".stripMargin
 
   /** The shared label/decide transform (works on a stream or batch
     * doc relation — the lockstep guarantee is that both run THIS). */

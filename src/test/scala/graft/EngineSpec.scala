@@ -3907,6 +3907,41 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q265 hard negatives: membership consistency vs q27, boundary, honest unknowns") {
+    import graft.operators.VectorOps
+    val d = "/root/testdata/sf0.001"
+    val sem = VectorOps.q27KnnCosine(spark, d).collect()
+      .filter(_.getLong(0) < 3L)
+      .map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    val min10 = sem.groupBy(_._1._1).map { case (q, m) => q -> m.values.min }
+    val rows = VectorOps.q265HardNegatives(spark, d).collect()
+    assert(rows.nonEmpty && rows.exists(r =>
+      !r.isNullAt(5) && r.getLong(5) == 1L), "no live hard negative")
+    rows.foreach { r =>
+      val (q, doc) = (r.getLong(0), r.getLong(2))
+      val inSem = r.getLong(4)
+      // membership column must agree with q27's own output
+      assert((inSem == 1L) === sem.contains((q, doc)),
+        s"in_sem_topk disagrees with q27 at ($q, $doc)")
+      if (r.isNullAt(3)) {
+        // no embedding -> label must be the honest NULL, never a 0/1
+        assert(r.isNullAt(5), s"unknown candidate got a label: $r")
+        assert(inSem == 0L)
+      } else {
+        val cos = r.getDouble(3)
+        assert(r.getLong(5) == 1L - inSem, s"label/membership mismatch: $r")
+        // a hard negative's similarity can never exceed the query's
+        // exact 10th-best score (it lost that top-10)
+        if (r.getLong(5) == 1L)
+          assert(cos <= min10(q) + 1e-9,
+            s"hard negative above the top-10 floor: $r vs ${min10(q)}")
+        // the query's own doc is excluded by construction
+        assert(doc != q, s"self-pair leaked: $r")
+      }
+    }
+  }
+
   test("q263 MW reweighting: JVM replay, identical-sources fixed point, direction") {
     import graft.operators.TextOps
     // skewed corpus: src_b carries 2 rare tokens in 1000 — a subtle

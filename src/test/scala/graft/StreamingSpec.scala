@@ -291,6 +291,39 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("q264 streaming heavy hitters: crafted leaderboard — tie-break, day boundary, short day") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streamhh").toString
+    val d0 = 1706745600L // 2024-02-01 00:00:00 UTC, day-aligned
+    // day 0: users 5 and 9 tie at 3 events (rank by lower id), user 2
+    // has 2, user 7's single event is cut at k=3; the :59:59 tick stays
+    // in day 0 while the midnight tick opens day 1 (boundary split);
+    // day 1 has ONE user — a leaderboard shorter than k
+    val evs = Seq(
+      (1L, d0 + 10L, 5L), (2L, d0 + 20L, 5L), (3L, d0 + 86399L, 5L),
+      (4L, d0 + 30L, 9L), (5L, d0 + 40L, 9L), (6L, d0 + 50L, 9L),
+      (7L, d0 + 60L, 2L), (8L, d0 + 70L, 2L),
+      (9L, d0 + 80L, 7L),
+      (10L, d0 + 86400L, 42L)) // midnight: day 1
+    evs.map { case (id, s, u) => (id, s * 1000000L, u, "a", 1.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select($"event_id", timestamp_micros($"us").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp")
+    val part = new java.io.File(s"$base/_tmp").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$base/events.parquet"))
+    val got = EventStream.q264StreamHeavyHitters(spark, base).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-02-01", 1L, 5L, 3L),  // tie with 9 -> lower id first
+      ("2024-02-01", 2L, 9L, 3L),
+      ("2024-02-01", 3L, 2L, 2L),  // user 7 cut at k=3
+      ("2024-02-02", 1L, 42L, 1L)), s"leaderboard: ${got.toSeq}")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("q260 streaming dedup front door: crafted clusters, stream ≡ batch twin") {
     // crafted corpus: docs 1 and 2 share an identical 8-word text
     // (shingle jaccard 1.0 → one near-dup cluster, canonical = min id
