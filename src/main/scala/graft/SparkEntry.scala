@@ -288,6 +288,8 @@ object SparkEntry {
     "q263_domain_reweight" -> (TextOps.q263DomainReweight(_, _)),
     "q264_stream_heavy_hitters" -> (EventStream.q264StreamHeavyHitters(_, _)),
     "q265_hard_negatives" -> (VectorOps.q265HardNegatives(_, _)),
+    "q266_split_leakage" -> (TextOps.q266SplitLeakage(_, _)),
+    "q267_schema_evolution" -> (graft.operators.Scale.q267SchemaEvolution(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -851,5 +853,11 @@ object SparkEntry {
     // q265: DPR-style hard-negative mining — BM25 candidates labeled by
     // exact-semantic membership, cosine as the hardness key
     "q265_hard_negatives" -> VectorOps.q265HardNegativesSql,
+    // q266: cross-split near-dup leakage — q88's split function over
+    // the staged q50 clusters, per-split-pair spanning census
+    "q266_split_leakage" -> TextOps.q266SplitLeakageSql,
+    // q267: schema-evolution merged read — two parquet generations,
+    // old rows surface the evolved column as NULL
+    "q267_schema_evolution" -> graft.operators.Scale.q267SchemaEvolutionSql,
   )
 }

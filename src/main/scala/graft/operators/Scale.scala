@@ -182,4 +182,64 @@ object Scale {
       |WHERE strftime(o_orderdate, '%Y-%m') >= '1995-01'
       |  AND strftime(o_orderdate, '%Y-%m') <= '1995-06'
       |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** q267: driver-oracled SCHEMA-EVOLUTION round trip — the third
+    * layout-layer proof beside q193 (partition dirs) and q198
+    * (buckets): a long-lived lakehouse table accretes columns, so old
+    * parquet files lack columns newer files carry. Generation 1
+    * (orders before 1998) is written WITHOUT the `o_band` column;
+    * generation 2 (the rest) WITH it; the table is read back through
+    * `mergeSchema` (footer-schema union — the evolution read path)
+    * and censused per generation. A green row proves the merged read
+    * loses/duplicates nothing across generations AND that every
+    * generation-1 row surfaces the evolved column as NULL (never a
+    * default, never a crash) — the contract downstream queries rely
+    * on after every ALTER TABLE ADD COLUMN.
+    *
+    * Determinism: the generation cut crosses engines as a string
+    * date (temporal rule 4); band sums are exact integers; money
+    * rides the cent grid (parquet round-trips doubles bit-exactly).
+    *
+    * Scale: schema merging reads FOOTERS, not data (one listing
+    * pass); the census is one scan of both generations with the
+    * evolved column pruned into the gen-2 files only. */
+  def q267SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val path = s"/tmp/graft_schevo_q267_${ProcessHandle.current().pid()}"
+    new scala.reflect.io.Directory(new java.io.File(path)).deleteRecursively()
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    orders.filter(col("od") < "1998-01-01")
+      .select(lit(1L).as("gen"), col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$path/g1")
+    orders.filter(col("od") >= "1998-01-01")
+      .select(lit(2L).as("gen"), col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderkey") % 4).as("o_band"))
+      .write.mode("overwrite").parquet(s"$path/g2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/g1", s"$path/g2")
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_band").isNull.cast("long")).as("n_band_null"),
+        sum(col("o_band")).as("sum_band"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("gen"))
+  }
+
+  val q267SchemaEvolutionSql: String =
+    """WITH g AS (SELECT
+      |    CASE WHEN strftime(o_orderdate, '%Y-%m-%d') < '1998-01-01'
+      |      THEN 1 ELSE 2 END AS gen,
+      |    o_orderkey, o_totalprice,
+      |    CASE WHEN strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+      |      THEN o_orderkey % 4 END AS o_band
+      |  FROM orders)
+      |SELECT CAST(gen AS BIGINT) AS gen,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN o_band IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_band_null,
+      |  CAST(sum(o_band) AS BIGINT) AS sum_band,
+      |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
+      |FROM g GROUP BY 1 ORDER BY gen""".stripMargin
 }

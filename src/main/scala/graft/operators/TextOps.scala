@@ -2173,25 +2173,93 @@ object TextOps {
     * its own (the census aggregation is the only exchange, bounded by
     * |splits|×|langs|). The split column is exactly what a 100 TB
     * pipeline would partition-write by. */
-  def q88Split(s: SparkSession, d: String): DataFrame = {
+  /** The 3-way hash-split assignment, factored so q88's census and
+    * q266's leakage audit run the IDENTICAL function (one generator,
+    * both engines — the q194 shared-template discipline). */
+  private def splitCol: Column = {
     val u = conv(substring(md5(concat(lit("split:"),
       $"doc_id".cast("string"))), 1, 8), 16, 10).cast("long") / 4294967296.0
-    val split = when(u < SplitTrain, "train")
-      .when(u < SplitVal, "val").otherwise("test")
+    when(u < SplitTrain, "train").when(u < SplitVal, "val").otherwise("test")
+  }
+  private def splitSqlExpr: String = {
+    val u = "(CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
+    s"""CASE WHEN $u < $SplitTrain THEN 'train'
+       |            WHEN $u < $SplitVal THEN 'val' ELSE 'test' END""".stripMargin
+  }
+
+  def q88Split(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(split.as("split"), $"lang", Text.tokenCount($"text").as("tk"))
+      .select(splitCol.as("split"), $"lang", Text.tokenCount($"text").as("tk"))
       .groupBy($"split", $"lang")
       .agg(count(lit(1)).as("n_docs"), sum($"tk").cast("long").as("n_tokens"))
       .orderBy($"split", $"lang")
-  }
 
-  val q88SplitSql: String = {
-    val u = "(CAST('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0)"
-    s"""SELECT CASE WHEN $u < $SplitTrain THEN 'train'
-       |            WHEN $u < $SplitVal THEN 'val' ELSE 'test' END AS split,
+  val q88SplitSql: String =
+    s"""SELECT $splitSqlExpr AS split,
        |  lang, count(*) AS n_docs, CAST(sum($tcSql) AS BIGINT) AS n_tokens
        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q266: split-leakage audit — near-dup clusters spanning splits
+  // ---------------------------------------------------------------
+
+  /** Cross-split near-duplicate leakage audit — the eval-hygiene
+    * check every benchmark-grade corpus needs (the GPT-3 appendix-C
+    * lesson, Brown et al. 2020, public: held-out metrics are inflated
+    * when test documents have near-duplicates in train): compose the
+    * q88 hash-split assignment with the STAGED q50 near-dup clusters
+    * and report, per unordered split pair, how many clusters span
+    * both sides and how many documents sit on each — a val/test doc
+    * inside a train-spanning cluster is a leaked evaluation item.
+    * The split function is the SAME generator q88 censuses (one
+    * definition, both engines), so the audit can never drift from
+    * the split it audits; the clusters are the same staged relation
+    * q52's keep-list consumes.
+    *
+    * Determinism: pure integer counts over exact md5 splits and the
+    * oracled cluster relation; pair order fixed by string comparison.
+    *
+    * Scale: one doc-keyed sort-merge join (split is a scan-level
+    * expression, clusters come pre-partitioned from the stage), one
+    * (cluster, split) aggregate, and a cluster-keyed self-join whose
+    * per-cluster fan-out is at most |splits|² = 9 rows — bounded
+    * by construction, then a 3-row census. */
+  def q266SplitLeakage(s: SparkSession, d: String): DataFrame =
+    splitLeakage(q50DedupClusters(s, d).select($"doc_id", $"canonical_id"),
+      Tables.documents(s, d).select($"doc_id", splitCol.as("split")))
+
+  /** The audit layer over any (doc→cluster, doc→split) relations —
+    * the spec replays it on crafted clusters; q266 feeds it the live
+    * staged clusters and the q88 split. */
+  private[graft] def splitLeakage(clusters: DataFrame,
+      splits: DataFrame): DataFrame = {
+    val mem = clusters.join(splits, Seq("doc_id"))
+      .groupBy($"canonical_id", $"split")
+      .agg(count(lit(1)).as("n"))
+    val a = mem.select($"canonical_id", $"split".as("split_a"), $"n".as("na"))
+    val b = mem.select($"canonical_id", $"split".as("split_b"), $"n".as("nb"))
+    a.join(b, Seq("canonical_id"))
+      .filter($"split_a" < $"split_b")
+      .groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("n_clusters_spanning"),
+        sum($"na").as("n_docs_a"), sum($"nb").as("n_docs_b"))
+      .orderBy($"split_a", $"split_b")
   }
+
+  val q266SplitLeakageSql: String =
+    s"""WITH RECURSIVE $clusterCtes,
+       |sp AS (SELECT doc_id, $splitSqlExpr AS split FROM documents),
+       |mem AS (SELECT c.canonical_id, s.split,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM comp c JOIN sp s ON s.doc_id = c.id
+       |  GROUP BY 1, 2)
+       |SELECT a.split AS split_a, b.split AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_clusters_spanning,
+       |  CAST(sum(a.n) AS BIGINT) AS n_docs_a,
+       |  CAST(sum(b.n) AS BIGINT) AS n_docs_b
+       |FROM mem a JOIN mem b ON a.canonical_id = b.canonical_id
+       |  AND a.split < b.split
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
   // q262: deterministic HyperLogLog distinct-count sketch

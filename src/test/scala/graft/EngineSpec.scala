@@ -3907,6 +3907,50 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q267 schema evolution: gen-1 files genuinely lack the column, NULLs surface") {
+    val rows = graft.operators.Scale
+      .q267SchemaEvolution(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === Set(1L, 2L), s"both generations must be live: $rows")
+    // every gen-1 row surfaces the evolved column as NULL — and the
+    // NULL really comes from schema merging, not from data: the gen-1
+    // files must NOT carry the column at all
+    assert(rows(1L).getLong(2) === rows(1L).getLong(1),
+      s"gen-1 nulls must equal gen-1 rows: ${rows(1L)}")
+    assert(rows(1L).isNullAt(3), s"gen-1 sum over no values must be NULL: ${rows(1L)}")
+    assert(rows(2L).getLong(2) === 0L, s"gen-2 must carry the column: ${rows(2L)}")
+    val g1 = s"/tmp/graft_schevo_q267_${ProcessHandle.current().pid()}/g1"
+    assert(!spark.read.parquet(g1).schema.fieldNames.contains("o_band"),
+      "gen-1 files carry o_band — the evolution scenario is vacuous")
+  }
+
+  test("q266 split leakage: crafted span matrix incl. a three-way cluster") {
+    import graft.operators.TextOps
+    // c1 spans train/test; c2 has 2 train + 1 val; c3 sits wholly in
+    // test (must NOT appear); c4 spans all three splits (contributes
+    // one cluster to every pair)
+    val clusters = Seq(
+      (1L, 101L), (2L, 101L),
+      (3L, 102L), (4L, 102L), (5L, 102L),
+      (6L, 103L), (7L, 103L),
+      (8L, 104L), (9L, 104L), (10L, 104L))
+      .toDF("doc_id", "canonical_id")
+    val splits = Seq(
+      1L -> "train", 2L -> "test",
+      3L -> "train", 4L -> "train", 5L -> "val",
+      6L -> "test", 7L -> "test",
+      8L -> "train", 9L -> "val", 10L -> "test")
+      .toDF("doc_id", "split")
+    val got = TextOps.splitLeakage(clusters, splits).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === Map(
+      ("test", "train") -> ((2L, 2L, 2L)),  // c1 + c4
+      ("test", "val") -> ((1L, 1L, 1L)),    // c4
+      ("train", "val") -> ((2L, 3L, 2L))),  // c2 (2 train docs) + c4
+      s"leakage matrix: $got")
+  }
+
   test("q265 hard negatives: membership consistency vs q27, boundary, honest unknowns") {
     import graft.operators.VectorOps
     val d = "/root/testdata/sf0.001"
