@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Hamming64, SimHash64, SubstrGramHashes}
+import graft.functions.{Hamming64, SimHash64, SubstrGramHashes, ZOrder2}
 
 /** `SparkSessionExtensions` hook (SURVEY.md §7.3): injects the engine's
   * native expressions into any session at build time —
@@ -38,5 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SubstrGramHashes].getName, "substr_gram_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SubstrGramHashes(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ZOrder2(exprs.head, exprs(1))))
   }
 }

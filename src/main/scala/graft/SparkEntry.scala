@@ -290,6 +290,8 @@ object SparkEntry {
     "q265_hard_negatives" -> (VectorOps.q265HardNegatives(_, _)),
     "q266_split_leakage" -> (TextOps.q266SplitLeakage(_, _)),
     "q267_schema_evolution" -> (graft.operators.Scale.q267SchemaEvolution(_, _)),
+    "q268_zorder_layout" -> (graft.operators.Scale.q268ZorderLayout(_, _)),
+    "q269_sq8_quant" -> (VectorOps.q269Sq8Quant(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -859,5 +861,11 @@ object SparkEntry {
     // q267: schema-evolution merged read — two parquet generations,
     // old rows surface the evolved column as NULL
     "q267_schema_evolution" -> graft.operators.Scale.q267SchemaEvolutionSql,
+    // q268: native Morton-interleave layout key — census per z-range
+    // exhibits the both-dimensions-bounded clustering property
+    "q268_zorder_layout" -> graft.operators.Scale.q268ZorderLayoutSql,
+    // q269: int8 scalar-quantization error audit — per-dim affine code
+    // grid, relative reconstruction error in exact ppb
+    "q269_sq8_quant" -> VectorOps.q269Sq8QuantSql,
   )
 }

@@ -242,4 +242,60 @@ object Scale {
       |  CAST(sum(o_band) AS BIGINT) AS sum_band,
       |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price
       |FROM g GROUP BY 1 ORDER BY gen""".stripMargin
+
+  /** q268: Z-ORDER data-clustering layout key — the multi-dimensional
+    * locality layer beside q193's 1-D partition dirs: orders keyed by
+    * the native `zorder2(o_custkey, epoch_day)` Morton interleave
+    * (graft.functions.ZOrder2, codegen'd — a UDF would box every
+    * row), censused per 2^22-wide key range. The z-property is the
+    * whole point and the census EXHIBITS it: inside one bucket the
+    * key varies only in its low 22 bits, so EACH dimension varies
+    * only in its low 11 — cust_span and day_span are both < 2^11 =
+    * 2048 in every row (EngineSpec asserts it; no 1-D sort order can
+    * bound both). A lakehouse writes files in z-key ranges so a scan
+    * filtered on EITHER dimension prunes files — the Delta/Iceberg
+    * Z-ORDER OPTIMIZE recipe.
+    *
+    * Determinism: pure bit arithmetic, one generator for both
+    * engines; inputs raise_error-guarded into the 31-bit window
+    * (masking would silently alias far-apart keys).
+    *
+    * Scale: the key is a scan-level expression (no shuffle to
+    * compute); the census one map-side-combinable aggregate onto the
+    * bounded key-range axis. */
+  def q268ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ZOrder
+    val lim = 1L << graft.functions.ZOrderImpl.Bits
+    def guard(c: Column, tag: String): Column =
+      when(c < 0L || c >= lim, raise_error(concat(
+        lit(s"q268: $tag outside the 31-bit z-window: "), c))).otherwise(c)
+    graft.sources.Tables.orders(spark, dir)
+      .select(
+        guard(col("o_custkey"), "o_custkey").as("ck"),
+        guard(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"),
+          "epoch_day").as("d"))
+      .select(ZOrder.zorder2(col("ck"), col("d")).as("zkey"),
+        col("ck"), col("d"))
+      .groupBy(expr(s"zkey div ${1L << 22}").as("zbucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        (max(col("ck")) - min(col("ck"))).as("cust_span"),
+        (max(col("d")) - min(col("d"))).as("day_span"),
+        min(col("ck")).as("min_cust"), min(col("d")).as("min_day"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q268ZorderLayoutSql: String = {
+    val z = graft.functions.ZOrder.sqlExpr("o_custkey",
+      "date_diff('day', DATE '1970-01-01', o_orderdate)")
+    s"""WITH zk AS (SELECT $z AS zkey, o_custkey AS ck,
+       |    date_diff('day', DATE '1970-01-01', o_orderdate) AS d
+       |  FROM orders)
+       |SELECT zkey // ${1L << 22} AS zbucket,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  CAST(max(ck) - min(ck) AS BIGINT) AS cust_span,
+       |  CAST(max(d) - min(d) AS BIGINT) AS day_span,
+       |  CAST(min(ck) AS BIGINT) AS min_cust,
+       |  CAST(min(d) AS BIGINT) AS min_day
+       |FROM zk GROUP BY 1 ORDER BY zbucket""".stripMargin
+  }
 }

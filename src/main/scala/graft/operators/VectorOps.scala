@@ -2056,6 +2056,85 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------
+  // q269: int8 scalar quantization — compression-error audit
+  // ---------------------------------------------------------------
+
+  /** Int8 scalar quantization error audit (the FAISS SQ8 recipe,
+    * public — Jégou et al.'s scalar baseline beside the q77 PQ
+    * codebooks): per dimension, the corpus min/max train the affine
+    * code grid (code = round((v−min)·255/(max−min)), 0..255), every
+    * value is quantized and reconstructed, and the census reports the
+    * per-dimension max/mean relative reconstruction error — the table
+    * read before shipping an index at 4 bytes→1 byte per dimension.
+    * The theoretical bound is half a quantization step: rel err ≤
+    * 1/510 ≈ 1.96e6 ppb (EngineSpec asserts the live max under it).
+    *
+    * Determinism: float32 inputs cast to double exactly; min/max/
+    * scale/code/reconstruction are the identical IEEE expression on
+    * both engines (rule 7), the per-value relative error floor-
+    * gridded to integer ppb (rule 10) BEFORE the max/mean, the mean
+    * a rule-13 integer division; a zero-range dimension CASEs to
+    * code 0 / error 0 both sides.
+    *
+    * Scale: two map-side-combinable aggregates over the exploded
+    * (dim, value) stream onto the |dims| axis, with the 16-row
+    * per-dim stats relation broadcast back — no shuffle of the
+    * corpus beyond the explode's narrow dependency, no pairwise
+    * work. */
+  def q269Sq8Quant(s: SparkSession, d: String): DataFrame =
+    sq8Quant(Tables.embeddings(s, d)
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "vf")))
+      .select($"dim".cast("long").as("dim"), $"vf".cast("double").as("v")))
+
+  private[graft] def sq8Quant(vals: DataFrame): DataFrame = {
+    val stats = vals.groupBy($"dim")
+      .agg(min($"v").as("vmin"), max($"v").as("vmax"))
+    val coded = vals.join(broadcast(stats), Seq("dim"))
+      .select($"dim", $"v", $"vmin", $"vmax",
+        when($"vmax" === $"vmin", lit(0L))
+          .otherwise(floor(($"v" - $"vmin") * 255.0 / ($"vmax" - $"vmin")
+            + 0.5).cast("long")).as("code"))
+      .select($"dim", $"code",
+        when($"vmax" === $"vmin", lit(0L))
+          .otherwise(floor(abs($"v" - ($"vmin" + $"code"
+              * (($"vmax" - $"vmin") / 255.0)))
+            / ($"vmax" - $"vmin") * 1e9 + 0.5).cast("long"))
+          .as("err_ppb"))
+    coded.groupBy($"dim")
+      .agg(count(lit(1)).as("n_vals"),
+        min($"code").as("code_min"), max($"code").as("code_max"),
+        max($"err_ppb").as("max_err_ppb"),
+        sum($"err_ppb").as("se"))
+      .select($"dim", $"n_vals", $"code_min", $"code_max",
+        $"max_err_ppb", expr("se div n_vals").as("mean_err_ppb"))
+      .orderBy($"dim")
+  }
+
+  val q269Sq8QuantSql: String =
+    s"""WITH vals AS (SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+       |st AS (SELECT dim, min(v) AS vmin, max(v) AS vmax
+       |  FROM vals GROUP BY dim),
+       |cd AS (SELECT v.dim,
+       |    CASE WHEN st.vmax = st.vmin THEN 0 ELSE
+       |      CAST(floor((v.v - st.vmin) * 255.0 / (st.vmax - st.vmin)
+       |        + 0.5) AS BIGINT) END AS code,
+       |    v.v, st.vmin, st.vmax
+       |  FROM vals v JOIN st USING (dim)),
+       |er AS (SELECT dim, code,
+       |    CASE WHEN vmax = vmin THEN 0 ELSE
+       |      CAST(floor(abs(v - (vmin + code * ((vmax - vmin) / 255.0)))
+       |        / (vmax - vmin) * 1e9 + 0.5) AS BIGINT) END AS err_ppb
+       |  FROM cd)
+       |SELECT CAST(dim AS BIGINT) AS dim,
+       |  CAST(count(*) AS BIGINT) AS n_vals,
+       |  CAST(min(code) AS BIGINT) AS code_min,
+       |  CAST(max(code) AS BIGINT) AS code_max,
+       |  CAST(max(err_ppb) AS BIGINT) AS max_err_ppb,
+       |  CAST(sum(err_ppb) AS BIGINT) // count(*) AS mean_err_ppb
+       |FROM er GROUP BY 1 ORDER BY dim""".stripMargin
+
+  // ---------------------------------------------------------------
   // q265: BM25 hard-negative mining for contrastive training
   // ---------------------------------------------------------------
 

@@ -3907,6 +3907,70 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q269 SQ8: JVM replay, constant-dim zero, half-step bound live") {
+    import graft.operators.VectorOps
+    // dim 0: [0, 0.25, 0.5, 1] — includes the worst case exactly at a
+    // half step (0.5 vs 128/255); dim 1: constant (zero-range branch)
+    val vals = Seq((0L, 0.0), (0L, 0.25), (0L, 0.5), (0L, 1.0),
+      (1L, 7.5), (1L, 7.5), (1L, 7.5)).toDF("dim", "v")
+    val got = VectorOps.sq8Quant(vals).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    def replay(xs: Seq[Double]): (Long, Long, Long, Long, Long) = {
+      val (lo, hi) = (xs.min, xs.max)
+      val rows = xs.map { v =>
+        if (hi == lo) (0L, 0L)
+        else {
+          val code = math.floor((v - lo) * 255.0 / (hi - lo) + 0.5).toLong
+          val err = math.floor(math.abs(v - (lo + code * ((hi - lo) / 255.0)))
+            / (hi - lo) * 1e9 + 0.5).toLong
+          (code, err)
+        }
+      }
+      (xs.size.toLong, rows.map(_._1).min, rows.map(_._1).max,
+        rows.map(_._2).max, rows.map(_._2).sum / xs.size)
+    }
+    assert(got(0L) === replay(Seq(0.0, 0.25, 0.5, 1.0)), s"dim0: ${got(0L)}")
+    assert(got(1L) === ((3L, 0L, 0L, 0L, 0L)), s"constant dim: ${got(1L)}")
+    // the 0.5 value sits exactly half a step from 128/255 — the worst
+    // case must realize the theoretical bound floor(1e9/510 + 0.5)
+    assert(got(0L)._4 === 1960784L, s"half-step worst case: ${got(0L)}")
+    // live: no dimension may exceed the half-step bound
+    VectorOps.q269Sq8Quant(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("max_err_ppb") <= 1960785L,
+          s"SQ8 error beyond half a step: $r")
+      }
+  }
+
+  test("q268 z-order: hand anchor, round-trip identity, live locality bound") {
+    import graft.functions.ZOrderImpl
+    // hand-interleaved anchor: x=0b101 -> out bits 0,4; y=0b011 ->
+    // out bits 1,3  =>  1+2+8+16 = 27
+    assert(ZOrderImpl.compute(5L, 3L) === 27L)
+    assert(ZOrderImpl.compute(0L, 0L) === 0L)
+    // round-trip identity across the window incl. the top bit
+    val probes = Seq(0L, 1L, 2L, 1234567L, (1L << 30) + 12345L,
+      (1L << ZOrderImpl.Bits) - 1L)
+    for (x <- probes; y <- probes) {
+      assert(ZOrderImpl.deinterleave(ZOrderImpl.compute(x, y)) === ((x, y)),
+        s"round trip broke at ($x, $y)")
+    }
+    // the codegen'd Column path agrees with the JVM impl
+    val df = Seq((5L, 3L), (1234567L, 7654321L)).toDF("x", "y")
+      .select(graft.functions.ZOrder.zorder2($"x", $"y").as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(df === Seq(27L, ZOrderImpl.compute(1234567L, 7654321L)))
+    // the z-property on the LIVE census: a 2^22 key range bounds BOTH
+    // dimensions by 2^11 — the clustering claim the layout exists for
+    graft.operators.Scale
+      .q268ZorderLayout(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("cust_span") < 2048L &&
+          r.getAs[Long]("day_span") < 2048L, s"z-property violated: $r")
+      }
+  }
+
   test("q267 schema evolution: gen-1 files genuinely lack the column, NULLs surface") {
     val rows = graft.operators.Scale
       .q267SchemaEvolution(spark, "/root/testdata/sf0.001").collect()
