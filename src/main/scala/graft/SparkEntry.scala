@@ -292,6 +292,7 @@ object SparkEntry {
     "q267_schema_evolution" -> (graft.operators.Scale.q267SchemaEvolution(_, _)),
     "q268_zorder_layout" -> (graft.operators.Scale.q268ZorderLayout(_, _)),
     "q269_sq8_quant" -> (VectorOps.q269Sq8Quant(_, _)),
+    "q270_drift_chi2" -> (EventOps.q270DriftChi2(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -867,5 +868,8 @@ object SparkEntry {
     // q269: int8 scalar-quantization error audit — per-dim affine code
     // grid, relative reconstruction error in exact ppb
     "q269_sq8_quant" -> VectorOps.q269Sq8QuantSql,
+    // q270: two-sample chi-square drift monitor — first vs second
+    // stream half over a bounded 16-band value axis, no transcendental
+    "q270_drift_chi2" -> EventOps.q270DriftChi2Sql,
   )
 }

@@ -2524,4 +2524,84 @@ object EventOps {
        |ORDER BY rank_ppb DESC, node""".stripMargin
   }
 
+
+  // ---------------------------------------------------------------
+  // q270: distribution-drift monitor — two-sample chi-square
+  // ---------------------------------------------------------------
+
+  /** Value-band count for the drift monitor: cent-grid value, 25.00
+    * per band, clamped to a 16-value axis. */
+  private[graft] val DriftBands = 16L
+
+  /** Distribution-drift monitor — the check a production scorer runs
+    * before trusting this week's traffic against last week's model:
+    * the event-value distribution of the stream's FIRST half (by
+    * event-time midpoint) against its SECOND half, as a two-sample
+    * Pearson chi-square contingency over a bounded 16-band value axis
+    * (Pearson 1900, public; the chi-square drift test is PSI's
+    * transcendental-free sibling — no ln, so the whole statistic is
+    * exact-count arithmetic plus ONE identical-IEEE expression per
+    * band). Per band: reference/current counts, expected counts under
+    * the no-drift null, and the chi-square contribution in ppm — the
+    * bands a drift alarm localizes to.
+    *
+    * Determinism: bands are exact cent-grid integer arithmetic
+    * (rule 2 + rule 13); the time cut is the exact integer day
+    * midpoint; the per-band contribution is one rule-7 double
+    * expression over exact BIGINT counts, ppm-gridded (rule 10).
+    *
+    * Scale: one scan to the (band, side) conditional counts
+    * (map-side-combinable, 16-row output), one 1-row midpoint
+    * broadcast and one 1-row totals broadcast — no shuffle beyond
+    * the bounded aggregations. */
+  def q270DriftChi2(s: SparkSession, d: String): DataFrame =
+    driftChi2(Tables.events(s, d).select(
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      least(expr("floor(value * 100 + 0.5) div 2500"),
+        lit(DriftBands - 1L)).cast("long").as("band")))
+
+  private[graft] def driftChi2(ev: DataFrame): DataFrame = {
+    val cut = ev.agg(((min($"day") + max($"day") + 1L)).as("mm"))
+      .select(expr("mm div 2").as("cutd"))
+    val bc = ev.crossJoin(broadcast(cut))
+      .groupBy($"band")
+      .agg(sum(when($"day" < $"cutd", 1L).otherwise(0L)).as("a"),
+        sum(when($"day" >= $"cutd", 1L).otherwise(0L)).as("c"))
+    val tot = bc.agg(sum($"a").as("ta"), sum($"c").as("tc"))
+    val j = bc.crossJoin(broadcast(tot))
+    val ea = (($"a" + $"c").cast("double") * $"ta") / ($"ta" + $"tc")
+    val ec = (($"a" + $"c").cast("double") * $"tc") / ($"ta" + $"tc")
+    j.select($"band", $"a".as("n_ref"), $"c".as("n_cur"),
+      floor(ea * 100.0 + 0.5).cast("long").as("e_ref_centi"),
+      floor((($"a" - ea) * ($"a" - ea) / ea
+          + ($"c" - ec) * ($"c" - ec) / ec) * 1e6 + 0.5)
+        .cast("long").as("chi2_contrib_ppm"))
+      .orderBy($"band")
+  }
+
+  val q270DriftChi2Sql: String =
+    s"""WITH ev AS (SELECT
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+       |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500,
+       |      ${DriftBands - 1L}) AS band
+       |  FROM events),
+       |cut AS (SELECT (min(day) + max(day) + 1) // 2 AS cutd FROM ev),
+       |bc AS (SELECT band,
+       |    CAST(sum(CASE WHEN day < cutd THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN day >= cutd THEN 1 ELSE 0 END) AS BIGINT) AS c
+       |  FROM ev, cut GROUP BY band),
+       |tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+       |    CAST(sum(c) AS BIGINT) AS tc FROM bc)
+       |SELECT band, a AS n_ref, c AS n_cur,
+       |  CAST(floor(((CAST(a + c AS DOUBLE) * ta) / (ta + tc)) * 100.0
+       |    + 0.5) AS BIGINT) AS e_ref_centi,
+       |  CAST(floor(((a - (CAST(a + c AS DOUBLE) * ta) / (ta + tc))
+       |      * (a - (CAST(a + c AS DOUBLE) * ta) / (ta + tc))
+       |      / ((CAST(a + c AS DOUBLE) * ta) / (ta + tc))
+       |    + (c - (CAST(a + c AS DOUBLE) * tc) / (ta + tc))
+       |      * (c - (CAST(a + c AS DOUBLE) * tc) / (ta + tc))
+       |      / ((CAST(a + c AS DOUBLE) * tc) / (ta + tc))) * 1e6 + 0.5)
+       |    AS BIGINT) AS chi2_contrib_ppm
+       |FROM bc, tot
+       |ORDER BY band""".stripMargin
 }

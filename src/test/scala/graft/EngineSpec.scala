@@ -3907,6 +3907,30 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q270 chi-square drift: textbook 2x2 value, no-drift zero, midpoint cut") {
+    import graft.operators.EventOps
+    // days 0..3 -> cut = (0+3+1) div 2 = 2 (days 0,1 = ref; 2,3 = cur).
+    // band 0: 8 ref / 2 cur; band 1: 2 ref / 8 cur — a textbook 2x2
+    // with E = 5 everywhere: contrib = 2*(3^2/5) = 3.6 per band
+    def mk(band: Long, day: Long, n: Int) = Seq.fill(n)((day, band))
+    val drift = (mk(0L, 0L, 4) ++ mk(0L, 1L, 4) ++ mk(0L, 2L, 1) ++
+      mk(0L, 3L, 1) ++ mk(1L, 0L, 1) ++ mk(1L, 1L, 1) ++
+      mk(1L, 2L, 4) ++ mk(1L, 3L, 4)).toDF("day", "band")
+    val got = EventOps.driftChi2(drift).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === Map(
+      0L -> ((8L, 2L, 500L, 3600000L)),
+      1L -> ((2L, 8L, 500L, 3600000L))), s"textbook chi2: $got")
+    // no drift: identical band mix in both halves -> every
+    // contribution exactly 0 (counts equal their expectations)
+    val flat = (mk(0L, 0L, 3) ++ mk(0L, 2L, 3) ++
+      mk(1L, 1L, 5) ++ mk(1L, 3L, 5)).toDF("day", "band")
+    EventOps.driftChi2(flat).collect().foreach { r =>
+      assert(r.getLong(4) === 0L, s"no-drift contribution must be 0: $r")
+    }
+  }
+
   test("q269 SQ8: JVM replay, constant-dim zero, half-step bound live") {
     import graft.operators.VectorOps
     // dim 0: [0, 0.25, 0.5, 1] — includes the worst case exactly at a
