@@ -2571,11 +2571,19 @@ object EventOps {
     val j = bc.crossJoin(broadcast(tot))
     val ea = (($"a" + $"c").cast("double") * $"ta") / ($"ta" + $"tc")
     val ec = (($"a" + $"c").cast("double") * $"tc") / ($"ta" + $"tc")
+    // Loud degenerate-corpus guard (round-11 advice): a corpus whose
+    // events span a single day puts EVERY row on one side (ta or
+    // tc = 0), so (a-ea)²/ea = 0/0 = NaN — Spark would cast NaN to 0
+    // silently while DuckDB raises on CAST(NaN AS BIGINT), a
+    // cross-engine divergence. Both mirrors raise identically instead.
+    val chi2 = (($"a" - ea) * ($"a" - ea) / ea) +
+      (($"c" - ec) * ($"c" - ec) / ec)
     j.select($"band", $"a".as("n_ref"), $"c".as("n_cur"),
       floor(ea * 100.0 + 0.5).cast("long").as("e_ref_centi"),
-      floor((($"a" - ea) * ($"a" - ea) / ea
-          + ($"c" - ec) * ($"c" - ec) / ec) * 1e6 + 0.5)
-        .cast("long").as("chi2_contrib_ppm"))
+      when($"ta" === 0L || $"tc" === 0L, raise_error(lit(
+          "driftChi2: degenerate corpus — one time side is empty")))
+        .otherwise(floor(chi2 * 1e6 + 0.5).cast("long"))
+        .as("chi2_contrib_ppm"))
       .orderBy($"band")
   }
 
@@ -2595,13 +2603,17 @@ object EventOps {
        |SELECT band, a AS n_ref, c AS n_cur,
        |  CAST(floor(((CAST(a + c AS DOUBLE) * ta) / (ta + tc)) * 100.0
        |    + 0.5) AS BIGINT) AS e_ref_centi,
+       |  CASE WHEN ta = 0 OR tc = 0 THEN error(
+       |    'driftChi2: degenerate corpus — one time side is empty')
+       |  ELSE
        |  CAST(floor(((a - (CAST(a + c AS DOUBLE) * ta) / (ta + tc))
        |      * (a - (CAST(a + c AS DOUBLE) * ta) / (ta + tc))
        |      / ((CAST(a + c AS DOUBLE) * ta) / (ta + tc))
        |    + (c - (CAST(a + c AS DOUBLE) * tc) / (ta + tc))
        |      * (c - (CAST(a + c AS DOUBLE) * tc) / (ta + tc))
        |      / ((CAST(a + c AS DOUBLE) * tc) / (ta + tc))) * 1e6 + 0.5)
-       |    AS BIGINT) AS chi2_contrib_ppm
+       |    AS BIGINT)
+       |  END AS chi2_contrib_ppm
        |FROM bc, tot
        |ORDER BY band""".stripMargin
 }

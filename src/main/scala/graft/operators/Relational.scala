@@ -2187,6 +2187,17 @@ object Relational {
         when($"ka" < $"kb", $"pa").otherwise($"pb").as("u"),
         when($"ka" < $"kb", $"pb").otherwise($"pa").as("v"),
         when($"ka" < $"kb", $"kb").otherwise($"ka").as("kv"))
+    val (wedges, tri) = wedgeClose(ed)
+    (deg, ed, wedges, tri)
+  }
+
+  /** The Σ outdeg² wedge build + closing join over an oriented edge
+    * list (u, v, kv) → (wedges, tri) — the ONE copy of the census's
+    * dominant join, shared by [[triangleParts]] (exact q189 shape,
+    * sampled q194, crafted specs) and [[trianglesStaged]] (the live
+    * staged path), so an edit to the join cannot silently diverge
+    * between the spec-tested and the oracled path (round-11 advice). */
+  private def wedgeClose(ed: DataFrame): (DataFrame, DataFrame) = {
     val wedges = ed.select($"u", $"v", $"kv")
       .join(ed.select($"u", $"v".as("w"), $"kv".as("kw")), Seq("u"))
       .filter($"kv" < $"kw")
@@ -2194,7 +2205,8 @@ object Relational {
     val tri = wedges
       .join(ed.select($"u".as("cv"), $"v".as("cw")),
         $"v" === $"cv" && $"w" === $"cw")
-    (deg, ed, wedges, tri)
+      .select($"u", $"v", $"w")
+    (wedges, tri)
   }
 
   /** The vertex-degree relation of an edge list — one explode + one
@@ -2237,15 +2249,7 @@ object Relational {
     * q189 7.7 → 2.0 s, q238 9.8 → 1.7 s; graph-family total
     * 33.7 → 14.6 s. */
   private def trianglesStaged(s: SparkSession, d: String): DataFrame = {
-    val ed = orientedStaged(s, d)
-    val wedges = ed.select($"u", $"v", $"kv")
-      .join(ed.select($"u", $"v".as("w"), $"kv".as("kw")), Seq("u"))
-      .filter($"kv" < $"kw")
-      .select($"u", $"v", $"w")
-    val tri = wedges
-      .join(ed.select($"u".as("cv"), $"v".as("cw")),
-        $"v" === $"cv" && $"w" === $"cw")
-      .select($"u", $"v", $"w")
+    val tri = wedgeClose(orientedStaged(s, d))._2
     Staged.orCompute(s, d, "graph", "tri",
       Staged.combine(Staged.planHash(tri), orientedToken(s, d)))(tri)
   }

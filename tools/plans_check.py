@@ -25,9 +25,58 @@ import re
 import sys
 
 
+def strip_scala_comments(src: str) -> str:
+    """Blank out // line comments and /* */ blocks, preserving string
+    literals (oracle SQL holds `//` for DuckDB integer division, so a
+    naive regex strip would eat code — and worse, a registration
+    commented OUT would still regex-match).  Comment bytes become
+    spaces so line/column structure survives for any later regex."""
+    out = list(src)
+    i, n = 0, len(src)
+    in_str = in_line = False
+    block_depth = 0  # scala block comments NEST
+    while i < n:
+        c = src[i]
+        nxt = src[i + 1] if i + 1 < n else ""
+        if in_line:
+            if c == "\n":
+                in_line = False
+            else:
+                out[i] = " "
+        elif block_depth > 0:
+            if c == "/" and nxt == "*":
+                block_depth += 1
+                out[i] = out[i + 1] = " "
+                i += 1
+            elif c == "*" and nxt == "/":
+                block_depth -= 1
+                out[i] = out[i + 1] = " "
+                i += 1
+            elif c != "\n":
+                out[i] = " "
+        elif in_str:
+            if c == "\\" and nxt:
+                i += 1  # skip escaped char (harmless in triple-quoted)
+            elif c == '"':
+                in_str = False
+        else:
+            if c == '"':
+                in_str = True
+            elif c == "/" and nxt == "/":
+                in_line = True
+                out[i] = out[i + 1] = " "
+                i += 1
+            elif c == "/" and nxt == "*":
+                block_depth = 1
+                out[i] = out[i + 1] = " "
+                i += 1
+        i += 1
+    return "".join(out)
+
+
 def sparkentry_query_ids(path: str = "src/main/scala/graft/SparkEntry.scala"):
     """Short ids of every query registered in SparkEntry.queries."""
-    src = open(path).read()
+    src = strip_scala_comments(open(path).read())
     # registrations look like:  "q258_moore_lewis" -> (TextOps...)
     names = set(re.findall(r'"(q\w+?)_\w+"\s*->', src))
     # a name appears in both `queries` and `oracleSql`; the set dedups
