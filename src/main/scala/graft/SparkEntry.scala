@@ -293,6 +293,10 @@ object SparkEntry {
     "q268_zorder_layout" -> (graft.operators.Scale.q268ZorderLayout(_, _)),
     "q269_sq8_quant" -> (VectorOps.q269Sq8Quant(_, _)),
     "q270_drift_chi2" -> (EventOps.q270DriftChi2(_, _)),
+    "q271_full_refresh" -> (graft.stg.Staging.q271FullRefresh(_, _)),
+    "q272_truncate_reload" -> (graft.stg.Staging.q272TruncateReload(_, _)),
+    "q273_golden_csv" -> (graft.mart.Extracts.q273GoldenCsv(_, _)),
+    "q274_usda_capstone" -> (graft.stg.Normalizer.q274UsdaCapstone(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -871,5 +875,18 @@ object SparkEntry {
     // q270: two-sample chi-square drift monitor — first vs second
     // stream half over a bounded 16-band value axis, no transcendental
     "q270_drift_chi2" -> EventOps.q270DriftChi2Sql,
+    // q271: S11 full-refresh sink — overwrite replaces the stale
+    // snapshot; census of the read-back table = the refresh alone
+    "q271_full_refresh" -> graft.stg.Staging.q271FullRefreshSql,
+    // q272: S12 truncate-reload temp + J4 upsert composition — temp
+    // holds ONLY the last batch, merged holds each key exactly once
+    "q272_truncate_reload" -> graft.stg.Staging.q272TruncateReloadSql,
+    // q273: S3 golden CSV writer — text round trip loses nothing and
+    // renders every date in the golden 'yyyy-MM-dd HH:mm:ss' format
+    "q273_golden_csv" -> graft.mart.Extracts.q273GoldenCsvSql,
+    // q274: S8 normalization capstone — the tabula-shaped checked-in
+    // fixture through the reference's full repair chain incl. the
+    // positional junk-row skip q45 could not oracle
+    "q274_usda_capstone" -> graft.stg.Normalizer.q274UsdaCapstoneSql,
   )
 }

@@ -180,4 +180,55 @@ object Extracts {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
   }
+
+  /** S3 oracled end to end — the golden-format CSV writer
+    * ([[writeGoldenCsv]], the reference's `Data Processed` extract
+    * format: header row + 'yyyy-MM-dd HH:mm:ss' dates) proven by a
+    * write→read-back round trip: an orders extract is written through
+    * the writer, read back as text-typed CSV, and censused against a
+    * DuckDB mirror computed straight from the base table. A green row
+    * proves no row or value is lost or mangled by the text round trip
+    * (count + cent-grid money survive Double.toString/parse — exact,
+    * since toString is the shortest round-tripping decimal) AND that
+    * every rendered date matches the golden format exactly
+    * (n_bad_format = 0; min/max date strings pin the values).
+    *
+    * Determinism: dates cross engines as strings (temporal rule 4);
+    * money rides the cent grid after the parse-back.
+    *
+    * Scale: the golden extracts are bounded BI outputs — coalesce(1)
+    * is the REQUIRED single-file format, not a scale path; the census
+    * is one aggregate over the re-read file. */
+  def q273GoldenCsv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val path = graft.util.Scratch.dir("golden_q273", dir)
+    val src = Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("timestamp").as("business_date"),
+      col("o_totalprice"))
+    writeGoldenCsv(src, path, dateCols = Seq("business_date"))
+    val back = spark.read
+      .option("header", "true")
+      .schema("o_orderkey BIGINT, business_date STRING, o_totalprice DOUBLE")
+      .csv(path)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      moneySum(col("o_totalprice")).as("total_price"),
+      min(col("business_date")).as("min_date"),
+      max(col("business_date")).as("max_date"),
+      sum((!col("business_date")
+          .rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$"))
+        .cast("long")).as("n_bad_format"))
+  }
+
+  val q273GoldenCsvSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price,
+      |  min(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS min_date,
+      |  max(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')) AS max_date,
+      |  CAST(sum(CASE WHEN NOT regexp_full_match(
+      |      strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+      |      '\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_format
+      |FROM orders""".stripMargin
 }

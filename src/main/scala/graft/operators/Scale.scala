@@ -12,12 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Scratch directories this JVM has claimed (q267 round trip):
-    * guards the delete-on-first-use + shutdown-hook registration so
-    * repeated calls with the same corpus neither re-wipe a directory
-    * a live plan still reads nor stack duplicate hooks. */
-  private val scratchDirs = scala.collection.mutable.Set[String]()
-
   /** Two-phase salted aggregation: when one group key carries a large
     * share of all rows, a plain groupBy sends that share to one reducer.
     * Phase 1 aggregates (key, salt) — the hot key spreads over `salts`
@@ -211,24 +205,11 @@ object Scale {
     * evolved column pruned into the gen-2 files only. */
   def q267SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Relational.moneySum
-    // Path keyed by pid AND a sanitized sfDir tag: two calls against
-    // different corpora in one JVM must not share a directory (a
-    // lazily-held DataFrame from the first call would silently read
-    // the second corpus's files). Cleaned up at JVM exit — deleting
-    // earlier would break the laziness contract of the returned plan.
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      .replaceAll("^_+|_+$", "")
-    val path =
-      s"/tmp/graft_schevo_q267_${ProcessHandle.current().pid()}_$tag"
-    scratchDirs.synchronized {
-      if (scratchDirs.add(path)) {
-        new scala.reflect.io.Directory(new java.io.File(path))
-          .deleteRecursively()
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          new scala.reflect.io.Directory(new java.io.File(path))
-            .deleteRecursively(): Unit))
-      }
-    }
+    // Corpus-keyed, exit-cleaned scratch (round-11 advice): deleting
+    // before JVM exit would break the laziness contract of the
+    // returned plan, and a shared path across corpora would let a held
+    // plan silently read the other corpus's files.
+    val path = graft.util.Scratch.dir("schevo_q267", dir)
     val orders = graft.sources.Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))

@@ -248,4 +248,83 @@ object Normalizer {
       |     + CASE WHEN productio IS NULL THEN 0 ELSE 1 END
       |     + CASE WHEN fused IS NULL THEN 0 ELSE 1 END) >= 3
       |ORDER BY CAST(pkey AS INT)""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q274: S8 normalization capstone from a checked-in tabula-shaped
+  // fixture (the reference's ACTUAL repair sequence end to end)
+  // ---------------------------------------------------------------
+
+  /** S8-chain capstone: the full messy-USDA repair sequence
+    * (`ETL Process/STG.py:294-313` feeding `convert_dataframe`,
+    * `:190-227`) driven from a CHECKED-IN extracted-CSV fixture shaped
+    * like the tabula output — not a synthetic in-query derivation like
+    * [[q45Normalize]]. The fixture reproduces every tabula pathology
+    * the reference repairs, in one file: an `Unnamed: 0` index column
+    * (P5), country names landing under a wrong header with `COUNTRY`
+    * all-null (P4's previous-neighbor repair), thousands separators in
+    * every numeric cell (P6), an all-null trailing `Imports` (P7's
+    * column half), a UNITS junk first row that only the positional
+    * `iloc[1:]` skip can remove — it has too many non-null cells for
+    * the sparse-row drop, so a broken P7-row surfaces as a red row
+    * here (the one op q45 could not oracle), two sparse junk rows
+    * (P8), a space-fused `"area exports"` column with fused cell
+    * values (P9), the typo'd `PRODUCTIO` header (P3), the int block
+    * cast (P11), and the appended season/report-date literals (P10,
+    * `STG.py:308-312`).
+    *
+    * Determinism: the fixture is a repo-pinned file; the mirror holds
+    * the same raw cells as literals with the same surgery in SQL
+    * (replace/split_part/CAST), so the hash compare proves the chain
+    * drops EXACTLY the junk and repairs EXACTLY the values.
+    *
+    * Scale: extracted report tables are tens of rows by contract —
+    * the single-partition positional skip is the documented
+    * small-table op; nothing here touches fact-scale data. */
+  def q274UsdaCapstone(s: SparkSession, d: String): DataFrame = {
+    // The fixture ships on the classpath (inside the job jar when the
+    // driver forks runMain) — Spark's csv reader needs a filesystem
+    // path, so materialize the resource bytes into a scratch file.
+    val in = getClass.getResourceAsStream("/fixtures/usda_tabula.csv")
+    require(in != null, "fixtures/usda_tabula.csv missing from classpath")
+    val bytes = try in.readAllBytes() finally in.close()
+    val dir = java.nio.file.Paths.get(
+      graft.util.Scratch.dir("usda_q274", "fixture"))
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve("usda_tabula.csv")
+    java.nio.file.Files.write(f, bytes)
+    val raw = s.read.option("header", "true").csv(f.toString)
+    val norm = normalizeUsdaExtract(raw)
+    castColumnsToInt(norm,
+      Seq("beginning_stocks", "production", "area", "exports"))
+      .select(col("country"), col("beginning_stocks"), col("production"),
+        col("area"), col("exports"),
+        lit("2022/23").as("season"),
+        lit("2022-12-01").as("report_date"))
+      .orderBy(col("country"))
+  }
+
+  /** DuckDB mirror of [[q274UsdaCapstone]]: the fixture's surviving
+    * raw cells as literals (hand-derived from the file — the junk
+    * first row and the two sparse rows are exactly the rows the chain
+    * must drop) + the same strip/split/cast surgery in SQL. */
+  val q274UsdaCapstoneSql: String =
+    """WITH raw(country, beginning, productio, fused) AS (VALUES
+      |  ('Brazil',    '9,700',  '13,100', '2,710 9,400'),
+      |  ('India',     '10,950', '25,500', '13,000 6,500'),
+      |  ('China',     '36,500', '27,000', '3,400 25'),
+      |  ('USA',       '2,950',  '14,600', '4,100 14,750'),
+      |  ('Australia', '1,800',  '5,500',  '1,500 5,900'),
+      |  ('Pakistan',  '2,800',  '4,500',  '2,100 700'),
+      |  ('Turkey',    '1,200',  '3,300',  '4,700 1,100'),
+      |  ('Mali',      '150',    '1,350',  '2,900 1,050'),
+      |  ('Argentina', '450',    '1,300',  '1,000 600'))
+      |SELECT country,
+      |  CAST(replace(beginning, ',', '') AS INT) AS beginning_stocks,
+      |  CAST(replace(productio, ',', '') AS INT) AS production,
+      |  CAST(split_part(replace(fused, ',', ''), ' ', 1) AS INT) AS area,
+      |  CAST(split_part(replace(fused, ',', ''), ' ', 2) AS INT) AS exports,
+      |  '2022/23' AS season,
+      |  '2022-12-01' AS report_date
+      |FROM raw
+      |ORDER BY country""".stripMargin
 }

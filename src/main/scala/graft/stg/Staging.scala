@@ -124,8 +124,10 @@ object Staging {
     * Scale: each reconciliation is two map-side-combinable count jobs;
     * the audit write itself is one row per load. */
   def q171AuditTrail(spark: SparkSession, dir: String): DataFrame = {
-    val auditPath = s"/tmp/graft_audit_q171_${ProcessHandle.current().pid()}"
-    new scala.reflect.io.Directory(new java.io.File(auditPath)).deleteRecursively()
+    // freshDir: the five reconciliations APPEND — a leftover from an
+    // earlier call would double the audit table. Corpus-tagged and
+    // exit-cleaned like every sink-oracle scratch (round-11 advice).
+    val auditPath = graft.util.Scratch.freshDir("audit_q171", dir)
     val tables = Seq("region", "nation", "customer", "supplier", "part")
     tables.foreach { t =>
       val df = graft.sources.Tables.read(spark, dir, t)
@@ -169,6 +171,118 @@ object Staging {
     * tmp-table staging step. */
   def reloadTemp(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Overwrite).saveAsTable(table)
+
+  /** S11 oracled end to end — the full-refresh sink (the reference's
+    * DELETE + COPY, `ETL Process/ODS.py:34-46`) proven by a
+    * write→overwrite→read-back round trip: a stale snapshot (orders
+    * before 1996) is loaded, then the refresh (1995 onward) OVERWRITES
+    * it, and the survivor census is hashed against a DuckDB mirror of
+    * the refresh alone. The windows overlap in 1995 on purpose: append
+    * semantics would double the 1995 rows, and a partial delete would
+    * leave pre-1995 rows — either shifts n_orders/min_od and reddens
+    * the row. The census is lazy over the refreshed catalog table (the
+    * read-back IS the thing under test); the table name is
+    * corpus-tagged so two corpora in one JVM never share state.
+    *
+    * Determinism: the generation cuts cross engines as string dates
+    * (temporal rule 4); money rides the cent grid.
+    *
+    * Scale: overwrite-save is the same distributed parquet write as
+    * any load (no driver path); census is one map-side-combinable
+    * aggregate over the written table. */
+  /** Run-private database for the sink round trips: its LOCATION is a
+    * pid-scoped scratch dir (q198 discipline), so a leftover location
+    * from an earlier JVM can never collide with this one's managed
+    * tables (the default warehouse path is shared across JVMs and
+    * saveAsTable refuses an existing location). */
+  private def sinkProofDb(spark: SparkSession, name: String): String = {
+    val base = graft.util.Scratch.dir(s"${name}db", "all")
+    val db = s"graft_$name"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$base'")
+    db
+  }
+
+  def q271FullRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val db = sinkProofDb(spark, "q271")
+    val tbl = s"$db.orders_${graft.util.Scratch.tableTag(dir)}"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+    fullRefresh(orders.filter(col("od") < "1996-01-01"), tbl)
+    fullRefresh(orders.filter(col("od") >= "1995-01-01"), tbl)
+    spark.table(tbl).agg(
+      count(lit(1)).as("n_orders"),
+      moneySum(col("o_totalprice")).as("total_price"),
+      min(col("od")).as("min_od"),
+      max(col("od")).as("max_od"))
+  }
+
+  val q271FullRefreshSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |  sum(floor(o_totalprice * 100.0 + 0.5)) / 100.0 AS total_price,
+      |  min(strftime(o_orderdate, '%Y-%m-%d')) AS min_od,
+      |  max(strftime(o_orderdate, '%Y-%m-%d')) AS max_od
+      |FROM orders
+      |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1995-01-01'""".stripMargin
+
+  /** S12 oracled end to end — the truncate-reload temp sink
+    * (`ETL Process/STG.py:90-96`) in the reference's OWN composition:
+    * batch 1 reloads `stg`'s temp table and seeds the target; batch 2
+    * TRUNCATE-RELOADS the temp (batch 1 must vanish from it) and
+    * upserts into the target by natural key (J4). The census reads
+    * both relations back: the temp row proves the truncate (zero
+    * batch-1-only keys survive in it — append semantics would leave
+    * them AND double the overlap keys), the merged row proves the
+    * composition (batch-1-only ∪ batch-2 keys, each exactly once).
+    *
+    * Determinism: integer key-residue batches, cent-grid money.
+    *
+    * Scale: two overwrite saves + one anti-join upsert (shuffles on
+    * the natural key; AQE broadcasts a small staged side) — the
+    * standard incremental-load shape at any corpus size. */
+  def q272TruncateReload(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Relational.moneySum
+    val db = sinkProofDb(spark, "q272")
+    val tag = graft.util.Scratch.tableTag(dir)
+    val tmp = s"$db.tmp_$tag"
+    val tgt = s"$db.customer_$tag"
+    val cust = graft.sources.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+    reloadTemp(cust.filter(col("c_custkey") % 4 < 2), tmp)
+    fullRefresh(spark.table(tmp), tgt)
+    reloadTemp(cust.filter(col("c_custkey") % 4 >= 1 &&
+      col("c_custkey") % 4 <= 2), tmp)
+    val merged = upsertByNaturalKey(
+      spark.table(tgt), spark.table(tmp), Seq("c_custkey"))
+    def census(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum((col("c_custkey") % 4 === 0).cast("long")).as("n_key0"),
+        moneySum(col("c_acctbal")).as("acct_sum"))
+        .select(lit(name).as("relation"), col("n_rows"), col("n_key0"),
+          col("acct_sum"))
+    census("merged", merged)
+      .unionByName(census("tmp", spark.table(tmp)))
+      .orderBy(col("relation"))
+  }
+
+  val q272TruncateReloadSql: String =
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer),
+      |tmp AS (SELECT * FROM c WHERE c_custkey % 4 IN (1, 2)),
+      |merged AS (SELECT * FROM c WHERE c_custkey % 4 IN (0, 1, 2)),
+      |census AS (
+      |  SELECT 'merged' AS relation, CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_key0,
+      |    sum(floor(c_acctbal * 100.0 + 0.5)) / 100.0 AS acct_sum
+      |  FROM merged
+      |  UNION ALL
+      |  SELECT 'tmp', CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT),
+      |    sum(floor(c_acctbal * 100.0 + 0.5)) / 100.0
+      |  FROM tmp)
+      |SELECT * FROM census ORDER BY relation""".stripMargin
 
   /** O11: the reference's timezone-localized load timestamps
     * (`Asia/Ho_Chi_Minh`, `ETL Process/STG.py:138-141`). */

@@ -37,11 +37,28 @@ object EventStream {
     * 1000-executor deployment cannot afford. `newSession()` inherits the
     * context-level defaults (timezone, AQE) from the SparkConf; the two
     * confs the streams need are set explicitly. */
+  /** Checkpoint base dir, overridable via SPARK_GRAFT_CKPT_BASE (e.g.
+    * /dev/shm to measure a tmpfs store): every streaming query's
+    * run-private checkpoint lives under it and is deleted after the
+    * drain. Default /tmp — measured within noise of tmpfs at the bench
+    * scale (see BASELINE.md round-12 note), kept for the larger free
+    * space and to avoid shm pressure beside the 128 GiB heap. */
+  private def ckptDir(name: String): String =
+    s"${sys.env.getOrElse("SPARK_GRAFT_CKPT_BASE", "/tmp")}/graft_ckpt_$name"
+
   private def streamSession(spark: SparkSession, shufflePartitions: Int): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     s.conf.set("spark.sql.session.timeZone",
       spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    // Measurement knob (round-11 verdict item 3): RocksDB state store
+    // vs the default HDFS-backed one. At this bench's state sizes
+    // (bounded watermark windows) the default wins — RocksDB adds
+    // per-batch native-store open/compaction overhead that only pays
+    // off when state outgrows the executor heap; see BASELINE.md.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     s
   }
 
@@ -66,7 +83,7 @@ object EventStream {
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"),
         approx_count_distinct($"user_id").as("approx_users"))
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
@@ -103,7 +120,7 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"))
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
@@ -161,7 +178,7 @@ object EventStream {
         max_by($"value", packedTickKey).as("close"),
         count(lit(1)).as("n_ticks"),
         graft.operators.Relational.moneySum($"value").as("volume"))
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
@@ -367,7 +384,7 @@ object EventStream {
   private def drainToParquet(stream: DataFrame, tag: String,
       mode: String = "append"): DataFrame = {
     val name = tag + "_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val store = s"/tmp/graft_stream_store_$name"
     registerTmpStore(store)
     val spark = stream.sparkSession
@@ -511,7 +528,7 @@ object EventStream {
       .agg(
         count(lit(1)).as("n_events"),
         graft.operators.Relational.moneySum($"value").as("sum_value"))
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
@@ -565,7 +582,7 @@ object EventStream {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val name = "ups_" + UUID.randomUUID().toString.replace("-", "")
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = rawEvents(spark, sfDir)
       .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
       .writeStream
@@ -879,7 +896,7 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day").as("win"), $"user_id")
       .agg(count(lit(1)).as("n_events"))
-    val ckpt = s"/tmp/graft_ckpt_$name"
+    val ckpt = ckptDir(name)
     val q = stream.writeStream
       .outputMode("complete")
       .format("memory")
