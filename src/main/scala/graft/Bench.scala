@@ -93,7 +93,10 @@ object Bench {
     // round 11: the graph family reads the staged co-purchase edge list
     "q189_triangles", "q194_triangle_sample", "q197_kcore",
     "q225_bfs_hops", "q228_conn_comp", "q238_clustering_coeff",
-    "q239_link_predict", "q250_assortativity")
+    "q239_link_predict", "q250_assortativity",
+    // round 12: the incremental-maintenance path reads its own staged
+    // old-corpus band/pair index
+    "q275_incremental_lsh")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

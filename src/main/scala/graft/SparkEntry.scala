@@ -297,6 +297,7 @@ object SparkEntry {
     "q272_truncate_reload" -> (graft.stg.Staging.q272TruncateReload(_, _)),
     "q273_golden_csv" -> (graft.mart.Extracts.q273GoldenCsv(_, _)),
     "q274_usda_capstone" -> (graft.stg.Normalizer.q274UsdaCapstone(_, _)),
+    "q275_incremental_lsh" -> (TextOps.q275IncrementalLsh(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -888,5 +889,8 @@ object SparkEntry {
     // fixture through the reference's full repair chain incl. the
     // positional junk-row skip q45 could not oracle
     "q274_usda_capstone" -> graft.stg.Normalizer.q274UsdaCapstoneSql,
+    // q275: incremental LSH maintenance — the append path censused
+    // against the FULL-REBUILD mirror (invisible-rewrite oracle)
+    "q275_incremental_lsh" -> TextOps.q275IncrementalLshSql,
   )
 }

@@ -327,10 +327,18 @@ object TextOps {
   private[graft] def lshPairs(docs: DataFrame): DataFrame =
     lshPairsFrom(bands(docs), docs)
 
-  private def lshPairsFrom(banded: DataFrame, docs: DataFrame): DataFrame = {
-    val cands = bucketPairs(banded, $"doc_id")
-      .select($"a".as("d1"), $"b".as("d2"))
-      .distinct()
+  private def lshPairsFrom(banded: DataFrame, docs: DataFrame): DataFrame =
+    verifyCands(
+      bucketPairs(banded, $"doc_id")
+        .select($"a".as("d1"), $"b".as("d2"))
+        .distinct(),
+      docs)
+
+  /** The Jaccard verification stage over a given candidate relation —
+    * the ONE copy shared by the full build ([[lshPairsFrom]]) and the
+    * incremental append (q275), so the verifier cannot drift between
+    * the rebuild and the maintenance path. */
+  private def verifyCands(cands: DataFrame, docs: DataFrame): DataFrame = {
     val docsets = shingleArrays(docs)
       .select($"doc_id", $"shs", size($"shs").cast("long").as("n"))
     cands
@@ -3188,6 +3196,147 @@ object TextOps {
        |  WHERE f.is_new)
        |SELECT decision, count(*) AS n_docs FROM dec
        |GROUP BY decision ORDER BY decision""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q275: incremental LSH stage maintenance (append, no rebuild)
+  // ---------------------------------------------------------------
+
+  /** The ingest cut: the newest tenth of the id space plays the delta
+    * batch ((max·9) div 10 — exact integer both engines). Monotone ids
+    * are the PRECONDITION of the append lemma below; the streaming
+    * wrapper guards it loudly per batch. */
+  private[graft] def incCutDf(docs: DataFrame): DataFrame =
+    docs.agg(max($"doc_id").as("mx")).select(expr("(mx * 9) div 10").as("cut"))
+
+  private def incOldDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.join(broadcast(incCutDf(docs)), $"doc_id" < $"cut").drop("cut")
+  }
+
+  /** The already-indexed corpus's band relation, staged (the
+    * pre-existing index a production ingest extends). */
+  private[graft] def incBandsStaged(s: SparkSession, d: String): DataFrame = {
+    val df = bands(incOldDocs(s, d))
+    Staged.orCompute(s, d, stageConsts + "inc90", "inc_bands_old",
+      Staged.planHash(df))(df)
+  }
+
+  private def incBandsToken(s: SparkSession, d: String): String =
+    Staged.planHash(bands(incOldDocs(s, d)))
+
+  /** The already-indexed corpus's verified pair relation, staged. */
+  private[graft] def incPairsStaged(s: SparkSession, d: String): DataFrame = {
+    val df = lshPairsFrom(incBandsStaged(s, d), incOldDocs(s, d))
+    Staged.orCompute(s, d, stageConsts + "inc90", "inc_pairs_old",
+      Staged.combine(Staged.planHash(df), incBandsToken(s, d)))(df)
+  }
+
+  /** ONE incremental append step: given the indexed corpus's band/pair
+    * stages and a monotone delta batch, extend the pair relation
+    * WITHOUT a rebuild — and end up EXACTLY where the full rebuild
+    * would. The lemma: the bucket cap keeps the FIRST [[MaxBucket]]
+    * members by ascending doc id, and delta ids exceed every indexed
+    * id, so (a) a bucket's indexed-member prefix is IDENTICAL before
+    * and after the delta — every indexed-indexed pair of the full
+    * rebuild is already in the staged pair relation, with the same
+    * Jaccard; (b) every pair the full rebuild adds involves a delta
+    * doc, i.e. its LARGER element is a delta doc; (c) those pairs live
+    * only in buckets the delta touches, whose full membership is
+    * (staged bands ∩ touched keys) ∪ delta bands — so recomputing the
+    * capped pairing there and keeping pairs whose d2 is a delta doc,
+    * then unioning the staged pairs, reproduces the rebuild EXACTLY
+    * (the oracle and the crafted over-cap spec both pin this).
+    *
+    * Scale: THE asymmetry a 100 TB ingest needs — the index is read,
+    * never re-derived; the delta pass costs bands(delta) + a semi-join
+    * of the staged bands against the touched keys + capped pairing in
+    * touched buckets + shingle sets for INVOLVED docs only (semi-join
+    * pushdown into the docsets aggregate). Re-running the full
+    * pipeline per batch (q24's shape) is the difference between
+    * minutes and days at index ≫ delta. */
+  private[graft] def incAppend(oldBands: DataFrame, oldPairs: DataFrame,
+      newDocs: DataFrame, docs: DataFrame): DataFrame =
+    oldPairs.unionByName(incNewPairs(oldBands, newDocs, docs))
+
+  /** The delta-only half of [[incAppend]] — what a streaming ingest
+    * APPENDS per monotone batch (the batch twin unions it with the
+    * staged pairs; the stream writes it to the pair store). */
+  private[graft] def incNewPairs(oldBands: DataFrame, newDocs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val deltaBands = bands(newDocs)
+    val touched = deltaBands.select($"band_id", $"band_key").distinct()
+    val members = oldBands
+      .join(touched, Seq("band_id", "band_key"), "left_semi")
+      .unionByName(deltaBands)
+    val newIds = newDocs.select($"doc_id").distinct()
+    val newCands = bucketPairs(members, $"doc_id")
+      .select($"a".as("d1"), $"b".as("d2"))
+      .distinct()
+      .join(newIds.select($"doc_id".as("d2")), Seq("d2"), "left_semi")
+      .select($"d1", $"d2")
+    val involved = newCands
+      .select(explode(array($"d1", $"d2")).as("doc_id")).distinct()
+    verifyCands(newCands, docs.join(involved, Seq("doc_id"), "left_semi"))
+  }
+
+  /** The band relation of a document set (stage-append accessor for
+    * the streaming front door). */
+  private[graft] def bandsOf(docs: DataFrame): DataFrame = bands(docs)
+
+  /** Stage-free twin for the crafted spec: split at the same 9/10 cut,
+    * build the old index, append the delta — must equal
+    * [[lshPairs]](docs) row-for-row (EngineSpec drives an over-cap
+    * bucket through both). */
+  private[graft] def incrementalPairs(docs: DataFrame): DataFrame = {
+    val cutDf = incCutDf(docs)
+    val oldDocs = docs.join(broadcast(cutDf), $"doc_id" < $"cut").drop("cut")
+    val newDocs = docs.join(broadcast(cutDf), $"doc_id" >= $"cut").drop("cut")
+    incAppend(bands(oldDocs), lshPairsFrom(bands(oldDocs), oldDocs),
+      newDocs, docs)
+  }
+
+  /** q275: the maintained (staged-index + delta-append) pair relation,
+    * censused — n_pairs / n_new_pairs (pairs the delta added) /
+    * sum_jacc_ppm (exact ppm grid) / n_dup_pairs (≥ [[ClusterJaccard]]).
+    * ORACLED AS AN INVISIBLE REWRITE: the mirror computes the census
+    * from the FULL-REBUILD pair derivation (the q24 CTE chain) — a
+    * green row means the append path is indistinguishable from
+    * rebuilding the index from scratch. */
+  def q275IncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val cutDf = incCutDf(docs)
+    val newDocs = docs.join(broadcast(cutDf), $"doc_id" >= $"cut").drop("cut")
+    val appended =
+      incAppend(incBandsStaged(s, d), incPairsStaged(s, d), newDocs, docs)
+    appended.crossJoin(broadcast(cutDf)).agg(
+      count(lit(1)).as("n_pairs"),
+      coalesce(sum(($"d2" >= $"cut").cast("long")), lit(0L)).as("n_new_pairs"),
+      coalesce(sum(floor($"n_common" / ($"n1" + $"n2" - $"n_common") * 1e6
+        + 0.5).cast("long")), lit(0L)).as("sum_jacc_ppm"),
+      coalesce(sum(($"jaccard" >= ClusterJaccard).cast("long")), lit(0L))
+        .as("n_dup_pairs"))
+  }
+
+  val q275IncrementalLshSql: String =
+    s"""WITH $shinglesCte,
+       |$bandsCte,
+       |$lshCandCtes,
+       |pairs AS (SELECT c.d1, c.d2, coalesce(i.n_common, 0) AS n_common,
+       |    c1.n AS n1, c2.n AS n2,
+       |    ${sqlRound("coalesce(i.n_common, 0) / (c1.n + c2.n - coalesce(i.n_common, 0))", 6)} AS jaccard
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |  JOIN counts c1 ON c1.doc_id = c.d1
+       |  JOIN counts c2 ON c2.doc_id = c.d2),
+       |cut AS (SELECT (max(doc_id) * 9) // 10 AS cut FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(sum(CASE WHEN d2 >= cut THEN 1 ELSE 0 END), 0)
+       |    AS BIGINT) AS n_new_pairs,
+       |  CAST(coalesce(sum(CAST(floor(n_common / (n1 + n2 - n_common)
+       |    * 1e6 + 0.5) AS BIGINT)), 0) AS BIGINT) AS sum_jacc_ppm,
+       |  CAST(coalesce(sum(CASE WHEN jaccard >= $ClusterJaccard THEN 1
+       |    ELSE 0 END), 0) AS BIGINT) AS n_dup_pairs
+       |FROM pairs, cut""".stripMargin
 
   // ---------------------------------------------------------------
   // q142: vocabulary growth curve (heaps-law census)

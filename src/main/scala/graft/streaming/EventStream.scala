@@ -865,6 +865,81 @@ object EventStream {
       .orderBy($"doc_id")
 
   // ---------------------------------------------------------------
+  // q275's production front door: streaming LSH stage APPEND
+  // ---------------------------------------------------------------
+
+  /** The streaming composition of the q260 front door with q275's
+    * incremental LSH maintenance — the production ingest shape: delta
+    * documents arrive as a stream (here the newest tenth of the corpus
+    * via a stream-static cut join, the q150 broadcast-enrich idiom),
+    * and each micro-batch EXTENDS the staged band/pair index through
+    * `foreachBatch` — bands of the batch append to the band store, the
+    * batch's new-involving verified pairs append to the pair store;
+    * nothing is ever rebuilt. Returns the maintained pair relation
+    * (staged old pairs ∪ appended), which StreamingSpec pins
+    * row-for-row against the FULL-REBUILD `lshPairs` over the whole
+    * corpus — the stream-arrival twin of q275's oracle row.
+    *
+    * The append lemma needs MONOTONE ingest (batch ids above every
+    * indexed id — true of any id-assigning ingest front door); the
+    * sink guards it LOUDLY per batch instead of producing silently
+    * wrong pairs. State: NONE in the stream itself (the window-free
+    * front door) — the index lives in the store, so a restart resumes
+    * from the checkpoint with the store intact. */
+  def incrementalLshStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextOps
+    val ss = streamSession(spark, 8)
+    val docsStatic = Tables.documents(ss, sfDir)
+    val cutDf = TextOps.incCutDf(docsStatic)
+    val stagedBands = TextOps.incBandsStaged(ss, sfDir)
+    val stagedPairs = TextOps.incPairsStaged(ss, sfDir)
+    val store = graft.util.Scratch.freshDir("inc_lsh_stream", sfDir)
+    val bandsDir = s"$store/bands"
+    val pairsDir = s"$store/pairs"
+    val schema = ss.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = ss.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .join(broadcast(cutDf), $"doc_id" >= $"cut")
+      .drop("cut")
+    // the monotone-ingest high-water mark starts at the indexed corpus
+    val seed = cutDf.head().getLong(0) - 1L
+    val maxSeen = new java.util.concurrent.atomic.AtomicLong(seed)
+    val name = "ilsh_" + UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir(name))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bounds = batch.agg(min($"doc_id"), max($"doc_id")).head()
+        if (!bounds.isNullAt(0)) {
+          require(bounds.getLong(0) > maxSeen.get(),
+            s"incrementalLshStream: non-monotone ingest batch " +
+              s"[${bounds.getLong(0)}] under high-water ${maxSeen.get()} " +
+              "— the append lemma does not hold, refusing to corrupt the index")
+          val bandsSoFar =
+            if (new java.io.File(bandsDir).exists())
+              stagedBands.unionByName(batch.sparkSession.read.parquet(bandsDir))
+            else stagedBands
+          TextOps.incNewPairs(bandsSoFar, batch, docsStatic)
+            .write.mode("append").parquet(pairsDir)
+          TextOps.bandsOf(batch).write.mode("append").parquet(bandsDir)
+          maxSeen.set(bounds.getLong(1))
+        }
+      }
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(
+      new java.io.File(ckptDir(name))).deleteRecursively()
+    val appended =
+      if (new java.io.File(pairsDir).exists())
+        stagedPairs.unionByName(ss.read.parquet(pairsDir))
+      else stagedPairs
+    appended.orderBy($"d1", $"d2")
+  }
+
+  // ---------------------------------------------------------------
   // q264: streaming heavy hitters — per-day top-k users
   // ---------------------------------------------------------------
 

@@ -6111,6 +6111,32 @@ class EngineSpec extends AnyFunSuite {
     assert(g3.length === 1 && g3(0).isNullAt(4) && g3(0).isNullAt(5))
   }
 
+  test("q275 incremental append ≡ full rebuild, incl. over-cap displacement and a new-new bucket") {
+    import graft.operators.TextOps
+    // ids 0..64 share text A (65 members — OVER the 64 bucket cap, so
+    // id 64 must be cap-displaced in BOTH paths); 65/66 share text C (a
+    // brand-new bucket born entirely in the delta — a new-new pair).
+    // cut = (66*9) div 10 = 59: indexed = 0..58, delta = 59..66.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val c = "omega psi chi phi upsilon tau"
+    val docs = ((0L to 64L).map(i => (i, a)) ++ Seq((65L, c), (66L, c)))
+      .toDF("doc_id", "text")
+    val full = TextOps.lshPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val inc = TextOps.incrementalPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(inc.toSeq === full.toSeq,
+      "append path must be indistinguishable from the full rebuild")
+    // hand count: A pairs = C(64,2) over ids 0..63 (64 displaced) =
+    // 2016, plus the (65,66) C pair = 2017; delta-involving (d2 ≥ 59):
+    // d2 ∈ 59..63 against all smaller A ids = 59+60+61+62+63 = 305,
+    // plus (65,66) = 306
+    assert(full.length === 2017)
+    assert(full.count(_._2 >= 59L) === 306)
+    assert(!full.exists(p => p._1 === 64L || p._2 === 64L),
+      "the 65th identical doc must be cap-displaced in both paths")
+  }
+
   test("q274 USDA capstone: tabula fixture repaired exactly, junk row positional-dropped") {
     val rows = graft.stg.Normalizer
       .q274UsdaCapstone(spark, "/root/testdata/sf0.001").collect()

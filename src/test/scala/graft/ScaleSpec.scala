@@ -575,7 +575,9 @@ class ScaleSpec extends AnyFunSuite {
       // +2 round 11: q263's two 1-row broadcasts — the ln(N) grid
       // constant onto the |sources|-row surprisal relation, and the
       // (k, mean, normalizer) totals row for the MW weight step
-      "operators/TextOps.scala" -> 30,
+      // +1 round 12: q275's 1-row ingest-cut broadcast onto the census
+      // aggregate (the delta/index boundary as a scalar join)
+      "operators/TextOps.scala" -> 31,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)

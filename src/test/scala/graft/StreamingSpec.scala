@@ -363,4 +363,28 @@ class StreamingSpec extends AnyFunSuite {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // builder-injection path; must not throw
   }
+
+  test("incremental LSH stream append ≡ full rebuild on the real corpus") {
+    // the q275 front door: delta docs arrive via readStream, each
+    // micro-batch appends bands + new-involving pairs to the store;
+    // the maintained relation must equal rebuilding from scratch
+    val d = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val maintained = EventStream.incrementalLshStream(spark, d)
+      .collect().map(key).sorted
+    val rebuilt = graft.operators.TextOps
+      .lshPairs(graft.sources.Tables.documents(spark, d))
+      .collect().map(key).sorted
+    assert(maintained.length === rebuilt.length &&
+      maintained.toSeq === rebuilt.toSeq,
+      s"stream-maintained index diverged from the full rebuild " +
+        s"(${maintained.length} vs ${rebuilt.length} pairs)")
+    // liveness: the delta genuinely appended (not a vacuous pass)
+    val cut = graft.operators.TextOps
+      .incCutDf(graft.sources.Tables.documents(spark, d))
+      .head().getLong(0)
+    assert(maintained.exists(_._2 >= cut),
+      s"no delta-involving pair above cut $cut — the stream appended nothing")
+  }
 }
