@@ -298,6 +298,7 @@ object SparkEntry {
     "q273_golden_csv" -> (graft.mart.Extracts.q273GoldenCsv(_, _)),
     "q274_usda_capstone" -> (graft.stg.Normalizer.q274UsdaCapstone(_, _)),
     "q275_incremental_lsh" -> (TextOps.q275IncrementalLsh(_, _)),
+    "q276_count_min" -> (TextOps.q276CountMin(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -892,5 +893,9 @@ object SparkEntry {
     // q275: incremental LSH maintenance — the append path censused
     // against the FULL-REBUILD mirror (invisible-rewrite oracle)
     "q275_incremental_lsh" -> TextOps.q275IncrementalLshSql,
+    // q276: count-min sketch — bounded 4x512 sketch's estimates beside
+    // exact counts for the top-20 trigrams; over_ppm >= 0 always (the
+    // CMS one-sided guarantee), bit-exact via md5-slice hash rows
+    "q276_count_min" -> TextOps.q276CountMinSql,
   )
 }

@@ -2270,6 +2270,36 @@ object TextOps {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // shared word-trigram stream (q262 HLL, q276 count-min)
+  // ---------------------------------------------------------------
+
+  /** Per-document word trigrams as (doc_id, source, term) — the shared
+    * sketch-calibration grain (the q251 lesson: unigram vocabulary is
+    * bounded in the driver corpus, trigram cardinality grows with it,
+    * keeping every sketch's interesting branch live at all SFs).
+    * One projection + one per-doc window; shuffle key doc_id. */
+  private[graft] def docTrigrams(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        posexplode(split($"text", " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead($"w", 1).over(w))
+      .withColumn("w2", lead($"w", 2).over(w))
+      .filter($"w2".isNotNull)
+      .select($"doc_id", $"source",
+        concat_ws(" ", $"w", $"w1", $"w2").as("term"))
+  }
+
+  /** DuckDB mirror of [[docTrigrams]] — `ws`/`toks` CTE pair kept
+    * verbatim-shared by every consumer so the grains cannot drift. */
+  private[graft] val TrigramCteSql: String =
+    """ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |toks AS (SELECT doc_id, source,
+      |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS term
+      |  FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i))""".stripMargin
+
+  // ---------------------------------------------------------------
   // q262: deterministic HyperLogLog distinct-count sketch
   // ---------------------------------------------------------------
 
@@ -2332,17 +2362,8 @@ object TextOps {
     * would be the only live path), while per-source distinct TRIGRAMS
     * number in the thousands, so the raw-estimate branch is live at
     * every SF; the LC branch is spec-proven on a crafted corpus. */
-  def q262HllDistinct(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val tri = Tables.documents(s, d)
-      .select($"doc_id", $"source",
-        posexplode(split($"text", " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead($"w", 1).over(w))
-      .withColumn("w2", lead($"w", 2).over(w))
-      .filter($"w2".isNotNull)
-      .select($"source", concat_ws(" ", $"w", $"w1", $"w2").as("term"))
-    hllDistinct(tri)
-  }
+  def q262HllDistinct(s: SparkSession, d: String): DataFrame =
+    hllDistinct(docTrigrams(s, d).select($"source", $"term"))
 
   private[graft] def hllDistinct(toks: DataFrame): DataFrame = {
     val hv = toks.select($"source", md5($"term").as("h"))
@@ -2376,11 +2397,7 @@ object TextOps {
     // java round-trip literal: DuckDB's strtod parses it to the SAME
     // double the Spark side uses via lit(HllAlphaL)
     val lLit = java.lang.Double.toString(HllAlphaL)
-    s"""WITH ws AS (SELECT source, string_split(text, ' ') AS w
-       |    FROM documents WHERE len(string_split(text, ' ')) >= 3),
-       |toks AS (SELECT source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-       |    AS term
-       |  FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+    s"""WITH $TrigramCteSql,
        |hv AS (SELECT source,
        |    CAST('0x' || substring(md5(term), 1, 2) AS BIGINT) AS bucket,
        |    CAST('0x' || substring(md5(term), 3, 8) AS BIGINT) AS v
@@ -2410,8 +2427,96 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------
-  // q263: domain reweighting — one multiplicative-weights step
+  // q276: deterministic count-min sketch frequency calibration
   // ---------------------------------------------------------------
+
+  /** Count-min depth — independent hash rows, each a disjoint 8-hex-char
+    * (32-bit) slice of ONE md5 per term: slices of a single digest are
+    * the engine's cross-engine-exact stand-in for an independent hash
+    * family (the q262 bucket/word split, widened to 4 slices). */
+  private[graft] val CmsD = 4
+  /** Count-min width (buckets per row). 512 keeps the sketch at
+    * [[CmsD]]·512 = 2048 cells — bounded forever — while the driver
+    * corpus's thousands of distinct trigrams guarantee live collisions
+    * (nonzero overestimates) at every SF. */
+  private[graft] val CmsW = 512
+  /** Heavy keys probed: the exact top-[[CmsTopK]] terms. */
+  private[graft] val CmsTopK = 20
+
+  /** Bucket of hash row j: md5 hex chars [8j−7, 8j−1+1) as a 32-bit
+    * integer, mod [[CmsW]] — generated from the same constants for
+    * both engines. */
+  private def cmsBucketCol(j: Int): Column =
+    pmod(conv(substring(md5($"term"), 8 * j - 7, 8), 16, 10).cast("long"),
+      lit(CmsW.toLong))
+  private def cmsBucketSql(col: String, j: Int): String =
+    s"CAST('0x' || substring(md5($col), ${8 * j - 7}, 8) AS BIGINT) % $CmsW"
+
+  /** stack() generator unpivoting b1..b[[CmsD]] to (hrow, bucket). */
+  private def cmsStackExpr: String =
+    (1 to CmsD).map(j => s"$j, b$j")
+      .mkString(s"stack($CmsD, ", ", ", ") as (hrow, bucket)")
+
+  /** Count-min sketch (Cormode–Muthukrishnan 2005, public) frequency
+    * calibration, DETERMINISTIC and bit-exact across engines: build a
+    * [[CmsD]]×[[CmsW]] sketch over the trigram occurrence stream, then
+    * for the exact top-[[CmsTopK]] terms report the sketch estimate
+    * (min over rows of the probed cell) beside the exact count and the
+    * signed overestimate in ppm. The CMS one-sided guarantee —
+    * estimate ≥ exact, always — is asserted by the spec's independent
+    * replay and visible in the oracle rows (`over_ppm ≥ 0`).
+    *
+    * Scale: the sketch build never aggregates at term grain — each
+    * occurrence maps onto the bounded (hrow, bucket) axis, ONE
+    * map-side-combinable count onto ≤2048 keys (at 100 TB this is THE
+    * bounded-memory frequency sketch; the exact arm exists only as the
+    * oracle's ground truth, one vocabulary-grain aggregate, the q262
+    * cost class). Top-k is a TakeOrdered (no global sort materialized);
+    * the probe join is a broadcast of ≤[[CmsTopK]]·[[CmsD]] rows. */
+  private[graft] def countMinCalibrate(occ: DataFrame): DataFrame = {
+    val hashed = occ.select(($"term" +:
+      (1 to CmsD).map(j => cmsBucketCol(j).as(s"b$j"))): _*)
+    val cells = hashed.select(expr(cmsStackExpr))
+      .groupBy($"hrow", $"bucket").agg(count(lit(1)).as("cell"))
+    val top = hashed
+      .groupBy(($"term" +: (1 to CmsD).map(j => col(s"b$j"))): _*)
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"term").limit(CmsTopK)
+    val probes = top.select($"term", $"n_exact", expr(cmsStackExpr))
+    cells.join(broadcast(probes), Seq("hrow", "bucket"))
+      .groupBy($"term", $"n_exact").agg(min($"cell").as("est_cms"))
+      .select($"term", $"n_exact", $"est_cms",
+        expr("((est_cms - n_exact) * 1000000) div n_exact").as("over_ppm"))
+      .orderBy($"n_exact".desc, $"term")
+  }
+
+  def q276CountMin(s: SparkSession, d: String): DataFrame =
+    countMinCalibrate(docTrigrams(s, d).select($"term"))
+
+  val q276CountMinSql: String = {
+    val rowsVals = (1 to CmsD).map(j => s"($j)").mkString(", ")
+    def caseB(col: String): String =
+      (1 to CmsD).map(j => s"WHEN r.hrow = $j THEN ${cmsBucketSql(col, j)}")
+        .mkString("CASE ", " ", " END")
+    s"""WITH $TrigramCteSql,
+       |hrows AS (SELECT * FROM (VALUES $rowsVals) AS r(hrow)),
+       |cells AS (SELECT r.hrow, ${caseB("term")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM toks, hrows r GROUP BY 1, 2),
+       |ex AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM toks GROUP BY 1 ORDER BY n_exact DESC, term LIMIT $CmsTopK),
+       |probes AS (SELECT e.term, e.n_exact, r.hrow,
+       |    ${caseB("e.term")} AS bucket
+       |  FROM ex e, hrows r),
+       |est AS (SELECT p.term, p.n_exact,
+       |    CAST(min(c.cell) AS BIGINT) AS est_cms
+       |  FROM probes p JOIN cells c
+       |    ON c.hrow = p.hrow AND c.bucket = p.bucket
+       |  GROUP BY 1, 2)
+       |SELECT term, n_exact, est_cms,
+       |  ((est_cms - n_exact) * 1000000) // n_exact AS over_ppm
+       |FROM est ORDER BY n_exact DESC, term""".stripMargin
+  }
 
   /** MW margin D (nano-nats of per-token surprisal — the q173 grid
     * is micro-nats × the ·1000 mean scaling): the update factor is

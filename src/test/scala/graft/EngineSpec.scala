@@ -6222,4 +6222,43 @@ class EngineSpec extends AnyFunSuite {
     assert(header === "o_orderkey,business_date,o_totalprice")
   }
 
+  test("q276 count-min: independent JVM sketch replay + one-sided guarantee") {
+    import graft.operators.TextOps
+    // crafted occurrence stream: two heavy terms with known counts plus
+    // 600 unique fillers — more keys than CmsW=512 buckets per row, so
+    // collisions (overestimates) are guaranteed live
+    val occs = Seq.fill(7)("alpha beta gamma") ++
+      Seq.fill(4)("beta gamma delta") ++
+      (0 until 600).map(i => s"filler_$i x y")
+    val got = TextOps.countMinCalibrate(occs.toDF("term")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full JVM replay from first principles (no TextOps arithmetic)
+    def bucketsOf(t: String): Seq[(Int, Long)] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (1 to 4).map(j =>
+        j -> java.lang.Long.parseLong(hex.substring(8 * j - 8, 8 * j), 16) % 512L)
+    }
+    val cells = occs.flatMap(bucketsOf)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = occs.groupBy(identity)
+      .map { case (t, os) => t -> os.size.toLong }.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(20)
+      .map { case (t, c) =>
+        val est = bucketsOf(t).map(cells).min
+        (t, c, est, (est - c) * 1000000L / c)
+      }
+    assert(got.toSeq === expect, "CMS replay diverged")
+    // crafted collisions must actually be live (some over_ppm > 0)
+    assert(expect.exists(_._4 > 0L), "no live collision in crafted corpus")
+    // CMS one-sided guarantee on the live corpus
+    val live = TextOps.q276CountMin(spark, "/root/testdata/sf0.001").collect()
+    assert(live.length > 0)
+    live.foreach { r =>
+      assert(r.getAs[Long]("est_cms") >= r.getAs[Long]("n_exact"),
+        s"CMS underestimated: $r")
+      assert(r.getAs[Long]("over_ppm") >= 0L, s"negative over_ppm: $r")
+    }
+  }
+
 }
