@@ -299,6 +299,7 @@ object SparkEntry {
     "q274_usda_capstone" -> (graft.stg.Normalizer.q274UsdaCapstone(_, _)),
     "q275_incremental_lsh" -> (TextOps.q275IncrementalLsh(_, _)),
     "q276_count_min" -> (TextOps.q276CountMin(_, _)),
+    "q277_conformal" -> (StatsOps.q277Conformal(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -897,5 +898,10 @@ object SparkEntry {
     // exact counts for the top-20 trigrams; over_ppm >= 0 always (the
     // CMS one-sided guarantee), bit-exact via md5-slice hash rows
     "q276_count_min" -> TextOps.q276CountMinSql,
+    // q277: split-conformal prediction intervals — q̂ is an exact
+    // order statistic off the bounded centi-score histogram CDF;
+    // k > n_cal yields the textbook infinite interval (NULL q̂,
+    // coverage 1e6) in both engines
+    "q277_conformal" -> StatsOps.q277ConformalSql,
   )
 }

@@ -375,4 +375,158 @@ object StatsOps {
        |FROM summary CROSS JOIN top""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q277: split-conformal prediction intervals (coverage audit)
+  // ---------------------------------------------------------------
+
+  /** Miscoverage levels swept, on the ppm grid (5%, 10%, 20%). */
+  private[graft] val ConfAlphasPpm = Seq(50000L, 100000L, 200000L)
+
+  /** Loud bounded-axis contract for the centi-score grid: |Δvalue| is
+    * bounded by the value range of the feed (hundreds of units in this
+    * corpus); a score past 100k units means the feed broke its range
+    * contract and the query raises instead of silently riding an
+    * unbounded histogram axis. */
+  private[graft] val ConfScoreCapCenti = 10000000L
+
+  /** Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    * JASA 2018; Angelopoulos–Bates 2021 tutorial) for a naive
+    * one-step-ahead forecaster over the event value stream — the
+    * distribution-free uncertainty layer an eval pipeline wraps around
+    * ANY point predictor: the forecaster predicts each event's value
+    * as the SAME user's previous value (lag over the rule-3 unique
+    * (tsec, event_id) order), the nonconformity score is the absolute
+    * residual, a deterministic even/odd event_id split yields
+    * calibration and test halves, and for each miscoverage level α the
+    * interval half-width q̂ is the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * calibration score — whose finite-sample marginal coverage
+    * guarantee ≥ 1−α the test half then audits empirically.
+    *
+    * Scores ride an integer CENTI grid (micro residuals ceil-divided
+    * by 10⁴ — the ceiling keeps the gridded q̂ conservative, never
+    * narrower than the exact-score interval), so the k-th order
+    * statistic is read off a bounded histogram CDF instead of a global
+    * sort: min score with inclusive-cum ≥ k. k > n_cal (tiny
+    * calibration sets at extreme α) yields the textbook infinite
+    * interval — NULL q̂, everything covered — in both engines.
+    *
+    * Determinism: values gridded to micro before differencing (rule
+    * 5), every division a floor/ceil of non-negative integers (rule
+    * 13), coverage in ppm by integer division, no doubles anywhere
+    * past the initial micro grid. Scale shape: one corpus scan through
+    * the per-user lag window (the same user-keyed exchange every
+    * sessionization query uses), map-side-combinable histogram
+    * aggregates onto the loud-bounded centi axis, and everything after
+    * — CDF, 3-row α spine, q̂ lookup, coverage join — is
+    * metadata-sized; the 1-row calibration/test totals are broadcasts. */
+  def q277Conformal(s: SparkSession, d: String): DataFrame =
+    conformal(Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("tsec"),
+        $"value"))
+
+  private[graft] def conformal(ev: DataFrame): DataFrame = {
+    val sp = ev.sparkSession
+    val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+    val capped = when($"sc" > ConfScoreCapCenti, raise_error(concat(
+      lit(s"conformal: centi-score exceeds the bounded-axis contract " +
+        s"$ConfScoreCapCenti: "), $"sc"))).otherwise($"sc")
+    val scored = ev
+      .filter($"value".isNotNull)
+      .select($"user_id", $"event_id", $"tsec",
+        floor($"value" * 1000000.0 + 0.5).cast("long").as("vmicro"))
+      .select($"event_id", $"vmicro",
+        lag($"vmicro", 1).over(w).as("prev"))
+      .filter($"prev".isNotNull)
+      .select($"event_id",
+        expr("(abs(vmicro - prev) + 9999) div 10000").as("sc"))
+      .select($"event_id", capped.as("sc"))
+    val calH = scored.filter($"event_id" % 2 === 0L)
+      .groupBy($"sc").agg(count(lit(1)).as("c"))
+    // partition-less window: bounded by the loud centi-score cap —
+    // registered in ScaleSpec's allowlist
+    val cum = calH.select($"sc", $"c",
+      sum($"c").over(Window.orderBy($"sc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val nCal = calH.agg(coalesce(sum($"c"), lit(0L)).as("n_cal"))
+    val testH = scored.filter($"event_id" % 2 =!= 0L)
+      .groupBy($"sc").agg(count(lit(1)).as("ct"))
+    val nTest = testH.agg(coalesce(sum($"ct"), lit(0L)).as("n_test"))
+    val alphas = sp.createDataFrame(ConfAlphasPpm.map(Tuple1(_)))
+      .toDF("alpha_ppm")
+    // 3-row α spine × 1-row calibration total: metadata-sized
+    val ks = alphas.crossJoin(broadcast(nCal))
+      .select($"alpha_ppm", $"n_cal",
+        expr("((n_cal + 1) * (1000000 - alpha_ppm) + 999999) div 1000000")
+          .as("k"))
+    val qh = ks.join(cum, $"cum" >= $"k")
+      .groupBy($"alpha_ppm").agg(min($"sc").as("qhat_centi"))
+    val covRaw = ks.select($"alpha_ppm").join(qh, Seq("alpha_ppm"), "left")
+      .join(testH, $"qhat_centi".isNotNull && testH("sc") <= $"qhat_centi",
+        "left")
+      .groupBy($"alpha_ppm").agg(coalesce(sum($"ct"), lit(0L)).as("n_le"))
+    ks.join(qh, Seq("alpha_ppm"), "left")
+      .join(covRaw, Seq("alpha_ppm"), "left")
+      .crossJoin(broadcast(nTest))
+      .select($"alpha_ppm", $"n_cal", $"n_test", $"k".as("k_rank"),
+        $"qhat_centi",
+        when($"qhat_centi".isNull, $"n_test").otherwise($"n_le")
+          .as("n_covered"))
+      .select($"alpha_ppm", $"n_cal", $"n_test", $"k_rank", $"qhat_centi",
+        $"n_covered",
+        when($"n_test" > 0L, expr("(n_covered * 1000000) div n_test"))
+          .as("coverage_ppm"))
+      .orderBy($"alpha_ppm")
+  }
+
+  val q277ConformalSql: String = {
+    val alphaRows = ConfAlphasPpm.map(a => s"($a)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT event_id, vmicro,
+       |    lag(vmicro) OVER (PARTITION BY user_id
+       |      ORDER BY tsec, event_id) AS prev
+       |  FROM (SELECT user_id, event_id,
+       |          CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |          CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vmicro
+       |        FROM events WHERE value IS NOT NULL)),
+       |scored AS (
+       |  SELECT event_id, (abs(vmicro - prev) + 9999) // 10000 AS sc
+       |  FROM base WHERE prev IS NOT NULL),
+       |calh AS (SELECT sc, CAST(count(*) AS BIGINT) AS c
+       |  FROM scored WHERE event_id % 2 = 0 GROUP BY sc),
+       |cum AS (SELECT sc, c, CAST(sum(c) OVER (ORDER BY sc
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum FROM calh),
+       |ncal AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_cal
+       |  FROM calh),
+       |testh AS (SELECT sc, CAST(count(*) AS BIGINT) AS ct
+       |  FROM scored WHERE event_id % 2 <> 0 GROUP BY sc),
+       |ntest AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS n_test
+       |  FROM testh),
+       |alphas AS (SELECT CAST(alpha_ppm AS BIGINT) AS alpha_ppm
+       |  FROM (VALUES $alphaRows) AS t(alpha_ppm)),
+       |ks AS (SELECT alpha_ppm, n_cal,
+       |    ((n_cal + 1) * (1000000 - alpha_ppm) + 999999) // 1000000 AS k
+       |  FROM alphas, ncal),
+       |qh AS (SELECT alpha_ppm, min(sc) AS qhat_centi
+       |  FROM ks JOIN cum ON cum.cum >= ks.k GROUP BY alpha_ppm),
+       |cov AS (SELECT ks.alpha_ppm,
+       |    coalesce(CAST(sum(t.ct) AS BIGINT), 0) AS n_le
+       |  FROM ks LEFT JOIN qh ON qh.alpha_ppm = ks.alpha_ppm
+       |  LEFT JOIN testh t ON qh.qhat_centi IS NOT NULL
+       |    AND t.sc <= qh.qhat_centi
+       |  GROUP BY 1)
+       |SELECT ks.alpha_ppm, ks.n_cal, ntest.n_test, ks.k AS k_rank,
+       |  qh.qhat_centi,
+       |  CASE WHEN qh.qhat_centi IS NULL THEN ntest.n_test
+       |    ELSE cov.n_le END AS n_covered,
+       |  CASE WHEN ntest.n_test > 0 THEN
+       |    (CASE WHEN qh.qhat_centi IS NULL THEN ntest.n_test
+       |      ELSE cov.n_le END * 1000000) // ntest.n_test
+       |  END AS coverage_ppm
+       |FROM ks LEFT JOIN qh ON qh.alpha_ppm = ks.alpha_ppm
+       |LEFT JOIN cov ON cov.alpha_ppm = ks.alpha_ppm
+       |CROSS JOIN ntest
+       |ORDER BY ks.alpha_ppm""".stripMargin
+  }
 }

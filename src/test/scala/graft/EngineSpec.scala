@@ -6261,4 +6261,59 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q277 conformal: brute-force order-statistic replay + infinite-interval branch") {
+    import graft.operators.StatsOps
+    // crafted stream: 3 users x 17 readings -> 48 scored rows, enough
+    // calibration mass that every swept alpha yields a finite interval
+    val raw = for {
+      u <- 1L to 3L
+      i <- 0L until 17L
+    } yield {
+      // deterministic sawtooth with user-dependent amplitude: residual
+      // magnitudes vary so the score histogram has real spread
+      val v = 100.0 + u * ((i % 5) - 2) * 1.25 + i * 0.01
+      (u, u * 100L + i, 1000L + i, v)
+    }
+    val ev = raw.toDF("user_id", "event_id", "tsec", "value")
+    val got = StatsOps.conformal(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getLong(5), r.getLong(6)))
+    // textbook replay, no StatsOps arithmetic: per-user time order,
+    // absolute micro-residuals, ceil to centi, even/odd split, k-th
+    // smallest calibration score by sorting
+    def micro(v: Double): Long = math.floor(v * 1000000.0 + 0.5).toLong
+    val scored = raw.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      evs.sortBy(e => (e._3, e._2)).sliding(2).collect {
+        case Seq(a, b) =>
+          (b._2, (math.abs(micro(b._4) - micro(a._4)) + 9999L) / 10000L)
+      }
+    }
+    val cal = scored.filter(_._1 % 2 == 0).map(_._2).sorted
+    val tst = scored.filter(_._1 % 2 != 0).map(_._2)
+    val expect = Seq(50000L, 100000L, 200000L).map { a =>
+      val k = ((cal.size + 1) * (1000000L - a) + 999999L) / 1000000L
+      val qhat = if (k <= cal.size) Some(cal(k.toInt - 1)) else None
+      val covered = qhat.map(q => tst.count(_ <= q).toLong)
+        .getOrElse(tst.size.toLong)
+      (a, cal.size.toLong, tst.size.toLong, k, qhat, covered,
+        covered * 1000000L / tst.size)
+    }
+    assert(got.toSeq === expect, "conformal replay diverged")
+    assert(expect.forall(_._5.isDefined),
+      "crafted corpus must exercise the finite-interval branch")
+    // the infinite-interval branch: 3 calibration points cannot support
+    // alpha=0.05 (k=4 > 3) -> NULL qhat, everything covered
+    val tiny = Seq(
+      (1L, 2L, 1L, 10.0), (1L, 3L, 2L, 11.0), (1L, 4L, 3L, 10.5),
+      (1L, 5L, 4L, 12.0), (1L, 6L, 5L, 9.0), (1L, 7L, 6L, 9.25),
+      (1L, 8L, 7L, 9.5)).toDF("user_id", "event_id", "tsec", "value")
+    val t5 = StatsOps.conformal(tiny).collect()
+      .find(_.getLong(0) == 50000L).get
+    assert(t5.isNullAt(4), "k > n_cal must yield the NULL-qhat interval")
+    assert(t5.getLong(5) === t5.getLong(2),
+      "infinite interval must cover every test row")
+    assert(t5.getLong(6) === 1000000L)
+  }
+
 }

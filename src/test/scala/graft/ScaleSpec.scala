@@ -493,8 +493,10 @@ class ScaleSpec extends AnyFunSuite {
           "logit-bucket axis / q230 pooled CDF over the clamped ≤1e4 " +
           "length grid / q236 cumulative negatives over the clamped " +
           "≤301-value logit-bucket axis"),
-      "operators/StatsOps.scala" -> (1,
-        "q234 pooled-rank CDF over the clamped ≤1e4 length grid"),
+      "operators/StatsOps.scala" -> (2,
+        "q234 pooled-rank CDF over the clamped ≤1e4 length grid / " +
+          "q277 conformal calibration CDF over the loud-capped " +
+          "centi-score grid"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -549,7 +551,9 @@ class ScaleSpec extends AnyFunSuite {
       // round 10: q234's 1-row (N, tie-term) broadcast; q235's bounded
       // |langs|×|sources| marginal axis, 1-row total broadcast, and
       // 1-row top-cell broadcast onto the 1-row summary
-      "operators/StatsOps.scala" -> 4,
+      // +2 round 12: q277's 1-row calibration-total broadcast onto the
+      // 3-row α spine and 1-row test-total broadcast onto the readout
+      "operators/StatsOps.scala" -> 6,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
