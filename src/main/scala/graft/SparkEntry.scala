@@ -300,6 +300,7 @@ object SparkEntry {
     "q275_incremental_lsh" -> (TextOps.q275IncrementalLsh(_, _)),
     "q276_count_min" -> (TextOps.q276CountMin(_, _)),
     "q277_conformal" -> (StatsOps.q277Conformal(_, _)),
+    "q278_kneser_ney" -> (TextOps.q278KneserNey(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -903,5 +904,10 @@ object SparkEntry {
     // k > n_cal yields the textbook infinite interval (NULL q̂,
     // coverage 1e6) in both engines
     "q277_conformal" -> StatsOps.q277ConformalSql,
+    // q278: interpolated Kneser-Ney — top-20 bigram calibration table
+    // off the shared q62 bigram grain; d=3/4 keeps the discounted
+    // numerator exact integer, the KN probability is one rule-7
+    // double expression ppm-gridded
+    "q278_kneser_ney" -> TextOps.q278KneserNeySql,
   )
 }

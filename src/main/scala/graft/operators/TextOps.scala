@@ -7836,4 +7836,92 @@ object TextOps {
              s" * $Ln2Micro) / (2.0 * $JsdPpb * 1e6)", 6)} END AS jsd_nats
        |FROM agg a JOIN nsb USING (source) ORDER BY a.source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q278: interpolated Kneser-Ney bigram smoothing (calibration table)
+  // ---------------------------------------------------------------
+
+  private val KnTopK = 20
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney, ICASSP
+    * 1995; Chen & Goodman 1998 — THE n-gram smoothing that held SOTA
+    * until neural LMs): the smoothing layer q102's unigram surprisal
+    * and q251's Good-Turing spectrum lack. Each seen bigram's
+    * probability is the discounted MLE plus the backoff mass routed
+    * through the CONTINUATION distribution — P(w) proportional to how
+    * many distinct contexts w follows, not how often it occurs (the
+    * insight that separates KN from Katz: "Francisco" is frequent but
+    * follows only "San", so it gets almost no backoff mass):
+    *
+    *   P_KN(w|v) = (c(vw) − d)/c(v) + d·N1+(v·)/c(v) · N1+(·w)/B,
+    *
+    * discount d = 3/4 (Chen–Goodman's fixed-discount baseline), N1+ the
+    * distinct-neighbor counts, B the bigram-type total. Output: the
+    * top-[[KnTopK]] bigrams by raw count, each carrying its exact count
+    * scaffolding, the unsmoothed MLE, and the KN probability (both on
+    * the ppm grid) — the calibration table q276 builds for the CMS
+    * sketch, here for the smoother: discounting must always pull the
+    * estimate BELOW the MLE by exactly the (d − backoff·c_v/1)-shaped
+    * gap the spec replays.
+    *
+    * Determinism: all counts exact integers off the shared q62 bigram
+    * grain; d = 3/4 makes the discounted numerator the exact integer
+    * 4c−3 over 4c_v, so the MLE column is a pure integer floor division
+    * and the KN probability ONE rule-7 double expression over exact
+    * integers, ppm-gridded (no transcendental anywhere); ties on the
+    * count break by the bigram strings.
+    *
+    * Scale shape: one corpus scan to the bigram-type aggregate
+    * (map-side combinable, entropy-rich key); every relation after —
+    * context totals, continuation counts, the type total — lives at
+    * vocabulary/bigram-type grain (Heaps-law sublinear); the 1-row
+    * type total is a broadcast; the top-k plans as
+    * TakeOrderedAndProject (bounded per-partition heaps, no global
+    * sort). */
+  def q278KneserNey(s: SparkSession, d: String): DataFrame =
+    kneserNey(Tables.documents(s, d))
+
+  private[graft] def kneserNey(docs: DataFrame): DataFrame = {
+    val cvw = ngramRows(docs, 2)
+      .select(split($"sh", " ").getItem(0).as("v"),
+        split($"sh", " ").getItem(1).as("w"))
+      .groupBy($"v", $"w").agg(count(lit(1)).as("c_vw"))
+    val cv = cvw.groupBy($"v").agg(sum($"c_vw").as("c_v"),
+      count(lit(1)).as("n1_fwd"))
+    val cw = cvw.groupBy($"w").agg(count(lit(1)).as("n1_back"))
+    val tot = cvw.agg(count(lit(1)).as("n_bigram_types"))
+    cvw.join(cv, Seq("v")).join(cw, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select($"v", $"w", $"c_vw", $"c_v", $"n1_fwd", $"n1_back",
+        $"n_bigram_types",
+        expr("(c_vw * 1000000) div c_v").as("mle_ppm"),
+        expr("CAST(floor((4*c_vw - 3) * 250000.0 / c_v + " +
+          "750000.0 * n1_fwd / c_v * n1_back / n_bigram_types + 0.5) " +
+          "AS BIGINT)").as("pkn_ppm"))
+      .orderBy($"c_vw".desc, $"v", $"w")
+      .limit(KnTopK)
+  }
+
+  val q278KneserNeySql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT w[i+1] AS v, w[i+2] AS wd
+       |       FROM ws, UNNEST(range(0, len(w) - 1)) AS t(i)),
+       |cvw AS (SELECT v, wd, CAST(count(*) AS BIGINT) AS c_vw
+       |  FROM bg GROUP BY 1, 2),
+       |cv AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+       |    CAST(count(*) AS BIGINT) AS n1_fwd
+       |  FROM cvw GROUP BY v),
+       |cw AS (SELECT wd, CAST(count(*) AS BIGINT) AS n1_back
+       |  FROM cvw GROUP BY wd),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types
+       |  FROM cvw)
+       |SELECT cvw.v, cvw.wd AS w, c_vw, c_v, n1_fwd, n1_back,
+       |  n_bigram_types,
+       |  (c_vw * 1000000) // c_v AS mle_ppm,
+       |  CAST(floor((4*c_vw - 3) * 250000.0 / c_v +
+       |    750000.0 * n1_fwd / c_v * n1_back / n_bigram_types + 0.5)
+       |    AS BIGINT) AS pkn_ppm
+       |FROM cvw JOIN cv USING (v) JOIN cw USING (wd) CROSS JOIN tot
+       |ORDER BY c_vw DESC, cvw.v, cvw.wd LIMIT $KnTopK""".stripMargin
+
 }

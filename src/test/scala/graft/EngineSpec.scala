@@ -6316,4 +6316,30 @@ class EngineSpec extends AnyFunSuite {
     assert(t5.getLong(6) === 1000000L)
   }
 
+  test("q278 Kneser-Ney: exact hand-computed table + discount-below-MLE") {
+    import graft.operators.TextOps
+    // corpus: "a b a c" + "b a b" -> bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    // c_v: a=3 b=2; N1+(a·)=2 N1+(b·)=1; N1+(·a)=1 N1+(·b)=1 N1+(·c)=1; B=3
+    val docs = Seq((1L, "a b a c"), (2L, "b a b")).toDF("doc_id", "text")
+    val got = TextOps.kneserNey(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8)))
+    // hand arithmetic: P_KN(b|a) = 1.25/3 + .75*2/3 * 1/3 = 0.583333...
+    //   P_KN(a|b) = 1.25/2 + .75*1/2 * 1/3 = 0.75
+    //   P_KN(c|a) = 0.25/3 + .75*2/3 * 1/3 = 0.25
+    val expect = Seq(
+      ("a", "b", 2L, 3L, 2L, 1L, 3L, 666666L, 583333L),
+      ("b", "a", 2L, 2L, 1L, 1L, 3L, 1000000L, 750000L),
+      ("a", "c", 1L, 3L, 2L, 1L, 3L, 333333L, 250000L))
+    assert(got.toSeq === expect, "KN hand table diverged")
+    // the smoother must discount every seen bigram below its MLE
+    // whenever the backoff mass routed back is smaller than d/c_v
+    // (always true here), and never emit a probability > 1
+    got.foreach { r =>
+      assert(r._9 <= r._8, s"KN above MLE: $r")
+      assert(r._9 >= 0L && r._9 <= 1000000L, s"KN off the ppm range: $r")
+    }
+  }
+
 }

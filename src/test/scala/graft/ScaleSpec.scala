@@ -581,7 +581,9 @@ class ScaleSpec extends AnyFunSuite {
       // (k, mean, normalizer) totals row for the MW weight step
       // +1 round 12: q275's 1-row ingest-cut broadcast onto the census
       // aggregate (the delta/index boundary as a scalar join)
-      "operators/TextOps.scala" -> 31,
+      // +1 round 12: q278's 1-row bigram-type-total broadcast onto the
+      // bigram-type-grain KN relation
+      "operators/TextOps.scala" -> 32,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
