@@ -301,6 +301,7 @@ object SparkEntry {
     "q276_count_min" -> (TextOps.q276CountMin(_, _)),
     "q277_conformal" -> (StatsOps.q277Conformal(_, _)),
     "q278_kneser_ney" -> (TextOps.q278KneserNey(_, _)),
+    "q279_ktruss" -> (Relational.q279KTruss(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -909,5 +910,9 @@ object SparkEntry {
     // numerator exact integer, the KN probability is one rule-7
     // double expression ppm-gridded
     "q278_kneser_ney" -> TextOps.q278KneserNeySql,
+    // q279: k-truss peel census — edge-grain cohesion beside q197's
+    // k-core; round 0 support reads the staged triangle relation,
+    // later rounds re-close wedges only on the shrinking survivors
+    "q279_ktruss" -> Relational.q279KTrussSql,
   )
 }

@@ -2484,6 +2484,126 @@ object Relational {
 
 
   // ---------------------------------------------------------------
+  // q279: k-truss peeling (edge-grain cohesion, 3 unrolled rounds)
+  // ---------------------------------------------------------------
+
+  // support >= 10 is the 12-truss: measured live at every SF (edge
+  // traces 8899→8896-ish at sf0.001, 115729→69588→22275→2565 at
+  // sf0.01, 1.196M→29299→9790→9790 — a reached FIXED POINT — at
+  // sf0.1); a higher threshold empties sf0.01 by round 2 and a lower
+  // one never peels the dense sf0.001 graph
+  private val KTrussMinSup = 10L
+  private val KTrussRounds = 3
+
+  /** k-truss decomposition by iterative support peeling (Cohen 2008,
+    * "Trusses: cohesive subgraphs for social network analysis";
+    * Wang–Cheng VLDB 2012 distribute it exactly this way) — the
+    * EDGE-grain cohesion operator beside q197's node-grain k-core: an
+    * edge survives iff it participates in ≥ [[KTrussMinSup]] triangles
+    * of the CURRENT subgraph, so each round recomputes support on the
+    * survivors and deletes weak edges until stable. Trusses sit
+    * strictly inside cores (every k-truss edge has both endpoints in
+    * the (k−1)-core) and are the standard community-backbone extract —
+    * what a recommender keeps when co-purchase noise must go.
+    *
+    * Output: the [[KTrussRounds]]-round census trace — per round the
+    * surviving edge count and the triangle count of the subgraph the
+    * peel just measured (read off the support relation as Σsup/3, so
+    * the triangle relation is never materialized twice).
+    *
+    * Determinism: pure integer counts, the same degree-ordered
+    * orientation (packed-okey rule 9) as q189 every round.
+    *
+    * Scale shape: round 0's support comes from the STAGED triangle
+    * relation (the q189/q238 materialize-once discipline — zero new
+    * corpus-grain work); later rounds re-run the Σ outdeg² wedge close
+    * only on the SHRINKING survivor graph (measured: 29k edges by
+    * round 1 at sf0.1 — the expensive join runs on ~2% of the edges).
+    * Each round's edge set and support relation are persisted (the
+    * q197 iteration discipline: both are referenced twice — census +
+    * next round). The mirror pins the identical shape with
+    * AS MATERIALIZED per round. */
+  def q279KTruss(s: SparkSession, d: String): DataFrame =
+    kTrussTrace(coEdgesStaged(s, d), KTrussMinSup,
+      tri0 = Some(trianglesStaged(s, d)))
+
+  /** The support-peel loop over an arbitrary (pa, pb) edge list —
+    * split from [[q279KTruss]] so the crafted spec can drive a small
+    * graph with a small threshold; `tri0` optionally supplies a
+    * precomputed round-0 triangle relation (the live staged path). */
+  private[graft] def kTrussTrace(edges0: DataFrame, minSup: Long,
+      tri0: Option[DataFrame] = None): DataFrame = {
+    def supportOf(tri: DataFrame): DataFrame = tri
+      .select(explode(array(
+        struct(least($"u", $"v").as("pa"), greatest($"u", $"v").as("pb")),
+        struct(least($"u", $"w").as("pa"), greatest($"u", $"w").as("pb")),
+        struct(least($"v", $"w").as("pa"), greatest($"v", $"w").as("pb"))))
+        .as("e"))
+      .select($"e.pa".as("pa"), $"e.pb".as("pb"))
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("sup"))
+    var e = edges0.persist()
+    var out = censusRow("r0_edges", e)
+    for (r <- 1 to KTrussRounds) {
+      val tri = if (r == 1) tri0.getOrElse(triangleParts(e)._4)
+        else triangleParts(e)._4
+      val sup = supportOf(tri).persist()
+      out = out.unionByName(
+        sup.agg(coalesce(sum($"sup"), lit(0L)).as("s3"))
+          .select(lit(s"r${r - 1}_tri").as("metric"),
+            expr("s3 div 3").as("value")))
+      e = e.join(sup.filter($"sup" >= minSup), Seq("pa", "pb"), "leftsemi")
+        .persist()
+      out = out.unionByName(censusRow(s"r${r}_edges", e))
+    }
+    out.orderBy($"metric")
+  }
+
+  val q279KTrussSql: String = {
+    def roundCtes(r: Int): String = {
+      val e = s"e$r"
+      s"""deg$r AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT pa AS p FROM $e UNION ALL SELECT pb FROM $e)
+         |  GROUP BY p),
+         |dk$r AS MATERIALIZED (SELECT p, deg * 4294967296 + p AS okey
+         |  FROM deg$r),
+         |ed$r AS MATERIALIZED (SELECT
+         |    CASE WHEN ka.okey < kb.okey THEN e.pa ELSE e.pb END AS u,
+         |    CASE WHEN ka.okey < kb.okey THEN e.pb ELSE e.pa END AS v,
+         |    CASE WHEN ka.okey < kb.okey THEN kb.okey ELSE ka.okey END AS kv
+         |  FROM $e e JOIN dk$r ka ON ka.p = e.pa
+         |  JOIN dk$r kb ON kb.p = e.pb),
+         |wedges$r AS MATERIALIZED (SELECT a.u, a.v, b.v AS w
+         |  FROM ed$r a JOIN ed$r b USING (u) WHERE a.kv < b.kv),
+         |tri$r AS MATERIALIZED (SELECT x.u, x.v, x.w FROM wedges$r x
+         |  JOIN ed$r c ON c.u = x.v AND c.v = x.w),
+         |sup$r AS MATERIALIZED (SELECT pa, pb,
+         |    CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT least(u, v) AS pa, greatest(u, v) AS pb FROM tri$r
+         |    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$r
+         |    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$r)
+         |  GROUP BY 1, 2),
+         |e${r + 1} AS MATERIALIZED (SELECT e.pa, e.pb FROM $e e
+         |  JOIN sup$r s ON s.pa = e.pa AND s.pb = e.pb
+         |    AND s.sup >= $KTrussMinSup)""".stripMargin
+    }
+    val rounds = (0 until KTrussRounds).map(roundCtes).mkString(",\n")
+    val rows = (0 until KTrussRounds).map { r =>
+      s"""SELECT 'r${r}_edges' AS metric, count(*) AS value FROM e$r
+         |  UNION ALL SELECT 'r${r}_tri',
+         |    coalesce(CAST(sum(sup) AS BIGINT), 0) // 3 FROM sup$r"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ") +
+      s"\n  UNION ALL SELECT 'r${KTrussRounds}_edges', count(*)" +
+      s" FROM e$KTrussRounds"
+    s"""WITH $coEdgesSql,
+       |e0 AS (SELECT pa, pb FROM edges0),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  $rows)
+       |ORDER BY metric""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q204: Benford first-digit audit
   // ---------------------------------------------------------------
 

@@ -6342,4 +6342,23 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q279 k-truss: crafted K4 + weak triangle + bridge, full peel replay") {
+    import graft.operators.Relational
+    // K4 on {1,2,3,4} (every edge in 2 triangles), a weak triangle
+    // {4,5,6} (each edge in 1), and a bridge (6,7) in none. minSup=2
+    // must peel the weak triangle and the bridge in round 1 and then
+    // hold the K4 as the fixed point.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)).toDF("pa", "pb")
+    val got = Relational.kTrussTrace(edges, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = Seq(
+      ("r0_edges", 10L), ("r0_tri", 5L),
+      ("r1_edges", 6L), ("r1_tri", 4L),
+      ("r2_edges", 6L), ("r2_tri", 4L),
+      ("r3_edges", 6L))
+    assert(got.toSeq === expect, "k-truss peel trace diverged")
+  }
+
 }
