@@ -302,6 +302,7 @@ object SparkEntry {
     "q277_conformal" -> (StatsOps.q277Conformal(_, _)),
     "q278_kneser_ney" -> (TextOps.q278KneserNey(_, _)),
     "q279_ktruss" -> (Relational.q279KTruss(_, _)),
+    "q280_sprt" -> (EventOps.q280Sprt(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -914,5 +915,9 @@ object SparkEntry {
     // k-core; round 0 support reads the staged triangle relation,
     // later rounds re-close wedges only on the shrinking survivors
     "q279_ktruss" -> Relational.q279KTrussSql,
+    // q280: Wald SPRT sequential monitor — Spark runs the q111
+    // two-phase prefix decomposition, the oracle the single-phase
+    // walk; first boundary crossing via min(n) + equi-join back
+    "q280_sprt" -> EventOps.q280SprtSql,
   )
 }

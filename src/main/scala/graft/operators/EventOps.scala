@@ -2616,4 +2616,129 @@ object EventOps {
        |  END AS chi2_contrib_ppm
        |FROM bc, tot
        |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q280: Wald SPRT sequential monitor (two-phase cumulative walk)
+  // ---------------------------------------------------------------
+
+  /** ln(p1/p0) = ln(0.55/0.45) = ln(11/9) on the micro-nat grid, a
+    * compile-time LITERAL — by symmetry ln((1−p1)/(1−p0)) = −this, so
+    * the log-likelihood walk is SprtLnRMicro·(2S_n − n): pure integer
+    * arithmetic, no transcendental at query time (rule 8 by
+    * construction). */
+  private val SprtLnRMicro = 200671L
+
+  /** Wald boundaries at α = β = 0.05: ln(19) micro-nats (accept H1 at
+    * ≥ this, accept H0 at ≤ −this — symmetric error costs). */
+  private val SprtBoundMicro = 2944439L
+
+  /** Bernoulli success: the event's value clears this cut — pinned at
+    * the value distribution's MEDIAN (~34.6, heavily right-skewed), so
+    * the walk genuinely wanders and all three outcomes are measured
+    * live: accept_h1/accept_h0 split by type at sf0.01/0.1, four
+    * types still 'continue' at sf0.001, crossing times 67–825. A cut
+    * in the tail makes every walk monotone (the first probe at 245.0
+    * decided H0 at n=15 for every type — a dead statistic). */
+  private val SprtValueCut = 34.0
+
+  /** Wald's sequential probability ratio test (Wald 1945) per event
+    * type — the SEQUENTIAL companion to q219's fixed-horizon z-test:
+    * instead of waiting for the full sample, the monitor walks the
+    * stream in time order accumulating the log-likelihood ratio of
+    * H1: p = 0.55 vs H0: p = 0.45 for "value clears [[SprtValueCut]]",
+    * and reports the FIRST boundary crossing (the early-stopping
+    * decision an experimentation platform acts on) plus the full-
+    * stream LLR. Symmetric hypotheses make the walk
+    * [[SprtLnRMicro]]·(2S_n − n) — exact integers end to end.
+    *
+    * Scale shape: a per-type running sum is a sequential scan of the
+    * whole type at 100 TB, so the walk runs the q111 TWO-PHASE prefix
+    * decomposition: per-(type, day) partial sums in parallel plus a
+    * broadcast day-grain carry relation — the textbook distributed
+    * scan; the oracle is the independent SINGLE-phase walk, so the
+    * decomposition itself is what the hash check proves. The first
+    * crossing is min(n) over boundary rows (n is a unique total order
+    * within type — rule 3's (tsec, event_id) tie-break feeds
+    * row_number), recovered with one equi-join back to the crossing
+    * rows; the readout is |types| rows. */
+  def q280Sprt(s: SparkSession, d: String): DataFrame =
+    sprt(Tables.events(s, d).select($"event_type", $"event_id",
+      sec($"ts").as("tsec"), $"value"))
+
+  private[graft] def sprt(ev: DataFrame): DataFrame = {
+    val base = ev.filter($"value".isNotNull)
+      .select($"event_type", $"event_id", $"tsec",
+        when($"value" >= SprtValueCut, 1L).otherwise(0L).as("x"),
+        expr("tsec div 86400").as("day"))
+    val wDays = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = base.groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("cnt"), sum($"x").as("sx"))
+      .select($"event_type", $"day",
+        coalesce(sum($"cnt").over(wDays), lit(0L)).as("carry_n"),
+        coalesce(sum($"sx").over(wDays), lit(0L)).as("carry_s"))
+    val wDay = Window.partitionBy($"event_type", $"day")
+      .orderBy($"tsec", $"event_id")
+    val walked = base
+      .join(broadcast(carry), Seq("event_type", "day"))
+      .select($"event_type",
+        ($"carry_n" + row_number().over(wDay)).as("n"),
+        ($"carry_s" + sum($"x").over(
+          wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("s"))
+      .select($"event_type", $"n",
+        (lit(SprtLnRMicro) * (lit(2L) * $"s" - $"n")).as("llr"))
+    val cross = walked.filter(abs($"llr") >= SprtBoundMicro)
+    val firstN = cross.groupBy($"event_type").agg(min($"n").as("n_decide"))
+    val at = cross.join(firstN, Seq("event_type"))
+      .filter($"n" === $"n_decide")
+      .select($"event_type", $"n_decide", $"llr".as("llr_decide_micro"))
+    val tot = base.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"), sum($"x").as("s_total"))
+      .select($"event_type", $"n_total",
+        (lit(SprtLnRMicro) * (lit(2L) * $"s_total" - $"n_total"))
+          .as("final_llr_micro"))
+    tot.join(at, Seq("event_type"), "left")
+      .select($"event_type", $"n_total", $"final_llr_micro",
+        $"n_decide", $"llr_decide_micro",
+        when($"n_decide".isNull, lit("continue"))
+          .when($"llr_decide_micro" >= SprtBoundMicro, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+      .orderBy($"event_type")
+  }
+
+  val q280SprtSql: String =
+    s"""WITH base AS (
+       |  SELECT event_type, event_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+       |    CASE WHEN value >= $SprtValueCut THEN 1 ELSE 0 END AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |walked AS (SELECT event_type,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY tsec, event_id) AS n,
+       |    CAST(sum(x) OVER (PARTITION BY event_type
+       |      ORDER BY tsec, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS s
+       |  FROM base),
+       |llr AS (SELECT event_type, n,
+       |    $SprtLnRMicro * (2 * s - n) AS llr FROM walked),
+       |cross_rows AS (SELECT * FROM llr
+       |  WHERE abs(llr) >= $SprtBoundMicro),
+       |firstn AS (SELECT event_type, min(n) AS n_decide
+       |  FROM cross_rows GROUP BY 1),
+       |at AS (SELECT c.event_type, f.n_decide, c.llr AS llr_decide_micro
+       |  FROM cross_rows c JOIN firstn f ON f.event_type = c.event_type
+       |    AND c.n = f.n_decide),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+       |    CAST($SprtLnRMicro * (2 * CAST(sum(x) AS BIGINT) - count(*))
+       |      AS BIGINT) AS final_llr_micro
+       |  FROM base GROUP BY 1)
+       |SELECT tot.event_type, n_total, final_llr_micro,
+       |  at.n_decide, at.llr_decide_micro,
+       |  CASE WHEN at.n_decide IS NULL THEN 'continue'
+       |    WHEN at.llr_decide_micro >= $SprtBoundMicro THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS decision
+       |FROM tot LEFT JOIN at ON at.event_type = tot.event_type
+       |ORDER BY tot.event_type""".stripMargin
 }

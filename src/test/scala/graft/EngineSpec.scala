@@ -6361,4 +6361,30 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq === expect, "k-truss peel trace diverged")
   }
 
+  test("q280 SPRT: crafted h1/h0/continue streams with multi-day carries") {
+    import graft.operators.EventOps
+    // ln(11/9) micro walk: |2S-n| must reach 15 (200671*15 = 3010065
+    // >= 2944439) before a decision fires. Streams span 12 days
+    // (tsec = i*50000) so the two-phase day-carry path is live.
+    def stream(t: String, base: Long, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (t, base + i, i.toLong * 50000L, v)
+      }
+    val ev = (
+      stream("up", 100L, Seq.fill(20)(300.0)) ++
+      stream("down", 200L, Seq.fill(20)(10.0)) ++
+      stream("flat", 300L, (0 until 20).map(i =>
+        if (i % 2 == 0) 300.0 else 10.0))
+    ).toDF("event_type", "event_id", "tsec", "value")
+    val got = EventOps.sprt(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5)))
+    val expect = Seq(
+      ("down", 20L, -4013420L, Some(15L), Some(-3010065L), "accept_h0"),
+      ("flat", 20L, 0L, None, None, "continue"),
+      ("up", 20L, 4013420L, Some(15L), Some(3010065L), "accept_h1"))
+    assert(got.toSeq === expect, "SPRT walk diverged")
+  }
+
 }
