@@ -303,6 +303,7 @@ object SparkEntry {
     "q278_kneser_ney" -> (TextOps.q278KneserNey(_, _)),
     "q279_ktruss" -> (Relational.q279KTruss(_, _)),
     "q280_sprt" -> (EventOps.q280Sprt(_, _)),
+    "q281_textrank" -> (TextOps.q281TextRank(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -919,5 +920,8 @@ object SparkEntry {
     // two-phase prefix decomposition, the oracle the single-phase
     // walk; first boundary crossing via min(n) + equi-join back
     "q280_sprt" -> EventOps.q280SprtSql,
+    // q281: TextRank keywords — q110's ppb power iteration at
+    // vocabulary grain over the symmetrized co-occurrence graph
+    "q281_textrank" -> TextOps.q281TextRankSql,
   )
 }

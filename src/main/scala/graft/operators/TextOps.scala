@@ -7924,4 +7924,104 @@ object TextOps {
        |FROM cvw JOIN cv USING (v) JOIN cw USING (wd) CROSS JOIN tot
        |ORDER BY c_vw DESC, cvw.v, cvw.wd LIMIT $KnTopK""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q281: TextRank keyword extraction (power iteration at vocab grain)
+  // ---------------------------------------------------------------
+
+  private val TrIters = 3
+  private val TrTopK = 20
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+    * graph-based keyword ranker beside the frequency rankers (q62 raw
+    * counts, q67 TF-IDF): words are nodes, adjacent co-occurrence the
+    * (symmetrized, count-weighted, self-loop-free) edges, and salience
+    * is stationary mass under the damped random walk — a word ranks
+    * high when it co-occurs with other high-ranking words, not merely
+    * when it is frequent. Exactly q110's weighted-PageRank power
+    * iteration (same damping 0.85, same integer ppb grid, same
+    * floor-of-identical-IEEE-divide contribution arithmetic), run at
+    * VOCABULARY grain over the co-occurrence graph; output the
+    * top-[[TrTopK]] keywords with deterministic (rank desc, word)
+    * tie-breaks.
+    *
+    * Scale shape: one corpus scan to the bigram aggregate (the shared
+    * q62/q278 grain); symmetrization and all [[TrIters]] iterations
+    * run at vocabulary/bigram-type grain (Heaps-law sublinear — the
+    * corpus is never touched again); each iteration is one
+    * |E|-bounded equi-join plus a map-side-combinable aggregate (the
+    * declarative Pregel step, q110's argument verbatim); the 1-row
+    * node count is a broadcast; the top-k plans as TakeOrdered. The
+    * symmetric graph has no sink nodes by construction (every node
+    * has out-weight), so no dangling-mass correction is needed —
+    * total mass only leaks through per-contribution floors, identically
+    * in both engines. */
+  def q281TextRank(s: SparkSession, d: String): DataFrame =
+    textRank(Tables.documents(s, d))
+
+  private[graft] def textRank(docs: DataFrame): DataFrame = {
+    val bg = ngramRows(docs, 2)
+      .select(split($"sh", " ").getItem(0).as("v"),
+        split($"sh", " ").getItem(1).as("w"))
+      .filter($"v" =!= $"w")
+      .groupBy($"v", $"w").agg(count(lit(1)).as("n"))
+    val edges = bg.select($"v".as("src"), $"w".as("dst"), $"n")
+      .unionByName(bg.select($"w".as("src"), $"v".as("dst"), $"n"))
+      .groupBy($"src", $"dst").agg(sum($"n").as("n"))
+    val outW = edges.groupBy($"src").agg(sum($"n").as("wout"))
+    val nodes = edges.select($"src".as("node")).distinct()
+    val nn = nodes.agg(count(lit(1)).as("c"))
+    val r0 = nodes.crossJoin(broadcast(nn))
+      .select($"node", floor(lit(1000000000.0) / $"c").cast("long").as("r"))
+    val rFinal = (1 to TrIters).foldLeft(r0) { (rank, _) =>
+      val contribs = rank.join(edges, rank("node") === edges("src"))
+        .join(outW, "src")
+        .select($"dst",
+          floor(($"r" * $"n").cast("double") / $"wout").cast("long")
+            .as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("s"))
+      nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+        .crossJoin(broadcast(nn))
+        .select($"node",
+          (floor(lit(150000000.0) / $"c").cast("long") +
+            floor(coalesce($"s", lit(0L)) * 85.0 / 100.0).cast("long"))
+            .as("r"))
+    }
+    rFinal.select($"node".as("word"), $"r".as("rank_ppb"))
+      .orderBy($"rank_ppb".desc, $"word").limit(TrTopK)
+  }
+
+  val q281TextRankSql: String = {
+    val iters = (1 to TrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node,
+         |    CAST(sum(CAST(floor(CAST(r.r * e.n AS DOUBLE) / o.wout)
+         |                  AS BIGINT)) AS BIGINT) AS s
+         |  FROM r${i - 1} r JOIN edges e ON r.node = e.src
+         |  JOIN outw o ON e.src = o.src GROUP BY e.dst),
+         |r$i AS (SELECT n.node,
+         |    CAST(floor(150000000.0 / nn.c) AS BIGINT) +
+         |    CAST(floor(coalesce(c.s, 0) * 85.0 / 100.0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node, nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |bgr AS (SELECT w[i+1] AS v, w[i+2] AS wd
+       |       FROM ws, UNNEST(range(0, len(w) - 1)) AS t(i)),
+       |bg AS (SELECT v, wd, CAST(count(*) AS BIGINT) AS n
+       |  FROM bgr WHERE v <> wd GROUP BY 1, 2),
+       |edges AS (SELECT src, dst, CAST(sum(n) AS BIGINT) AS n FROM (
+       |    SELECT v AS src, wd AS dst, n FROM bg
+       |    UNION ALL SELECT wd, v, n FROM bg)
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src, CAST(sum(n) AS BIGINT) AS wout
+       |  FROM edges GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT count(*) AS c FROM nodes),
+       |r0 AS (SELECT node, CAST(floor(1000000000.0 / c) AS BIGINT) AS r
+       |  FROM nodes, nn),
+       |$iters
+       |SELECT node AS word, r AS rank_ppb FROM r$TrIters
+       |ORDER BY rank_ppb DESC, word LIMIT $TrTopK""".stripMargin
+  }
+
 }

@@ -6387,4 +6387,37 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq === expect, "SPRT walk diverged")
   }
 
+  test("q281 TextRank: exact JVM power-iteration replay on a star graph") {
+    import graft.operators.TextOps
+    // "hub x hub y hub z": bigrams symmetrize to a star with weighted
+    // spokes (hub-x 2, hub-y 2, hub-z 1 each direction); the hub must
+    // dominate, and every ppb value must match the exact grid replay
+    val docs = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
+    val got = TextOps.textRank(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // independent replay of the damped grid walk
+    val edges = Map(
+      ("hub", "x") -> 2L, ("x", "hub") -> 2L,
+      ("hub", "y") -> 2L, ("y", "hub") -> 2L,
+      ("hub", "z") -> 1L, ("z", "hub") -> 1L)
+    val nodes = Seq("hub", "x", "y", "z")
+    val wout = edges.groupBy(_._1._1).map { case (s, es) =>
+      s -> es.values.sum
+    }
+    var r = nodes.map(_ -> 250000000L).toMap // floor(1e9 / 4)
+    for (_ <- 1 to 3) {
+      val s = nodes.map { n =>
+        n -> edges.collect { case ((src, dst), w) if dst == n =>
+          math.floor((r(src) * w).toDouble / wout(src)).toLong
+        }.sum
+      }.toMap
+      r = nodes.map(n =>
+        n -> (37500000L + math.floor(s(n) * 85.0 / 100.0).toLong)).toMap
+    }
+    val expect = r.toSeq.map { case (n, v) => (n, v) }
+      .sortBy { case (n, v) => (-v, n) }
+    assert(got.toSeq === expect, "TextRank grid replay diverged")
+    assert(got.head._1 === "hub", "star center must rank first")
+  }
+
 }

@@ -583,7 +583,9 @@ class ScaleSpec extends AnyFunSuite {
       // aggregate (the delta/index boundary as a scalar join)
       // +1 round 12: q278's 1-row bigram-type-total broadcast onto the
       // bigram-type-grain KN relation
-      "operators/TextOps.scala" -> 32,
+      // +2 round 12: q281's 1-row node-count broadcast — the q110
+      // teleport constant, one site in r0 and one inside the fold
+      "operators/TextOps.scala" -> 34,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
