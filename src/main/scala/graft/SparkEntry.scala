@@ -304,6 +304,7 @@ object SparkEntry {
     "q279_ktruss" -> (Relational.q279KTruss(_, _)),
     "q280_sprt" -> (EventOps.q280Sprt(_, _)),
     "q281_textrank" -> (TextOps.q281TextRank(_, _)),
+    "q282_boruvka" -> (Relational.q282Boruvka(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -923,5 +924,9 @@ object SparkEntry {
     // q281: TextRank keywords — q110's ppb power iteration at
     // vocabulary grain over the symmetrized co-occurrence graph
     "q281_textrank" -> TextOps.q281TextRankSql,
+    // q282: Borůvka spanning forest — per-component packed-BIGINT
+    // argmin picks (cut-property certified), bounded contraction hops,
+    // cross-round anti-join census
+    "q282_boruvka" -> Relational.q282BoruvkaSql,
   )
 }

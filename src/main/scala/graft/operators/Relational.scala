@@ -3172,6 +3172,216 @@ object Relational {
        |ORDER BY metric""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q282: Borůvka minimum spanning forest (greedy backbone, 3 rounds)
+  // ---------------------------------------------------------------
+
+  private val MstRounds = 3
+  private val MstHops = 2
+
+  /** The count-weighted co-purchase DISTANCE graph: affinity is how
+    * many distinct orders carry both parts, distance its integer
+    * reciprocal 1e6 div n — strongly co-purchased parts are close, so
+    * the spanning forest is the product-similarity backbone. Staged
+    * like [[coEdgesStaged]] (one corpus-grain self-join, read by every
+    * Borůvka round). */
+  private def coEdgesWeighted(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    li.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(li.select($"l_orderkey", $"l_partkey".as("pb")),
+        Seq("l_orderkey"))
+      .filter($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
+      .select($"pa", $"pb", expr("1000000 div n").as("w"))
+  }
+
+  private def coEdgesWeightedStaged(s: SparkSession, d: String): DataFrame = {
+    val df = coEdgesWeighted(s, d)
+    Staged.orCompute(s, d, "graph", "co_edges_w",
+      Staged.combine(Staged.planHash(df), lineitemFp(d)))(df)
+  }
+
+  /** Borůvka's minimum-spanning-forest rounds (Borůvka 1926; the
+    * distributed MST algorithm of choice — GHS and every
+    * Pregel/MapReduce MST paper run exactly this shape) over the
+    * count-weighted co-purchase distance graph — the greedy global
+    * backbone beside the local cohesion operators (q197 core, q279
+    * truss) and the flat components (q228): each round every component
+    * picks its minimum outgoing edge (cut property: with the packed
+    * total order making all weights distinct, every such edge is
+    * unconditionally in THE unique MST), picked edges merge components,
+    * repeat. Output: the [[MstRounds]]-round census — components,
+    * newly chosen edges, accumulated forest weight.
+    *
+    * Contraction is [[MstHops]] hash-min hops per round at COMPONENT
+    * grain (the q228 bounded-round honesty: long pick-chains may stay
+    * split within a round — they merge in later rounds; every chosen
+    * edge is already a certified MST edge by the cut property, so
+    * bounded hops can only defer picks, never corrupt the forest —
+    * the cross-round anti-join keeps re-picks out of the census).
+    *
+    * Determinism: the per-component argmin is ONE packed-BIGINT min
+    * (rule 9): w·2⁴² + pa·2²¹ + pb, a total order making ties
+    * impossible; the pack bound (w < 2²⁰ by the distance construction,
+    * ids < 2²¹) is enforced per row by a loud raise_error — a wider id
+    * space re-splits the shift, never aliases.
+    *
+    * Scale shape: each round is two label equi-joins on the
+    * entropy-rich part ids + one map-side-combinable packed min + the
+    * component-grain hop joins (labels: one row per node forever,
+    * contraction graph: one row per chosen edge); the weighted edge
+    * relation is staged once per corpus; per-round labels/picks are
+    * persisted (iterative-plan rule). */
+  def q282Boruvka(s: SparkSession, d: String): DataFrame =
+    boruvkaTrace(coEdgesWeightedStaged(s, d))
+
+  /** The Borůvka loop over an arbitrary (pa, pb, w) edge list — split
+    * from [[q282Boruvka]] for the crafted spec (kCoreTrace pattern). */
+  private[graft] def boruvkaTrace(edges0: DataFrame): DataFrame = {
+    val guarded = when(
+      $"pa" >= lit(1L << 21) || $"pb" >= lit(1L << 21) ||
+        $"w" >= lit(1L << 20) || $"w" < 0L,
+      raise_error(concat(
+        lit("boruvkaTrace: (w, pa, pb) exceeds the 20/21/21-bit pack " +
+          "bound: w="), $"w", lit(" pa="), $"pa", lit(" pb="), $"pb")))
+      .otherwise($"w")
+    val edges = edges0.select($"pa", $"pb", guarded.as("w")).persist()
+    var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
+      .distinct().select($"p", $"p".as("lbl")).persist()
+    var mst: DataFrame = null
+    var out = censusRow("r0_components", lbl.select($"lbl").distinct())
+    for (r <- 1 to MstRounds) {
+      val cand = edges
+        .join(lbl.select($"p".as("pa"), $"lbl".as("ca")), Seq("pa"))
+        .join(lbl.select($"p".as("pb"), $"lbl".as("cb")), Seq("pb"))
+        .filter($"ca" =!= $"cb")
+        .select($"pa", $"pb", $"w", $"ca", $"cb")
+        .persist()
+      val picks = cand
+        .select(explode(array($"ca", $"cb")).as("c"),
+          ($"w" * lit(1L << 42) + $"pa" * lit(1L << 21) + $"pb").as("k"))
+        .groupBy($"c").agg(min($"k").as("k"))
+        .select(expr(s"k div ${1L << 42}").as("w"),
+          expr(s"(k div ${1L << 21}) % ${1L << 21}").as("pa"),
+          expr(s"k % ${1L << 21}").as("pb"))
+        .distinct().persist()
+      // localCheckpoint, not persist, at every cross-round relation
+      // (the q225 BFS discipline): each round's plan references the
+      // previous round's labels ~30× (two cand arms, the pick decode,
+      // the contraction graph, both hop sides), so cached-but-lazy
+      // lineage grows ~30^r plan copies and analysis itself OOMs —
+      // the checkpoint cuts the lineage at the round boundary
+      val newEdges = (if (mst == null) picks
+        else picks.join(mst.select($"pa", $"pb"), Seq("pa", "pb"),
+          "left_anti")).localCheckpoint(true)
+      mst = (if (mst == null) newEdges
+        else mst.unionByName(newEdges)).localCheckpoint(true)
+      out = out
+        .unionByName(censusRow(s"r${r}_new_edges", newEdges))
+        .unionByName(mst.agg(coalesce(sum($"w"), lit(0L)).as("value"))
+          .select(lit(s"r${r}_mst_weight").as("metric"), $"value"))
+      // contraction graph at component grain: the chosen edges' label
+      // pairs (one row per chosen edge, symmetrized)
+      val chosen = cand.join(newEdges.select($"pa", $"pb"), Seq("pa", "pb"))
+      val cg = chosen.select($"ca".as("x"), $"cb".as("y"))
+        .unionByName(chosen.select($"cb".as("x"), $"ca".as("y")))
+        .persist()
+      var cm = lbl.select($"lbl".as("c")).distinct()
+        .select($"c", $"c".as("m")).persist()
+      for (_ <- 1 to MstHops) {
+        val msgs = cg.join(cm.select($"c".as("x"), $"m"), Seq("x"))
+          .groupBy($"y").agg(min($"m").as("nm"))
+        cm = cm.join(msgs.withColumnRenamed("y", "c"), Seq("c"), "left")
+          .select($"c", least($"m", coalesce($"nm", $"m")).as("m"))
+          .persist()
+      }
+      lbl = lbl.join(cm, lbl("lbl") === cm("c"))
+        .select($"p", $"m".as("lbl")).localCheckpoint(true)
+      out = out.unionByName(
+        censusRow(s"r${r}_components", lbl.select($"lbl").distinct()))
+    }
+    out.orderBy($"metric")
+  }
+
+  val q282BoruvkaSql: String = {
+    def hopCtes(r: Int): String = (1 to MstHops).map { h =>
+      val prev = if (h == 1) s"cm${r}_0" else s"cm${r}_${h - 1}"
+      s"""cm${r}_$h AS MATERIALIZED (
+         |  SELECT l.c, least(l.m, coalesce(g.nm, l.m)) AS m
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT cg.y AS c, min(x.m) AS nm
+         |    FROM cg$r cg JOIN $prev x ON cg.x = x.c GROUP BY cg.y) g
+         |  ON l.c = g.c)""".stripMargin
+    }.mkString(",\n")
+    def roundCtes(r: Int): String = {
+      val lblPrev = if (r == 1) "lbl0" else s"lbl${r - 1}"
+      val anti = if (r == 1) ""
+        else s"""
+         |  WHERE NOT EXISTS (SELECT 1 FROM mst${r - 1} m
+         |    WHERE m.pa = px.pa AND m.pb = px.pb)""".stripMargin
+      val mstDef = if (r == 1) s"new$r" else
+        s"(SELECT pa, pb, w FROM mst${r - 1} UNION ALL SELECT * FROM new$r)"
+      s"""cand$r AS MATERIALIZED (
+         |  SELECT e.pa, e.pb, e.w, la.lbl AS ca, lb.lbl AS cb
+         |  FROM edges e
+         |  JOIN $lblPrev la ON la.p = e.pa
+         |  JOIN $lblPrev lb ON lb.p = e.pb
+         |  WHERE la.lbl <> lb.lbl),
+         |picks$r AS MATERIALIZED (
+         |  SELECT DISTINCT k // ${1L << 42} AS w,
+         |    (k // ${1L << 21}) % ${1L << 21} AS pa,
+         |    k % ${1L << 21} AS pb
+         |  FROM (SELECT c, min(k) AS k FROM (
+         |      SELECT ca AS c, w * ${1L << 42} + pa * ${1L << 21} + pb AS k
+         |        FROM cand$r
+         |      UNION ALL
+         |      SELECT cb, w * ${1L << 42} + pa * ${1L << 21} + pb
+         |        FROM cand$r)
+         |    GROUP BY c)),
+         |new$r AS MATERIALIZED (
+         |  SELECT px.pa, px.pb, px.w FROM picks$r px$anti),
+         |mst$r AS MATERIALIZED (SELECT pa, pb, w FROM $mstDef),
+         |cg$r AS MATERIALIZED (
+         |  SELECT c.ca AS x, c.cb AS y FROM cand$r c
+         |    JOIN new$r n ON n.pa = c.pa AND n.pb = c.pb
+         |  UNION ALL
+         |  SELECT c.cb, c.ca FROM cand$r c
+         |    JOIN new$r n ON n.pa = c.pa AND n.pb = c.pb),
+         |cm${r}_0 AS MATERIALIZED (
+         |  SELECT DISTINCT lbl AS c, lbl AS m FROM $lblPrev),
+         |${hopCtes(r)},
+         |lbl$r AS MATERIALIZED (
+         |  SELECT l.p, c.m AS lbl FROM $lblPrev l
+         |  JOIN cm${r}_$MstHops c ON c.c = l.lbl)""".stripMargin
+    }
+    val rounds = (1 to MstRounds).map(roundCtes).mkString(",\n")
+    val rows = (1 to MstRounds).map { r =>
+      s"""SELECT 'r${r}_components' AS metric,
+         |    count(DISTINCT lbl) AS value FROM lbl$r
+         |  UNION ALL SELECT 'r${r}_new_edges', count(*) FROM new$r
+         |  UNION ALL SELECT 'r${r}_mst_weight',
+         |    coalesce(CAST(sum(w) AS BIGINT), 0) FROM mst$r""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |edges AS MATERIALIZED (
+       |  SELECT pa, pb, 1000000 // n AS w FROM (
+       |    SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       |      CAST(count(*) AS BIGINT) AS n
+       |    FROM li a JOIN li b USING (l_orderkey)
+       |    WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2)),
+       |lbl0 AS MATERIALIZED (SELECT p, p AS lbl FROM (
+       |  SELECT DISTINCT p FROM (
+       |    SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges))),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'r0_components' AS metric, count(DISTINCT lbl) AS value
+       |    FROM lbl0
+       |  UNION ALL $rows)
+       |ORDER BY metric""".stripMargin
+  }
+
   // =====================================================================
   // q231: sorted-neighborhood matching (Hernández & Stolfo SIGMOD 1995)
   // =====================================================================

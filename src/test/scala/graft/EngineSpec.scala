@@ -6420,4 +6420,25 @@ class EngineSpec extends AnyFunSuite {
     assert(got.head._1 === "hub", "star center must rank first")
   }
 
+  test("q282 Borůvka: hand-solved MST trace, final weight = Kruskal's") {
+    import graft.operators.Relational
+    // 5-node graph whose unique MST (Kruskal by hand) is
+    // {(2,3,1),(3,4,2),(1,5,3),(1,3,4)} with total weight 10:
+    // round 1 picks (1,5,3),(2,3,1),(3,4,2) and contracts to
+    // {1,5},{2,3,4}; round 2 picks the (1,3,4) bridge; round 3 is the
+    // fixed point (no candidate crosses components).
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L),
+      (1L, 3L, 4L), (4L, 5L, 10L), (1L, 5L, 3L))
+      .toDF("pa", "pb", "w")
+    val got = Relational.boruvkaTrace(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = Seq(
+      ("r0_components", 5L),
+      ("r1_components", 2L), ("r1_mst_weight", 6L), ("r1_new_edges", 3L),
+      ("r2_components", 1L), ("r2_mst_weight", 10L), ("r2_new_edges", 1L),
+      ("r3_components", 1L), ("r3_mst_weight", 10L), ("r3_new_edges", 0L))
+    assert(got.toSeq === expect, "Borůvka trace diverged")
+  }
+
 }
