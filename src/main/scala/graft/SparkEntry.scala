@@ -305,6 +305,7 @@ object SparkEntry {
     "q280_sprt" -> (EventOps.q280Sprt(_, _)),
     "q281_textrank" -> (TextOps.q281TextRank(_, _)),
     "q282_boruvka" -> (Relational.q282Boruvka(_, _)),
+    "q283_naive_bayes" -> (TextOps.q283NaiveBayes(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -928,5 +929,9 @@ object SparkEntry {
     // argmin picks (cut-property certified), bounded contraction hops,
     // cross-round anti-join census
     "q282_boruvka" -> Relational.q282BoruvkaSql,
+    // q283: trained multinomial NB lang classifier — all four ln
+    // sites micro-nat gridded + hazard-registered; scores exact
+    // BIGINT sums; unseen tokens need no join arm (ln 1 = 0)
+    "q283_naive_bayes" -> TextOps.q283NaiveBayesSql,
   )
 }

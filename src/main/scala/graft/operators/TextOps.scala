@@ -1784,11 +1784,34 @@ object TextOps {
       .select(lit("q259_pq").as("site"), jsdKey.as("key"),
         (log(($"pg" + coalesce($"qg", lit(0L))).cast("double")) * 1e6 + 0.5)
           .as("y"))
+    // q283's four grid sites: per-(lang, term) smoothed numerator
+    // ln(c+1), per-lang denominator ln(cl+V), per-lang prior ln(nl),
+    // and the 1-row ln(N) — (langs x vocab)-grain scan at worst
+    val nbTrain = Tables.documents(s, d).filter($"doc_id" % 10 < NbTrainMod)
+    val nbClt = nbTrain
+      .select($"lang", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+    val nbLnc1Haz = nbClt.select(lit("q283_lnc1").as("site"),
+      concat($"lang", lit(":"), $"term").as("key"),
+      (log(($"c" + lit(1L)).cast("double")) * 1e6 + 0.5).as("y"))
+    val nbV = nbClt.select($"term").distinct().agg(count(lit(1)).as("v"))
+    val nbDenHaz = nbClt.groupBy($"lang").agg(sum($"c").as("cl"))
+      .crossJoin(broadcast(nbV))
+      .select(lit("q283_lnden").as("site"), $"lang".as("key"),
+        (log(($"cl" + $"v").cast("double")) * 1e6 + 0.5).as("y"))
+    val nbPriorHaz = nbTrain.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      .select(lit("q283_lnprior").as("site"), $"lang".as("key"),
+        (log($"nl".cast("double")) * 1e6 + 0.5).as("y"))
+    val nbNHaz = nbTrain.agg(count(lit(1)).as("n"))
+      .select(lit("q283_lnN").as("site"), lit("N").as("key"),
+        (log($"n".cast("double")) * 1e6 + 0.5).as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
       .unionAll(dsirTermHaz).unionAll(dsirConstHaz).unionAll(bm25Haz)
       .unionAll(mlAgenHaz).unionAll(mlAinHaz).unionAll(mlDenHaz)
       .unionAll(jsdP2Haz).unionAll(jsdQ2Haz).unionAll(jsdPqHaz)
+      .unionAll(nbLnc1Haz).unionAll(nbDenHaz).unionAll(nbPriorHaz)
+      .unionAll(nbNHaz)
   }
 
   // ---------------------------------------------------------------
@@ -8023,5 +8046,133 @@ object TextOps {
        |SELECT node AS word, r AS rank_ppb FROM r$TrIters
        |ORDER BY rank_ppb DESC, word LIMIT $TrTopK""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // q283: multinomial Naive Bayes language classifier (train + eval)
+  // ---------------------------------------------------------------
+
+  /** doc_id % 10 below this trains; the rest evaluates (deterministic
+    * q88-style split, behavior-independent). */
+  private[graft] val NbTrainMod = 8L
+
+  /** Multinomial Naive Bayes with Laplace smoothing (the textbook
+    * McCallum–Nigam 1998 event model), TRAINED on the labeled corpus
+    * and evaluated on a held-out split — the supervised-classifier
+    * training surface beside the fixed-weight inference of q178 and
+    * the heuristic lang-ID of q21: per-language token likelihoods
+    * P(t|l) = (c(l,t)+1)/(c(l)+V) and document priors are FIT from the
+    * deterministic 80% train split, every held-out doc is scored
+    * argmax_l [ln P(l) + Σ ln P(t|l)], and the output is the
+    * |langs|² confusion matrix a curation pipeline reads before
+    * trusting the classifier.
+    *
+    * Determinism: every ln lands on the micro-nat grid separately
+    * (numerator per seen (lang, term), denominator/prior per lang, one
+    * ln N — all four sites registered in [[lnBoundaryHazards]], rule
+    * 8), so scores are exact BIGINT sums of gridded integers; the key
+    * algebraic move is that an UNSEEN token contributes ln 1 = 0
+    * numerator exactly, so score = prior + Σ_matched ln(c+1)grid
+    * − n_tok·lnden(l) and the unmatched tokens never need a join arm.
+    * Argmax = integer max + min(lang) tie-break (two aggregates + one
+    * equi-join back — never max_by/struct-min, rule 9's caveat).
+    *
+    * Scale shape: training is one corpus scan to the (lang, term)
+    * aggregate (map-side combinable; Heaps-bounded grain); the model
+    * relations are vocabulary-grain; scoring joins the test token
+    * stream to the likelihood table on the term key — each occurrence
+    * matches at most |langs| rows (the bounded class axis), the only
+    * fan-out; the |langs|-row model spine rides a broadcast crossJoin
+    * onto the test-doc relation; the readout is |langs|² rows. */
+  def q283NaiveBayes(s: SparkSession, d: String): DataFrame =
+    naiveBayes(Tables.documents(s, d))
+
+  private[graft] def naiveBayes(docs: DataFrame): DataFrame = {
+    val train = docs.filter($"doc_id" % 10 < NbTrainMod)
+    val test = docs.filter($"doc_id" % 10 >= NbTrainMod)
+    val clt = train
+      .select($"lang", explode(Text.tokens($"text")).as("term"))
+      .groupBy($"lang", $"term").agg(count(lit(1)).as("c"))
+    val vocab = clt.select($"term").distinct().agg(count(lit(1)).as("v"))
+    val cl = clt.groupBy($"lang").agg(sum($"c").as("cl"))
+    val nTrain = train.agg(count(lit(1)).as("n"))
+    val langs = train.groupBy($"lang").agg(count(lit(1)).as("nl"))
+      .join(cl, Seq("lang"), "left")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(nTrain))
+      .select($"lang",
+        (floor(log($"nl".cast("double")) * 1e6 + 0.5).cast("long") -
+          floor(log($"n".cast("double")) * 1e6 + 0.5).cast("long"))
+          .as("prior_g"),
+        floor(log((coalesce($"cl", lit(0L)) + $"v").cast("double"))
+          * 1e6 + 0.5).cast("long").as("lnden_g"))
+    val ll = clt.select($"lang", $"term",
+      floor(log(($"c" + lit(1L)).cast("double")) * 1e6 + 0.5).cast("long")
+        .as("lnc1_g"))
+    val tdocs = test.select($"doc_id", $"lang".as("lang_true"),
+      size(Text.tokens($"text")).cast("long").as("n_tok"))
+    val matched = test
+      .select($"doc_id", explode(Text.tokens($"text")).as("term"))
+      .join(ll, Seq("term"))
+      .groupBy($"doc_id", $"lang").agg(sum($"lnc1_g").as("s_match"))
+    val scored = tdocs.crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "lang"), "left")
+      .select($"doc_id", $"lang_true", $"lang",
+        ($"prior_g" + coalesce($"s_match", lit(0L)) -
+          $"n_tok" * $"lnden_g").as("score"))
+    val best = scored.groupBy($"doc_id").agg(max($"score").as("score"))
+    val pred = scored.join(best, Seq("doc_id", "score"))
+      .groupBy($"doc_id").agg(min($"lang").as("lang_pred"))
+    tdocs.select($"doc_id", $"lang_true")
+      .join(pred, Seq("doc_id"))
+      .groupBy($"lang_true", $"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang_true", $"lang_pred")
+  }
+
+  val q283NaiveBayesSql: String =
+    s"""WITH train AS (SELECT * FROM documents
+       |  WHERE doc_id % 10 < $NbTrainMod),
+       |test AS (SELECT * FROM documents WHERE doc_id % 10 >= $NbTrainMod),
+       |clt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS term
+       |    FROM train)
+       |  GROUP BY 1, 2),
+       |voc AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM clt),
+       |cl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl
+       |  FROM clt GROUP BY 1),
+       |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+       |langs AS (SELECT nl.lang,
+       |    CAST(floor(ln(CAST(nl.nl AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      - CAST(floor(ln(CAST(ntr.n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS prior_g,
+       |    CAST(floor(ln(CAST(coalesce(cl.cl, 0) + voc.v AS DOUBLE))
+       |      * 1e6 + 0.5) AS BIGINT) AS lnden_g
+       |  FROM (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+       |        FROM train GROUP BY 1) nl
+       |  LEFT JOIN cl ON cl.lang = nl.lang, voc, ntr),
+       |ll AS (SELECT lang, term,
+       |    CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |      AS lnc1_g
+       |  FROM clt),
+       |tdocs AS (SELECT doc_id, lang AS lang_true,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM test),
+       |matched AS (SELECT t.doc_id, l.lang,
+       |    CAST(sum(l.lnc1_g) AS BIGINT) AS s_match
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |        FROM test) t
+       |  JOIN ll l ON l.term = t.term GROUP BY 1, 2),
+       |scored AS (SELECT d.doc_id, d.lang_true, lg.lang,
+       |    lg.prior_g + coalesce(m.s_match, 0) - d.n_tok * lg.lnden_g
+       |      AS score
+       |  FROM tdocs d CROSS JOIN langs lg
+       |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.lang = lg.lang),
+       |best AS (SELECT doc_id, max(score) AS score FROM scored GROUP BY 1),
+       |pred AS (SELECT s.doc_id, min(s.lang) AS lang_pred
+       |  FROM scored s JOIN best b ON b.doc_id = s.doc_id
+       |    AND b.score = s.score
+       |  GROUP BY 1)
+       |SELECT d.lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM tdocs d JOIN pred p ON p.doc_id = d.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
 }

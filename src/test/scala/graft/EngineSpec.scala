@@ -6441,4 +6441,42 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq === expect, "Borůvka trace diverged")
   }
 
+  test("q283 Naive Bayes: first-principles textbook replay on a crafted split") {
+    import graft.operators.TextOps
+    // doc_id % 10 < 8 trains (1-4), 8/9 evaluate; includes an unseen
+    // test token (d in doc 8's vocab view for en) so the
+    // no-join-arm-for-unseen algebra is exercised
+    val docs = Seq(
+      (1L, "a a b", "en"), (2L, "a b", "en"),
+      (3L, "c c", "fr"), (4L, "c d", "fr"),
+      (8L, "a b c", "en"), (9L, "c c d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextOps.naiveBayes(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // textbook NB replay, grid arithmetic from first principles
+    def g(x: Double): Long = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    val train = Map("en" -> Seq("a", "a", "b", "a", "b"),
+      "fr" -> Seq("c", "c", "c", "d"))
+    val v = train.values.flatten.toSet.size // 4
+    val nl = Map("en" -> 2L, "fr" -> 2L)
+    def score(toks: Seq[String], l: String): Long = {
+      val cnt = train(l).groupBy(identity).view.mapValues(_.size).toMap
+      (g(nl(l)) - g(4.0)) +
+        toks.map(t => cnt.get(t).map(c => g(c + 1.0)).getOrElse(0L)).sum -
+        toks.size * g(train(l).size + v.toDouble)
+    }
+    val tests = Map(8L -> ("en", Seq("a", "b", "c")),
+      9L -> ("fr", Seq("c", "c", "d")))
+    val preds = tests.map { case (_, (lt, toks)) =>
+      val best = Seq("en", "fr").map(l => (score(toks, l), l))
+        .sortBy { case (s, l) => (-s, l) }.head._2
+      (lt, best)
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.map { case ((a, b), n) => (a, b, n) }.sortBy(x => (x._1, x._2))
+    assert(got.toSeq === preds, "NB confusion replay diverged")
+    // the crafted corpus is separable: the classifier must be perfect
+    assert(got.toSeq === Seq(("en", "en", 1L), ("fr", "fr", 1L)),
+      "crafted separable corpus must classify perfectly")
+  }
+
 }

@@ -585,7 +585,10 @@ class ScaleSpec extends AnyFunSuite {
       // bigram-type-grain KN relation
       // +2 round 12: q281's 1-row node-count broadcast — the q110
       // teleport constant, one site in r0 and one inside the fold
-      "operators/TextOps.scala" -> 34,
+      // +4 round 12: q283's broadcasts — 1-row vocab + 1-row train
+      // total onto the |langs| model spine, the |langs|-row spine onto
+      // the test docs, and the hazard twin's 1-row vocab
+      "operators/TextOps.scala" -> 38,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
