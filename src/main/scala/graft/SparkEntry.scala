@@ -306,6 +306,7 @@ object SparkEntry {
     "q281_textrank" -> (TextOps.q281TextRank(_, _)),
     "q282_boruvka" -> (Relational.q282Boruvka(_, _)),
     "q283_naive_bayes" -> (TextOps.q283NaiveBayes(_, _)),
+    "q284_set_cover" -> (TextOps.q284SetCover(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -933,5 +934,8 @@ object SparkEntry {
     // sites micro-nat gridded + hazard-registered; scores exact
     // BIGINT sums; unseen tokens need no join arm (ln 1 = 0)
     "q283_naive_bayes" -> TextOps.q283NaiveBayesSql,
+    // q284: greedy set cover — packed-max pick per round, NULL pick
+    // on an exhausted universe reported as doc -1 both sides
+    "q284_set_cover" -> TextOps.q284SetCoverSql,
   )
 }

@@ -8081,7 +8081,7 @@ object TextOps {
     * relations are vocabulary-grain; scoring joins the test token
     * stream to the likelihood table on the term key — each occurrence
     * matches at most |langs| rows (the bounded class axis), the only
-    * fan-out; the |langs|-row model spine rides a broadcast crossJoin
+    * fan-out; the |langs|-row model spine rides a broadcast cross-join
     * onto the test-doc relation; the readout is |langs|² rows. */
   def q283NaiveBayes(s: SparkSession, d: String): DataFrame =
     naiveBayes(Tables.documents(s, d))
@@ -8126,6 +8126,122 @@ object TextOps {
       .join(pred, Seq("doc_id"))
       .groupBy($"lang_true", $"lang_pred").agg(count(lit(1)).as("n"))
       .orderBy($"lang_true", $"lang_pred")
+  }
+
+  // ---------------------------------------------------------------
+  // q284: greedy set cover (eval-suite selection, 5 unrolled picks)
+  // ---------------------------------------------------------------
+
+  private val ScRounds = 5
+
+  /** Greedy set cover (Chvátal 1979 — the (1−1/e)-approximation that
+    * is provably near-best-possible) over the doc→distinct-shingle
+    * incidence: pick, [[ScRounds]] times, the document covering the
+    * most still-uncovered shingles — the coverage-maximal eval-suite /
+    * few-shot-pool selection beside q248's k-center (geometric
+    * diversity) and q138's MMR (relevance-diversity): here the
+    * objective is literal corpus coverage. Census per round: the
+    * picked doc, its marginal gain, and cumulative universe coverage
+    * in ppm.
+    *
+    * Determinism: the pick is ONE packed-BIGINT max (rule 9:
+    * gain·2³² + (2³²−1−doc_id), so gain desc then doc_id asc — loud
+    * per-row pack guard); an exhausted universe yields a NULL pick
+    * that the census reports as doc −1 / gain 0 identically in both
+    * engines (max over empty is NULL, the semi-join matches nothing).
+    *
+    * Scale shape: greedy set cover is inherently round-sequential —
+    * each round is one anti-join of the (persisted) incidence against
+    * the covered set plus one map-side-combinable gain aggregate (the
+    * distributed-greedy shape; lazy-greedy/stochastic-greedy variants
+    * cut constant factors, same round structure); the covered set
+    * grows only by picked docs' shingles (≤ rounds × doc size — tiny)
+    * and is eagerly localCheckpoint'ed per round (the q282 lineage
+    * cut); the pick is a 1-row broadcast. */
+  def q284SetCover(s: SparkSession, d: String): DataFrame =
+    setCoverTrace(Tables.documents(s, d))
+
+  private[graft] def setCoverTrace(docs: DataFrame): DataFrame = {
+    val ds = shingleRows(docs).distinct().persist()
+    val uTotal = ds.agg(countDistinct($"sh").as("u"))
+    var covered: DataFrame = null
+    var out = uTotal.select(lit("r0_universe").as("metric"),
+      $"u".as("value"))
+    for (r <- 1 to ScRounds) {
+      val uncovered = if (covered == null) ds
+        else ds.join(covered, Seq("sh"), "left_anti")
+      val guarded = when(
+        $"doc_id" >= lit(1L << 32) || $"gain" >= lit(1L << 31),
+        raise_error(concat(
+          lit("setCoverTrace: (gain, doc) exceeds the 31/32-bit pack " +
+            "bound: gain="), $"gain", lit(" doc="), $"doc_id")))
+        .otherwise($"gain")
+      val pick = uncovered.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+        .select($"doc_id", guarded.as("gain"))
+        .agg(max($"gain" * lit(1L << 32) +
+          (lit((1L << 32) - 1) - $"doc_id")).as("pk"))
+        .select((lit((1L << 32) - 1) - $"pk" % lit(1L << 32)).as("doc_id"),
+          expr(s"pk div ${1L << 32}").as("gain"))
+        .localCheckpoint(true)
+      val pickedSh = ds
+        .join(broadcast(pick.select($"doc_id")), Seq("doc_id"), "leftsemi")
+        .select($"sh")
+      covered = (if (covered == null) pickedSh
+        else covered.unionByName(pickedSh)).distinct()
+        .localCheckpoint(true)
+      out = out
+        .unionByName(pick.select(lit(s"r${r}_doc").as("metric"),
+          coalesce($"doc_id", lit(-1L)).as("value")))
+        .unionByName(pick.select(lit(s"r${r}_gain").as("metric"),
+          coalesce($"gain", lit(0L)).as("value")))
+        .unionByName(covered.agg(count(lit(1)).as("c"))
+          .crossJoin(broadcast(uTotal))
+          .select(lit(s"r${r}_covered_ppm").as("metric"),
+            expr("(c * 1000000) div u").as("value")))
+    }
+    out.orderBy($"metric")
+  }
+
+  val q284SetCoverSql: String = {
+    def roundCtes(r: Int): String = {
+      val unc = if (r == 1) "ds"
+        else s"(SELECT d.* FROM ds d WHERE NOT EXISTS " +
+          s"(SELECT 1 FROM cov${r - 1} c WHERE c.sh = d.sh))"
+      val covDef = if (r == 1) s"psh$r" else
+        s"(SELECT sh FROM cov${r - 1} UNION SELECT sh FROM psh$r)"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT 4294967295 - (pk % 4294967296) AS doc_id,
+         |    pk // 4294967296 AS gain
+         |  FROM (SELECT max(gain * 4294967296 + (4294967295 - doc_id))
+         |      AS pk
+         |    FROM (SELECT doc_id, count(*) AS gain FROM $unc
+         |          GROUP BY doc_id))),
+         |psh$r AS (SELECT DISTINCT sh FROM ds
+         |  WHERE doc_id IN (SELECT doc_id FROM p$r)),
+         |cov$r AS MATERIALIZED (SELECT DISTINCT sh FROM $covDef)"""
+        .stripMargin
+    }
+    val rounds = (1 to ScRounds).map(roundCtes).mkString(",\n")
+    val rows = (1 to ScRounds).map { r =>
+      s"""SELECT 'r${r}_doc' AS metric, coalesce(doc_id, -1) AS value
+         |    FROM p$r
+         |  UNION ALL SELECT 'r${r}_gain', coalesce(gain, 0) FROM p$r
+         |  UNION ALL SELECT 'r${r}_covered_ppm',
+         |    ((SELECT count(*) FROM cov$r) * 1000000)
+         |      // (SELECT u FROM ut) FROM (VALUES (1)) t(x)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |ds AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS sh
+       |  FROM ws, UNNEST(range(0, len(w) - 2)) AS t(i)),
+       |ut AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS u FROM ds),
+       |$rounds
+       |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+       |  SELECT 'r0_universe' AS metric, (SELECT u FROM ut) AS value
+       |    FROM (VALUES (1)) t0(x)
+       |  UNION ALL $rows)
+       |ORDER BY metric""".stripMargin
   }
 
   val q283NaiveBayesSql: String =

@@ -6479,4 +6479,29 @@ class EngineSpec extends AnyFunSuite {
       "crafted separable corpus must classify perfectly")
   }
 
+  test("q284 set cover: hand-solved greedy trace incl. subset skip, tie, exhaustion") {
+    import graft.operators.TextOps
+    // shingle sets: doc10 has 5, doc20's 3 are a SUBSET of doc10's
+    // (never picked — zero marginal gain), doc30 has 2 fresh, doc40
+    // and doc50 one fresh each (gain tie -> min doc_id first); the
+    // universe (9) exhausts at round 4, round 5 must report the NULL
+    // pick as doc -1 / gain 0
+    val docs = Seq(
+      (10L, "s1 s2 s3 s4 s5 s6 s7"),
+      (20L, "s1 s2 s3 s4 s5"),
+      (30L, "t1 t2 t3 t4"),
+      (40L, "u1 u2 u3"),
+      (50L, "v1 v2 v3")).toDF("doc_id", "text")
+    val got = TextOps.setCoverTrace(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = Seq(
+      ("r0_universe", 9L),
+      ("r1_covered_ppm", 555555L), ("r1_doc", 10L), ("r1_gain", 5L),
+      ("r2_covered_ppm", 777777L), ("r2_doc", 30L), ("r2_gain", 2L),
+      ("r3_covered_ppm", 888888L), ("r3_doc", 40L), ("r3_gain", 1L),
+      ("r4_covered_ppm", 1000000L), ("r4_doc", 50L), ("r4_gain", 1L),
+      ("r5_covered_ppm", 1000000L), ("r5_doc", -1L), ("r5_gain", 0L))
+    assert(got.toSeq === expect, "greedy set-cover trace diverged")
+  }
+
 }

@@ -588,7 +588,9 @@ class ScaleSpec extends AnyFunSuite {
       // +4 round 12: q283's broadcasts — 1-row vocab + 1-row train
       // total onto the |langs| model spine, the |langs|-row spine onto
       // the test docs, and the hazard twin's 1-row vocab
-      "operators/TextOps.scala" -> 38,
+      // +1 round 12: q284's 1-row universe total onto the per-round
+      // coverage census
+      "operators/TextOps.scala" -> 39,
       // +1 round 10: q220's NumCells-row centroid broadcast
       // +1 round 10: q244's per-iteration 1-row L∞-norm broadcast
       // (one source site inside the fold)
