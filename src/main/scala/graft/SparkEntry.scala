@@ -307,6 +307,7 @@ object SparkEntry {
     "q282_boruvka" -> (Relational.q282Boruvka(_, _)),
     "q283_naive_bayes" -> (TextOps.q283NaiveBayes(_, _)),
     "q284_set_cover" -> (TextOps.q284SetCover(_, _)),
+    "q285_neyman_alloc" -> (StatsOps.q285NeymanAlloc(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -937,5 +938,9 @@ object SparkEntry {
     // q284: greedy set cover — packed-max pick per round, NULL pick
     // on an exhausted universe reported as doc -1 both sides
     "q284_set_cover" -> TextOps.q284SetCoverSql,
+    // q285: Neyman allocation + Hamilton rounding — exact integer
+    // apportionment on the |sources| axis; zero-variance corpora fall
+    // back to proportional-to-size identically both sides
+    "q285_neyman_alloc" -> StatsOps.q285NeymanAllocSql,
   )
 }

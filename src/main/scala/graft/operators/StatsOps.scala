@@ -479,6 +479,144 @@ object StatsOps {
       .orderBy($"alpha_ppm")
   }
 
+  // ---------------------------------------------------------------
+  // q285: Neyman-allocation stratified sampling (Hamilton rounding)
+  // ---------------------------------------------------------------
+
+  /** Total sample budget across strata. */
+  private val NeyBudget = 1000L
+
+  /** Neyman-optimal stratified sampling (Neyman 1934 — allocate
+    * n_h ∝ N_h·σ_h, the design minimizing the stratified-mean variance
+    * at fixed budget) with Hamilton largest-remainder rounding
+    * (Hamilton 1792's apportionment — the deterministic way to hand
+    * out the floor-lost seats), over per-source document length: the
+    * sampling DESIGN operator beside the mechanism samplers (q55
+    * uniform, q72 quota, q105 weighted) — those take rates as given,
+    * this COMPUTES the rates a survey/eval pipeline should use. Per
+    * stratum the exact integer moments give σ_h (one rule-7 double +
+    * IEEE sqrt, micro-gridded), weights w_h = N_h·σ_micro are exact
+    * BIGINTs, floor shares (budget·w_h) div Σw, and the
+    * budget − Σfloors leftover seats go to the largest remainders
+    * ((budget·w_h) mod Σw, ties by source asc). A zero-variance corpus
+    * (Σw = 0) falls back to proportional-to-size allocation
+    * identically in both engines. The allocated sample itself is drawn
+    * deterministically: each stratum's alloc_h lowest-md5 docs
+    * (row_number over the per-source hash order — exact count, no
+    * rate rounding), and the readout carries the sampled mean beside
+    * the stratum mean so representativeness is visible per row.
+    *
+    * Scale shape: one corpus scan to the |sources|-row moment
+    * aggregate; the apportionment runs entirely on the bounded
+    * |sources| axis (partition-less windows registered); the draw is
+    * a per-source hash-rank window (partitioned, row grain) plus one
+    * broadcast join of the |sources|-row allocation; the sampled-side
+    * aggregate is map-side combinable. */
+  def q285NeymanAlloc(s: SparkSession, d: String): DataFrame =
+    neymanAlloc(Tables.documents(s, d)
+      .filter($"n_chars".isNotNull)
+      .select($"doc_id", $"source", $"n_chars"))
+
+  private[graft] def neymanAlloc(docs: DataFrame): DataFrame = {
+    val mom = docs.groupBy($"source").agg(
+      count(lit(1)).as("nh"), sum($"n_chars").as("sx"),
+      sum($"n_chars" * $"n_chars").as("sxx"))
+    val variance = greatest(
+      ($"nh".cast("double") * $"sxx" - $"sx".cast("double") * $"sx") /
+        ($"nh".cast("double") * $"nh"), lit(0.0))
+    // loud exact-arithmetic bound (the q234 discipline): budget·w must
+    // stay in BIGINT; a corpus where N_h·σ_micro approaches 9e15 needs
+    // a coarser weight grid, and the query raises instead of aliasing
+    val wGuard = when($"w" > 9000000000000000L, raise_error(concat(
+      lit("neymanAlloc: stratum weight exceeds the exact-arithmetic " +
+        "bound 9e15: "), $"w"))).otherwise($"w")
+    val stats = mom.select($"source", $"nh", $"sx",
+      floor(sqrt(variance) * 1000000.0 + 0.5).cast("long").as("sd_micro"))
+      .select($"source", $"nh", $"sx",
+        $"sd_micro", ($"nh" * $"sd_micro").as("w"))
+      .select($"source", $"nh", $"sx", $"sd_micro", wGuard.as("w"))
+    val tot = stats.agg(sum($"w").as("sw"), sum($"nh").as("nn"))
+    // |sources|-row axis: floor shares + Hamilton remainders; Σw = 0
+    // (zero-variance corpus) falls back to proportional-to-size
+    val based = stats.crossJoin(broadcast(tot))
+      .select($"source", $"nh", $"sx", $"sd_micro", $"w",
+        when($"sw" > 0L, expr(s"($NeyBudget * w) div sw"))
+          .otherwise(expr(s"($NeyBudget * nh) div nn")).as("fl"),
+        when($"sw" > 0L, expr(s"($NeyBudget * w) % sw"))
+          .otherwise(expr(s"($NeyBudget * nh) % nn")).as("rem"))
+    val leftK = based.agg((lit(NeyBudget) - sum($"fl")).as("k"))
+    // partition-less windows: bounded |sources| axis (registered)
+    val ranked = based.select($"source", $"nh", $"sx", $"sd_micro",
+      $"fl", $"rem",
+      row_number().over(Window.orderBy($"rem".desc, $"source")).as("rr"))
+    val alloc = ranked.crossJoin(broadcast(leftK))
+      .select($"source", $"nh", $"sx", $"sd_micro",
+        ($"fl" + when($"rr" <= $"k", 1L).otherwise(0L)).as("alloc"))
+    val drawn = docs
+      .select($"source", $"n_chars",
+        row_number().over(Window.partitionBy($"source")
+          .orderBy(md5(concat(lit("ney:"), $"doc_id".cast("string"))),
+            $"doc_id")).as("hr"))
+      .join(broadcast(alloc.select($"source", $"alloc")), Seq("source"))
+      .filter($"hr" <= $"alloc")
+      .groupBy($"source").agg(count(lit(1)).as("n_drawn"),
+        sum($"n_chars").as("dsx"))
+    alloc.join(drawn, Seq("source"), "left")
+      .select($"source", $"nh".as("n_docs"), $"sd_micro", $"alloc",
+        expr("(sx * 1000) div nh").as("mean_milli"),
+        coalesce($"n_drawn", lit(0L)).as("n_drawn"),
+        when($"n_drawn" > 0L, expr("(dsx * 1000) div n_drawn"))
+          .as("sample_mean_milli"))
+      .orderBy($"source")
+  }
+
+  val q285NeymanAllocSql: String =
+    s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents
+       |  WHERE n_chars IS NOT NULL),
+       |mom AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM docs GROUP BY 1),
+       |stats AS (SELECT source, nh, sx,
+       |    CAST(floor(sqrt(greatest(
+       |      (CAST(nh AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+       |        (CAST(nh AS DOUBLE) * nh), 0.0)) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS sd_micro
+       |  FROM mom),
+       |w AS (SELECT source, nh, sx, sd_micro, nh * sd_micro AS w
+       |  FROM stats),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+       |    CAST(sum(nh) AS BIGINT) AS nn FROM w),
+       |based AS (SELECT source, nh, sx, sd_micro, w,
+       |    CASE WHEN sw > 0 THEN ($NeyBudget * w) // sw
+       |      ELSE ($NeyBudget * nh) // nn END AS fl,
+       |    CASE WHEN sw > 0 THEN ($NeyBudget * w) % sw
+       |      ELSE ($NeyBudget * nh) % nn END AS rem
+       |  FROM w, tot),
+       |leftk AS (SELECT $NeyBudget - CAST(sum(fl) AS BIGINT) AS k
+       |  FROM based),
+       |ranked AS (SELECT *, row_number() OVER (
+       |    ORDER BY rem DESC, source) AS rr FROM based),
+       |alloc AS (SELECT source, nh, sx, sd_micro,
+       |    fl + CASE WHEN rr <= k THEN 1 ELSE 0 END AS alloc
+       |  FROM ranked, leftk),
+       |drawn AS (SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_drawn,
+       |    CAST(sum(n_chars) AS BIGINT) AS dsx
+       |  FROM (SELECT source, n_chars, row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5('ney:' || CAST(doc_id AS VARCHAR)), doc_id)
+       |      AS hr FROM docs) d
+       |  JOIN alloc a ON a.source = d.source
+       |  WHERE d.hr <= a.alloc GROUP BY 1)
+       |SELECT a.source, a.nh AS n_docs, a.sd_micro, a.alloc,
+       |  (a.sx * 1000) // a.nh AS mean_milli,
+       |  coalesce(dr.n_drawn, 0) AS n_drawn,
+       |  CASE WHEN dr.n_drawn > 0 THEN (dr.dsx * 1000) // dr.n_drawn
+       |  END AS sample_mean_milli
+       |FROM alloc a LEFT JOIN drawn dr ON dr.source = a.source
+       |ORDER BY a.source""".stripMargin
+
   val q277ConformalSql: String = {
     val alphaRows = ConfAlphasPpm.map(a => s"($a)").mkString(", ")
     s"""WITH base AS (

@@ -6504,4 +6504,34 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq === expect, "greedy set-cover trace diverged")
   }
 
+  test("q285 Neyman allocation: hand-computed apportionment + zero-variance fallback") {
+    import graft.operators.StatsOps
+    // strata: A constant (sd 0, weight 0), B sd=10 (w=2e7), C
+    // sd=4.082483 (w=12247449); floors 0/620/379 leave ONE Hamilton
+    // seat, won by C's larger remainder -> 0/620/380
+    val docs = Seq(
+      (1L, "A", 10L), (2L, "A", 10L), (3L, "A", 10L), (4L, "A", 10L),
+      (5L, "B", 0L), (6L, "B", 20L),
+      (7L, "C", 5L), (8L, "C", 15L), (9L, "C", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = StatsOps.neymanAlloc(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        Option(r.get(6)).map(_.asInstanceOf[Long])))
+    val expect = Seq(
+      ("A", 4L, 0L, 0L, 10000L, 0L, None),
+      ("B", 2L, 10000000L, 620L, 10000L, 2L, Some(10000L)),
+      ("C", 3L, 4082483L, 380L, 10000L, 3L, Some(10000L)))
+    assert(got.toSeq === expect, "Neyman apportionment diverged")
+    assert(got.map(_._4).sum === 1000L, "allocation must spend the budget")
+    // zero-variance corpus: proportional-to-size fallback, Hamilton
+    // seat to the larger remainder (X: 666 rem 2, Y: 333 rem 1)
+    val flat = Seq((1L, "X", 5L), (2L, "X", 5L), (3L, "Y", 7L))
+      .toDF("doc_id", "source", "n_chars")
+    val gotF = StatsOps.neymanAlloc(flat).collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    assert(gotF.toSeq === Seq(("X", 667L), ("Y", 333L)),
+      "zero-variance proportional fallback diverged")
+  }
+
 }

@@ -493,10 +493,11 @@ class ScaleSpec extends AnyFunSuite {
           "logit-bucket axis / q230 pooled CDF over the clamped ≤1e4 " +
           "length grid / q236 cumulative negatives over the clamped " +
           "≤301-value logit-bucket axis"),
-      "operators/StatsOps.scala" -> (2,
+      "operators/StatsOps.scala" -> (3,
         "q234 pooled-rank CDF over the clamped ≤1e4 length grid / " +
           "q277 conformal calibration CDF over the loud-capped " +
-          "centi-score grid"),
+          "centi-score grid / q285 Hamilton remainder rank over the " +
+          "|sources| axis"),
       "stg/Normalizer.scala" -> (1,
         "reference-shaped CSV (single-file, thousands of rows by contract)"))
     val root = java.nio.file.Paths.get("src/main/scala/graft")
@@ -553,7 +554,9 @@ class ScaleSpec extends AnyFunSuite {
       // 1-row top-cell broadcast onto the 1-row summary
       // +2 round 12: q277's 1-row calibration-total broadcast onto the
       // 3-row α spine and 1-row test-total broadcast onto the readout
-      "operators/StatsOps.scala" -> 6,
+      // +2 round 12: q285's 1-row (Σw, N) and leftover-seat broadcasts
+      // onto the |sources|-row allocation axis
+      "operators/StatsOps.scala" -> 8,
       // the +2 over round 7: q166's 1-row smoothing-totals broadcast,
       // in the query and in its lnBoundaryTerms hazard twin;
       // +2 round 9: q173's 1-row lnN and 1-row tertile-cut broadcasts;
