@@ -308,6 +308,7 @@ object SparkEntry {
     "q283_naive_bayes" -> (TextOps.q283NaiveBayes(_, _)),
     "q284_set_cover" -> (TextOps.q284SetCover(_, _)),
     "q285_neyman_alloc" -> (StatsOps.q285NeymanAlloc(_, _)),
+    "q286_entropy_rate" -> (EventOps.q286EntropyRate(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -942,5 +943,9 @@ object SparkEntry {
     // apportionment on the |sources| axis; zero-variance corpora fall
     // back to proportional-to-size identically both sides
     "q285_neyman_alloc" -> StatsOps.q285NeymanAllocSql,
+    // q286: Markov entropy rate — both ln sites micro-nat gridded +
+    // hazard-registered; per-pair terms exact non-negative BIGINTs;
+    // reads the q110/q254 staged transition relation
+    "q286_entropy_rate" -> EventOps.q286EntropyRateSql,
   )
 }

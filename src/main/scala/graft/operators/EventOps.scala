@@ -2741,4 +2741,85 @@ object EventOps {
        |    ELSE 'accept_h0' END AS decision
        |FROM tot LEFT JOIN at ON at.event_type = tot.event_type
        |ORDER BY tot.event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q286: Markov entropy rate of the event-type chain (micro-nats)
+  // ---------------------------------------------------------------
+
+  /** Entropy rate of the first-order event-type Markov chain
+    * (Shannon 1948 §7; Cover–Thomas ch. 4) — the PREDICTABILITY
+    * census over q100's transition grain and the information-theoretic
+    * companion to q110's rank and q203's CUSUM: per current state s
+    * the conditional next-symbol entropy H(X'|s) = Σ_t p(t|s)·ln(1/
+    * p(t|s)), and the chain's empirical entropy rate Σ_s p̂(s)·H(X'|s)
+    * with the visit distribution as weights — low rate means journeys
+    * are script-like (predictable funnels), high rate means churn.
+    *
+    * Determinism: both ln sites (ln c(s,t) per transition pair,
+    * ln c(s) per state — registered in TextOps.lnBoundaryHazards,
+    * rule 8) land on the micro-nat grid BEFORE any arithmetic, so
+    * every per-pair term c(s,t)·(g(ln c_s) − g(ln c_st)) is an exact
+    * non-negative BIGINT (c_st ≤ c_s keeps the gridded difference
+    * ≥ 0) and the two divisions are rule-13-safe integer floors.
+    *
+    * Scale shape: reads the SAME staged transition relation as
+    * q110/q254 (one per-user lead window, materialized once per
+    * corpus); everything after lives on the bounded |types|² axis —
+    * the hazard twin, the per-state aggregate, and the 1-row overall
+    * rate are all metadata-sized. */
+  def q286EntropyRate(s: SparkSession, d: String): DataFrame = {
+    val edgesDf = prEdges(s, d)
+    entropyRate(Staged.orCompute(s, d, s"pr$PrIters",
+      "pr_edges", Staged.planHash(edgesDf))(edgesDf))
+  }
+
+  /** The entropy census over a prepared (src, dst, n) transition
+    * relation — split from [[q286EntropyRate]] for the crafted spec. */
+  private[graft] def entropyRate(edges: DataFrame): DataFrame = {
+    val cs = edges.groupBy($"src").agg(sum($"n").as("cs"),
+      count(lit(1)).as("n_dest"))
+    val terms = edges.join(cs, Seq("src"))
+      .select($"src", $"cs", $"n_dest",
+        ($"n" * (floor(log($"cs".cast("double")) * 1e6 + 0.5).cast("long") -
+          floor(log($"n".cast("double")) * 1e6 + 0.5).cast("long")))
+          .as("term"))
+    val perState = terms.groupBy($"src").agg(max($"cs").as("n_trans"),
+      max($"n_dest").as("n_dest"), sum($"term").as("st"))
+      .select($"src".as("from_type"), $"n_trans", $"n_dest",
+        expr("st div n_trans").as("h_cond_micro"))
+    val total = terms.agg(sum($"term").as("st"))
+      .crossJoin(broadcast(edges.agg(sum($"n").as("ctot"))))
+      .select(lit("_overall").as("from_type"), $"ctot".as("n_trans"),
+        lit(null).cast("long").as("n_dest"),
+        expr("st div ctot").as("h_cond_micro"))
+    perState.unionByName(total).orderBy($"from_type")
+  }
+
+  val q286EntropyRateSql: String =
+    s"""WITH ord AS (SELECT event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY floor(epoch(ts)), event_id) AS dst
+       |  FROM events),
+       |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM ord WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |cs AS (SELECT src, CAST(sum(n) AS BIGINT) AS cs,
+       |    CAST(count(*) AS BIGINT) AS n_dest
+       |  FROM edges GROUP BY 1),
+       |terms AS (SELECT e.src, c.cs, c.n_dest,
+       |    e.n * (CAST(floor(ln(CAST(c.cs AS DOUBLE)) * 1e6 + 0.5)
+       |             AS BIGINT)
+       |         - CAST(floor(ln(CAST(e.n AS DOUBLE)) * 1e6 + 0.5)
+       |             AS BIGINT)) AS term
+       |  FROM edges e JOIN cs c ON c.src = e.src),
+       |per_state AS (SELECT src AS from_type,
+       |    max(cs) AS n_trans, max(n_dest) AS n_dest,
+       |    CAST(sum(term) AS BIGINT) // max(cs) AS h_cond_micro
+       |  FROM terms GROUP BY src),
+       |ctot AS (SELECT CAST(sum(n) AS BIGINT) AS ctot FROM edges)
+       |SELECT from_type, n_trans, n_dest, h_cond_micro FROM per_state
+       |UNION ALL
+       |SELECT '_overall', ctot, CAST(NULL AS BIGINT),
+       |  (SELECT CAST(sum(term) AS BIGINT) FROM terms) // ctot
+       |FROM ctot
+       |ORDER BY from_type""".stripMargin
 }

@@ -1805,13 +1805,31 @@ object TextOps {
     val nbNHaz = nbTrain.agg(count(lit(1)).as("n"))
       .select(lit("q283_lnN").as("site"), lit("N").as("key"),
         (log($"n".cast("double")) * 1e6 + 0.5).as("y"))
+    // q286's two grid sites: ln c(s,t) per transition pair and
+    // ln c(s) per state — the |types|²-bounded transition grain
+    val erEdges = {
+      val w = Window.partitionBy($"user_id").orderBy($"tsec", $"event_id")
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", $"event_type",
+          $"ts".cast("long").as("tsec"))
+        .select($"event_type".as("src"),
+          lead($"event_type", 1).over(w).as("dst"))
+        .filter($"dst".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+    }
+    val erCtHaz = erEdges.select(lit("q286_lnct").as("site"),
+      concat($"src", lit(">"), $"dst").as("key"),
+      (log($"n".cast("double")) * 1e6 + 0.5).as("y"))
+    val erCsHaz = erEdges.groupBy($"src").agg(sum($"n").as("cs"))
+      .select(lit("q286_lncs").as("site"), $"src".as("key"),
+        (log($"cs".cast("double")) * 1e6 + 0.5).as("y"))
     scoreHaz.unionAll(termHaz).unionAll(entropyHaz)
       .unionAll(cfHaz).unionAll(lnNHaz).unionAll(lnuHaz)
       .unionAll(dsirTermHaz).unionAll(dsirConstHaz).unionAll(bm25Haz)
       .unionAll(mlAgenHaz).unionAll(mlAinHaz).unionAll(mlDenHaz)
       .unionAll(jsdP2Haz).unionAll(jsdQ2Haz).unionAll(jsdPqHaz)
       .unionAll(nbLnc1Haz).unionAll(nbDenHaz).unionAll(nbPriorHaz)
-      .unionAll(nbNHaz)
+      .unionAll(nbNHaz).unionAll(erCtHaz).unionAll(erCsHaz)
   }
 
   // ---------------------------------------------------------------

@@ -6534,4 +6534,22 @@ class EngineSpec extends AnyFunSuite {
       "zero-variance proportional fallback diverged")
   }
 
+  test("q286 entropy rate: uniform fork = ln 2, deterministic edge = 0, exact mix") {
+    import graft.operators.EventOps
+    // state a forks uniformly (H = ln 2 = 693147 micro-nats), state b
+    // is deterministic (H = 0); the rate mixes them by visit mass:
+    // (4*693147 + 0) div 7 = 396084
+    val edges = Seq(
+      ("a", "x", 2L), ("a", "y", 2L), ("b", "x", 3L))
+      .toDF("src", "dst", "n")
+    val got = EventOps.entropyRate(edges).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))
+    val expect = Seq(
+      ("_overall", 7L, None, 396084L),
+      ("a", 4L, Some(2L), 693147L),
+      ("b", 3L, Some(1L), 0L))
+    assert(got.toSeq === expect, "entropy-rate census diverged")
+  }
+
 }

@@ -541,7 +541,9 @@ class ScaleSpec extends AnyFunSuite {
       // +1 round 10: q223's 1-row horizon broadcast
       // +2 round 11: q270's two 1-row broadcasts — the day-midpoint
       // cut and the (ta, tc) contingency totals
-      "operators/EventOps.scala" -> 12,
+      // +1 round 12: q286's 1-row transition-total broadcast onto the
+      // 1-row entropy-rate readout
+      "operators/EventOps.scala" -> 13,
       // +1 round 10: q204's 1-row digit-total broadcast
       // +1 round 10: q211's 1-row exact-count broadcast beside the
       // 1-row estimate
