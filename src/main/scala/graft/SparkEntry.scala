@@ -309,6 +309,7 @@ object SparkEntry {
     "q284_set_cover" -> (TextOps.q284SetCover(_, _)),
     "q285_neyman_alloc" -> (StatsOps.q285NeymanAlloc(_, _)),
     "q286_entropy_rate" -> (EventOps.q286EntropyRate(_, _)),
+    "q287_stream_sprt" -> (EventStream.q287StreamSprt(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -947,5 +948,9 @@ object SparkEntry {
     // hazard-registered; per-pair terms exact non-negative BIGINTs;
     // reads the q110/q254 staged transition relation
     "q286_entropy_rate" -> EventOps.q286EntropyRateSql,
+    // q287: the q280 SPRT as a streaming front door — same oracle SQL
+    // (q131 single-batch validity argument: one parquet file = one
+    // micro-batch); the multi-batch carry path is StreamingSpec's
+    "q287_stream_sprt" -> EventOps.q280SprtSql,
   )
 }

@@ -2626,11 +2626,11 @@ object EventOps {
     * the log-likelihood walk is SprtLnRMicro·(2S_n − n): pure integer
     * arithmetic, no transcendental at query time (rule 8 by
     * construction). */
-  private val SprtLnRMicro = 200671L
+  private[graft] val SprtLnRMicro = 200671L
 
   /** Wald boundaries at α = β = 0.05: ln(19) micro-nats (accept H1 at
     * ≥ this, accept H0 at ≤ −this — symmetric error costs). */
-  private val SprtBoundMicro = 2944439L
+  private[graft] val SprtBoundMicro = 2944439L
 
   /** Bernoulli success: the event's value clears this cut — pinned at
     * the value distribution's MEDIAN (~34.6, heavily right-skewed), so
@@ -2639,7 +2639,7 @@ object EventOps {
     * types still 'continue' at sf0.001, crossing times 67–825. A cut
     * in the tail makes every walk monotone (the first probe at 245.0
     * decided H0 at n=15 for every type — a dead statistic). */
-  private val SprtValueCut = 34.0
+  private[graft] val SprtValueCut = 34.0
 
   /** Wald's sequential probability ratio test (Wald 1945) per event
     * type — the SEQUENTIAL companion to q219's fixed-horizon z-test:

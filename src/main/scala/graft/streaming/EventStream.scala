@@ -1003,6 +1003,134 @@ object EventStream {
        |FROM r WHERE rn <= $HhTopK
        |ORDER BY day, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q287: streaming SPRT front door (sequential monitor as it runs)
+  // ---------------------------------------------------------------
+
+  /** The q280 Wald SPRT monitor as a STREAMING front door — sequential
+    * testing is natively a streaming concern (the whole point of the
+    * SPRT is deciding while data arrives): events stream in time
+    * order, each micro-batch extends every type's log-likelihood walk
+    * from carried state, and the first boundary crossing is latched
+    * exactly once. Output ≡ the batch q280 readout.
+    *
+    * State per type is THREE integers plus the latched decision (n, S,
+    * (n_decide, llr_decide)) — the minimal sequential-test state, held
+    * driver-side in the foreachBatch sink (the q275 front-door shape:
+    * the stream itself is window-free). Order contract: the walk is
+    * only correct on a time-ordered feed, so the sink LOUDLY requires
+    * every batch's min tsec to exceed the previous high-water (an
+    * ingest that cuts batches on time boundaries satisfies this; a
+    * disordered feed is refused rather than silently miswalked —
+    * q275's monotone-ingest discipline). Within a batch the walk is
+    * the q280 single-phase window offset by the carried (n₀, S₀);
+    * crossings are latched only for still-undecided types.
+    *
+    * Oracled against the SAME DuckDB SQL as q280 (the q131 single-
+    * batch validity argument: the driver's events table is one parquet
+    * file ⇒ one micro-batch); the multi-batch carry path is
+    * StreamingSpec's subject — three time-split batches must reproduce
+    * the batch decision table exactly. */
+  def q287StreamSprt(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, 8)
+    sprtStream(ss, rawEvents(ss, sfDir)
+      .select($"event_type", $"event_id",
+        $"ts".cast("long").as("tsec"), $"value"))
+  }
+
+  /** The streaming walk over a prepared (event_type, event_id, tsec,
+    * value) stream — split from [[q287StreamSprt]] so StreamingSpec
+    * can drive a multi-batch file feed. */
+  private[graft] def sprtStream(ss: SparkSession, src: DataFrame): DataFrame = {
+    import graft.operators.EventOps
+    // per-type carried state: (n, S, latched (n_decide, llr_decide))
+    val state = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long, Option[(Long, Long)])]
+    val hiWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val name = "sprt_" + UUID.randomUUID().toString.replace("-", "")
+    val q = src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckptDir(name))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val base = batch.filter($"value".isNotNull)
+          .select($"event_type", $"event_id", $"tsec",
+            when($"value" >= EventOps.SprtValueCut, 1L).otherwise(0L)
+              .as("x"))
+        val bounds = base.agg(min($"tsec"), max($"tsec"),
+          count(lit(1))).head()
+        if (bounds.getLong(2) > 0L) {
+          require(bounds.getLong(0) > hiWater.get(),
+            s"sprtStream: non-monotone ingest batch (min tsec " +
+              s"${bounds.getLong(0)} under high-water ${hiWater.get()}) " +
+              "— the sequential walk is only valid on a time-ordered " +
+              "feed, refusing to miswalk")
+          val stRows = state.toSeq.map { case (t, (n, s0, dec)) =>
+            (t, n, s0, dec.isDefined)
+          }
+          val stDf =
+            if (stRows.isEmpty)
+              sp.createDataFrame(Seq(("", 0L, 0L, false))).limit(0)
+                .toDF("event_type", "n0", "s0", "decided")
+            else sp.createDataFrame(stRows)
+              .toDF("event_type", "n0", "s0", "decided")
+          val w = Window.partitionBy($"event_type")
+            .orderBy($"tsec", $"event_id")
+          val walked = base
+            .select($"event_type", $"x",
+              row_number().over(w).as("rn"),
+              sum($"x").over(w.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow)).as("sin"))
+            .join(broadcast(stDf), Seq("event_type"), "left")
+            .select($"event_type",
+              (coalesce($"n0", lit(0L)) + $"rn").as("n"),
+              (lit(EventOps.SprtLnRMicro) *
+                (lit(2L) * (coalesce($"s0", lit(0L)) + $"sin") -
+                  (coalesce($"n0", lit(0L)) + $"rn"))).as("llr"),
+              coalesce($"decided", lit(false)).as("decided"))
+          val firstCross = walked
+            .filter(!$"decided" &&
+              abs($"llr") >= EventOps.SprtBoundMicro)
+            .groupBy($"event_type").agg(min($"n").as("n_decide"))
+          val at = walked.join(firstCross, Seq("event_type"))
+            .filter($"n" === $"n_decide")
+            .select($"event_type", $"n_decide", $"llr")
+          // |types|-row state readout — registered metadata collect
+          val upd = base.groupBy($"event_type")
+            .agg(count(lit(1)).as("cnt"), sum($"x").as("sx"))
+            .join(at, Seq("event_type"), "left")
+            .collect()
+          upd.foreach { r =>
+            val t = r.getString(0)
+            val (n0, s0, dec) = state.getOrElse(t, (0L, 0L, None))
+            val latched = dec.orElse(
+              if (!r.isNullAt(3)) Some((r.getLong(3), r.getLong(4)))
+              else None)
+            state.put(t, (n0 + r.getLong(1), s0 + r.getLong(2), latched))
+          }
+          hiWater.set(bounds.getLong(1))
+        }
+      }
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(
+      new java.io.File(ckptDir(name))).deleteRecursively()
+    val rows = state.toSeq.map { case (t, (n, s0, dec)) =>
+      (t, n, EventOps.SprtLnRMicro * (2L * s0 - n),
+        dec.map(_._1), dec.map(_._2),
+        dec match {
+          case None => "continue"
+          case Some((_, l)) =>
+            if (l >= EventOps.SprtBoundMicro) "accept_h1" else "accept_h0"
+        })
+    }
+    ss.createDataFrame(rows)
+      .toDF("event_type", "n_total", "final_llr_micro",
+        "n_decide", "llr_decide_micro", "decision")
+      .orderBy($"event_type")
+  }
+
   /** The shared label/decide transform (works on a stream or batch
     * doc relation — the lockstep guarantee is that both run THIS). */
   private def dedupLookup(docs: DataFrame, clusters: DataFrame): DataFrame =

@@ -609,7 +609,10 @@ class ScaleSpec extends AnyFunSuite {
     // human diagnostics — never in an operator's data path
     val collectBudget = Map(
       "Verify.scala" -> 2,
-      "stg/Staging.scala" -> 1)
+      "stg/Staging.scala" -> 1,
+      // q287's |types|-row sequential-test state readout inside the
+      // foreachBatch sink — bounded by the event-type axis
+      "streaming/EventStream.scala" -> 1)
     assert(countSites("\\.collect\\(\\)") === collectBudget,
       s"driver collect() sites drifted (found ${countSites("\\.collect\\(\\)")}): " +
         "an operator must not loop driver-side; register only metadata lookups")

@@ -387,4 +387,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(maintained.exists(_._2 >= cut),
       s"no delta-involving pair above cut $cut — the stream appended nothing")
   }
+
+  test("streaming SPRT over three time-split batches ≡ batch walk") {
+    // the q287 carry path: the 'up' stream crosses its boundary at
+    // n=15, INSIDE batch 3 — so the latch depends on state carried
+    // across two batch boundaries; 'flat' must still read continue
+    import graft.operators.EventOps
+    def stream(t: String, base: Long, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (t, base + i, i.toLong * 50000L, v)
+      }
+    val all = (
+      stream("up", 100L, Seq.fill(20)(300.0)) ++
+      stream("down", 200L, Seq.fill(20)(10.0)) ++
+      stream("flat", 300L, (0 until 20).map(i =>
+        if (i % 2 == 0) 300.0 else 10.0))
+    )
+    val base = "/tmp/graft_sprt_stream_" + System.nanoTime()
+    val cuts = Seq(0L to 6L, 7L to 13L, 14L to 19L)
+    cuts.zipWithIndex.foreach { case (rng, i) =>
+      all.filter(e => rng.contains(e._3 / 50000L))
+        .toDF("event_type", "event_id", "tsec", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp$i")
+      val part = new java.io.File(s"$base/_tmp$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/batch$i.parquet"))
+      Thread.sleep(1100) // distinct mod-time seconds -> stable order
+    }
+    val ss = spark.newSession()
+    val src = ss.readStream
+      .schema(all.toDF("event_type", "event_id", "tsec", "value").schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5))
+    val streamed = EventStream.sprtStream(ss, src).collect().map(key)
+    val batch = EventOps.sprt(
+      all.toDF("event_type", "event_id", "tsec", "value"))
+      .collect().map(key)
+    assert(streamed.toSeq === batch.toSeq,
+      s"stream/batch SPRT divergence: ${streamed.toSeq} vs ${batch.toSeq}")
+    // the carry path genuinely ran: a decision latched (batch 3 holds
+    // n=15 only if batches 1-2 carried their counts)
+    assert(streamed.exists(_._4.contains(15L)),
+      "no decision latched at n=15 — the multi-batch carry never ran")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
 }
