@@ -2127,16 +2127,47 @@ object Relational {
     * bounded by order basket size at the co-occurrence join. Output is
     * the 4-row (metric, value) census assembled by UNION ALL — no
     * 1-row cross-join needed. */
+  /** Per-order distinct-part fan-in bound for the co-purchase
+    * self-join: the pair build squares basket size, so ONE 10⁵-part
+    * mega-basket at 100 TB turns into 10¹⁰ rows while every honest
+    * basket stays ≤ a few dozen (TPC-H ≤ 7). Up to [[CoBasketCap]]
+    * the square is ≤ 16.8M rows — loud in a profile, harmless to the
+    * job; beyond it the build REFUSES per row (the LSH family caps the
+    * same shape silently at MaxBucket 64 because near-dup candidates
+    * tolerate truncation — a graph census does not, so the graph
+    * family fails loudly instead of silently dropping edges). A
+    * deployment with genuinely wider baskets raises the constant
+    * consciously. */
+  private[graft] val CoBasketCap = 4096L
+
+  /** The guarded distinct (order, pa < pb) co-occurrence pair stream —
+    * the ONE copy of the basket self-join behind [[coEdges]] (q189
+    * family) and [[coEdgesWeighted]] (q282), so the fan-in guard
+    * cannot drift between the two (round-12 verdict item 4). The
+    * basket-size window shares the self-join's l_orderkey exchange. */
+  private[graft] def basketPairs(li0: DataFrame): DataFrame = {
+    val li = li0.select($"l_orderkey", $"l_partkey").distinct()
+    val bs = Window.partitionBy($"l_orderkey")
+    val guarded = li
+      .select($"l_orderkey",
+        when(count(lit(1)).over(bs) > CoBasketCap,
+          raise_error(concat(
+            lit("basketPairs: order "), $"l_orderkey",
+            lit(s" holds more than $CoBasketCap distinct parts — the " +
+              "co-purchase self-join would square it; raise " +
+              "CoBasketCap consciously for wider baskets"))))
+          .otherwise($"l_partkey").as("pk"))
+    guarded.select($"l_orderkey", $"pk".as("pa"))
+      .join(guarded.select($"l_orderkey", $"pk".as("pb")),
+        Seq("l_orderkey"))
+      .filter($"pa" < $"pb")
+  }
+
   /** The distinct part co-purchase edge list (pa < pb) — shared by the
     * exact census (q189) and the sampling estimator (q194). */
-  private def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    li.select($"l_orderkey", $"l_partkey".as("pa"))
-      .join(li.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
-      .filter($"pa" < $"pb")
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    basketPairs(Tables.lineitem(s, d))
       .select($"pa", $"pb").distinct()
-  }
 
   /** The co-purchase edge list, STAGED (the LSH-stage discipline
     * applied to the graph family): eight queries (q189, q194, q197,
@@ -2529,10 +2560,17 @@ object Relational {
 
   /** The support-peel loop over an arbitrary (pa, pb) edge list —
     * split from [[q279KTruss]] so the crafted spec can drive a small
-    * graph with a small threshold; `tri0` optionally supplies a
-    * precomputed round-0 triangle relation (the live staged path). */
+    * graph with a small threshold and its own trace depth (`rounds`
+    * defaults to the live [[KTrussRounds]] — round-12 advice); `tri0`
+    * optionally supplies a precomputed round-0 triangle relation (the
+    * live staged path). Census values are collected EAGERLY per round
+    * (a handful of driver-side longs), so each round's superseded edge
+    * set and support relation are unpersisted as soon as the next
+    * round's edge set has materialized — a 285-query session no longer
+    * accumulates dead cached round relations (round-12 advice). */
   private[graft] def kTrussTrace(edges0: DataFrame, minSup: Long,
-      tri0: Option[DataFrame] = None): DataFrame = {
+      tri0: Option[DataFrame] = None,
+      rounds: Int = KTrussRounds): DataFrame = {
     def supportOf(tri: DataFrame): DataFrame = tri
       .select(explode(array(
         struct(least($"u", $"v").as("pa"), greatest($"u", $"v").as("pb")),
@@ -2542,20 +2580,28 @@ object Relational {
       .select($"e.pa".as("pa"), $"e.pb".as("pb"))
       .groupBy($"pa", $"pb").agg(count(lit(1)).as("sup"))
     var e = edges0.persist()
-    var out = censusRow("r0_edges", e)
-    for (r <- 1 to KTrussRounds) {
+    val census = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    census += (("r0_edges", e.count()))
+    for (r <- 1 to rounds) {
       val tri = if (r == 1) tri0.getOrElse(triangleParts(e)._4)
         else triangleParts(e)._4
       val sup = supportOf(tri).persist()
-      out = out.unionByName(
-        sup.agg(coalesce(sum($"sup"), lit(0L)).as("s3"))
-          .select(lit(s"r${r - 1}_tri").as("metric"),
-            expr("s3 div 3").as("value")))
-      e = e.join(sup.filter($"sup" >= minSup), Seq("pa", "pb"), "leftsemi")
-        .persist()
-      out = out.unionByName(censusRow(s"r${r}_edges", e))
+      census += ((s"r${r - 1}_tri",
+        sup.agg(coalesce(sum($"sup"), lit(0L)).as("s3")).head()
+          .getLong(0) / 3L))
+      val e2 = e.join(sup.filter($"sup" >= minSup), Seq("pa", "pb"),
+        "leftsemi").persist()
+      census += ((s"r${r}_edges", e2.count()))
+      // e2 is cached by the count above; the pre-peel edge set and
+      // this round's support relation are never read again
+      e.unpersist()
+      sup.unpersist()
+      e = e2
     }
-    out.orderBy($"metric")
+    val sess = edges0.sparkSession
+    e.unpersist()
+    sess.createDataFrame(census.toSeq).toDF("metric", "value")
+      .orderBy($"metric")
   }
 
   val q279KTrussSql: String = {
@@ -3185,16 +3231,10 @@ object Relational {
     * the spanning forest is the product-similarity backbone. Staged
     * like [[coEdgesStaged]] (one corpus-grain self-join, read by every
     * Borůvka round). */
-  private def coEdgesWeighted(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    li.select($"l_orderkey", $"l_partkey".as("pa"))
-      .join(li.select($"l_orderkey", $"l_partkey".as("pb")),
-        Seq("l_orderkey"))
-      .filter($"pa" < $"pb")
+  private def coEdgesWeighted(s: SparkSession, d: String): DataFrame =
+    basketPairs(Tables.lineitem(s, d))
       .groupBy($"pa", $"pb").agg(count(lit(1)).as("n"))
       .select($"pa", $"pb", expr("1000000 div n").as("w"))
-  }
 
   private def coEdgesWeightedStaged(s: SparkSession, d: String): DataFrame = {
     val df = coEdgesWeighted(s, d)
@@ -3246,11 +3286,21 @@ object Relational {
         lit("boruvkaTrace: (w, pa, pb) exceeds the 20/21/21-bit pack " +
           "bound: w="), $"w", lit(" pa="), $"pa", lit(" pb="), $"pb")))
       .otherwise($"w")
+    val sc = edges0.sparkSession.sparkContext
+    // persistent-RDD watermark: every block this call creates (both
+    // persist() caches and localCheckpoint block sets — the latter are
+    // invisible to Dataset.unpersist) is released before returning, so
+    // a 285-query session does not accumulate dead round relations
+    // (round-12 advice); the census is collected EAGERLY per round, so
+    // nothing reads them after the loop
+    val rddsBefore = sc.getPersistentRDDs.keySet.toSet
     val edges = edges0.select($"pa", $"pb", guarded.as("w")).persist()
     var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
       .distinct().select($"p", $"p".as("lbl")).persist()
     var mst: DataFrame = null
-    var out = censusRow("r0_components", lbl.select($"lbl").distinct())
+    val census = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    census += (("r0_components",
+      lbl.select($"lbl").distinct().count()))
     // rounds after the first join only the PREVIOUS round's surviving
     // candidates, not the full edge list: labels only coarsen, so an
     // edge once intra-component can never cross components again —
@@ -3289,31 +3339,51 @@ object Relational {
           "left_anti")).localCheckpoint(true)
       mst = (if (mst == null) newEdges
         else mst.unionByName(newEdges)).localCheckpoint(true)
-      out = out
-        .unionByName(censusRow(s"r${r}_new_edges", newEdges))
-        .unionByName(mst.agg(coalesce(sum($"w"), lit(0L)).as("value"))
-          .select(lit(s"r${r}_mst_weight").as("metric"), $"value"))
+      census += ((s"r${r}_new_edges", newEdges.count()))
+      census += ((s"r${r}_mst_weight",
+        mst.agg(coalesce(sum($"w"), lit(0L)).as("value")).head()
+          .getLong(0)))
       // contraction graph at component grain: the chosen edges' label
       // pairs (one row per chosen edge, symmetrized)
       val chosen = cand.join(newEdges.select($"pa", $"pb"), Seq("pa", "pb"))
       val cg = chosen.select($"ca".as("x"), $"cb".as("y"))
         .unionByName(chosen.select($"cb".as("x"), $"ca".as("y")))
         .persist()
+      val cms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var cm = lbl.select($"lbl".as("c")).distinct()
         .select($"c", $"c".as("m")).persist()
+      cms += cm
       for (_ <- 1 to MstHops) {
         val msgs = cg.join(cm.select($"c".as("x"), $"m"), Seq("x"))
           .groupBy($"y").agg(min($"m").as("nm"))
         cm = cm.join(msgs.withColumnRenamed("y", "c"), Seq("c"), "left")
           .select($"c", least($"m", coalesce($"nm", $"m")).as("m"))
           .persist()
+        cms += cm
       }
+      val prevLbl = lbl
       lbl = lbl.join(cm, lbl("lbl") === cm("c"))
         .select($"p", $"m".as("lbl")).localCheckpoint(true)
-      out = out.unionByName(
-        censusRow(s"r${r}_components", lbl.select($"lbl").distinct()))
+      census += ((s"r${r}_components",
+        lbl.select($"lbl").distinct().count()))
+      // the new labels are checkpointed and the census collected — the
+      // previous labels, this round's picks, contraction graph and hop
+      // chain are never read again (round-12 advice: unpersist
+      // superseded round relations at the round boundary)
+      prevLbl.unpersist()
+      picks.unpersist()
+      cg.unpersist()
+      cms.foreach(_.unpersist())
     }
-    out.orderBy($"metric")
+    edges.unpersist()
+    // release the localCheckpoint block sets this call created (cand,
+    // newEdges, mst, lbl snapshots) — Dataset.unpersist cannot reach
+    // them, so free them at RDD grain via the watermark diff
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!rddsBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
+    edges0.sparkSession.createDataFrame(census.toSeq)
+      .toDF("metric", "value").orderBy($"metric")
   }
 
   val q282BoruvkaSql: String = {

@@ -1795,10 +1795,18 @@ object TextOps {
       concat($"lang", lit(":"), $"term").as("key"),
       (log(($"c" + lit(1L)).cast("double")) * 1e6 + 0.5).as("y"))
     val nbV = nbClt.select($"term").distinct().agg(count(lit(1)).as("v"))
-    val nbDenHaz = nbClt.groupBy($"lang").agg(sum($"c").as("cl"))
+    // lang axis from the per-lang DOC counts (the query's own langs
+    // derivation), not nbClt's groupBy: a lang whose training docs
+    // tokenize to zero tokens has no (lang, term) row but DOES score
+    // via the query's coalesce(cl, 0) + V arm — that ln site must be
+    // hazard-checked too (round-12 advice)
+    val nbDenHaz = nbTrain.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .join(nbClt.groupBy($"lang").agg(sum($"c").as("cl")),
+        Seq("lang"), "left")
       .crossJoin(broadcast(nbV))
       .select(lit("q283_lnden").as("site"), $"lang".as("key"),
-        (log(($"cl" + $"v").cast("double")) * 1e6 + 0.5).as("y"))
+        (log((coalesce($"cl", lit(0L)) + $"v").cast("double")) * 1e6 + 0.5)
+          .as("y"))
     val nbPriorHaz = nbTrain.groupBy($"lang").agg(count(lit(1)).as("nl"))
       .select(lit("q283_lnprior").as("site"), $"lang".as("key"),
         (log($"nl".cast("double")) * 1e6 + 0.5).as("y"))

