@@ -1676,17 +1676,25 @@ object Relational {
     * match a dirty feed (customer names with a deterministic md5-chosen
     * 30% carrying a one-digit typo — derive-messy-from-clean, so ground
     * truth exists per row) against the clean registry WITHOUT ever
-    * comparing all pairs. Candidates come from TWO blocking passes over
-    * the name's 9-digit tail, split by POSITION PARITY (odd digits →
-    * key 1, even digits → key 2): a single-character typo lands in
-    * exactly one parity class, so it breaks exactly one pass — recall
-    * is 100% by pigeonhole, the q44 band argument — while BOTH keys
-    * draw entropy from the low-order digits (a prefix/suffix split
-    * degenerates to one giant all-leading-zeros block until the
-    * registry outgrows the prefix). Block-key selectivity must grow
-    * with the registry — here every available digit is in one of the
-    * two keys, the honest limit of single-attribute blocking; real
-    * registries add a second blocking attribute. Verification is
+    * comparing all pairs. Candidates come from NINE deletion-
+    * neighborhood blocking passes over the name's 9-digit tail (the
+    * FastSS / 1-deletion-variant family, Bocek et al. 2007): key p
+    * drops position p and keeps the other eight digits. A single-
+    * character substitution lands at exactly one position, so the key
+    * dropping it matches exactly — recall is 100% by pigeonhole, the
+    * q44 band argument. The round-12 sweep measured WHY this beats the
+    * earlier two-key parity split (BASELINE.md, the 47× incident): a
+    * structured id space whose cross-copy entropy concentrates in ONE
+    * position collapses every key that ignores that position, and a
+    * parity key ignores half the positions — its blocks then square.
+    * A deletion key ignores a SINGLE position, so any one entropy
+    * position is retained by 8 of the 9 keys, and the one collapsed
+    * key's blocks still carry the other eight digits of entropy —
+    * block width is bounded by the id-space twin count, never by a
+    * positional class. The candidate SET is unchanged (both schemes
+    * admit exactly the dist≤1 pairs — here every blocked pair agrees
+    * on 8 of 9 digits, so the ≤1 filter is a proof, not a prune);
+    * only the worst-case block geometry improves. Verification is
     * `levenshtein` (both engines ship the classic integer DP); best
     * match per dirty row by (distance, clean key) — deterministic, and
     * deliberately able to pick a WRONG neighbor at distance 1 (adjacent
@@ -1737,16 +1745,15 @@ object Relational {
   def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
     val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
     val messy = messyCustomers(clean).select($"true_key", $"m_name")
-    def parityKey(name: Column, odd: Boolean): Column = {
-      val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
-      concat(lit(if (odd) "o" else "e") +:
-        ps.map(p => substring(name, p, 1)): _*)
-    }
+    def delKey(name: Column, drop: Int): Column =
+      concat(lit(s"k$drop") +:
+        (10 to 18).filter(_ != drop)
+          .map(p => substring(name, p, 1)): _*)
     def blocks(df: DataFrame, nameCol: String, keyCols: Seq[Column]) =
-      df.select(keyCols :+ col(nameCol) :+
-        parityKey(col(nameCol), odd = true).as("bk") : _*)
-        .union(df.select(keyCols :+ col(nameCol) :+
-          parityKey(col(nameCol), odd = false).as("bk") : _*))
+      (10 to 18).map { p =>
+        df.select(keyCols :+ col(nameCol) :+
+          delKey(col(nameCol), p).as("bk"): _*)
+      }.reduce(_ union _)
     import org.apache.spark.sql.expressions.Window
     // verify MAP-SIDE, dedup AFTER: the bounded-threshold levenshtein
     // (early-exit DP) runs on the joined stream and the ≤1 filter drops
@@ -1780,22 +1787,18 @@ object Relational {
   }
 
   val q123EntityResolutionSql: String = {
-    def parityKeySql(col: String, odd: Boolean): String = {
-      val ps = (10 to 18).filter(p => (p % 2 == 0) != odd)
-      (s"'${if (odd) "o" else "e"}'" +:
-        ps.map(p => s"substring($col, $p, 1)")).mkString(" || ")
-    }
-    val oddKeySqlM = parityKeySql("m_name", odd = true)
-    val evenKeySqlM = parityKeySql("m_name", odd = false)
-    val oddKeySqlC = parityKeySql("c_name", odd = true)
-    val evenKeySqlC = parityKeySql("c_name", odd = false)
+    def delKeySql(col: String, drop: Int): String =
+      (s"'k$drop'" +: (10 to 18).filter(_ != drop)
+        .map(p => s"substring($col, $p, 1)")).mkString(" || ")
+    val mArms = (10 to 18)
+      .map(p => s"SELECT true_key, m_name, ${delKeySql("m_name", p)} AS bk FROM messy")
+      .mkString("\n  UNION ALL ")
+    val cArms = (10 to 18)
+      .map(p => s"SELECT c_custkey, c_name, ${delKeySql("c_name", p)} AS bk FROM customer")
+      .mkString("\n  UNION ALL ")
     s"""WITH $messyCustomersSqlCte,
-       |mb AS (SELECT true_key, m_name, $oddKeySqlM AS bk FROM messy
-       |  UNION ALL
-       |  SELECT true_key, m_name, $evenKeySqlM FROM messy),
-       |cb AS (SELECT c_custkey, c_name, $oddKeySqlC AS bk FROM customer
-       |  UNION ALL
-       |  SELECT c_custkey, c_name, $evenKeySqlC FROM customer),
+       |mb AS ($mArms),
+       |cb AS ($cArms),
        |cand AS (SELECT DISTINCT true_key, m_name, c_custkey,
        |    levenshtein(m_name, c_name) AS dist
        |  FROM mb JOIN cb USING (bk)
