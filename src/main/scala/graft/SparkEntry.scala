@@ -310,6 +310,7 @@ object SparkEntry {
     "q285_neyman_alloc" -> (StatsOps.q285NeymanAlloc(_, _)),
     "q286_entropy_rate" -> (EventOps.q286EntropyRate(_, _)),
     "q287_stream_sprt" -> (EventStream.q287StreamSprt(_, _)),
+    "q288_stream_hh_scaled" -> (EventStream.q288StreamHeavyHittersScaled(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -952,5 +953,10 @@ object SparkEntry {
     // (q131 single-batch validity argument: one parquet file = one
     // micro-batch); the multi-batch carry path is StreamingSpec's
     "q287_stream_sprt" -> EventOps.q280SprtSql,
+    // q288: the scale-safe q264 twin — update-mode windowed agg (state
+    // evicted by watermark) + foreachBatch keyed top-k store bounded
+    // by (windows × k); same oracle SQL as q264, cut-and-re-enter
+    // multi-batch path is StreamingSpec's
+    "q288_stream_hh_scaled" -> EventStream.q264StreamHeavyHittersSql,
   )
 }

@@ -388,6 +388,47 @@ class StreamingSpec extends AnyFunSuite {
       s"no delta-involving pair above cut $cut — the stream appended nothing")
   }
 
+  test("q288 heavy-hitter store: cut-and-re-enter across three batches") {
+    // the scale-safe leaderboard's exactness argument, driven through
+    // its hard case: user B is CUT from the top-3 store by batch 1
+    // (count 2, behind A=5/C=4/D=3), re-enters at batch 2 (total 4),
+    // and must finish rank 1 (total 6) — only correct if the update-
+    // mode emissions re-admit cut keys to the store merge with full
+    // totals; D updates in batch 3 but stays legitimately cut
+    val base = "/tmp/graft_hh_stream_" + System.nanoTime()
+    def ev(user: Long, hour: Int, n: Int): Seq[(java.sql.Timestamp, Long)] =
+      (0 until n).map(i => (java.sql.Timestamp.valueOf(
+        f"2024-01-01 0$hour:${i % 60}%02d:00"), user))
+    val batches = Seq(
+      ev(1L, 0, 5) ++ ev(3L, 0, 4) ++ ev(4L, 0, 3) ++ ev(2L, 0, 2),
+      ev(2L, 1, 2),
+      ev(2L, 2, 2) ++ ev(4L, 2, 1))
+    batches.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("ts", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp$i")
+      val part = new java.io.File(s"$base/_tmp$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/batch$i.parquet"))
+      Thread.sleep(1100) // distinct mod-time seconds -> stable order
+    }
+    val ss = spark.newSession()
+    val src = ss.readStream
+      .schema(batches.head.toDF("ts", "user_id").schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+    val got = EventStream.heavyHitterStream(ss, src)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 1L, 2L, 6L),   // B: cut at b1, re-entered, wins
+      ("2024-01-01", 2L, 1L, 5L),   // A
+      ("2024-01-01", 3L, 3L, 4L)),  // C beats D=4 on the user_id tie
+      s"heavy-hitter store diverged: ${got.toSeq}")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("streaming SPRT over three time-split batches ≡ batch walk") {
     // the q287 carry path: the 'up' stream crosses its boundary at
     // n=15, INSIDE batch 3 — so the latch depends on state carried
