@@ -3264,11 +3264,18 @@ object Relational {
     * bounded hops can only defer picks, never corrupt the forest —
     * the cross-round anti-join keeps re-picks out of the census).
     *
-    * Determinism: the per-component argmin is ONE packed-BIGINT min
-    * (rule 9): w·2⁴² + pa·2²¹ + pb, a total order making ties
-    * impossible; the pack bound (w < 2²⁰ by the distance construction,
-    * ids < 2²¹) is enforced per row by a loud raise_error — a wider id
-    * space re-splits the shift, never aliases.
+    * Determinism: the per-component argmin is ONE packed min (rule 9):
+    * w·2⁷² + pa·2³⁶ + pb as DECIMAL(38,0) (HUGEINT in the mirror —
+    * both exact integer grids, so the order is identical), a total
+    * order making ties impossible; the pack bound (w < 2²⁰ by the
+    * distance construction, ids < 2³⁶ ≈ 68 B nodes — a genuine 100 TB
+    * catalog bound) is enforced per row by a loud raise_error. The
+    * round-13 100× weak-scaling sweep is WHY this is a decimal pack:
+    * the original 62-bit BIGINT split (w·2⁴² + pa·2²¹ + pb) capped ids
+    * at 2²¹ ≈ 2.1 M, and 100×-replicated part keys (~13.6 M) tripped
+    * the guard — loud, exactly as designed, but a real deployment
+    * ceiling; the inner (w·2³⁶ + pa) stays a cheap BIGINT and only the
+    * outer shift pays decimal width.
     *
     * Scale shape: each round is two label equi-joins on the
     * entropy-rich part ids + one map-side-combinable packed min + the
@@ -3283,10 +3290,10 @@ object Relational {
     * from [[q282Boruvka]] for the crafted spec (kCoreTrace pattern). */
   private[graft] def boruvkaTrace(edges0: DataFrame): DataFrame = {
     val guarded = when(
-      $"pa" >= lit(1L << 21) || $"pb" >= lit(1L << 21) ||
+      $"pa" >= lit(1L << 36) || $"pb" >= lit(1L << 36) ||
         $"w" >= lit(1L << 20) || $"w" < 0L,
       raise_error(concat(
-        lit("boruvkaTrace: (w, pa, pb) exceeds the 20/21/21-bit pack " +
+        lit("boruvkaTrace: (w, pa, pb) exceeds the 20/36/36-bit pack " +
           "bound: w="), $"w", lit(" pa="), $"pa", lit(" pb="), $"pb")))
       .otherwise($"w")
     val sc = edges0.sparkSession.sparkContext
@@ -3325,11 +3332,12 @@ object Relational {
       live = cand.select($"pa", $"pb", $"w")
       val picks = cand
         .select(explode(array($"ca", $"cb")).as("c"),
-          ($"w" * lit(1L << 42) + $"pa" * lit(1L << 21) + $"pb").as("k"))
+          (($"w" * lit(1L << 36) + $"pa").cast("decimal(38,0)") *
+            lit(1L << 36) + $"pb").as("k"))
         .groupBy($"c").agg(min($"k").as("k"))
-        .select(expr(s"k div ${1L << 42}").as("w"),
-          expr(s"(k div ${1L << 21}) % ${1L << 21}").as("pa"),
-          expr(s"k % ${1L << 21}").as("pb"))
+        .select(expr(s"(k div ${1L << 36}) div ${1L << 36}").as("w"),
+          expr(s"(k div ${1L << 36}) % ${1L << 36}").as("pa"),
+          expr(s"CAST(k % ${1L << 36} AS BIGINT)").as("pb"))
         .distinct().persist()
       // localCheckpoint, not persist, at every cross-round relation
       // (the q225 BFS discipline): each round's plan references the
@@ -3418,14 +3426,17 @@ object Relational {
          |  JOIN $lblPrev lb ON lb.p = e.pb
          |  WHERE la.lbl <> lb.lbl),
          |picks$r AS MATERIALIZED (
-         |  SELECT DISTINCT k // ${1L << 42} AS w,
-         |    (k // ${1L << 21}) % ${1L << 21} AS pa,
-         |    k % ${1L << 21} AS pb
+         |  SELECT DISTINCT
+         |    CAST((k // ${1L << 36}) // ${1L << 36} AS BIGINT) AS w,
+         |    CAST((k // ${1L << 36}) % ${1L << 36} AS BIGINT) AS pa,
+         |    CAST(k % ${1L << 36} AS BIGINT) AS pb
          |  FROM (SELECT c, min(k) AS k FROM (
-         |      SELECT ca AS c, w * ${1L << 42} + pa * ${1L << 21} + pb AS k
+         |      SELECT ca AS c, CAST(w * ${1L << 36} + pa AS HUGEINT)
+         |          * ${1L << 36} + pb AS k
          |        FROM cand$r
          |      UNION ALL
-         |      SELECT cb, w * ${1L << 42} + pa * ${1L << 21} + pb
+         |      SELECT cb, CAST(w * ${1L << 36} + pa AS HUGEINT)
+         |          * ${1L << 36} + pb
          |        FROM cand$r)
          |    GROUP BY c)),
          |new$r AS MATERIALIZED (

@@ -612,7 +612,10 @@ class ScaleSpec extends AnyFunSuite {
       "stg/Staging.scala" -> 1,
       // q287's |types|-row sequential-test state readout inside the
       // foreachBatch sink — bounded by the event-type axis
-      "streaming/EventStream.scala" -> 1)
+      // +1 round 13: sprtStream's restart-restore of the SAME
+      // |types|-row state snapshot (one read at query start, never
+      // per-batch, never data-grain)
+      "streaming/EventStream.scala" -> 2)
     assert(countSites("\\.collect\\(\\)") === collectBudget,
       s"driver collect() sites drifted (found ${countSites("\\.collect\\(\\)")}): " +
         "an operator must not loop driver-side; register only metadata lookups")
