@@ -101,9 +101,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE overrides the shuffle width (default = cpus,
+    // the driver-contract setting). Exists for weak-scaling diagnosis:
+    // at 100x-replicated corpora a 32-partition shuffle puts ~100x the
+    // rows in each partition's working set, and separating that
+    // harness artifact from genuine operator growth needs a
+    // measured-at-wider-width data point (a cluster deployment sizes
+    // this to data, not to one host's cores; AQE then coalesces small
+    // stages back down)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

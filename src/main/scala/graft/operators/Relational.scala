@@ -3264,18 +3264,21 @@ object Relational {
     * bounded hops can only defer picks, never corrupt the forest —
     * the cross-round anti-join keeps re-picks out of the census).
     *
-    * Determinism: the per-component argmin is ONE packed min (rule 9):
-    * w·2⁷² + pa·2³⁶ + pb as DECIMAL(38,0) (HUGEINT in the mirror —
-    * both exact integer grids, so the order is identical), a total
-    * order making ties impossible; the pack bound (w < 2²⁰ by the
-    * distance construction, ids < 2³⁶ ≈ 68 B nodes — a genuine 100 TB
-    * catalog bound) is enforced per row by a loud raise_error. The
-    * round-13 100× weak-scaling sweep is WHY this is a decimal pack:
-    * the original 62-bit BIGINT split (w·2⁴² + pa·2²¹ + pb) capped ids
-    * at 2²¹ ≈ 2.1 M, and 100×-replicated part keys (~13.6 M) tripped
-    * the guard — loud, exactly as designed, but a real deployment
-    * ceiling; the inner (w·2³⁶ + pa) stays a cheap BIGINT and only the
-    * outer shift pays decimal width.
+    * Determinism: the per-component argmin is ONE packed min (rule 9)
+    * with an ADAPTIVE key width: w·2⁴² + pa·2²¹ + pb as BIGINT when
+    * every id fits 21 bits, w·2⁷² + pa·2³⁶ + pb as DECIMAL(38,0)
+    * beyond (HUGEINT in the mirror always — all three are exact
+    * integer grids inducing the SAME total order, so the choice is
+    * invisible in the output); ties impossible either way. The pack
+    * bound (w < 2²⁰ by the distance construction, ids < 2³⁶ ≈ 68 B
+    * nodes — a genuine 100 TB catalog bound) is enforced per row by a
+    * loud raise_error. The round-13 100× weak-scaling sweep is WHY the
+    * wide arm exists: the 62-bit BIGINT split caps ids at 2²¹ ≈ 2.1 M
+    * and 100×-replicated part keys (~13.6 M) tripped the guard — loud,
+    * exactly as designed, but a real deployment ceiling; and the
+    * decimal min measured ~1.5× slower at sf0.1, which is why the
+    * narrow arm stays the common-case path (one 1-row bound scan picks,
+    * once per trace).
     *
     * Scale shape: each round is two label equi-joins on the
     * entropy-rich part ids + one map-side-combinable packed min + the
@@ -3305,6 +3308,31 @@ object Relational {
     // nothing reads them after the loop
     val rddsBefore = sc.getPersistentRDDs.keySet.toSet
     val edges = edges0.select($"pa", $"pb", guarded.as("w")).persist()
+    // ADAPTIVE argmin key width: both packs below induce the same
+    // total order on (w, pa, pb), so the choice is invisible in the
+    // output (the mirror always packs HUGEINT) — but the BIGINT key's
+    // min aggregate measured ~1.5× faster than the decimal one at
+    // sf0.1 reps-3. One 1-row bound scan of the (already persisting)
+    // edge relation picks the narrow key whenever every id fits the
+    // 21-bit split, the wide DECIMAL(38,0) key beyond — the same
+    // "narrowest type that provably fits" call AQE makes from runtime
+    // stats, decided once per trace, never per row
+    val maxId = edges.agg(max(greatest($"pa", $"pb"))).head()
+    val wideIds = !maxId.isNullAt(0) && maxId.getLong(0) >= (1L << 21)
+    val packK: org.apache.spark.sql.Column =
+      if (wideIds)
+        ($"w" * lit(1L << 36) + $"pa").cast("decimal(38,0)") *
+          lit(1L << 36) + $"pb"
+      else $"w" * lit(1L << 42) + $"pa" * lit(1L << 21) + $"pb"
+    val decodeK: Seq[org.apache.spark.sql.Column] =
+      if (wideIds) Seq(
+        expr(s"(k div ${1L << 36}) div ${1L << 36}").as("w"),
+        expr(s"(k div ${1L << 36}) % ${1L << 36}").as("pa"),
+        expr(s"CAST(k % ${1L << 36} AS BIGINT)").as("pb"))
+      else Seq(
+        expr(s"k div ${1L << 42}").as("w"),
+        expr(s"(k div ${1L << 21}) % ${1L << 21}").as("pa"),
+        expr(s"k % ${1L << 21}").as("pb"))
     var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
       .distinct().select($"p", $"p".as("lbl")).persist()
     var mst: DataFrame = null
@@ -3331,13 +3359,9 @@ object Relational {
         .localCheckpoint(true)
       live = cand.select($"pa", $"pb", $"w")
       val picks = cand
-        .select(explode(array($"ca", $"cb")).as("c"),
-          (($"w" * lit(1L << 36) + $"pa").cast("decimal(38,0)") *
-            lit(1L << 36) + $"pb").as("k"))
+        .select(explode(array($"ca", $"cb")).as("c"), packK.as("k"))
         .groupBy($"c").agg(min($"k").as("k"))
-        .select(expr(s"(k div ${1L << 36}) div ${1L << 36}").as("w"),
-          expr(s"(k div ${1L << 36}) % ${1L << 36}").as("pa"),
-          expr(s"CAST(k % ${1L << 36} AS BIGINT)").as("pb"))
+        .select(decodeK: _*)
         .distinct().persist()
       // localCheckpoint, not persist, at every cross-round relation
       // (the q225 BFS discipline): each round's plan references the

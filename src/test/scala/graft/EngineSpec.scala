@@ -6466,6 +6466,18 @@ class EngineSpec extends AnyFunSuite {
       ("r2_components", 1L), ("r2_mst_weight", 10L), ("r2_new_edges", 1L),
       ("r3_components", 1L), ("r3_mst_weight", 10L), ("r3_new_edges", 0L))
     assert(got.toSeq === expect, "Borůvka trace diverged")
+    // WIDE-ARM replay (round-13 adaptive key width): the same graph
+    // with every id offset past the 21-bit narrow-pack ceiling (and
+    // one past 2^32) must run through the DECIMAL(38,0) argmin key and
+    // produce the IDENTICAL census — weights and counts are
+    // id-invariant, so any divergence is a pack/decode bug in the
+    // wide arm (the arm the 100x sweep's 13.6M part keys exercise)
+    val off = (1L << 33) + 12345L
+    val wide = edges.select(
+      (col("pa") + off).as("pa"), (col("pb") + off).as("pb"), col("w"))
+    val gotWide = Relational.boruvkaTrace(wide).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(gotWide.toSeq === expect, "wide-arm Borůvka trace diverged")
   }
 
   test("q283 Naive Bayes: first-principles textbook replay on a crafted split") {
