@@ -139,18 +139,24 @@ object EventStream {
 
   /** Packed (whole-second, event_id) order key for streaming argmin /
     * argmax picks (README rule 9: ONE integer min — never struct
-    * ordering): seconds ≤ ~2³¹ shifted left 24 bits stay under 2⁶³;
-    * event_id must stay below 2²⁴ (sf0.1 tops out ~6·10⁵) and the
-    * bound is enforced LOUDLY per row (the MaxBucket loud-bound
-    * philosophy) — an id past it would silently alias a tick one
-    * second later, the exact silent-divergence class the key exists
-    * to prevent; a deployment with wider ids re-splits the shift. */
+    * ordering). The seconds component is WINDOW-RELATIVE: the picks
+    * run inside epoch-aligned 1-hour window groups, so within any
+    * group `ts_sec % 3600` = `ts_sec − win_start` and ordering by
+    * (rel_sec, event_id) ≡ ordering by (ts_sec, event_id) — identical
+    * picks, but the seconds need only 12 bits instead of 31, leaving
+    * event_id 51 bits (≈2.3·10¹⁵ — a genuine 100 TB tick-archive
+    * bound). The round-13 10× streaming sweep is WHY: the original
+    * absolute-seconds split capped ids at 2²⁴ ≈ 16.8 M and the
+    * replicated 10× event ids (~2·10⁷) tripped the loud guard — no
+    * aliasing (the guard is the point: an over-bound id would silently
+    * order as a tick one second later), but a ceiling any year of
+    * real ingest crosses. Bound still enforced LOUDLY per row. */
   private def packedTickKey = {
-    val guarded = when($"event_id" >= lit(1L << 24),
+    val guarded = when($"event_id" >= lit(1L << 51),
       raise_error(concat(
-        lit("packedTickKey: event_id exceeds the 24-bit pack bound: "),
+        lit("packedTickKey: event_id exceeds the 51-bit pack bound: "),
         $"event_id"))).otherwise($"event_id")
-    ($"ts".cast("long") * lit(1L << 24)) + guarded
+    (($"ts".cast("long") % lit(3600L)) * lit(1L << 51)) + guarded
   }
 
   /** Streaming OHLC bar builder — the STREAMING twin of the batch
