@@ -311,6 +311,7 @@ object SparkEntry {
     "q286_entropy_rate" -> (EventOps.q286EntropyRate(_, _)),
     "q287_stream_sprt" -> (EventStream.q287StreamSprt(_, _)),
     "q288_stream_hh_scaled" -> (EventStream.q288StreamHeavyHittersScaled(_, _)),
+    "q289_stream_cms_hh" -> (EventStream.q289StreamCmsHeavyHitters(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -958,5 +959,11 @@ object SparkEntry {
     // by (windows × k); same oracle SQL as q264, cut-and-re-enter
     // multi-batch path is StreamingSpec's
     "q288_stream_hh_scaled" -> EventStream.q264StreamHeavyHittersSql,
+    // q289: the sketch-bounded heavy-hitter shape — per-day count-min
+    // cells maintained additively across micro-batches (state
+    // |days|x2048 regardless of user cardinality), distinct-candidate
+    // probe + rank at readout; oracle replays the SAME md5-slice
+    // sketch (q276 discipline), so est_cms is bit-exact, not approx
+    "q289_stream_cms_hh" -> EventStream.q289StreamCmsHeavyHittersSql,
   )
 }

@@ -1126,6 +1126,177 @@ object EventStream {
   }
 
   // ---------------------------------------------------------------
+  // q289: streaming CMS heavy hitters — sketch-bounded state
+  // ---------------------------------------------------------------
+
+  /** Bucket of count-min hash row j for a user id: disjoint 8-hex-char
+    * (32-bit) slice of ONE md5 of the id's decimal string, mod
+    * [[graft.operators.TextOps.CmsW]] — the q276 cross-engine-exact
+    * hash family over the user axis. */
+  private def userBucketCol(j: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5($"user_id".cast("string")), 8 * j - 7, 8),
+      16, 10).cast("long"), lit(graft.operators.TextOps.CmsW.toLong))
+
+  /** stack() generator unpivoting b1..bD to (hrow, bucket) — the q276
+    * unpivot, local because TextOps' is private to its own axis. */
+  private def userStackExpr: String =
+    (1 to graft.operators.TextOps.CmsD).map(j => s"$j, b$j")
+      .mkString(s"stack(${graft.operators.TextOps.CmsD}, ", ", ",
+        ") as (hrow, bucket)")
+
+  /** The SKETCH-BOUNDED heavy-hitter readout — the third and last
+    * shape of the per-day top-k story, the one whose streaming state
+    * does not grow with user cardinality AT ALL: q264 (complete-mode
+    * aggregate, state = live windows × users), q288 (update-mode +
+    * exact top-k store, state = live windows × users in the agg, store
+    * = windows × k), and THIS — a [[graft.operators.TextOps.CmsD]]×
+    * [[graft.operators.TextOps.CmsW]] count-min sketch per day
+    * (Cormode–Muthukrishnan 2005), maintained additively across
+    * micro-batches in a foreachBatch keyed store: state is
+    * |days| × 2048 integer cells whether the stream carries a thousand
+    * users or a billion — THE bounded-memory frequency structure at
+    * 100 TB, and the escape hatch the q264 docstring promises.
+    *
+    * The leaderboard is then a CANDIDATE PROBE at readout: distinct
+    * (day, user) candidates probe the sketch (min over the 4 hashed
+    * cells), rank by (estimate desc, user_id), cut at k — a BATCH pass
+    * over the drained corpus, executor-side, transient; deliberately
+    * NOT streaming state (deployed, any candidate source plugs in:
+    * the q288 store, a sampled id set, last hour's leaders). The
+    * estimate is the CMS one-sided overestimate (≥ the true count,
+    * collisions only inflate) and is bit-exact cross-engine: md5-slice
+    * buckets, integer cells, integer min — the oracle replays the
+    * sketch itself, not an approximation of it.
+    *
+    * Batch replays (foreachBatch is at-least-once) are skipped by
+    * batch id — sketch addition is the one non-idempotent merge in the
+    * store family, so the skip, not the merge, carries effective-once
+    * (the sprtStream discipline; run-private drains need no restart
+    * path). Determinism: unique (est desc, user_id) tie-break, string
+    * day keys (rule 4). */
+  def q289StreamCmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, 8)
+    cmsHeavyHitters(ss, rawEvents(ss, sfDir), Tables.events(ss, sfDir))
+  }
+
+  /** The sketch walk over a prepared (ts, user_id) stream plus a batch
+    * probe relation — split from [[q289StreamCmsHeavyHitters]] so
+    * StreamingSpec can drive a multi-batch file feed and prove the
+    * cross-batch additive accumulation. */
+  private[graft] def cmsHeavyHitters(ss: SparkSession, src: DataFrame,
+      probeEvents: DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.TextOps.CmsD
+    val name = "cmshh_" + UUID.randomUUID().toString.replace("-", "")
+    val store = s"/tmp/graft_cmshh_store_$name"
+    registerTmpStore(store)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      ss.sparkContext.hadoopConfiguration)
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val stream = src.select(
+      date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+    val ckpt = ckptDir(name)
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId <= lastBatch.get()) ()
+        else {
+          val sp = batch.sparkSession
+          val delta = batch
+            .select(($"day" +:
+              (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
+            .select($"day", expr(userStackExpr))
+            .groupBy($"day", $"hrow", $"bucket")
+            .agg(count(lit(1)).as("cell"))
+          val live = new Path(store)
+          val fresh = new Path(s"$store.new")
+          val bak = new Path(s"$store.bak")
+          // q159 recovery contract: only a genuinely-missing live path
+          // is an empty sketch; a surviving .bak is promoted
+          val target =
+            if (fs.exists(live)) sp.read.parquet(store)
+            else if (fs.exists(bak)) {
+              if (!fs.rename(bak, live))
+                throw new java.io.IOException(
+                  s"cms store: cannot recover backup $bak -> $live")
+              sp.read.parquet(store)
+            } else delta.limit(0)
+          target.unionByName(delta)
+            .groupBy($"day", $"hrow", $"bucket")
+            .agg(sum($"cell").as("cell"))
+            .write.mode("overwrite").parquet(s"$store.new")
+          fs.delete(bak, true)
+          if (fs.exists(live) && !fs.rename(live, bak))
+            throw new java.io.IOException(
+              s"cms store: cannot set aside $live")
+          if (!fs.rename(fresh, live)) {
+            fs.rename(bak, live)
+            throw new java.io.IOException(
+              s"cms store: cannot publish $fresh")
+          }
+          fs.delete(bak, true)
+          lastBatch.set(batchId)
+        }
+      }
+      .start()
+    try q.awaitTermination()
+    finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
+    val cms = ss.read.parquet(store)
+    val users = probeEvents
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
+      .distinct()
+    val est = users
+      .select(($"day" +: $"user_id" +:
+        (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
+      .select($"day", $"user_id", expr(userStackExpr))
+      .join(cms, Seq("day", "hrow", "bucket"))
+      .groupBy($"day", $"user_id").agg(min($"cell").as("est_cms"))
+    val w = Window.partitionBy($"day").orderBy($"est_cms".desc, $"user_id")
+    est.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= HhTopK)
+      .select($"day", $"rank", $"user_id", $"est_cms")
+      .orderBy($"day", $"rank")
+  }
+
+  /** DuckDB mirror: the SAME sketch replayed — md5-slice buckets over
+    * the user id's decimal string, per-day cells, distinct-candidate
+    * probe, (est desc, user_id) rank. */
+  val q289StreamCmsHeavyHittersSql: String = {
+    import graft.operators.TextOps.{CmsD, CmsW}
+    val rowsVals = (1 to CmsD).map(j => s"($j)").mkString(", ")
+    def caseB(col: String): String =
+      (1 to CmsD).map(j =>
+        s"WHEN r.hrow = $j THEN CAST('0x' || substring(md5($col), " +
+          s"${8 * j - 7}, 8) AS BIGINT) % $CmsW")
+        .mkString("CASE ", " ", " END")
+    s"""WITH e AS (SELECT strftime(make_timestamp(
+       |      (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+       |      * 86400000000), '%Y-%m-%d') AS day, user_id FROM events),
+       |hrows AS (SELECT * FROM (VALUES $rowsVals) AS r(hrow)),
+       |cells AS (SELECT day, r.hrow,
+       |    ${caseB("CAST(user_id AS VARCHAR)")} AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM e, hrows r GROUP BY 1, 2, 3),
+       |u AS (SELECT DISTINCT day, user_id FROM e),
+       |probes AS (SELECT u.day, u.user_id, r.hrow,
+       |    ${caseB("CAST(u.user_id AS VARCHAR)")} AS bucket
+       |  FROM u, hrows r),
+       |est AS (SELECT p.day, p.user_id,
+       |    CAST(min(c.cell) AS BIGINT) AS est_cms
+       |  FROM probes p JOIN cells c ON c.day = p.day
+       |    AND c.hrow = p.hrow AND c.bucket = p.bucket
+       |  GROUP BY 1, 2),
+       |r AS (SELECT day, user_id, est_cms,
+       |    row_number() OVER (PARTITION BY day
+       |      ORDER BY est_cms DESC, user_id) AS rn FROM est)
+       |SELECT day, CAST(rn AS BIGINT) AS rank, user_id, est_cms
+       |FROM r WHERE rn <= $HhTopK
+       |ORDER BY day, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q287: streaming SPRT front door (sequential monitor as it runs)
   // ---------------------------------------------------------------
 
