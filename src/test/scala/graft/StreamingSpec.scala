@@ -388,6 +388,32 @@ class StreamingSpec extends AnyFunSuite {
       s"no delta-involving pair above cut $cut — the stream appended nothing")
   }
 
+  test("q289 estimates are one-sided over the real corpus") {
+    // the count-min guarantee the leaderboard rides: est_cms ≥ the
+    // true (day, user) count for EVERY reported row (collisions only
+    // inflate), and est ≤ that day's total events (a row can never
+    // absorb more than the day). Both checked against independently
+    // computed exact counts from the batch table
+    val d = "/root/testdata/sf0.001"
+    val got = EventStream.q289StreamCmsHeavyHitters(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "q289 returned no rows")
+    val exact = Tables.events(spark, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val dayTotal = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    got.foreach { case (day, user, est) =>
+      val ex = exact((day, user))
+      assert(est >= ex,
+        s"CMS under-estimated ($day, $user): est $est < exact $ex — " +
+          "the one-sided guarantee is broken")
+      assert(est <= dayTotal(day),
+        s"CMS over-estimated past the day total ($day, $user): $est > " +
+          s"${dayTotal(day)}")
+    }
+  }
+
   test("q288 heavy-hitter store: cut-and-re-enter across three batches") {
     // the scale-safe leaderboard's exactness argument, driven through
     // its hard case: user B is CUT from the top-3 store by batch 1
