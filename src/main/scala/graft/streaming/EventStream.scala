@@ -150,13 +150,19 @@ object EventStream {
     * replicated 10× event ids (~2·10⁷) tripped the loud guard — no
     * aliasing (the guard is the point: an over-bound id would silently
     * order as a tick one second later), but a ceiling any year of
-    * real ingest crosses. Bound still enforced LOUDLY per row. */
+    * real ingest crosses. Bound still enforced LOUDLY per row.
+    * pmod, not %: Spark's % keeps the dividend's sign, so a pre-epoch
+    * timestamp (negative seconds) would yield a negative remainder
+    * that silently inverts ordering inside its window (in the
+    * 1969-12-31 23:00 window, ts=-3600 packs as 0 while ts=-1 packs
+    * as -1); pmod keeps the relative-seconds component in [0, 3600)
+    * for every epoch. */
   private def packedTickKey = {
     val guarded = when($"event_id" >= lit(1L << 51),
       raise_error(concat(
         lit("packedTickKey: event_id exceeds the 51-bit pack bound: "),
         $"event_id"))).otherwise($"event_id")
-    (($"ts".cast("long") % lit(3600L)) * lit(1L << 51)) + guarded
+    (pmod($"ts".cast("long"), lit(3600L)) * lit(1L << 51)) + guarded
   }
 
   /** Streaming OHLC bar builder — the STREAMING twin of the batch
@@ -1052,7 +1058,19 @@ object EventStream {
     * cut-and-re-enter path (a user ejected from the leaderboard by
     * batch 1 must reclaim its seat when batch 3's counts promote it)
     * is StreamingSpec's subject. Determinism: q264's (epoch-aligned
-    * tumbling windows, unique (count desc, user_id) tie-break). */
+    * tumbling windows, unique (count desc, user_id) tie-break).
+    *
+    * SEMANTIC DIFFERENCE from q264 (deliberate, a consequence of the
+    * eviction that makes the state bounded): update mode DROPS events
+    * arriving more than 1 hour late (the watermark evicts a window's
+    * agg state once it passes the window end), while q264's complete
+    * mode — where the declared watermark has no effect — still counts
+    * them. The shared oracle holds on any feed where no event is >1h
+    * out of order ACROSS micro-batch boundaries (file drains qualify:
+    * one file = one batch, the watermark never advances mid-data);
+    * a genuinely multi-batch out-of-order feed can legitimately
+    * diverge from the batch SQL without any store bug. The exactness
+    * claim above covers the cut-to-k store only, not late data. */
   def q288StreamHeavyHittersScaled(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark, 8)
     heavyHitterStream(ss, rawEvents(ss, sfDir))
@@ -1170,10 +1188,14 @@ object EventStream {
     *
     * Batch replays (foreachBatch is at-least-once) are skipped by
     * batch id — sketch addition is the one non-idempotent merge in the
-    * store family, so the skip, not the merge, carries effective-once
-    * (the sprtStream discipline; run-private drains need no restart
-    * path). Determinism: unique (est desc, user_id) tie-break, string
-    * day keys (rule 4). */
+    * store family, so the skip, not the merge, carries effective-once.
+    * The skip mark is PERSISTED inside the store rows themselves
+    * (every row carries the last-merged batch_id, read back as the
+    * high-water before merging — sprtStream's snapshot discipline),
+    * so a replay after a publish-then-crash, or a restart against a
+    * durable store, is refused by the store's own record rather than
+    * driver memory. Determinism: unique (est desc, user_id)
+    * tie-break, string day keys (rule 4). */
   def q289StreamCmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     val ss = streamSession(spark, 8)
     cmsHeavyHitters(ss, rawEvents(ss, sfDir), Tables.events(ss, sfDir))
@@ -1204,46 +1226,60 @@ object EventStream {
         if (batchId <= lastBatch.get()) ()
         else {
           val sp = batch.sparkSession
-          val delta = batch
-            .select(($"day" +:
-              (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
-            .select($"day", expr(userStackExpr))
-            .groupBy($"day", $"hrow", $"bucket")
-            .agg(count(lit(1)).as("cell"))
           val live = new Path(store)
           val fresh = new Path(s"$store.new")
           val bak = new Path(s"$store.bak")
           // q159 recovery contract: only a genuinely-missing live path
           // is an empty sketch; a surviving .bak is promoted
           val target =
-            if (fs.exists(live)) sp.read.parquet(store)
+            if (fs.exists(live)) Some(sp.read.parquet(store))
             else if (fs.exists(bak)) {
               if (!fs.rename(bak, live))
                 throw new java.io.IOException(
                   s"cms store: cannot recover backup $bak -> $live")
-              sp.read.parquet(store)
-            } else delta.limit(0)
-          target.unionByName(delta)
-            .groupBy($"day", $"hrow", $"bucket")
-            .agg(sum($"cell").as("cell"))
-            .write.mode("overwrite").parquet(s"$store.new")
-          fs.delete(bak, true)
-          if (fs.exists(live) && !fs.rename(live, bak))
-            throw new java.io.IOException(
-              s"cms store: cannot set aside $live")
-          if (!fs.rename(fresh, live)) {
-            fs.rename(bak, live)
-            throw new java.io.IOException(
-              s"cms store: cannot publish $fresh")
+              Some(sp.read.parquet(store))
+            } else None
+          // persisted replay mark: every store row carries the last
+          // merged batch_id, so the skip survives a publish-then-crash
+          // replay and a restart against a durable store — the store's
+          // own record, not driver memory, is the authority
+          val mark = target.fold(Long.MinValue)(
+            _.agg(coalesce(max($"batch_id"), lit(Long.MinValue)))
+              .head.getLong(0))
+          lastBatch.set(math.max(lastBatch.get(), mark))
+          if (batchId <= mark) ()
+          else {
+            val delta = batch
+              .select(($"day" +:
+                (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
+              .select($"day", expr(userStackExpr))
+              .groupBy($"day", $"hrow", $"bucket")
+              .agg(count(lit(1)).as("cell"))
+            val prior = target.fold(delta.limit(0))(
+              _.select($"day", $"hrow", $"bucket", $"cell"))
+            prior.unionByName(delta)
+              .groupBy($"day", $"hrow", $"bucket")
+              .agg(sum($"cell").as("cell"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(s"$store.new")
+            fs.delete(bak, true)
+            if (fs.exists(live) && !fs.rename(live, bak))
+              throw new java.io.IOException(
+                s"cms store: cannot set aside $live")
+            if (!fs.rename(fresh, live)) {
+              fs.rename(bak, live)
+              throw new java.io.IOException(
+                s"cms store: cannot publish $fresh")
+            }
+            fs.delete(bak, true)
+            lastBatch.set(math.max(lastBatch.get(), batchId))
           }
-          fs.delete(bak, true)
-          lastBatch.set(batchId)
         }
       }
       .start()
     try q.awaitTermination()
     finally new scala.reflect.io.Directory(new java.io.File(ckpt)).deleteRecursively()
-    val cms = ss.read.parquet(store)
+    val cms = ss.read.parquet(store).drop("batch_id")
     val users = probeEvents
       .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
       .distinct()
@@ -1479,7 +1515,10 @@ object EventStream {
           hiWater.set(bounds.getLong(1))
           snapshot(sp, batchId)
         }
-        lastBatch.set(batchId)
+        // monotone by construction: the skip branch already refuses
+        // batchId <= mark, but max() keeps the high-water from ever
+        // regressing even if a future edit reorders the branches
+        lastBatch.set(math.max(lastBatch.get(), batchId))
         }
       }
       .start()
