@@ -2205,36 +2205,40 @@ object Relational {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val deg = edges.select(explode(array($"pa", $"pb")).as("p"))
       .groupBy($"p").agg(count(lit(1)).as("deg"))
-    // The (degree, id) pack bound is enforced LOUDLY per row (the
-    // packedTickKey philosophy): a wider part id or degree would
-    // silently alias order keys and corrupt the orientation — fail
-    // instead; a deployment with wider ids re-splits the shift.
-    val guardedP = when($"p" >= lit(1L << 32) || $"deg" >= lit(1L << 31),
-      raise_error(concat(
-        lit("triangleParts: (deg, id) exceeds the 31/32-bit pack bound: deg="),
-        $"deg", lit(" id="), $"p"))).otherwise($"p")
-    val dk = deg.select($"p", ($"deg" * lit(1L << 32) + guardedP).as("okey"))
+    // Degree-ordered orientation WITHOUT a packed key (round-13
+    // pack-key audit: this was the widest remaining 2³² ceiling). The
+    // (deg, id) total order here is only ever COMPARED pairwise —
+    // never fed to a min/max aggregate, where README rule 9 would
+    // mandate the single-integer pack — so the oriented relation
+    // carries deg(v) as its own column and every comparison is the
+    // lexicographic (deg, id) pair: no shift to overflow, no per-row
+    // guard, ids and degrees wide as BIGINT itself. Payload is
+    // unchanged — (u, v, dv) is three BIGINTs, v is its own
+    // tie-break — and the DuckDB mirrors keep their packed okey
+    // (BIGINT·2³² + id), which induces the identical order at every
+    // oracle scale.
+    val aLess = $"da" < $"db" || ($"da" === $"db" && $"pa" < $"pb")
     val ed = edges
-      .join(dk.select($"p".as("pa"), $"okey".as("ka")), "pa")
-      .join(dk.select($"p".as("pb"), $"okey".as("kb")), "pb")
+      .join(deg.select($"p".as("pa"), $"deg".as("da")), "pa")
+      .join(deg.select($"p".as("pb"), $"deg".as("db")), "pb")
       .select(
-        when($"ka" < $"kb", $"pa").otherwise($"pb").as("u"),
-        when($"ka" < $"kb", $"pb").otherwise($"pa").as("v"),
-        when($"ka" < $"kb", $"kb").otherwise($"ka").as("kv"))
+        when(aLess, $"pa").otherwise($"pb").as("u"),
+        when(aLess, $"pb").otherwise($"pa").as("v"),
+        when(aLess, $"db").otherwise($"da").as("dv"))
     val (wedges, tri) = wedgeClose(ed)
     (deg, ed, wedges, tri)
   }
 
   /** The Σ outdeg² wedge build + closing join over an oriented edge
-    * list (u, v, kv) → (wedges, tri) — the ONE copy of the census's
+    * list (u, v, dv) → (wedges, tri) — the ONE copy of the census's
     * dominant join, shared by [[triangleParts]] (exact q189 shape,
     * sampled q194, crafted specs) and [[trianglesStaged]] (the live
     * staged path), so an edit to the join cannot silently diverge
     * between the spec-tested and the oracled path (round-11 advice). */
   private def wedgeClose(ed: DataFrame): (DataFrame, DataFrame) = {
-    val wedges = ed.select($"u", $"v", $"kv")
-      .join(ed.select($"u", $"v".as("w"), $"kv".as("kw")), Seq("u"))
-      .filter($"kv" < $"kw")
+    val wedges = ed.select($"u", $"v", $"dv")
+      .join(ed.select($"u", $"v".as("w"), $"dv".as("dw")), Seq("u"))
+      .filter($"dv" < $"dw" || ($"dv" === $"dw" && $"v" < $"w"))
       .select($"u", $"v", $"w")
     val tri = wedges
       .join(ed.select($"u".as("cv"), $"v".as("cw")),
@@ -2257,9 +2261,9 @@ object Relational {
   private def coEdgesToken(s: SparkSession, d: String): String =
     Staged.combine(Staged.planHash(coEdges(s, d)), lineitemFp(d))
 
-  /** The degree-ordered ORIENTED edge list (u, v, kv), staged: the
-    * orientation (degree aggregate + two key joins + the per-row pack
-    * guard) runs once per corpus; q189's wedge count and the triangle
+  /** The degree-ordered ORIENTED edge list (u, v, dv), staged: the
+    * orientation (degree aggregate + two key joins, lexicographic
+    * (deg, id) order) runs once per corpus; q189's wedge count and the triangle
     * stage read it back. Its plan hash sees the orientation
     * expressions over the staged co-edge scan, so orientation edits
     * invalidate it; the co-edge token carries input/edge-derivation
@@ -2295,9 +2299,10 @@ object Relational {
   def q189Triangles(s: SparkSession, d: String): DataFrame = {
     val edges = coEdgesStaged(s, d)
     // n_wedges by the closed form Σ_u C(outdeg(u), 2) over the staged
-    // oriented edges — each u's oriented neighbors have distinct okeys
-    // and (u,v) rows are unique, so exactly one ordering of every
-    // neighbor pair passes kv < kw. Counting the wedge JOIN would
+    // oriented edges — each u's oriented neighbors have distinct
+    // (dv, v) order pairs and (u,v) rows are unique, so exactly one
+    // ordering of every neighbor pair passes the lexicographic
+    // comparison. Counting the wedge JOIN would
     // materialize the Σ outdeg² relation just to count it; the
     // identity reads |E| rows instead. c(c−1) is even, div exact.
     val wedgeCount = orientedStaged(s, d)
@@ -2567,10 +2572,16 @@ object Relational {
     * defaults to the live [[KTrussRounds]] — round-12 advice); `tri0`
     * optionally supplies a precomputed round-0 triangle relation (the
     * live staged path). Census values are collected EAGERLY per round
-    * (a handful of driver-side longs), so each round's superseded edge
-    * set and support relation are unpersisted as soon as the next
-    * round's edge set has materialized — a 285-query session no longer
-    * accumulates dead cached round relations (round-12 advice). */
+    * (a handful of driver-side longs) in ONE action per round — both
+    * census numbers read off the support relation (round-13 verdict
+    * item 2) — and each generation's superseded edge set and support
+    * relation are unpersisted right after the round that consumed
+    * them, so a 285-query session never accumulates dead cached round
+    * relations (round-12 advice) while no round pays a second job.
+    * PRECONDITION (already the truss contract): `edges0` is a
+    * DISTINCT (pa, pb) pair relation — the survivor census counts
+    * passing support rows, which only equals the semijoined edge
+    * count on a simple graph. */
   private[graft] def kTrussTrace(edges0: DataFrame, minSup: Long,
       tri0: Option[DataFrame] = None,
       rounds: Int = KTrussRounds): DataFrame = {
@@ -2585,23 +2596,38 @@ object Relational {
     var e = edges0.persist()
     val census = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     census += (("r0_edges", e.count()))
+    // the generation superseded LAST round — freed only after this
+    // round's census action has materialized the relations that read
+    // it, so each round runs exactly ONE job (round-13 verdict item 2:
+    // the separate e2.count action is gone) at the price of a bounded
+    // two-generation cache window (edge sets only shrink)
+    var free: Seq[DataFrame] = Nil
     for (r <- 1 to rounds) {
       val tri = if (r == 1) tri0.getOrElse(triangleParts(e)._4)
         else triangleParts(e)._4
       val sup = supportOf(tri).persist()
-      census += ((s"r${r - 1}_tri",
-        sup.agg(coalesce(sum($"sup"), lit(0L)).as("s3")).head()
-          .getLong(0) / 3L))
+      // ONE census action per round: the triangle count is
+      // sum(sup)/3, and the survivor-edge count is count(sup >=
+      // minSup) — equal to count(e2) because every support key is a
+      // triangle edge (hence an edge of e) and e is a DISTINCT pair
+      // relation, so the semijoin below keeps exactly one row per
+      // passing support row (the crafted-peel spec replays the whole
+      // trace against hand counts)
+      val row = sup.agg(
+        coalesce(sum($"sup"), lit(0L)),
+        count(when($"sup" >= minSup, lit(1)))).head()
+      census += ((s"r${r - 1}_tri", row.getLong(0) / 3L))
+      census += ((s"r${r}_edges", row.getLong(1)))
       val e2 = e.join(sup.filter($"sup" >= minSup), Seq("pa", "pb"),
         "leftsemi").persist()
-      census += ((s"r${r}_edges", e2.count()))
-      // e2 is cached by the count above; the pre-peel edge set and
-      // this round's support relation are never read again
-      e.unpersist()
-      sup.unpersist()
+      // e2 stays LAZY: next round's census action materializes it
+      // from the still-cached e and sup (both freed one round later)
+      free.foreach(_.unpersist())
+      free = Seq(e, sup)
       e = e2
     }
     val sess = edges0.sparkSession
+    free.foreach(_.unpersist())
     e.unpersist()
     sess.createDataFrame(census.toSeq).toDF("metric", "value")
       .orderBy($"metric")
@@ -3030,8 +3056,10 @@ object Relational {
     * it (rule 2/8); the error census is pure BIGINT arithmetic
     * (|r·g² − ug·vg|, bounded ≪ 2⁶³ at gate scale — at a corpus where
     * Σ|e| approaches 2⁶³ the census would regrid, documented here);
-    * the best-item pick is a rule-9 packed-BIGINT max with a loud
-    * raise_error bound guard, never min_by.
+    * the best-item pick is a rule-9 packed-integer max with ADAPTIVE
+    * width (BIGINT pack + loud raise_error guard while part ids fit
+    * 32 bits, DECIMAL(38,0) pack to 2⁶³ beyond — the q282 recipe),
+    * never min_by.
     *
     * Scale: the canonical distributed-ALS shape — each half-step is one
     * map-side-combinable aggregate keyed by the entropy-rich user/item
@@ -3039,15 +3067,22 @@ object Relational {
     * rank-k sweep shards the same aggregates by (id, component));
     * ratings/users/items are persisted because the second half-step
     * and the fit census re-reference them (iterative-plan rule). */
-  def q226AlsStep(s: SparkSession, d: String): DataFrame = {
-    val ratings = Tables.lineitem(s, d)
+  def q226AlsStep(s: SparkSession, d: String): DataFrame =
+    alsStep(Tables.lineitem(s, d)
       .select($"l_orderkey", $"l_partkey", $"l_quantity")
       .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey", $"l_partkey")
       .agg(floor(sum($"l_quantity") + 0.5).cast("long").as("r"))
-      .select($"o_custkey".as("c"), $"l_partkey".as("p"), $"r")
-      .persist()
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"), $"r"))
+
+  /** The ALS half-sweep over an arbitrary (c, p, r) rating relation —
+    * split from [[q226AlsStep]] so the crafted spec can drive part ids
+    * past the 32-bit narrow-pack ceiling through the adaptive
+    * DECIMAL(38,0) argmax arm (the kTrussTrace/boruvkaTrace seam
+    * pattern). */
+  private[graft] def alsStep(ratings0: DataFrame): DataFrame = {
+    val ratings = ratings0.persist()
     val users = ratings.groupBy($"c")
       .agg(sum($"r").as("sr"), count(lit(1)).as("n"))
       .select($"c",
@@ -3062,13 +3097,22 @@ object Relational {
         floor($"nj".cast("double") * lit(g2.toDouble)
           / (lit(AlsLambda * g2) + $"dj").cast("double") + 0.5)
           .cast("long").as("vg"))
-    // rule-9 pack bound, enforced loudly per row (packedTickKey
-    // philosophy): a wider part id or factor would alias pick keys
-    val items = items0.select($"p",
+    // ADAPTIVE rule-9 pack width (the q282 recipe, round-13 pack
+    // audit): one 1-row bound scan of the persisted ratings picks the
+    // narrow 31/32-bit BIGINT pack (measurably cheaper) when every
+    // part id fits 32 bits, the DECIMAL(38,0) pack (vg·2⁶³ +
+    // (2⁶³−1−p), both fields structurally BIGINT-bounded — no guard
+    // can trip) beyond; both packs induce the identical
+    // (vg desc, p asc) order, so the arm is output-invisible. The
+    // narrow arm keeps the loud per-row guard (packedTickKey
+    // philosophy): a wider factor would alias pick keys.
+    val maxP = ratings.agg(max($"p")).head()
+    val wideIds = !maxP.isNullAt(0) && maxP.getLong(0) >= (1L << 32)
+    val items = (if (wideIds) items0 else items0.select($"p",
       when($"p" >= lit(1L << 32) || $"vg" >= lit(1L << 31),
         raise_error(concat(
           lit("q226AlsStep: (vg, p) exceeds the 31/32-bit pack bound: vg="),
-          $"vg", lit(" p="), $"p"))).otherwise($"vg").as("vg"))
+          $"vg", lit(" p="), $"p"))).otherwise($"vg").as("vg")))
       .persist()
     val errs = ratings.join(users, "c").join(items, "p")
       .select(abs($"r" * lit(g2) - $"ug" * $"vg").as("ae"))
@@ -3077,13 +3121,23 @@ object Relational {
         lit("n_ratings"), $"nr",
         lit("sum_abs_err_micro"), $"sae",
         lit("mae_micro"), expr("sae div nr"))).as(Seq("metric", "value")))
-    val top = items
-      .agg(max($"vg" * lit(1L << 32) + (lit((1L << 32) - 1) - $"p"))
+    val two63 = new java.math.BigDecimal("9223372036854775808")
+    val top = (if (wideIds)
+      items.agg(max($"vg".cast("decimal(38,0)") * lit(two63) +
+          (lit(Long.MaxValue) - $"p")).as("pk"))
+        .select(explode(map(
+          lit("top_item_id"),
+          lit(Long.MaxValue) -
+            expr("CAST(pk % 9223372036854775808 AS BIGINT)"),
+          lit("top_item_vg"), expr("pk div 9223372036854775808")))
+          .as(Seq("metric", "value")))
+    else
+      items.agg(max($"vg" * lit(1L << 32) + (lit((1L << 32) - 1) - $"p"))
         .as("pk"))
-      .select(explode(map(
-        lit("top_item_id"), lit((1L << 32) - 1) - ($"pk" % lit(1L << 32)),
-        lit("top_item_vg"), expr("pk div 4294967296")))
-        .as(Seq("metric", "value")))
+        .select(explode(map(
+          lit("top_item_id"), lit((1L << 32) - 1) - ($"pk" % lit(1L << 32)),
+          lit("top_item_vg"), expr("pk div 4294967296")))
+          .as(Seq("metric", "value"))))
     censusRow("n_users", users)
       .unionByName(censusRow("n_items", items))
       .unionByName(fit)
@@ -3333,6 +3387,22 @@ object Relational {
         expr(s"k div ${1L << 42}").as("w"),
         expr(s"(k div ${1L << 21}) % ${1L << 21}").as("pa"),
         expr(s"k % ${1L << 21}").as("pb"))
+    // packed (ca, cb) label pair — the second half of the TWO-column
+    // checkpoint payload (see the loop comment below). Same adaptive
+    // width rule as packK: labels are min node ids, so the maxId scan
+    // that picked the arm bounds them identically. Both decodes are
+    // integral div/mod (IntegralDivide returns BIGINT even on the
+    // decimal arm), so every decoded column is BIGINT in both arms.
+    val packCC: org.apache.spark.sql.Column =
+      if (wideIds) $"ca".cast("decimal(38,0)") * lit(1L << 36) + $"cb"
+      else $"ca" * lit(1L << 21) + $"cb"
+    val decodeCC: Seq[org.apache.spark.sql.Column] =
+      if (wideIds) Seq(
+        expr(s"cc div ${1L << 36}").as("ca"),
+        expr(s"CAST(cc % ${1L << 36} AS BIGINT)").as("cb"))
+      else Seq(
+        expr(s"cc div ${1L << 21}").as("ca"),
+        expr(s"cc % ${1L << 21}").as("cb"))
     var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
       .distinct().select($"p", $"p".as("lbl")).persist()
     var mst: DataFrame = null
@@ -3350,16 +3420,29 @@ object Relational {
       // localCheckpoint (eager), not persist, MEASURED: cand feeds
       // three consumers (picks, chosen, next round's live) and the
       // checkpointed-RDD read beat the lazy cache at sf0.1 reps-3 —
-      // 8.5 s vs 10.3–12.4 s over three runs each
+      // 8.5 s vs 10.3–12.4 s over three runs each. The payload is
+      // packed to TWO integer columns before the checkpoint (k = the
+      // (w, pa, pb) argmin key the picks need anyway, cc = the
+      // (ca, cb) label pair): the round-13 100× diagnosis-by-
+      // elimination pinned the super-linear second decade on
+      // single-host I/O carrying this edge-grain relation, so
+      // bytes-per-row is the lever — 5 BIGINT fields (48 B/row
+      // UnsafeRow) become 2 (24 B/row), halving every round's
+      // checkpoint write+read; consumers decode with codegen'd
+      // div/mod off the checkpointed blocks, and the argmin key is
+      // now computed once at build instead of per picks read.
       val cand = live
         .join(lbl.select($"p".as("pa"), $"lbl".as("ca")), Seq("pa"))
         .join(lbl.select($"p".as("pb"), $"lbl".as("cb")), Seq("pb"))
         .filter($"ca" =!= $"cb")
-        .select($"pa", $"pb", $"w", $"ca", $"cb")
+        .select(packK.as("k"), packCC.as("cc"))
         .localCheckpoint(true)
-      live = cand.select($"pa", $"pb", $"w")
+      // decoded view over the packed checkpoint — no extra blocks,
+      // just div/mod projections on read
+      val candE = cand.select(decodeK ++ decodeCC: _*)
+      live = candE.select($"pa", $"pb", $"w")
       val picks = cand
-        .select(explode(array($"ca", $"cb")).as("c"), packK.as("k"))
+        .select(explode(array(decodeCC: _*)).as("c"), $"k")
         .groupBy($"c").agg(min($"k").as("k"))
         .select(decodeK: _*)
         .distinct().persist()
@@ -3380,7 +3463,7 @@ object Relational {
           .getLong(0)))
       // contraction graph at component grain: the chosen edges' label
       // pairs (one row per chosen edge, symmetrized)
-      val chosen = cand.join(newEdges.select($"pa", $"pb"), Seq("pa", "pb"))
+      val chosen = candE.join(newEdges.select($"pa", $"pb"), Seq("pa", "pb"))
       val cg = chosen.select($"ca".as("x"), $"cb".as("y"))
         .unionByName(chosen.select($"cb".as("x"), $"ca".as("y")))
         .persist()

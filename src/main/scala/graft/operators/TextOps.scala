@@ -8170,9 +8170,12 @@ object TextOps {
     * picked doc, its marginal gain, and cumulative universe coverage
     * in ppm.
     *
-    * Determinism: the pick is ONE packed-BIGINT max (rule 9:
+    * Determinism: the pick is ONE packed-integer max (rule 9:
     * gain·2³² + (2³²−1−doc_id), so gain desc then doc_id asc — loud
-    * per-row pack guard); an exhausted universe yields a NULL pick
+    * per-row pack guard), with ADAPTIVE width: a 1-row bound scan
+    * picks the BIGINT pack when doc ids fit 32 bits, the
+    * DECIMAL(38,0) pack (ids/gains to 2⁶³, structurally unboundable)
+    * beyond — the q282 recipe; an exhausted universe yields a NULL pick
     * that the census reports as doc −1 / gain 0 identically in both
     * engines (max over empty is NULL, the semi-join matches nothing).
     *
@@ -8190,6 +8193,18 @@ object TextOps {
   private[graft] def setCoverTrace(docs: DataFrame): DataFrame = {
     val ds = shingleRows(docs).distinct().persist()
     val uTotal = ds.agg(countDistinct($"sh").as("u"))
+    // ADAPTIVE argmax key width (the q282 Borůvka recipe, round-13
+    // pack audit): one 1-row bound scan of the (persisted, loop-
+    // needed-anyway) incidence picks the narrow 31/32-bit BIGINT pack
+    // whenever every doc id fits 32 bits — the common case, measurably
+    // cheaper — and the DECIMAL(38,0) pack (gain·2⁶³ + (2⁶³−1−doc),
+    // both fields structurally BIGINT-bounded, so no guard can trip)
+    // beyond. Both packs induce the same (gain desc, doc_id asc)
+    // order, so the choice is output-invisible; the DuckDB mirror
+    // packs HUGEINT always.
+    val maxDoc = ds.agg(max($"doc_id")).head()
+    val wideIds = !maxDoc.isNullAt(0) && maxDoc.getLong(0) >= (1L << 32)
+    val two63 = new java.math.BigDecimal("9223372036854775808")
     var covered: DataFrame = null
     var out = uTotal.select(lit("r0_universe").as("metric"),
       $"u".as("value"))
@@ -8202,12 +8217,21 @@ object TextOps {
           lit("setCoverTrace: (gain, doc) exceeds the 31/32-bit pack " +
             "bound: gain="), $"gain", lit(" doc="), $"doc_id")))
         .otherwise($"gain")
-      val pick = uncovered.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
-        .select($"doc_id", guarded.as("gain"))
-        .agg(max($"gain" * lit(1L << 32) +
-          (lit((1L << 32) - 1) - $"doc_id")).as("pk"))
-        .select((lit((1L << 32) - 1) - $"pk" % lit(1L << 32)).as("doc_id"),
-          expr(s"pk div ${1L << 32}").as("gain"))
+      val gains = uncovered.groupBy($"doc_id").agg(count(lit(1)).as("gain"))
+      val pick = (if (wideIds)
+        gains.agg(max($"gain".cast("decimal(38,0)") * lit(two63) +
+            (lit(Long.MaxValue) - $"doc_id")).as("pk"))
+          .select(
+            (lit(Long.MaxValue) -
+              expr("CAST(pk % 9223372036854775808 AS BIGINT)"))
+              .as("doc_id"),
+            expr("pk div 9223372036854775808").as("gain"))
+      else
+        gains.select($"doc_id", guarded.as("gain"))
+          .agg(max($"gain" * lit(1L << 32) +
+            (lit((1L << 32) - 1) - $"doc_id")).as("pk"))
+          .select((lit((1L << 32) - 1) - $"pk" % lit(1L << 32)).as("doc_id"),
+            expr(s"pk div ${1L << 32}").as("gain")))
         .localCheckpoint(true)
       val pickedSh = ds
         .join(broadcast(pick.select($"doc_id")), Seq("doc_id"), "leftsemi")

@@ -1076,6 +1076,26 @@ object EventStream {
     heavyHitterStream(ss, rawEvents(ss, sfDir))
   }
 
+  /** ONE heavy-hitter store fold step: upsert the batch's full
+    * updated totals over the store (previous ranks dropped — they are
+    * derived, never merged), re-rank per window under the
+    * (count desc, user_id asc) total order, cut at [[HhTopK]]. This
+    * is EXACTLY what `heavyHitterStream`'s foreachBatch publishes
+    * each batch — split out so the ScalaCheck exactness property can
+    * replay random event multisets under random batch splits through
+    * the production merge (store ≡ the batch SQL leaderboard, the
+    * monotone-dominance argument as an executable law) without paying
+    * a streaming query per sample. */
+  private[graft] def hhMergeCut(target: DataFrame, batch: DataFrame): DataFrame = {
+    val merged = graft.stg.Staging.upsertByNaturalKey(
+      target.drop("rank"), batch, Seq("win_start", "user_id"))
+    val w = Window.partitionBy($"win_start")
+      .orderBy($"n_events".desc, $"user_id")
+    merged
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= HhTopK)
+  }
+
   /** The update-mode walk over a prepared (ts timestamp, user_id)
     * stream — split from [[q288StreamHeavyHittersScaled]] so
     * StreamingSpec can drive a multi-batch file feed through the
@@ -1114,13 +1134,7 @@ object EventStream {
                 s"heavy-hitter store: cannot recover backup $bak -> $live")
             sp.read.parquet(store)
           } else batch.limit(0)
-        val merged = graft.stg.Staging.upsertByNaturalKey(
-          target.drop("rank"), batch, Seq("win_start", "user_id"))
-        val w = Window.partitionBy($"win_start")
-          .orderBy($"n_events".desc, $"user_id")
-        merged
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= HhTopK)
+        hhMergeCut(target, batch)
           .write.mode("overwrite").parquet(s"$store.new")
         fs.delete(bak, true)
         if (fs.exists(live) && !fs.rename(live, bak))

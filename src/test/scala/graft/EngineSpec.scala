@@ -5077,6 +5077,22 @@ class EngineSpec extends AnyFunSuite {
     val got = graft.operators.Relational.q226AlsStep(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expected, s"got: $got")
+    // WIDE-ARM replay (round-14 adaptive argmax width): the same
+    // ratings with every part id offset past the 32-bit narrow-pack
+    // ceiling must run through the DECIMAL(38,0) pick key and produce
+    // the IDENTICAL census with only top_item_id offset (factors and
+    // fit are id-invariant, and the id offset is order-preserving so
+    // the tie-break picks the same item)
+    val off = (1L << 33) + 7L
+    val wide = spark.createDataFrame(ratings.map {
+      case (c, p, r) => (c, p + off, r) }).toDF("c", "p", "r")
+    val gotWide = graft.operators.Relational.alsStep(wide)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedWide = expected.map {
+      case ("top_item_id", v) => "top_item_id" -> (v + off)
+      case kv => kv
+    }
+    assert(gotWide === expectedWide, s"wide-arm got: $gotWide")
   }
 
   test("q227 vocab growth: brute-force nested-sample replay") {
@@ -6365,6 +6381,16 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(shallow.toSeq === expect.take(3),
       "1-round k-truss trace is not the 3-round prefix")
+    // >2³²-id replay (round-14: the triangle orientation dropped its
+    // 31/32-bit packed okey for a lexicographic (deg, id) comparison —
+    // no ceiling at all): the same graph with every node id offset
+    // past 2³² must produce the identical id-invariant peel census
+    val off = (1L << 33) + 7L
+    val wide = edges.select(
+      (col("pa") + off).as("pa"), (col("pb") + off).as("pb"))
+    val gotWide = Relational.kTrussTrace(wide, 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(gotWide.toSeq === expect, ">2^32-id k-truss trace diverged")
   }
 
   test("co-purchase basket guard: a mega-basket fails loudly, honest baskets pass") {
@@ -6541,6 +6567,21 @@ class EngineSpec extends AnyFunSuite {
       ("r4_covered_ppm", 1000000L), ("r4_doc", 50L), ("r4_gain", 1L),
       ("r5_covered_ppm", 1000000L), ("r5_doc", -1L), ("r5_gain", 0L))
     assert(got.toSeq === expect, "greedy set-cover trace diverged")
+    // WIDE-ARM replay (round-14 adaptive argmax width): the same
+    // corpus with every doc id offset past the 32-bit narrow-pack
+    // ceiling must run through the DECIMAL(38,0) pick key and produce
+    // the IDENTICAL trace with picked doc ids offset (gains, coverage,
+    // and the NULL-pick sentinel are id-invariant)
+    val off = (1L << 33) + 7L
+    val gotWide = TextOps.setCoverTrace(
+      docs.select((col("doc_id") + off).as("doc_id"), col("text")))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expectWide = expect.map {
+      case (m, v) if m.endsWith("_doc") && v >= 0L => (m, v + off)
+      case kv => kv
+    }
+    assert(gotWide.toSeq === expectWide,
+      "wide-arm set-cover trace diverged")
   }
 
   test("q285 Neyman allocation: hand-computed apportionment + zero-variance fallback") {

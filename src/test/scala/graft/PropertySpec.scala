@@ -411,4 +411,42 @@ object PropertySpec extends Properties("graft") {
         .sortBy(t => (t._1, t._2))
       got == want
     }
+
+  property("q288 cut-to-k store fold == batch leaderboard (any split)") =
+    // the round-13 verdict asked for the store's exactness argument
+    // (monotone counts re-admit any grower, so a cut user reclaims its
+    // seat) as an executable law, not one crafted trace: random event
+    // multisets over 3 windows × 8 users, randomly split into up to 4
+    // ordered micro-batches; each batch emits update-mode rows (keys
+    // seen in the batch, carrying CUMULATIVE totals — exactly what the
+    // agg state emits); folding the production merge must equal the
+    // one-shot leaderboard over the full multiset
+    forAll(Gen.listOfN(40, Gen.zip(
+      Gen.chooseNum(0, 2), Gen.chooseNum(1L, 8L), Gen.chooseNum(0, 3)))) { evs =>
+      def winStart(w: Int) =
+        java.sql.Timestamp.valueOf(s"2024-01-0${w + 1} 00:00:00")
+      val cum = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      var store = Seq.empty[(java.sql.Timestamp, Long, Long)]
+        .toDF("win_start", "user_id", "n_events")
+      for ((_, bevs) <- evs.groupBy(_._3).toSeq.sortBy(_._1)) {
+        bevs.groupBy(e => (e._1, e._2)).foreach { case (k, es) =>
+          cum(k) = cum.getOrElse(k, 0L) + es.size }
+        val updates = bevs.map(e => (e._1, e._2)).distinct
+          .map { case (w, u) => (winStart(w), u, cum((w, u))) }
+          .toDF("win_start", "user_id", "n_events")
+        store = graft.streaming.EventStream.hhMergeCut(store, updates)
+      }
+      val got = store.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = evs.groupBy(e => (e._1, e._2)).toSeq
+        .map { case ((w, u), es) => (w, u, es.size.toLong) }
+        .groupBy(_._1).flatMap { case (w, rows) =>
+          rows.sortBy(r => (-r._3, r._2))
+            .take(graft.streaming.EventStream.HhTopK.toInt).zipWithIndex
+            .map { case ((_, u, n), i) =>
+              (winStart(w), u, n, (i + 1).toLong) }
+        }.toSet
+      got == want
+    }
 }
