@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.sources.Tables
 
@@ -3361,7 +3362,14 @@ object Relational {
     // (round-12 advice); the census is collected EAGERLY per round, so
     // nothing reads them after the loop
     val rddsBefore = sc.getPersistentRDDs.keySet.toSet
-    val edges = edges0.select($"pa", $"pb", guarded.as("w")).persist()
+    // edges: SERIALIZED always — one narrow relation read at most
+    // three times (bound scan, label axis, round-1 candidates), so the
+    // ser/deser CPU is noise, while the deserialized form at 100×
+    // (~120 M × ~150 B UnsafeRow objects) is dead weight crowding the
+    // storage pool through rounds 2–3 (measured: the deserialized-
+    // edges variant ran 547 s vs 315 s at 100×, everything else equal)
+    val edges = edges0.select($"pa", $"pb", guarded.as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     // ADAPTIVE argmin key width: both packs below induce the same
     // total order on (w, pa, pb), so the choice is invisible in the
     // output (the mirror always packs HUGEINT) — but the BIGINT key's
@@ -3371,8 +3379,27 @@ object Relational {
     // 21-bit split, the wide DECIMAL(38,0) key beyond — the same
     // "narrowest type that provably fits" call AQE makes from runtime
     // stats, decided once per trace, never per row
-    val maxId = edges.agg(max(greatest($"pa", $"pb"))).head()
-    val wideIds = !maxId.isNullAt(0) && maxId.getLong(0) >= (1L << 21)
+    val stats = edges
+      .agg(max(greatest($"pa", $"pb")), count(lit(1))).head()
+    val wideIds = !stats.isNullAt(0) && stats.getLong(0) >= (1L << 21)
+    // ADAPTIVE checkpoint cache level (same philosophy as the key
+    // width: the cheapest representation that provably fits, decided
+    // once per trace from the same 1-row bound scan). Deserialized
+    // UnsafeRow caching stores the 2-column candidate checkpoint at
+    // ~136 B/row (object headers dominate the 24 B of data - Probe
+    // measurement: 16.3 GB/round at 120 M candidates, 51 GB high-water
+    // + 8.3 GB spill at 100x on a 64 GB heap), while serialized blocks
+    // are ~4x smaller but pay ser/deser CPU per consumer. Measured
+    // same-host reps-3 at the decision's two sides: 10x corpus
+    // (1.6 GB/round, fits) deserialized 29.9 s vs serialized 40.8 s;
+    // 100x corpus (does not fit) serialized 315.0 s vs deserialized
+    // 374-380 s. So: serialize exactly when ~two live candidate
+    // generations would crowd the storage pool.
+    val ckptLevel =
+      if (!stats.isNullAt(1) &&
+          stats.getLong(1) * 300L > Runtime.getRuntime.maxMemory() / 4)
+        StorageLevel.MEMORY_AND_DISK_SER
+      else StorageLevel.MEMORY_AND_DISK
     val packK: org.apache.spark.sql.Column =
       if (wideIds)
         ($"w" * lit(1L << 36) + $"pa").cast("decimal(38,0)") *
@@ -3436,7 +3463,7 @@ object Relational {
         .join(lbl.select($"p".as("pb"), $"lbl".as("cb")), Seq("pb"))
         .filter($"ca" =!= $"cb")
         .select(packK.as("k"), packCC.as("cc"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, ckptLevel)
       // decoded view over the packed checkpoint — no extra blocks,
       // just div/mod projections on read
       val candE = cand.select(decodeK ++ decodeCC: _*)
