@@ -74,9 +74,12 @@ object Bench {
     * These lists classify the queries billing each infrastructure
     * class so a reader can subtract that cost without re-running
     * anything; the stdout contract line is unchanged. Membership is by
-    * construction (EventStream-backed / stage-store-reading call
-    * sites) and drift-gated by an EngineSpec test against
-    * SparkEntry.queries. */
+    * construction — a query bills the stream class iff its SparkEntry
+    * registration calls `EventStream.` directly (q275 routes through
+    * TextOps and bills staged) — and an EngineSpec test re-derives the
+    * set from the SparkEntry.scala registration source and asserts
+    * EQUALITY, so a new EventStream-backed query that is not added
+    * here fails the suite instead of silently misclassifying cost. */
   private[graft] val streamQueries: Set[String] = Set(
     "q33_stream_tumbling", "q131_stream_sessions", "q150_stream_enrich",
     "q158_stream_interval_join", "q159_stream_upsert", "q165_stream_dedup",
@@ -84,7 +87,11 @@ object Bench {
     "q187_stream_ohlc",
     // q260 also reads the staged q50 clusters, but a query bills ONE
     // class — the stream checkpoint/drain is its dominant overhead
-    "q260_stream_dedup_lookup")
+    "q260_stream_dedup_lookup",
+    // round 15 (round-14 verdict): the four newest streaming surfaces
+    // were missing from this breakout, understating stream_s ~8-10 s
+    "q264_stream_heavy_hitters", "q287_stream_sprt",
+    "q288_stream_hh_scaled", "q289_stream_cms_hh")
   private[graft] val stagedQueries: Set[String] = Set(
     "q23_minhash", "q24_lsh_pairs", "q46_lsh_audit", "q50_dedup_clusters",
     "q52_select_corpus", "q78_containment", "q86_edit_distance",

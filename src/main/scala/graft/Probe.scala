@@ -68,8 +68,14 @@ object Probe {
         (r, bs.map(_._2._1).sum, bs.map(_._2._2).sum) }
       .toSeq.sortBy(t => -(t._2 + t._3))
     val (tm, td) = (byRdd.map(_._2).sum, byRdd.map(_._3).sum)
-    println(f"probe] cached/checkpointed total: mem ${tm / 1e6}%.1f MB, " +
-      f"disk ${td / 1e6}%.1f MB across ${byRdd.size} RDDs")
+    // CUMULATIVE high-water bytes: each block's own peak, summed over
+    // every RDD the run ever cached — generations that were freed
+    // before later ones materialized are still counted, so this is an
+    // upper bound on (not a measurement of) the CONCURRENT footprint.
+    // Spill (disk > 0 on a MEMORY_* level) is the concurrent signal.
+    println(f"probe] cached/checkpointed CUMULATIVE high-water: " +
+      f"mem ${tm / 1e6}%.1f MB, disk ${td / 1e6}%.1f MB " +
+      f"across ${byRdd.size} RDDs (upper bound on concurrent footprint)")
     byRdd.take(15).foreach { case (r, m, d) =>
       println(f"probe] rdd_$r%-5d mem ${m / 1e6}%10.1f MB  disk ${d / 1e6}%10.1f MB")
     }

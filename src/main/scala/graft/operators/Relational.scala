@@ -2122,10 +2122,12 @@ object Relational {
     * Σ deg², so the hub that breaks the naive algorithm cannot
     * explode here. Each triangle is then counted EXACTLY once (at its
     * minimum vertex) by closing oriented wedges against oriented
-    * edges — two hash equi-joins, no global sort. The order key packs
-    * (degree, id) into one BIGINT (rule 9; degree < 2³¹ and part ids
-    * < 2³² — enforced per row by a raise_error guard, so a wider
-    * generation fails loudly instead of miscounting).
+    * edges — two hash equi-joins, no global sort. The orientation is
+    * a LEXICOGRAPHIC pairwise comparison on (degree, id) — no packed
+    * key, so there is no id-width ceiling and no per-row guard; any id
+    * a BIGINT can hold orients correctly. (The DuckDB mirror keeps its
+    * packed okey form — rule 9 applies there, where the generator's
+    * bounded ids fit.)
     *
     * Determinism: pure integer counts end to end; edge fan-out is
     * bounded by order basket size at the co-occurrence join. Output is
@@ -2552,7 +2554,9 @@ object Relational {
     * the triangle relation is never materialized twice).
     *
     * Determinism: pure integer counts, the same degree-ordered
-    * orientation (packed-okey rule 9) as q189 every round.
+    * orientation as q189 every round — the lexicographic (deg, id)
+    * pairwise comparison, unbounded in id width (the mirror keeps its
+    * packed okey, rule 9).
     *
     * Scale shape: round 0's support comes from the STAGED triangle
     * relation (the q189/q238 materialize-once discipline — zero new
@@ -3335,12 +3339,20 @@ object Relational {
     * narrow arm stays the common-case path (one 1-row bound scan picks,
     * once per trace).
     *
-    * Scale shape: each round is two label equi-joins on the
-    * entropy-rich part ids + one map-side-combinable packed min + the
-    * component-grain hop joins (labels: one row per node forever,
-    * contraction graph: one row per chosen edge); the weighted edge
-    * relation is staged once per corpus; per-round labels/picks are
-    * persisted (iterative-plan rule). */
+    * Scale shape (round 15 — no vertex-grain label relation at all):
+    * labels ride ON the candidate edges and advance by function
+    * composition through the COMPONENT-grain contraction map, so
+    * round 1 is a pure projection of the staged edge list (identity
+    * labels — no join), and each later round is two equi-joins of the
+    * shrinking survivors against the even-faster-shrinking map
+    * (broadcastable after round 1's ~10× component collapse) + one
+    * map-side-combinable packed min(struct) that carries the winning
+    * edge's label pair through the aggregate (no chosen-edge re-join)
+    * + the component-grain hop joins. Census is ONE tiny aggregate
+    * per round + a component-grain count with a running forest
+    * weight. The weighted edge relation is staged once per corpus;
+    * at most ~two candidate checkpoint generations coexist (the
+    * previous one is freed the moment the relabel consumes it). */
   def q282Boruvka(s: SparkSession, d: String): DataFrame =
     boruvkaTrace(coEdgesWeightedStaged(s, d))
 
@@ -3395,9 +3407,24 @@ object Relational {
     // 100x corpus (does not fit) serialized 315.0 s vs deserialized
     // 374-380 s. So: serialize exactly when ~two live candidate
     // generations would crowd the storage pool.
+    // Storage-pool bound from the unified memory manager's own knobs
+    // (spark.memory.fraction × storageFraction of the usable heap —
+    // Spark reserves 300 MB off the top), NOT a bare maxMemory/4: in
+    // local[*] the driver JVM IS the executor so Runtime.maxMemory is
+    // the right heap to fraction, but on a cluster the same fractions
+    // apply to each executor's heap against its shard of the edges —
+    // this derivation keeps the constant honest on both. The 300 B/row
+    // estimate is ~two live deserialized candidate generations (old
+    // still referenced while new materializes — Probe measured
+    // ~136 B/row each); the ÷2 on the protected region leaves headroom
+    // for the other relations sharing the pool (edges, labels, MST).
+    val conf = sc.getConf
+    val usableHeap = Runtime.getRuntime.maxMemory() - (300L << 20)
+    val storagePool =
+      (usableHeap * conf.getDouble("spark.memory.fraction", 0.6) *
+        conf.getDouble("spark.memory.storageFraction", 0.5)).toLong
     val ckptLevel =
-      if (!stats.isNullAt(1) &&
-          stats.getLong(1) * 300L > Runtime.getRuntime.maxMemory() / 4)
+      if (!stats.isNullAt(1) && stats.getLong(1) * 300L > storagePool / 2)
         StorageLevel.MEMORY_AND_DISK_SER
       else StorageLevel.MEMORY_AND_DISK
     val packK: org.apache.spark.sql.Column =
@@ -3430,73 +3457,114 @@ object Relational {
       else Seq(
         expr(s"cc div ${1L << 21}").as("ca"),
         expr(s"cc % ${1L << 21}").as("cb"))
-    var lbl = edges.select(explode(array($"pa", $"pb")).as("p"))
-      .distinct().select($"p", $"p".as("lbl")).persist()
+    // comps: the CURRENT label set at COMPONENT grain — the only
+    // cross-round label state this loop keeps. Round 15 removed the
+    // vertex-grain (p → lbl) relation entirely: labels ride ON the
+    // candidate edges (the cc column of the packed checkpoint) and are
+    // advanced by joining the COMPONENT-grain contraction map of the
+    // round just finished — lbl_r(p) = cm_r(lbl_{r-1}(p)) by
+    // construction, so relabeling the carried ca/cb through cm is the
+    // same function composition without ever materializing it per
+    // vertex. Probe had pinned the per-round vertex-grain label joins
+    // as the dominant 40–64 s jobs at 100×; they no longer exist —
+    // round 1 needs NO join at all (labels start as identity, so
+    // ca = pa, cb = pb), and rounds 2+ join the shrinking
+    // component-grain map (post-round-1 component counts collapse ~10×
+    // per round, so these joins broadcast on any real cluster).
+    var comps = edges.select(explode(array($"pa", $"pb")).as("c"))
+      .distinct().localCheckpoint(true)
     var mst: DataFrame = null
+    var mstWeight = 0L
     val census = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    census += (("r0_components",
-      lbl.select($"lbl").distinct().count()))
-    // rounds after the first join only the PREVIOUS round's surviving
-    // candidates, not the full edge list: labels only coarsen, so an
-    // edge once intra-component can never cross components again —
-    // candidate sets shrink monotonically (the standard contraction
-    // prune; at sf0.1 it cuts rounds 2–3 from 1.2M-edge joins to the
-    // cross-component residue)
-    var live = edges
+    census += (("r0_components", comps.count()))
+    var prevCand: DataFrame = null
+    var prevCandIds = Set.empty[Int]
+    var relab: DataFrame = null
     for (r <- 1 to MstRounds) {
-      // localCheckpoint (eager), not persist, MEASURED: cand feeds
-      // three consumers (picks, chosen, next round's live) and the
-      // checkpointed-RDD read beat the lazy cache at sf0.1 reps-3 —
-      // 8.5 s vs 10.3–12.4 s over three runs each. The payload is
-      // packed to TWO integer columns before the checkpoint (k = the
-      // (w, pa, pb) argmin key the picks need anyway, cc = the
-      // (ca, cb) label pair): the round-13 100× diagnosis-by-
-      // elimination pinned the super-linear second decade on
-      // single-host I/O carrying this edge-grain relation, so
-      // bytes-per-row is the lever — 5 BIGINT fields (48 B/row
-      // UnsafeRow) become 2 (24 B/row), halving every round's
-      // checkpoint write+read; consumers decode with codegen'd
-      // div/mod off the checkpointed blocks, and the argmin key is
-      // now computed once at build instead of per picks read.
-      val cand = live
-        .join(lbl.select($"p".as("pa"), $"lbl".as("ca")), Seq("pa"))
-        .join(lbl.select($"p".as("pb"), $"lbl".as("cb")), Seq("pb"))
+      // localCheckpoint (eager), not persist, MEASURED: cand feeds two
+      // consumers (the pick aggregate and the next round's relabel)
+      // and the checkpointed-RDD read beat the lazy cache at sf0.1
+      // reps-3 — 8.5 s vs 10.3–12.4 s over three runs each. The
+      // payload is packed to TWO integer columns (k = the (w, pa, pb)
+      // argmin key, cc = the (ca, cb) label pair) — 24 B/row UnsafeRow
+      // — and consumers decode with codegen'd div/mod off the blocks.
+      // Rounds after the first relabel only the PREVIOUS round's
+      // surviving candidates, never the full edge list: labels only
+      // coarsen, so an edge once intra-component can never cross
+      // components again — candidate sets shrink monotonically (the
+      // standard contraction prune).
+      val beforeCand = sc.getPersistentRDDs.keySet.toSet
+      val cand = (if (r == 1)
+          edges.select($"pa", $"pb", $"w",
+            $"pa".as("ca"), $"pb".as("cb"))
+        else
+          prevCand.select(decodeK ++ decodeCC: _*)
+            .join(relab.select($"c".as("ca"), $"m".as("nca")), Seq("ca"))
+            .join(relab.select($"c".as("cb"), $"m".as("ncb")), Seq("cb"))
+            .select($"pa", $"pb", $"w",
+              $"nca".as("ca"), $"ncb".as("cb")))
         .filter($"ca" =!= $"cb")
         .select(packK.as("k"), packCC.as("cc"))
         .localCheckpoint(true, ckptLevel)
-      // decoded view over the packed checkpoint — no extra blocks,
-      // just div/mod projections on read
-      val candE = cand.select(decodeK ++ decodeCC: _*)
-      live = candE.select($"pa", $"pb", $"w")
+      val candIds = sc.getPersistentRDDs.keySet.toSet -- beforeCand
+      // the previous generation's checkpoint blocks were consumed by
+      // the relabel that just materialized — free them NOW, not at
+      // function exit, so at most ~two candidate generations ever
+      // coexist in the storage pool (the high-water Probe measured)
+      if (prevCand != null) sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (prevCandIds.contains(id)) rdd.unpersist(blocking = false)
+      }
+      if (relab != null) { relab.unpersist(); relab = null }
+      // the full edge relation is only read by the bound scan, the r0
+      // label axis and round 1's candidates — dead weight afterwards
+      if (r == 1) edges.unpersist()
+      prevCand = cand
+      prevCandIds = candIds
+      // per-component argmin, carrying the winning edge's label pair
+      // through the aggregate as min(struct(k, cc)) — k is unique per
+      // edge and k ↦ cc is functional, so the struct min is exactly
+      // the k min and the old edge-grain "chosen" join (candidates ⋈
+      // picked edges, re-fetching ca/cb for the contraction graph) is
+      // gone. distinct on (k, cc) ≡ distinct on the decoded triple,
+      // same functional dependency. newEdges is checkpointed with the
+      // labels attached: it feeds the census aggregate, the
+      // contraction graph, and the forest anti-join axis.
       val picks = cand
-        .select(explode(array(decodeCC: _*)).as("c"), $"k")
-        .groupBy($"c").agg(min($"k").as("k"))
-        .select(decodeK: _*)
-        .distinct().persist()
+        .select(explode(array(decodeCC: _*)).as("c"),
+          struct($"k", $"cc").as("s"))
+        .groupBy($"c").agg(min($"s").as("m"))
+        .select($"m"("k").as("k"), $"m"("cc").as("cc"))
+        .distinct()
+        .select(decodeK ++ decodeCC: _*)
       // localCheckpoint, not persist, at every cross-round relation
-      // (the q225 BFS discipline): each round's plan references the
-      // previous round's labels ~30× (two cand arms, the pick decode,
-      // the contraction graph, both hop sides), so cached-but-lazy
-      // lineage grows ~30^r plan copies and analysis itself OOMs —
-      // the checkpoint cuts the lineage at the round boundary
+      // (the q225 BFS discipline): lineage is cut at the round
+      // boundary so plan analysis never compounds across rounds
       val newEdges = (if (mst == null) picks
-        else picks.join(mst.select($"pa", $"pb"), Seq("pa", "pb"),
-          "left_anti")).localCheckpoint(true)
-      mst = (if (mst == null) newEdges
-        else mst.unionByName(newEdges)).localCheckpoint(true)
-      census += ((s"r${r}_new_edges", newEdges.count()))
-      census += ((s"r${r}_mst_weight",
-        mst.agg(coalesce(sum($"w"), lit(0L)).as("value")).head()
-          .getLong(0)))
+        else picks.join(mst, Seq("pa", "pb"), "left_anti"))
+        .localCheckpoint(true)
+      mst = (if (mst == null) newEdges.select($"pa", $"pb")
+        else mst.unionByName(newEdges.select($"pa", $"pb")))
+        .localCheckpoint(true)
+      // census in ONE tiny aggregate over the (already checkpointed)
+      // new edges + a running weight — round-14 verdict: the old shape
+      // ran three separate jobs per round, one of them a sum over the
+      // GROWING forest (quadratic-ish re-summing) and one a
+      // VERTEX-grain distinct count; the forest weight is the running
+      // sum of new-edge weights because the anti-join keeps the rounds
+      // (pa, pb)-disjoint, and the component count moves to comps
+      // (component grain) below.
+      val ne = newEdges
+        .agg(count(lit(1)), coalesce(sum($"w"), lit(0L))).head()
+      mstWeight += ne.getLong(1)
+      census += ((s"r${r}_new_edges", ne.getLong(0)))
+      census += ((s"r${r}_mst_weight", mstWeight))
       // contraction graph at component grain: the chosen edges' label
       // pairs (one row per chosen edge, symmetrized)
-      val chosen = candE.join(newEdges.select($"pa", $"pb"), Seq("pa", "pb"))
-      val cg = chosen.select($"ca".as("x"), $"cb".as("y"))
-        .unionByName(chosen.select($"cb".as("x"), $"ca".as("y")))
+      val cg = newEdges.select($"ca".as("x"), $"cb".as("y"))
+        .unionByName(newEdges.select($"cb".as("x"), $"ca".as("y")))
         .persist()
       val cms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      var cm = lbl.select($"lbl".as("c")).distinct()
-        .select($"c", $"c".as("m")).persist()
+      var cm = comps.select($"c", $"c".as("m")).persist()
       cms += cm
       for (_ <- 1 to MstHops) {
         val msgs = cg.join(cm.select($"c".as("x"), $"m"), Seq("x"))
@@ -3506,24 +3574,21 @@ object Relational {
           .persist()
         cms += cm
       }
-      val prevLbl = lbl
-      lbl = lbl.join(cm, lbl("lbl") === cm("c"))
-        .select($"p", $"m".as("lbl")).localCheckpoint(true)
-      census += ((s"r${r}_components",
-        lbl.select($"lbl").distinct().count()))
-      // the new labels are checkpointed and the census collected — the
-      // previous labels, this round's picks, contraction graph and hop
-      // chain are never read again (round-12 advice: unpersist
-      // superseded round relations at the round boundary)
-      prevLbl.unpersist()
-      picks.unpersist()
+      val prevComps = comps
+      comps = cm.select($"m".as("c")).distinct().localCheckpoint(true)
+      census += ((s"r${r}_components", comps.count()))
+      // the contraction map survives into the NEXT round's relabel
+      // (unpersisted there, right after the new candidates
+      // materialize); everything else from this round is dead
+      relab = cm
+      prevComps.unpersist()
       cg.unpersist()
-      cms.foreach(_.unpersist())
+      cms.init.foreach(_.unpersist())
     }
-    edges.unpersist()
-    // release the localCheckpoint block sets this call created (cand,
-    // newEdges, mst, lbl snapshots) — Dataset.unpersist cannot reach
-    // them, so free them at RDD grain via the watermark diff
+    // release the localCheckpoint block sets this call created (the
+    // final cand generation, newEdges, mst, comps snapshots) —
+    // Dataset.unpersist cannot reach them, so free them at RDD grain
+    // via the watermark diff
     sc.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!rddsBefore.contains(id)) rdd.unpersist(blocking = false)
     }

@@ -34,4 +34,14 @@ object Bridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Unload every loaded state-store provider on this executor.
+    * Providers of a TERMINATED streaming query stay cached in
+    * `StateStore.loadedProviders` until the maintenance task gets
+    * around to them; a complete-mode aggregation's providers hold the
+    * full keyed state on-heap (q264: one counter per (day, user)).
+    * Safe to call between queries — a still-active query simply
+    *  reloads its providers from the checkpoint on its next batch. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

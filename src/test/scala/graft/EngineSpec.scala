@@ -403,6 +403,39 @@ class EngineSpec extends AnyFunSuite {
       "a query cannot bill both infrastructure classes")
   }
 
+  test("bench stream breakout is COMPLETE: equals the EventStream-backed registrations") {
+    // round-14 verdict: the old gate only asserted subset-of-known, so
+    // q264/q287/q288/q289 silently fell out of the stream class and
+    // stream_s understated the checkpoint-billed cost. Re-derive the
+    // membership from the registration source itself: a query bills
+    // the stream class iff its `queries` entry calls `EventStream.`
+    // directly (q275 routes through TextOps and deliberately bills
+    // staged — the source scan excludes it by the same rule).
+    val src = {
+      val p = java.nio.file.Paths.get("src/main/scala/graft/SparkEntry.scala")
+      assume(java.nio.file.Files.exists(p), "source tree not available")
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    }
+    val mapBody = {
+      val from = src.indexOf("def queries")
+      val to = src.indexOf("def oracleSql")
+      assert(from >= 0 && to > from, "SparkEntry layout changed; update this gate")
+      src.substring(from, to)
+    }
+    // split the map literal into per-entry segments at each "qN..." ->
+    val entryPat = """"(q\d[A-Za-z0-9_]*)"\s*->""".r
+    val hits = entryPat.findAllMatchIn(mapBody).toSeq
+    val derived = hits.zipWithIndex.flatMap { case (m, i) =>
+      val end = if (i + 1 < hits.size) hits(i + 1).start else mapBody.length
+      val body = mapBody.substring(m.start, end)
+      if (body.contains("EventStream.")) Some(m.group(1)) else None
+    }.toSet
+    assert(derived === Bench.streamQueries,
+      s"stream breakout drifted from the EventStream-backed registrations: " +
+        s"missing=${derived -- Bench.streamQueries} " +
+        s"extra=${Bench.streamQueries -- derived}")
+  }
+
   test("substr grams: native expression equals the declarative lead-window md5s") {
     import graft.operators.TextOps
     // exercises every tokenization edge the byte-slice path must match:
