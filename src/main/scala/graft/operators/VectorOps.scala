@@ -1969,8 +1969,10 @@ object VectorOps {
     * round 1's farthest-point argmax tie-breaks to the MIN vec_id —
     * the deterministic seed, no special-cased first round. */
   private val KCenterInf = 2000000L
-  /** Rule-9 pack shift for ((sentinel − mind), vec_id): vec ids must
-    * sit under 2⁴⁰ — guarded loudly per row (q189 philosophy). */
+  /** Rule-9 pack shift for ((sentinel − mind), vec_id) on the NARROW
+    * argmax arm: vec ids under 2⁴⁰ (guarded loudly per row — q189
+    * philosophy, unreachable once the adaptive bound scan routes wider
+    * ids to the DECIMAL arm). */
   private val KCenterIdShift = 1L << 40
 
   /** Greedy k-center coreset selection (Gonzalez 1985, public — the
@@ -1985,9 +1987,16 @@ object VectorOps {
     * Scale: the classic distributed formulation — the min-distance
     * relation updates INCREMENTALLY (least(mind, dist-to-new-center)
     * against a 1-row broadcast center; one map-only corpus pass per
-    * round, never a pairwise matrix), and the argmax is ONE rule-9
-    * packed BIGINT min ((sentinel − mind)·2⁴⁰ + vec_id — farthest
-    * first, ties to the smaller id), never a global sort.
+    * round, never a pairwise matrix), and the argmax is ONE packed
+    * min ((sentinel − mind)·shift + vec_id — farthest first, ties to
+    * the smaller id), never a global sort. The pack width is ADAPTIVE
+    * (the q282/q284 recipe): a 1-row bound scan picks the rule-9
+    * BIGINT pack (shift 2⁴⁰) when every vec id fits 40 bits — the
+    * common case, measurably cheaper — and the DECIMAL(38,0) pack
+    * ((sentinel − mind)·2⁶³ + vec_id, ids to 2⁶³, structurally
+    * unboundable) beyond. Both arms induce the same (mind desc,
+    * vec_id asc) order, so the choice is output-invisible; the DuckDB
+    * mirror keeps the BIGINT pack (generator ids are bounded).
     *
     * Determinism: distances are the gridded cosine (1e6 − cos_grid,
     * exact integers after the q161-style floor); every selection and
@@ -2001,11 +2010,25 @@ object VectorOps {
       raise_error(concat(
         lit("kCenter: vec_id exceeds the 2^40 pack bound: "),
         $"vec_id"))).otherwise($"vec_id")
+    // ADAPTIVE argmax key width: one 1-row bound scan (a pruned
+    // vec_id-only parquet pass) routes ids ≥ 2⁴⁰ to the DECIMAL(38,0)
+    // arm; (sentinel − mind) ≤ 2e6, so 2e6·2⁶³ + (2⁶³−1) ≈ 1.8e25
+    // sits far under DECIMAL(38,0)'s 1e38 ceiling — no guard can trip
+    val maxId = emb.agg(max($"vec_id")).head()
+    val wideIds = !maxId.isNullAt(0) && maxId.getLong(0) >= KCenterIdShift
+    val two63 = new java.math.BigDecimal("9223372036854775808")
     val s0 = emb.select($"vec_id", $"embedding",
       lit(KCenterInf).as("mind"))
     val (_, rows) = (1 to KCenterK)
       .foldLeft((s0, Seq.empty[DataFrame])) { case ((state, acc), k) =>
-        val sel = state
+        val sel = if (wideIds)
+          state
+            .select(((lit(KCenterInf) - $"mind").cast("decimal(38,0)") *
+              lit(two63) + $"vec_id").as("pack"))
+            .agg(min($"pack").as("mp"))
+            .select(expr("CAST(mp % 9223372036854775808 AS BIGINT)")
+              .as("cid"))
+        else state
           .select(((lit(KCenterInf) - $"mind") * KCenterIdShift +
             guardedId).as("pack"))
           .agg(min($"pack").as("mp"))

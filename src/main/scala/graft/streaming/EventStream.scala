@@ -1235,6 +1235,77 @@ object EventStream {
     cmsHeavyHitters(ss, rawEvents(ss, sfDir), Tables.events(ss, sfDir))
   }
 
+  /** One micro-batch merge into the per-day CMS store — the
+    * foreachBatch body of [[cmsHeavyHitters]], split out so
+    * PropertySpec can drive it directly with random multisets, random
+    * batch splits and a random crash-and-replay point (the round-14
+    * verdict's executable-law ask). `batch` is (day, user_id) rows;
+    * sketch addition is non-idempotent, so effective-once rides the
+    * PERSISTED batch_id mark (read back from the store rows as the
+    * high-water before merging — a replay after a publish-then-crash,
+    * or against a fresh driver, is refused by the store's own record,
+    * not `lastBatch` memory). */
+  private[graft] def cmsStoreMerge(batch: DataFrame, batchId: Long,
+      store: String,
+      lastBatch: java.util.concurrent.atomic.AtomicLong): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.operators.TextOps.CmsD
+    if (batchId <= lastBatch.get()) ()
+    else {
+      val sp = batch.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        sp.sparkContext.hadoopConfiguration)
+      val live = new Path(store)
+      val fresh = new Path(s"$store.new")
+      val bak = new Path(s"$store.bak")
+      // q159 recovery contract: only a genuinely-missing live path
+      // is an empty sketch; a surviving .bak is promoted
+      val target =
+        if (fs.exists(live)) Some(sp.read.parquet(store))
+        else if (fs.exists(bak)) {
+          if (!fs.rename(bak, live))
+            throw new java.io.IOException(
+              s"cms store: cannot recover backup $bak -> $live")
+          Some(sp.read.parquet(store))
+        } else None
+      // persisted replay mark: every store row carries the last
+      // merged batch_id, so the skip survives a publish-then-crash
+      // replay and a restart against a durable store — the store's
+      // own record, not driver memory, is the authority
+      val mark = target.fold(Long.MinValue)(
+        _.agg(coalesce(max($"batch_id"), lit(Long.MinValue)))
+          .head.getLong(0))
+      lastBatch.set(math.max(lastBatch.get(), mark))
+      if (batchId <= mark) ()
+      else {
+        val delta = batch
+          .select(($"day" +:
+            (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
+          .select($"day", expr(userStackExpr))
+          .groupBy($"day", $"hrow", $"bucket")
+          .agg(count(lit(1)).as("cell"))
+        val prior = target.fold(delta.limit(0))(
+          _.select($"day", $"hrow", $"bucket", $"cell"))
+        prior.unionByName(delta)
+          .groupBy($"day", $"hrow", $"bucket")
+          .agg(sum($"cell").as("cell"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$store.new")
+        fs.delete(bak, true)
+        if (fs.exists(live) && !fs.rename(live, bak))
+          throw new java.io.IOException(
+            s"cms store: cannot set aside $live")
+        if (!fs.rename(fresh, live)) {
+          fs.rename(bak, live)
+          throw new java.io.IOException(
+            s"cms store: cannot publish $fresh")
+        }
+        fs.delete(bak, true)
+        lastBatch.set(math.max(lastBatch.get(), batchId))
+      }
+    }
+  }
+
   /** The sketch walk over a prepared (ts, user_id) stream plus a batch
     * probe relation — split from [[q289StreamCmsHeavyHitters]] so
     * StreamingSpec can drive a multi-batch file feed and prove the
@@ -1246,8 +1317,6 @@ object EventStream {
     val name = "cmshh_" + UUID.randomUUID().toString.replace("-", "")
     val store = s"/tmp/graft_cmshh_store_$name"
     registerTmpStore(store)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      ss.sparkContext.hadoopConfiguration)
     val lastBatch = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val stream = src.select(
       date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
@@ -1257,58 +1326,7 @@ object EventStream {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId <= lastBatch.get()) ()
-        else {
-          val sp = batch.sparkSession
-          val live = new Path(store)
-          val fresh = new Path(s"$store.new")
-          val bak = new Path(s"$store.bak")
-          // q159 recovery contract: only a genuinely-missing live path
-          // is an empty sketch; a surviving .bak is promoted
-          val target =
-            if (fs.exists(live)) Some(sp.read.parquet(store))
-            else if (fs.exists(bak)) {
-              if (!fs.rename(bak, live))
-                throw new java.io.IOException(
-                  s"cms store: cannot recover backup $bak -> $live")
-              Some(sp.read.parquet(store))
-            } else None
-          // persisted replay mark: every store row carries the last
-          // merged batch_id, so the skip survives a publish-then-crash
-          // replay and a restart against a durable store — the store's
-          // own record, not driver memory, is the authority
-          val mark = target.fold(Long.MinValue)(
-            _.agg(coalesce(max($"batch_id"), lit(Long.MinValue)))
-              .head.getLong(0))
-          lastBatch.set(math.max(lastBatch.get(), mark))
-          if (batchId <= mark) ()
-          else {
-            val delta = batch
-              .select(($"day" +:
-                (1 to CmsD).map(j => userBucketCol(j).as(s"b$j"))): _*)
-              .select($"day", expr(userStackExpr))
-              .groupBy($"day", $"hrow", $"bucket")
-              .agg(count(lit(1)).as("cell"))
-            val prior = target.fold(delta.limit(0))(
-              _.select($"day", $"hrow", $"bucket", $"cell"))
-            prior.unionByName(delta)
-              .groupBy($"day", $"hrow", $"bucket")
-              .agg(sum($"cell").as("cell"))
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite").parquet(s"$store.new")
-            fs.delete(bak, true)
-            if (fs.exists(live) && !fs.rename(live, bak))
-              throw new java.io.IOException(
-                s"cms store: cannot set aside $live")
-            if (!fs.rename(fresh, live)) {
-              fs.rename(bak, live)
-              throw new java.io.IOException(
-                s"cms store: cannot publish $fresh")
-            }
-            fs.delete(bak, true)
-            lastBatch.set(math.max(lastBatch.get(), batchId))
-          }
-        }
+        cmsStoreMerge(batch, batchId, store, lastBatch)
       }
       .start()
     try q.awaitTermination()

@@ -5893,13 +5893,19 @@ class EngineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 0L, 2000000L), (2L, 2L, 1000000L),
       (3L, 1L, 1000000L), (4L, 3L, 0L)))
-    // pack-bound guard fails loudly instead of aliasing the argmax
-    val bad = intercept[Exception] {
-      graft.operators.VectorOps
-        .kCenter(Seq((1L << 41, Array(1f, 0f)), (1L, Array(0f, 1f)))
-          .toDF("vec_id", "embedding")).collect()
-    }
-    assert(bad.getMessage != null)
+    // WIDE-ARM replay (round-15 adaptive argmax width, the q284
+    // recipe): the same corpus with every vec id offset past the
+    // 40-bit narrow-pack ceiling must route through the DECIMAL(38,0)
+    // pick key and produce the IDENTICAL trace with center ids offset
+    // (distances and tie-break order are id-shift-invariant)
+    val off = (1L << 41) + 5L
+    val gotWide = graft.operators.VectorOps
+      .kCenter(emb.map { case (id, v) => (id + off, v) }
+        .toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotWide.toSeq === Seq((1L, 0L + off, 2000000L),
+      (2L, 2L + off, 1000000L), (3L, 1L + off, 1000000L),
+      (4L, 3L + off, 0L)), "wide-arm k-center trace diverged")
   }
 
   test("q249 retrieval gain: perfect arm scores exactly ideal, hand-graded variants") {

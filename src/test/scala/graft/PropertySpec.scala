@@ -412,6 +412,63 @@ object PropertySpec extends Properties("graft") {
       got == want
     }
 
+  property("q289 CMS store: any split + crash-and-replay == one-shot sketch") =
+    // the round-14 verdict asked for q289's persisted replay-skip as an
+    // executable law beside q288's: random event multisets over 2 days
+    // × 8 users, randomly split into up to 4 ordered micro-batches,
+    // with a RANDOM crash-and-replay point — after merging batch b the
+    // driver "crashes" (a fresh AtomicLong forgets the high-water) and
+    // replays the SAME batch; the mark persisted inside the store rows
+    // must refuse it (sketch addition is non-idempotent, so a single
+    // double-merge breaks the final equality). Folding the production
+    // merge over the batches must leave store cells equal to a
+    // from-scratch JVM derivation of the one-shot sketch (md5-slice
+    // buckets re-hashed independently — a bucketing bug cannot cancel)
+    forAll(
+      Gen.listOfN(30, Gen.zip(
+        Gen.chooseNum(1, 2), Gen.chooseNum(1L, 8L), Gen.chooseNum(0, 3))),
+      Gen.chooseNum(0, 3)) { (evs, crashAt) =>
+      spark.sparkContext.setLogLevel("ERROR")
+      import graft.operators.TextOps.{CmsD, CmsW}
+      val store = "/tmp/graft_cmshh_prop_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      try {
+        var lastBatch =
+          new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+        for ((bid, bevs) <- evs.groupBy(_._3).toSeq.sortBy(_._1)) {
+          val batch = bevs.map(e => (s"2024-01-0${e._1}", e._2))
+            .toDF("day", "user_id")
+          graft.streaming.EventStream
+            .cmsStoreMerge(batch, bid.toLong, store, lastBatch)
+          if (bid == crashAt) {
+            lastBatch =
+              new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+            graft.streaming.EventStream
+              .cmsStoreMerge(batch, bid.toLong, store, lastBatch)
+          }
+        }
+        val got = spark.read.parquet(store).collect()
+          .map(r => (r.getAs[String]("day"), r.getAs[Int]("hrow"),
+            r.getAs[Long]("bucket")) -> r.getAs[Long]("cell")).toMap
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def bucket(u: Long, j: Int): Long = {
+          val hex = md.digest(u.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(8 * j - 8, 8 * j)
+          java.lang.Long.parseLong(hex, 16) % CmsW
+        }
+        val want = evs
+          .flatMap(e => (1 to CmsD)
+            .map(j => (s"2024-01-0${e._1}", j, bucket(e._2, j))))
+          .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        got == want
+      } finally {
+        Seq(store, s"$store.new", s"$store.bak").foreach { d =>
+          new scala.reflect.io.Directory(new java.io.File(d))
+            .deleteRecursively()
+        }
+      }
+    }
+
   property("q288 cut-to-k store fold == batch leaderboard (any split)") =
     // the round-13 verdict asked for the store's exactness argument
     // (monotone counts re-admit any grower, so a cut user reclaims its
