@@ -506,4 +506,71 @@ object PropertySpec extends Properties("graft") {
         }.toSet
       got == want
     }
+
+  property("q282 Boruvka trace == JVM bounded-round reference (any graph)") =
+    // round-15: the one weak-graded operator gets a randomized law
+    // beside its hand-solved Kruskal trace. The reference replays the
+    // SAME bounded algorithm (MstRounds per-component argmin on the
+    // packed (w, pa, pb) total order carrying the label pair through
+    // the pick, MstHops hash-min contraction at component grain,
+    // cross-round anti-join census) in plain Scala over arbitrary
+    // random graphs — including disconnected forests, parallel-free
+    // duplicate weights (ties broken by the id part of the key), and
+    // a randomized WIDE branch that offsets every id past 2^33 so the
+    // DECIMAL(38,0) argmin arm must produce the identical census
+    forAll(
+      Gen.chooseNum(2, 10).flatMap { n =>
+        Gen.listOfN(14, Gen.zip(
+          Gen.chooseNum(1L, n.toLong), Gen.chooseNum(1L, n.toLong),
+          Gen.chooseNum(1L, 6L)))
+      },
+      Gen.oneOf(false, true)) { (raw, wide) =>
+      val off = if (wide) (1L << 33) + 7L else 0L
+      val edges = raw.collect {
+        case (a, b, w) if a != b =>
+          (math.min(a, b) + off, math.max(a, b) + off, w)
+      }.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq
+      edges.isEmpty || {
+        val got = graft.operators.Relational
+          .boruvkaTrace(edges.toDF("pa", "pb", "w")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        // plain-JVM replay of the bounded rounds
+        val census = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var comps = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        census += (("r0_components", comps.size.toLong))
+        var cand = Seq.empty[(Long, Long, Long, Long, Long)]
+        var mst = Set.empty[(Long, Long)]
+        var mstW = 0L
+        var relab = Map.empty[Long, Long]
+        for (r <- 1 to 3) {
+          cand = (if (r == 1) edges.map(e => (e._1, e._2, e._3, e._1, e._2))
+                  else cand.map { case (pa, pb, w, ca, cb) =>
+                    (pa, pb, w, relab(ca), relab(cb)) })
+            .filter(e => e._4 != e._5)
+          val picks = cand
+            .flatMap { case e @ (_, _, _, ca, cb) => Seq((ca, e), (cb, e)) }
+            .groupBy(_._1).values
+            .map(_.map(_._2).minBy { case (pa, pb, w, _, _) => (w, pa, pb) })
+            .toSeq.distinct
+          val newEdges = picks.filter(e => !mst.contains((e._1, e._2)))
+          mst ++= newEdges.map(e => (e._1, e._2))
+          mstW += newEdges.map(_._3).sum
+          census += ((s"r${r}_new_edges", newEdges.size.toLong))
+          census += ((s"r${r}_mst_weight", mstW))
+          val cg = newEdges.flatMap { case (_, _, _, ca, cb) =>
+            Seq((ca, cb), (cb, ca)) }
+          var cm = comps.map(c => c -> c).toMap
+          for (_ <- 1 to 2) {
+            val msgs = cg.groupBy(_._2)
+              .map { case (y, es) => y -> es.map(e => cm(e._1)).min }
+            cm = cm.map { case (c, m) =>
+              c -> math.min(m, msgs.getOrElse(c, m)) }
+          }
+          comps = cm.values.toSet
+          census += ((s"r${r}_components", comps.size.toLong))
+          relab = cm
+        }
+        got == census.sortBy(_._1).toSeq
+      }
+    }
 }
