@@ -34,6 +34,7 @@ object Probe {
     val blocks = TrieMap.empty[String, (Long, Long)]
     val jobStart = TrieMap.empty[Int, Long]
     val jobs = TrieMap.empty[Int, Long]
+    val jobDesc = TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
         val u = e.blockUpdatedInfo
@@ -44,8 +45,17 @@ object Probe {
             (math.max(prev._1, u.memSize), math.max(prev._2, u.diskSize))
         }
       }
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobStart(e.jobId) = e.time
+        // name the job so a whale in the printout is identifiable:
+        // prefer the SQL-action description, fall back to the last
+        // stage's callsite (e.g. "count at Relational.scala:2603")
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(e.stageInfos.lastOption.map(_.name))
+          .getOrElse("")
+        jobDesc(e.jobId) = d.linesIterator.take(1).mkString.take(90)
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobStart.get(e.jobId).foreach(t0 => jobs(e.jobId) = e.time - t0)
     })
@@ -60,7 +70,8 @@ object Probe {
 
     println(f"probe] $q total ${total}%.2f s, ${jobs.size} jobs")
     jobs.toSeq.sortBy(_._1).foreach { case (id, ms) =>
-      if (ms >= 200) println(f"probe] job $id%4d  ${ms / 1000.0}%8.2f s")
+      if (ms >= 200) println(f"probe] job $id%4d  ${ms / 1000.0}%8.2f s  " +
+        jobDesc.getOrElse(id, ""))
     }
     val byRdd = blocks.toSeq
       .groupBy(_._1.split("_")(1).toInt)

@@ -2618,15 +2618,28 @@ object Relational {
       // relation, so the semijoin below keeps exactly one row per
       // passing support row (the crafted-peel spec replays the whole
       // trace against hand counts)
+      val sc = edges0.sparkSession.sparkContext
+      sc.setJobDescription(s"ktruss round $r: census (support agg)")
       val row = sup.agg(
         coalesce(sum($"sup"), lit(0L)),
         count(when($"sup" >= minSup, lit(1)))).head()
+      sc.setJobDescription(null)
       census += ((s"r${r - 1}_tri", row.getLong(0) / 3L))
       census += ((s"r${r}_edges", row.getLong(1)))
-      val e2 = e.join(sup.filter($"sup" >= minSup), Seq("pa", "pb"),
-        "leftsemi").persist()
+      // round 15 (guide §2.4): the survivor edge set is read DIRECTLY
+      // off the support relation — every support key is a triangle
+      // edge of e, and e is a DISTINCT pair relation, so
+      // sup.filter(sup >= minSup).select(pa, pb) IS the old
+      // e ⋉ σ(sup) semijoin's result with the corpus-grain join
+      // removed. The join was not just a wasted shuffle: e2 stayed
+      // lazy until the NEXT round's census, whose triangleParts(e2)
+      // references e2 several times, and each reference re-evaluated
+      // the 1.2M-edge semijoin lineage before the cache filled
+      // (Probe: round-2 census = 11 jobs x ~1.5 s at sf0.1). The
+      // replacement lineage is one filter over the still-cached sup.
+      val e2 = sup.filter($"sup" >= minSup).select($"pa", $"pb").persist()
       // e2 stays LAZY: next round's census action materializes it
-      // from the still-cached e and sup (both freed one round later)
+      // from the still-cached sup (freed one round later)
       free.foreach(_.unpersist())
       free = Seq(e, sup)
       e = e2

@@ -1567,29 +1567,38 @@ object VectorOps {
       .persist()
     val cand = rk.select($"cell_id".as("ccell"), $"vec_id".as("v2"),
       $"embedding".as("e2"), $"rn".as("rn2"))
+    // round 15: EAGER localCheckpoint on the two relations every
+    // census branch re-embeds (the q243 lesson, measured there:
+    // 21 s → 14 s one-shot with ~0.7 MB of data — the cost was
+    // Catalyst re-optimizing the cell-bounded pair quadratic once per
+    // branch, not execution). pairs is the quadratic itself; cores is
+    // referenced by four branches (pc twice, noise, isoCores).
     val pairs = rk.join(cand, $"ccell" === $"cell_id" && $"rn" < $"rn2")
       .filter(floor(Vectors.cosine($"embedding", $"e2") * lit(1e6) +
         lit(0.5)) >= lit(DbEpsGrid))
       .select($"vec_id".as("a"), $"v2".as("b"))
-      .persist()
+      .localCheckpoint(true)
     val deg = pairs.select($"a".as("v")).unionAll(pairs.select($"b".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val cores = deg.filter($"deg" >= DbMinPts).select($"v").persist()
+    val cores = deg.filter($"deg" >= DbMinPts).select($"v")
+      .localCheckpoint(true)
     val pc = pairs
       .join(cores.select($"v".as("a"), lit(true).as("ca")), Seq("a"), "left")
       .join(cores.select($"v".as("b"), lit(true).as("cb")), Seq("b"), "left")
       .select($"a", $"b",
         coalesce($"ca", lit(false)).as("ca"),
         coalesce($"cb", lit(false)).as("cb"))
-    val coreEdges = pc.filter($"ca" && $"cb").select($"a", $"b").persist()
+    val coreEdges = pc.filter($"ca" && $"cb").select($"a", $"b")
+      .localCheckpoint(true)
     val borderV = pc.filter($"ca" =!= $"cb")
       .select(when($"ca", $"b").otherwise($"a").as("v")).distinct()
-      .persist()
+      .localCheckpoint(true)
     val comps = TextOps.dedupClusters(
       coreEdges.select($"a".as("d1"), $"b".as("d2"))).persist()
     val edgeVerts = coreEdges.select($"a".as("v"))
       .unionAll(coreEdges.select($"b".as("v"))).distinct()
-    val isoCores = cores.join(edgeVerts, Seq("v"), "left_anti").persist()
+    val isoCores = cores.join(edgeVerts, Seq("v"), "left_anti")
+      .localCheckpoint(true)
     def row(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("metric"), $"value")
     row("n_points", rk.agg(count(lit(1)).as("value")))
@@ -1787,12 +1796,22 @@ object VectorOps {
       .filter(floor(Vectors.cosine($"embedding", $"e2") * lit(1e6) +
         lit(0.5)) >= lit(DbEpsGrid))
       .select($"vec_id".as("a"), $"v2".as("b"))
+    // round 15: EAGER localCheckpoint, not lazy persist — the census
+    // is one action whose 7 branches each embed this subtree; lazily
+    // persisted, the cell-bounded pair quadratic was re-analyzed (and
+    // under AQE partially re-evaluated) once per branch before the
+    // cache filled, and Catalyst re-optimized the full pair-build
+    // lineage in every branch (Probe: 21 s at sf0.1 with 0.7 MB
+    // cached — all driver/plan overhead). The checkpoint cuts the
+    // plan to a LogicalRDD leaf (the q282 lineage-cut discipline);
+    // the blocks stored are the same ones persist() kept.
     val adj = pairs.select($"a".as("v"), $"b".as("n"))
-      .unionAll(pairs.select($"b".as("v"), $"a".as("n"))).persist()
+      .unionAll(pairs.select($"b".as("v"), $"a".as("n")))
+      .localCheckpoint(true)
     val truth = rk.select($"vec_id")
       .join(Tables.embeddings(s, d)
         .select($"vec_id", $"label".cast("long").as("tl")), Seq("vec_id"))
-      .persist()
+      .localCheckpoint(true)
     val guardedTl = when($"tl" < 0L || $"tl" >= lit(1024L),
       raise_error(concat(
         lit("labelProp: label outside the pack base [0, 1024): "),
