@@ -103,7 +103,10 @@ object Bench {
     "q239_link_predict", "q250_assortativity",
     // round 12: the incremental-maintenance path reads its own staged
     // old-corpus band/pair index
-    "q275_incremental_lsh")
+    "q275_incremental_lsh",
+    // round 15: the calibration and the dedup eval read the staged
+    // verified pairs
+    "q257_minhash_calib", "q245_dedup_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

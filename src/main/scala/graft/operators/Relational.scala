@@ -3973,17 +3973,29 @@ object Relational {
       .select($"o_custkey".as("c"), $"l_partkey".as("p")).distinct())
 
   private[graft] def hits(edges: DataFrame): DataFrame = {
+    // round 15: eager lineage cuts (the q243/q221 lesson). Without
+    // them this plan re-embedded the corpus-grain distinct edge join
+    // ~20x: every normPpb references its input twice (total + body),
+    // each half-step references the previous, and auth/hubs fork the
+    // tree again — Probe showed four ~1.5 s broadcast jobs each
+    // recomputing the edge relation. One checkpoint of the edge list
+    // plus one per node-grain half-step makes every branch a
+    // LogicalRDD read.
+    val e = edges.localCheckpoint(true)
     def normPpb(df: DataFrame, key: String): DataFrame = {
-      val tot = df.agg(sum($"raw").as("tot"))
-      df.crossJoin(broadcast(tot))
+      val d = df.localCheckpoint(true)
+      val tot = d.agg(sum($"raw").as("tot"))
+      d.crossJoin(broadcast(tot))
         .select(col(key),
           floor($"raw".cast("double") * 1000000000.0 / $"tot")
             .cast("long").as("s"))
     }
-    val a1 = normPpb(edges.groupBy($"p").agg(count(lit(1)).as("raw")), "p")
-    val h1 = normPpb(edges.join(a1, "p")
+    val a1 = normPpb(e.groupBy($"p").agg(count(lit(1)).as("raw")), "p")
+      .localCheckpoint(true)
+    val h1 = normPpb(e.join(a1, "p")
       .groupBy($"c").agg(sum($"s").as("raw")), "c")
-    val a2 = normPpb(edges.join(h1, "c")
+      .localCheckpoint(true)
+    val a2 = normPpb(e.join(h1, "c")
       .groupBy($"p").agg(sum($"s").as("raw")), "p")
     val auth = a2.orderBy($"s".desc, $"p").limit(HitsTopK)
       .select(lit("authority").as("role"), $"p".as("node_id"),
@@ -4124,12 +4136,19 @@ object Relational {
       md5(concat($"pa".cast("string"), lit("_"), $"pb".cast("string")))
         < TriSampleHexCut))
 
-  private[graft] def linkPredict(edges: DataFrame): DataFrame = {
+  private[graft] def linkPredict(edges0: DataFrame): DataFrame = {
+    // round 15: eager lineage cuts — edges is referenced three times
+    // (both union arms of adj, the non-adjacency anti-join) and cadj
+    // twice (the wedge self-join), so the lazy plan re-evaluated the
+    // sampled-edge scan and the degree join per reference (Probe:
+    // four ~2 s jobs for one ~2 s relation).
+    val edges = edges0.localCheckpoint(true)
     val adj = edges.select($"pa".as("u"), $"pb".as("v"))
       .union(edges.select($"pb".as("u"), $"pa".as("v")))
     val dg = adj.groupBy($"u").agg(count(lit(1)).as("deg"))
     val cadj = adj.join(
       dg.filter($"deg" >= 2L && $"deg" <= LinkDegCap), Seq("u"))
+      .localCheckpoint(true)
     val pairs = cadj.select($"u", $"v", $"deg")
       .join(cadj.select($"u", $"v".as("w")), Seq("u"))
       .filter($"v" < $"w")

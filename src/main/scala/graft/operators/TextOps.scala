@@ -251,12 +251,15 @@ object TextOps {
         (1 until MinhashK).map(i =>
           min(conv(substring($"h", 4 * i + 1, 4), 16, 10).cast("long")).as(s"mh$i")): _*)
 
-  private def bands(docs: DataFrame): DataFrame = {
+  private def bands(docs: DataFrame): DataFrame =
+    bandsFrom(signatures(docs))
+
+  private def bandsFrom(sigs: DataFrame): DataFrame = {
     val nBands = MinhashK / BandWidth
     val stackArgs = (0 until nBands).map { b =>
       s"$b, md5(concat(mh${BandWidth * b}, ',', mh${BandWidth * b + 1}))"
     }.mkString(", ")
-    signatures(docs)
+    sigs
       .select($"doc_id", expr(s"stack($nBands, $stackArgs) AS (band_id, band_key)"))
   }
 
@@ -5591,15 +5594,27 @@ object TextOps {
     * lists), so fusion aggregates ≤ 2·k·|Q| rows — metadata-sized at
     * any corpus size; the expensive work is the arms, already proven
     * scale-safe, and fusion adds no corpus-grain pass at all. */
-  def q190RrfFusion(s: SparkSession, d: String): DataFrame = {
+  def q190RrfFusion(s: SparkSession, d: String): DataFrame =
+    rrfFusionFrom(
+      q180Bm25(s, d).filter($"query_id" < RrfNumQueries)
+        .select($"query_id", $"doc_id", $"rank"),
+      graft.operators.VectorOps.q48IvfAnn(s, d)
+        .filter($"query_id" < RrfNumQueries)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank"))
+
+  /** The fusion layer over pre-filtered (query_id, doc_id, rank) arm
+    * lists — split from [[q190RrfFusion]] (round 15) so q261 can fuse
+    * its ALREADY-CHECKPOINTED arm relations instead of re-embedding
+    * the full q180/q48 plans a second time. Same operations, same
+    * rows. */
+  private[graft] def rrfFusionFrom(lexR: DataFrame,
+      semR: DataFrame): DataFrame = {
     val rrf = expr(s"1000000 div ($RrfC + rank)")
-    val lex = q180Bm25(s, d)
-      .filter($"query_id" < RrfNumQueries)
+    val lex = lexR
       .select($"query_id", $"doc_id", rrf.as("c"),
         $"rank".as("lex_rank"), lit(null).cast("long").as("sem_rank"))
-    val sem = graft.operators.VectorOps.q48IvfAnn(s, d)
-      .filter($"query_id" < RrfNumQueries)
-      .select($"query_id", $"neighbor_id".as("doc_id"), rrf.as("c"),
+    val sem = semR
+      .select($"query_id", $"doc_id", rrf.as("c"),
         lit(null).cast("long").as("lex_rank"), $"rank".as("sem_rank"))
     val fused = lex.unionByName(sem)
       .groupBy($"query_id", $"doc_id")
@@ -5676,17 +5691,31 @@ object TextOps {
     * q180/q48/q27/q190's plans; the eval layer joins
     * |queries|x10-row relations — metadata-sized at any corpus. */
   def q261HybridEval(s: SparkSession, d: String): DataFrame = {
+    // round 15: each input below is a |queries|×10-row (or 1-row-per-
+    // query) relation whose LINEAGE is a full corpus-grain arm plan
+    // (q180 / q48 / q27, and fused nests q180+q48 AGAIN); the eval
+    // layer scores two anchors per list, so lazily every arm plan was
+    // re-embedded (and partially re-evaluated) per scoring branch.
+    // Eager checkpoints pin every arm to exactly one evaluation.
     val lex = q180Bm25(s, d).filter($"query_id" < RrfNumQueries)
       .select($"query_id", $"doc_id", $"rank")
+      .localCheckpoint(true)
     val sem = graft.operators.VectorOps.q48IvfAnn(s, d)
       .filter($"query_id" < RrfNumQueries)
       .select($"query_id", $"neighbor_id".as("doc_id"), $"rank")
-    val fused = q190RrfFusion(s, d).select($"query_id", $"doc_id", $"rank")
+      .localCheckpoint(true)
+    // fused is BUILT FROM the checkpointed arms (rrfFusionFrom is the
+    // same fusion layer q190 runs) — the arm plans evaluate exactly
+    // once across the whole eval
+    val fused = rrfFusionFrom(lex, sem)
+      .select($"query_id", $"doc_id", $"rank")
+      .localCheckpoint(true)
     val lexTop = lex.filter($"rank" === 1L)
       .select($"query_id", $"doc_id".as("t_lex"))
     val semTop = graft.operators.VectorOps.q27KnnCosine(s, d)
       .filter($"query_id" < RrfNumQueries && $"rank" === 1L)
       .select($"query_id", $"neighbor_id".as("t_sem"))
+      .localCheckpoint(true)
     hybridEval(lex, sem, fused, lexTop, semTop)
   }
 
@@ -6874,11 +6903,21 @@ object TextOps {
     * no 1-row cross-join assembly; ppm ratios are rule-13 floor
     * divisions, CASE-guarded for empty denominators. */
   def q245DedupEval(s: SparkSession, d: String): DataFrame =
-    dedupEval(Tables.documents(s, d))
+    // round 15: the evaluated pipeline IS the staged q24 pair relation
+    // (identical rows, oracle-green) — read it instead of recomputing
+    // the full LSH build inside the eval.
+    dedupEvalFrom(pairsStaged(s, d), Tables.documents(s, d))
 
-  private[graft] def dedupEval(docs: DataFrame): DataFrame = {
-    val candT = lshPairs(docs).select($"d1", $"d2",
+  private[graft] def dedupEval(docs: DataFrame): DataFrame =
+    dedupEvalFrom(lshPairs(docs), docs)
+
+  private def dedupEvalFrom(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    // eager cut: candT is referenced by BOTH tagged arms (the cand
+    // rows and the seed-recall left join) — lazily the whole pair
+    // pipeline re-evaluated per arm
+    val candT = pairs.select($"d1", $"d2",
       ($"n_common" * 10L >= ($"n1" + $"n2" - $"n_common") * 8L).as("dup"))
+      .localCheckpoint(true)
     val seedsh = shingleRows(docs.filter($"doc_id" < DedupEvalSeedMax))
       .distinct()
     val scnt = seedsh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -7576,14 +7615,25 @@ object TextOps {
     * signatures join back doc-keyed (sort-merge, never broadcast —
     * the q24 docsets discipline); the census axis is 9 values. */
   def q257MinhashCalibration(s: SparkSession, d: String): DataFrame =
-    minhashCalibration(Tables.documents(s, d))
+    // round 15: read the STAGED verified pair relation (the q24/q50
+    // materialize-once discipline) instead of recomputing the full
+    // LSH pipeline, and compute the signature matrix ONCE (eagerly
+    // checkpointed — it is joined on both pair sides; lazily it was
+    // re-evaluated per reference, four shingle-corpus scans in one
+    // plan). Rows are identical: q24 IS pairsStaged, oracle-green.
+    calibrationFrom(pairsStaged(s, d),
+      signatures(Tables.documents(s, d)).localCheckpoint(true))
 
   private[graft] def minhashCalibration(docs: DataFrame): DataFrame = {
-    val sigs = signatures(docs)
+    val sigs = signatures(docs).localCheckpoint(true)
+    calibrationFrom(lshPairsFrom(bandsFrom(sigs), docs), sigs)
+  }
+
+  private def calibrationFrom(pairs: DataFrame, sigs: DataFrame): DataFrame = {
     val matchCnt = (0 until MinhashK).map(i =>
       when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    lshPairs(docs)
+    pairs
       .select($"d1", $"d2",
         expr("(n_common * 1000000) div (n1 + n2 - n_common)")
           .as("jacc_ppm"))
@@ -8192,7 +8242,12 @@ object TextOps {
 
   private[graft] def setCoverTrace(docs: DataFrame): DataFrame = {
     val ds = shingleRows(docs).distinct().persist()
-    val uTotal = ds.agg(countDistinct($"sh").as("u"))
+    // round 15: the 1-row universe total is referenced by the r0 row
+    // AND broadcast into every round's covered_ppm — lazily it
+    // re-ran the countDistinct over the corpus-grain incidence once
+    // per reference (Probe: four ~2 s broadcast jobs). One eager
+    // checkpoint computes it once.
+    val uTotal = ds.agg(countDistinct($"sh").as("u")).localCheckpoint(true)
     // ADAPTIVE argmax key width (the q282 Borůvka recipe, round-13
     // pack audit): one 1-row bound scan of the (persisted, loop-
     // needed-anyway) incidence picks the narrow 31/32-bit BIGINT pack

@@ -1932,9 +1932,20 @@ object VectorOps {
       .select($"i", $"j", $"gram_micro"))
 
   private[graft] def powerIteration(gram: DataFrame): DataFrame = {
-    val gF = gram.unionByName(gram.filter($"i" =!= $"j")
-      .select($"j".as("i"), $"i".as("j"), $"gram_micro")).persist()
-    val v0 = gram.select($"i").distinct()
+    // round 15: ONE eager checkpoint of the gram pins the corpus scan
+    // to exactly one evaluation — the gram is a ≤ GramDims² = 256-row
+    // relation, but its LINEAGE is the full corpus scan, and the old
+    // lazy chains re-embedded it ~8x (each iteration references the
+    // previous twice: the L∞ agg + the renorm body; Probe showed ~10
+    // broadcast jobs of 0.9–1.6 s all recomputing the scan). Each
+    // iterate's raw matvec (16 rows) is checkpointed the same way, so
+    // every branch downstream reads metadata-grain LogicalRDDs —
+    // matching the operator's own 100 TB claim (corpus touched once,
+    // iterations are metadata arithmetic).
+    val g = gram.localCheckpoint(true)
+    val gF = g.unionByName(g.filter($"i" =!= $"j")
+      .select($"j".as("i"), $"i".as("j"), $"gram_micro"))
+    val v0 = g.select($"i").distinct()
       .select($"i", lit(1000000L).as("v"))
     val (vF, mF) = (1 to PowerIters)
       .foldLeft((v0, v0 /*placeholder*/)) { case ((v, _), _) =>
@@ -1943,12 +1954,12 @@ object VectorOps {
             floor($"gram_micro".cast("double") * $"v" / 1000000.0)
               .cast("long").as("c"))
           .groupBy($"i").agg(sum($"c").as("r"))
+          .localCheckpoint(true)
         val m = raw.agg(max(abs($"r")).as("m"))
         val vn = raw.crossJoin(broadcast(m))
           .select($"i",
             floor($"r".cast("double") * 1000000.0 /
               greatest($"m", lit(1L))).cast("long").as("v"))
-          .persist()
         (vn, m)
       }
     vF.select($"i".cast("long").as("dim"), $"v".as("value"))
