@@ -1745,16 +1745,24 @@ object Relational {
 
   def q123EntityResolution(s: SparkSession, d: String): DataFrame = {
     val clean = Tables.customer(s, d).select($"c_custkey", $"c_name")
+    // round 15: eager checkpoint — messy is referenced by the blocked
+    // candidate build AND the final outcome join; lazily the typo
+    // generation re-ran per reference
     val messy = messyCustomers(clean).select($"true_key", $"m_name")
+      .localCheckpoint(true)
     def delKey(name: Column, drop: Int): Column =
       concat(lit(s"k$drop") +:
         (10 to 18).filter(_ != drop)
           .map(p => substring(name, p, 1)): _*)
+    // round 15 (guide §2.3): ONE pass emitting all nine deletion keys
+    // per row via explode, replacing the 9-way union that re-scanned
+    // (and for messy, re-generated) its input once per arm — the same
+    // (keyCols, name, bk) row multiset, since each arm's key carries
+    // its own 'k<p>' prefix
     def blocks(df: DataFrame, nameCol: String, keyCols: Seq[Column]) =
-      (10 to 18).map { p =>
-        df.select(keyCols :+ col(nameCol) :+
-          delKey(col(nameCol), p).as("bk"): _*)
-      }.reduce(_ union _)
+      df.select(keyCols :+ col(nameCol): _*)
+        .withColumn("bk",
+          explode(array((10 to 18).map(p => delKey(col(nameCol), p)): _*)))
     import org.apache.spark.sql.expressions.Window
     // verify MAP-SIDE, dedup AFTER: the bounded-threshold levenshtein
     // (early-exit DP) runs on the joined stream and the ≤1 filter drops
