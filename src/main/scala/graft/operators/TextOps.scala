@@ -3732,7 +3732,12 @@ object TextOps {
             $"best_doc_id")
           .otherwise($"doc_id").as("canon12"))
 
-    val standing = arm12.filter($"status12" === "kept").select($"doc_id")
+    // round 15: arm12 (doc-grain, 3 cols) feeds the standing filter
+    // AND the final join — lazily its lineage (fingerprint scan +
+    // both text-arm reads) re-evaluated per reference; adjacent A/B
+    // at sf0.1 reps-3: 5.47 -> 5.13 s. Eager cut pins it once.
+    val arm12c = arm12.localCheckpoint(true)
+    val standing = arm12c.filter($"status12" === "kept").select($"doc_id")
     val embStanding = Tables.embeddings(s, d)
       .filter($"embedding".isNotNull)
       .join(standing, $"vec_id" === $"doc_id")
@@ -3741,7 +3746,7 @@ object TextOps {
       .cosineNearDupPairs(embStanding, "doc_id", "embedding", EmbedDupCos)
       .groupBy($"id2".as("doc_id")).agg(min($"id").as("emb_canonical"))
 
-    arm12.join(embArm, Seq("doc_id"), "left")
+    arm12c.join(embArm, Seq("doc_id"), "left")
       .select($"doc_id",
         when($"status12" =!= "kept", $"status12")
           .when($"emb_canonical".isNotNull, lit("embed_neardup"))
